@@ -1,0 +1,203 @@
+"""Event-table queries: the ordered/stateful operator families (W2/O3
+top-1-per-key, sessionization, windowed aggregation, F10 time
+rendering, F21 JSON extraction).  The same logic runs as a structured
+stream in streaming/events.py; these are the batch twins the oracle
+can check."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from musicflow_spark.functions.timeutils import ms_to_clock
+from musicflow_spark.queries.portable import pround
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+
+# ------------------------------------------------------- top-1 per key
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O3: 'first hit wins' — the reference takes the first API
+    result per search (spotify_elt.py:255-257 break-after-first) ==
+    rank candidates per key, keep rank 1.  Here: latest event per user
+    with a deterministic tiebreak."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", pround(F.col("value"), 2).alias("value"))
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, ts, event_type, round(value * 100.0) / 100.0 AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------- sessionization
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap-flag cumsum (the batch form of
+    streaming session windows; beyond-reference extension, flagged in
+    SURVEY §2.9).  Gap threshold 30 min; timestamps compared at whole-
+    second precision on both engines (unix_timestamp truncates)."""
+    ev = read_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "prev_s", F.lag(F.unix_timestamp("ts")).over(w_order)
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_s").isNull()
+            | ((F.unix_timestamp("ts") - F.col("prev_s")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    with_session = with_gap.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            pround(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+USER_SESSIONS_SQL = """
+WITH gaps AS (
+  SELECT *,
+         lag(cast(floor(epoch(ts)) AS bigint)) OVER w AS prev_s,
+         cast(floor(epoch(ts)) AS bigint)             AS ts_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT *,
+         CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM gaps
+), sessions AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)             AS n_events,
+       min(ts)              AS session_start,
+       max(ts)              AS session_end,
+       round(sum(value) * 100.0) / 100.0 AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# -------------------------------------------------- tumbling window agg
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the batch twin of the streaming
+    watermark+window agg (streaming/events.py); also A1/A2 grouping."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact integer-cents arithmetic: the sum is order-invariant
+            # and the avg divides identical operands on every engine
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0
+            ).alias("total_value"),
+            pround(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                / (F.count(F.lit(1)) * 100.0),
+                4,
+            ).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+HOURLY_EVENT_STATS_SQL = """
+SELECT date_trunc('hour', ts)   AS hour_start,
+       event_type               AS event_type,
+       count(*)                 AS n_events,
+       sum(cast(round(value * 100) AS bigint)) / 100.0 AS total_value,
+       round(sum(cast(round(value * 100) AS bigint)) / (count(*) * 100.0) * 10000.0) / 10000.0 AS avg_value,
+       count(DISTINCT user_id)  AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
+# ---------------------------------------------------- clock rendering
+def event_value_as_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F13: the BigQuery TIME-rendering idiom
+    (time(timestamp_seconds(div(ms,1000))), int_join_spotify_uris.sql:130)
+    as engine-portable integer arithmetic -> 'HH:mm:ss' string.
+    value*1000 plays the duration_ms role."""
+    ev = read_table(spark, sf_dir, "events")
+    ms = (F.col("value") * 1000).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            ms.alias("duration_ms"),
+            ms_to_clock(ms).alias("duration_time"),
+        )
+    )
+
+
+EVENT_VALUE_AS_CLOCK_SQL = """
+WITH ms AS (SELECT event_id, cast(trunc(value * 1000) AS bigint) AS duration_ms FROM events)
+SELECT event_id, duration_ms,
+       lpad(cast((duration_ms // 1000) // 3600 AS varchar), 2, '0') || ':' ||
+       lpad(cast(((duration_ms // 1000) % 3600) // 60 AS varchar), 2, '0') || ':' ||
+       lpad(cast((duration_ms // 1000) % 60 AS varchar), 2, '0')   AS duration_time
+FROM ms
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------- JSON extraction
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21: JSON decode of the props payload (the reference caches
+    match structs as JSON in Redis, spotify_elt.py:773-797;
+    from_json/get_json_object is the Spark-native equivalent)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_value"),
+        )
+        .filter(F.col("k_value").isNotNull())
+    )
+
+
+EVENT_PROPS_EXTRACT_SQL = """
+SELECT event_id,
+       cast(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS bigint) AS k_value
+FROM events
+WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
+ORDER BY event_id
+"""
+
+
+QUERIES = [
+    Query("latest_event_per_user", "W2,O3", latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
+    Query("user_sessions", "W2,A1,A2 (ext: sessionization)", user_sessions, USER_SESSIONS_SQL, bench=True),
+    Query("hourly_event_stats", "A1,A2 (ext: windowed agg)", hourly_event_stats, HOURLY_EVENT_STATS_SQL),
+    Query("event_value_as_clock", "F10,F13", event_value_as_clock, EVENT_VALUE_AS_CLOCK_SQL),
+    Query("event_props_extract", "F21", event_props_extract, EVENT_PROPS_EXTRACT_SQL),
+]

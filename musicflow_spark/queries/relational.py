@@ -1,0 +1,500 @@
+"""Relational operator queries over the driver's TPC-H-ish tables.
+
+Each query re-expresses an operator family from SURVEY.md §2 (the
+reference's dbt/SQL surface) against the synthetic star schema, so the
+DuckDB oracle can check it end-to-end.  SURVEY ids in each docstring.
+
+Scale notes are inline: broadcast for dimension sides, shuffle keys
+chosen to co-partition the big joins, window partitions keyed so no
+single-partition global sorts exist except where the reference itself
+is global (W1, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from musicflow_spark.queries.portable import pround
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [read_table(spark, sf_dir, n) for n in names]
+
+
+# --------------------------------------------------------------------- Q1
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregate: A1/A2 (count/sum group-bys),
+    A10/F11 (round), O1 (order by) — the reference's statistics marts
+    (most_saved_channels.sql, youtube_statistics.sql) in one query."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            pround(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) * 100.0) / 100.0                                       AS sum_qty,
+       round(sum(l_extendedprice) * 100.0) / 100.0                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) * 100.0) / 100.0               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0) / 100.0 AS sum_charge,
+       round(avg(l_quantity) * 10000.0) / 10000.0                                   AS avg_qty,
+       round(avg(l_extendedprice) * 10000.0) / 10000.0                              AS avg_price,
+       round(avg(l_discount) * 10000.0) / 10000.0                                   AS avg_disc,
+       count(*)                                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------- snowflake flatten
+def snowflake_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's wide denormalizing join (J1-J5: spotify_log
+    snowflake -> one row, int_join_spotify_uris.sql:5-91) re-shaped on
+    the TPC-H star: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    ⋈ supplier(⋈ nation), plus the derived-column idioms: F16 CASE
+    discriminator, F17 coalesce, A10 percentage, F11 round.
+
+    Scale: nation/region/supplier are broadcast (dimension sides, like
+    the reference's 7-row search_types); lineitem⋈orders co-partitions
+    on orderkey — one shuffle each side, AQE handles skew.
+    """
+    li, orders, cust, nat, reg, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier"
+    )
+    cust_geo = (
+        cust.join(
+            F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"], "inner"
+        )
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"], "inner")
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("cust_nation"),
+            F.col("r_name").alias("cust_region"),
+            "c_mktsegment",
+        )
+    )
+    supp_geo = supp.join(
+        F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"], "inner"
+    ).select("s_suppkey", F.col("s_name").alias("supp_name"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .join(cust_geo, orders["o_custkey"] == cust_geo["c_custkey"], "inner")
+        .join(F.broadcast(supp_geo), li["l_suppkey"] == supp_geo["s_suppkey"], "inner")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "cust_name",
+            "cust_nation",
+            "cust_region",
+            "supp_name",
+            "supp_nation",
+            F.col("o_orderstatus").alias("order_status"),
+            # F16: CASE discriminator (the spotify_type idiom)
+            F.when(F.col("o_totalprice") >= 200000, F.lit("large"))
+            .when(F.col("o_totalprice") >= 50000, F.lit("medium"))
+            .otherwise(F.lit("small"))
+            .alias("order_size"),
+            # F17: coalesce across alternatives (polymorphic-FK idiom)
+            F.coalesce(
+                F.when(F.col("l_returnflag") == "N", None).otherwise(
+                    F.col("l_returnflag")
+                ),
+                F.col("l_linestatus"),
+            ).alias("flag_or_status"),
+            pround(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+            # A10: percentage metric
+            pround(F.col("l_discount") * 100, 2).alias("discount_pct"),
+        )
+    )
+
+
+SNOWFLAKE_FLATTEN_SQL = """
+SELECT l.l_orderkey                                   AS l_orderkey,
+       l.l_linenumber                                 AS l_linenumber,
+       c.c_name                                       AS cust_name,
+       n.n_name                                       AS cust_nation,
+       r.r_name                                       AS cust_region,
+       s.s_name                                       AS supp_name,
+       sn.n_name                                      AS supp_nation,
+       o.o_orderstatus                                AS order_status,
+       CASE WHEN o.o_totalprice >= 200000 THEN 'large'
+            WHEN o.o_totalprice >= 50000  THEN 'medium'
+            ELSE 'small' END                          AS order_size,
+       coalesce(CASE WHEN l.l_returnflag = 'N' THEN NULL ELSE l.l_returnflag END,
+                l.l_linestatus)                       AS flag_or_status,
+       round(l.l_extendedprice * (1 - l.l_discount) * 100.0) / 100.0 AS revenue,
+       round(l.l_discount * 100 * 100.0) / 100.0      AS discount_pct
+FROM lineitem l
+JOIN orders   o  ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey  = c.c_custkey
+JOIN nation   n  ON c.c_nationkey = n.n_nationkey
+JOIN region   r  ON n.n_regionkey = r.r_regionkey
+JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+JOIN nation   sn ON s.s_nationkey = sn.n_nationkey
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ------------------------------------------------------------ anti join
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the reference's left-anti 'not found' mart
+    (log_not_found_videos.sql:10-13) — native left_anti join."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# ----------------------------------------------------------- found ratio
+def order_ratio_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 + A1 + A10: left join with null-skipping count(col) and a
+    percentage — the reference's ratio_of_found_by_playlists.sql:10-18
+    (count(sl.log_id) over a left join / count(1))."""
+    cust, orders, nat = _t(spark, sf_dir, "customer", "orders", "nation")
+    joined = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"], "inner"
+    ).join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("rows_cnt"),
+            F.count("o_orderkey").alias("matched_cnt"),
+            pround(F.count("o_orderkey") * 100.0 / F.count(F.lit(1)), 2).alias(
+                "found_pct"
+            ),
+        )
+    )
+
+
+ORDER_RATIO_BY_NATION_SQL = """
+SELECT n.n_name                                         AS n_name,
+       count(*)                                         AS rows_cnt,
+       count(o.o_orderkey)                              AS matched_cnt,
+       round(count(o.o_orderkey) * 100.0 / count(*) * 100.0) / 100.0 AS found_pct
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY n.n_name
+ORDER BY found_pct DESC, n_name
+"""
+
+
+# ------------------------------------------------- duplicates + string_agg
+def parts_in_multiple_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (string_agg DISTINCT, ordered) + A5 (HAVING cnt>1) + F6
+    (concat URL-building) — videos_saved_more_than_once.sql:8-17.
+    The ordered-distinct aggregation is collect_set -> array_sort ->
+    array_join (Spark aggregation is unordered; SURVEY §7 watch-list #2).
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("l_orderkey").cast("string"))), ","
+            ).alias("order_keys"),
+        )
+        .filter(F.col("n_orders") > 1)
+        .select(
+            "l_partkey",
+            F.concat(F.lit("part://"), F.col("l_partkey").cast("string")).alias(
+                "part_url"
+            ),
+            "n_orders",
+            "order_keys",
+        )
+    )
+
+
+PARTS_IN_MULTIPLE_ORDERS_SQL = """
+SELECT l_partkey,
+       'part://' || cast(l_partkey AS varchar)  AS part_url,
+       count(DISTINCT l_orderkey)               AS n_orders,
+       string_agg(DISTINCT cast(l_orderkey AS varchar), ','
+                  ORDER BY cast(l_orderkey AS varchar)) AS order_keys
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(DISTINCT l_orderkey) > 1
+ORDER BY l_partkey
+"""
+
+
+# ------------------------------------------------------ ordered array_agg
+def lineitems_in_line_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: array_agg(x ORDER BY k) — the reference's only ARRAY-typed
+    relation (extract_other_playlists, spotify_elt.py:71-72) collects
+    video titles ordered by library id.  Spark aggregation is unordered,
+    so collect structs of (sort_key, value) and array_sort before
+    joining (SURVEY §7 watch-list #2).  Emitted as a string so the
+    oracle hash is array-encoding-agnostic."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                    ),
+                    lambda s: s["l_partkey"].cast("string"),
+                ),
+                ",",
+            ).alias("parts_in_line_order"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LINEITEMS_IN_LINE_ORDER_SQL = """
+SELECT l_orderkey,
+       string_agg(cast(l_partkey AS varchar), ',' ORDER BY l_linenumber, l_partkey) AS parts_in_line_order,
+       count(*)                                                          AS n_lines,
+       cast(sum(l_quantity) AS double)                                   AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+# ------------------------------------------------------- guarded upsert
+def guarded_upsert_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the reference's guarded upsert ("keep existing row unless its
+    playlist_uri is null", spotify_elt.py:344-354) as a prefer-non-X
+    window rank: per part keep one lineitem row, preferring unreturned
+    rows ('N'), then latest shipdate, with a deterministic tiebreak.
+    NOT plain dropDuplicates (SURVEY §7 watch-list #3)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    # every output column appears in the sort so the kept row is fully
+    # deterministic even when (l_orderkey, l_linenumber) repeats
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.when(F.col("l_returnflag") == "N", 0).otherwise(1),
+        F.col("l_shipdate").desc(),
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+    )
+
+
+GUARDED_UPSERT_PARTS_SQL = """
+SELECT l_partkey, l_orderkey, l_linenumber, l_returnflag, l_shipdate
+FROM lineitem
+QUALIFY row_number() OVER (
+    PARTITION BY l_partkey
+    ORDER BY CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END,
+             l_shipdate DESC, l_orderkey, l_linenumber, l_returnflag) = 1
+ORDER BY l_partkey
+"""
+
+
+# ------------------------------------------------------- global row_number
+def nation_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: global row_number surrogate id (log_for_tableau.sql:98 does
+    row_number() over (order by search_type_id)).  Single-partition by
+    construction — acceptable only on dimension-sized inputs like this
+    one; at fact scale the engine swaps in monotonically_increasing_id
+    (see operators/ids.py)."""
+    nat, reg = _t(spark, sf_dir, "nation", "region")
+    return (
+        nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"], "inner")
+        .select("n_name", F.col("r_name").alias("region_name"))
+        .withColumn("surrogate_id", F.row_number().over(Window.orderBy("n_name")))
+        .orderBy("surrogate_id")
+    )
+
+
+NATION_SURROGATE_IDS_SQL = """
+SELECT n.n_name                                   AS n_name,
+       r.r_name                                   AS region_name,
+       row_number() OVER (ORDER BY n.n_name)      AS surrogate_id
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY surrogate_id
+"""
+
+
+# ------------------------------------------------ branch union + typed nulls
+def order_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (threshold routing) + U1 (UNION ALL of branches) + F18 (typed
+    null literals): the log_for_tableau.sql:87-93 current-vs-other-user
+    branch union, re-keyed on order value.  Each branch projects a
+    different column set, padded with cast(null as ...) exactly like
+    log_for_tableau.sql:45-48."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") >= 150000).select(
+        "o_orderkey",
+        F.lit("large").alias("branch"),
+        F.round("o_totalprice", 2).alias("amount"),
+        F.lit(None).cast("string").alias("priority_note"),
+    )
+    small = orders.filter(F.col("o_totalprice") < 150000).select(
+        "o_orderkey",
+        F.lit("small").alias("branch"),
+        F.round("o_totalprice", 2).alias("amount"),
+        F.col("o_orderpriority").alias("priority_note"),
+    )
+    return big.unionByName(small)
+
+
+ORDER_PRIORITY_ROUTING_SQL = """
+SELECT o_orderkey, 'large' AS branch, round(o_totalprice, 2) AS amount,
+       cast(NULL AS varchar) AS priority_note
+FROM orders WHERE o_totalprice >= 150000
+UNION ALL
+SELECT o_orderkey, 'small' AS branch, round(o_totalprice, 2) AS amount,
+       o_orderpriority AS priority_note
+FROM orders WHERE o_totalprice < 150000
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------- conservation counts
+def conservation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 + J11: the no_lost_videos.sql:3-30 conservation law — three
+    scalar counts cross-joined into one row and compared:
+    count(customer) == count(with orders) + count(without orders)."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    total = cust.agg(F.count(F.lit(1)).alias("total_customers"))
+    with_o = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    without_o = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return (
+        total.crossJoin(with_o)
+        .crossJoin(without_o)
+        .withColumn(
+            "conserved",
+            F.col("total_customers")
+            == F.col("with_orders") + F.col("without_orders"),
+        )
+    )
+
+
+CONSERVATION_COUNTS_SQL = """
+SELECT t.total_customers, w.with_orders, wo.without_orders,
+       t.total_customers = w.with_orders + wo.without_orders AS conserved
+FROM (SELECT count(*) AS total_customers FROM customer) t
+CROSS JOIN (SELECT count(*) AS with_orders FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) w
+CROSS JOIN (SELECT count(*) AS without_orders FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) wo
+"""
+
+
+# ------------------------------------------------------------- distinct
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: dict-keyed dedup (youtube_elt.py:36-38 natural-key dicts) ==
+    relational DISTINCT."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+DISTINCT_FLAG_STATUS_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------ top-k join
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective filters on both sides of a 3-way join,
+    then group + deterministic top-k (O1/O3 + J5).  The limit has a
+    unique tiebreak (l_orderkey) so the result is total-order stable."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "inner")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .join(li, orders["o_orderkey"] == li["l_orderkey"], "inner")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100.0) / 100.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+QUERIES = [
+    Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
+    Query("snowflake_flatten", "J1-J5,F16,F17,A10,F11", snowflake_flatten, SNOWFLAKE_FLATTEN_SQL, bench=True),
+    Query("customers_without_orders", "J6,U3", customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
+    Query("order_ratio_by_nation", "J7,A1,A10", order_ratio_by_nation, ORDER_RATIO_BY_NATION_SQL),
+    Query("parts_in_multiple_orders", "A4,A5,F6", parts_in_multiple_orders, PARTS_IN_MULTIPLE_ORDERS_SQL, bench=True),
+    Query("lineitems_in_line_order", "A3,A2,F19", lineitems_in_line_order, LINEITEMS_IN_LINE_ORDER_SQL),
+    Query("guarded_upsert_parts", "A8,W2", guarded_upsert_parts, GUARDED_UPSERT_PARTS_SQL, bench=True),
+    Query("nation_surrogate_ids", "W1", nation_surrogate_ids, NATION_SURROGATE_IDS_SQL),
+    Query("order_priority_routing", "P7,U1,F18,F16", order_priority_routing, ORDER_PRIORITY_ROUTING_SQL),
+    Query("conservation_counts", "A9,J11", conservation_counts, CONSERVATION_COUNTS_SQL),
+    Query("distinct_flag_status", "A7", distinct_flag_status, DISTINCT_FLAG_STATUS_SQL),
+    Query("top_revenue_orders", "J5,O1,O3,A2", top_revenue_orders, TOP_REVENUE_ORDERS_SQL, bench=True),
+]

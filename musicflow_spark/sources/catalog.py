@@ -1,0 +1,100 @@
+"""Warehouse catalog: the parquet-at-rest layer that replaces BigQuery.
+
+The reference stores every table in BigQuery datasets and routes them
+with a dbt macro (reference: dbt/macros/generate_schema_name.sql:1-14).
+Here a catalog is a directory of parquet files; tables register as temp
+views so both the DataFrame API and ``spark.sql`` see one namespace.
+
+Scale note: reads are plain ``spark.read.parquet`` so Catalyst keeps
+predicate pushdown / column pruning / partition pruning; writers go
+through :func:`write_table` which exposes ``partition_by`` and
+``bucket_by`` hooks for the 100 TB layout without changing call sites.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the driver-generated synthetic tables (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Accepts both ``dir/name.parquet`` files
+    and ``dir/name/`` parquet directories (partitioned layout).
+
+    Ingest normalization: the events table is written with parquet
+    TIMESTAMP(NANOS), which Spark has no native type for.  We read
+    nanos as long (legacy conf) and truncate to microseconds at the
+    scan — the same truncation DuckDB applies — so downstream
+    operators see a plain TimestampType.
+    """
+    from pyspark.sql import functions as F
+
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    path = file_path if os.path.exists(file_path) else dir_path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every catalog table as a temp view; returns the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Write a table with the reference's load semantics.
+
+    ``mode='overwrite'`` mirrors BigQuery ``WRITE_TRUNCATE``
+    (reference: dags/scripts/youtube_elt.py:336-362), ``'append'``
+    mirrors ``WRITE_APPEND``.
+
+    ``bucket_by=(n, cols)`` requires ``table_name`` (bucketing is a
+    metastore feature); it pre-co-locates later joins on ``cols`` so
+    they run shuffle-free — the 100 TB path for the big fact tables.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucket_by requires table_name (saveAsTable)")
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(
+            table_name
+        )
+        return
+    writer.parquet(path)
