@@ -48,6 +48,13 @@ def fix_title(title: Column | str) -> Column:
     "if nothing left, undo the last step" guard after each step,
     where "undo" restores the ORIGINAL title (spotify_elt.py:166-210
     resets ``new_title = title``, not the previous step's value).
+
+    NOTE: as a single Column the per-step guard duplicates each
+    step's regexp (``when(cond(r), orig).otherwise(r)`` references r
+    twice), giving a 2^9 expression tree that falls out of
+    whole-stage codegen.  Fine for incidental use; in any hot path
+    use :func:`with_fixed_title`, which materializes each step as its
+    own projection column so every regexp evaluates once.
     """
     original = F.col(title) if isinstance(title, str) else title
     cur = original
@@ -55,6 +62,24 @@ def fix_title(title: Column | str) -> Column:
         nxt = F.regexp_replace(cur, pattern, repl)
         cur = F.when(F.trim(nxt) == "", original).otherwise(nxt)
     return cur
+
+
+def with_fixed_title(df, title_col: str, out_col: str = "fixed_title"):
+    """DataFrame-level fix_title: one intermediate column per rewrite
+    step, so each regexp_replace is evaluated exactly once per row
+    (Catalyst keeps projections separate rather than duplicate
+    non-cheap expressions).  This is the scale path the matcher uses.
+    """
+    tmp = "__fix_title_cur__"
+    df = df.withColumn(tmp, F.col(title_col))
+    for i, (pattern, repl) in enumerate(FIX_TITLE_STEPS):
+        step = f"__fix_title_s{i}__"
+        df = df.withColumn(step, F.regexp_replace(F.col(tmp), pattern, repl))
+        df = df.withColumn(
+            tmp,
+            F.when(F.trim(F.col(step)) == "", F.col(title_col)).otherwise(F.col(step)),
+        ).drop(step)
+    return df.withColumnRenamed(tmp, out_col)
 
 
 def strip_topic_suffix(author: Column | str) -> Column:

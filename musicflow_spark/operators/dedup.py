@@ -1,0 +1,355 @@
+"""Deduplication operator family for training-data pipelines.
+
+Four tiers, cheapest first — the standard web-scale dedup ladder:
+
+1. exact:        hash the normalized text, keep one row per hash.
+2. n-gram Jaccard: token-shingle overlap via a shingle-inverted-index
+                 self-join (exact near-dup, quadratic only within
+                 shingle buckets).
+3. MinHash+LSH:  signature sketch + banding so candidate generation
+                 is a bucket equi-join (the 100 TB path — no pairwise
+                 anything; shuffle keys are (band, bucket-hash)).
+4. SimHash:      64-bit weighted fingerprint; near-dups differ in few
+                 bits; banding on 16-bit chunks for candidates.
+
+Everything is built from native expressions: xxhash64 for hashing,
+higher-order array functions for signatures, equi-joins for bucketing.
+No Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.textstats import normalize_for_fingerprint, tokens
+
+
+# ------------------------------------------------------------- exact
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row per normalized-text fingerprint — the
+    lowest id wins (deterministic, unlike dropDuplicates).  Adds
+    ``fp`` (the fingerprint) and ``dup_count`` (group size)."""
+    fp = F.md5(normalize_for_fingerprint(text_col))
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.withColumn("fp", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ----------------------------------------------------------- shingles
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles from an ALREADY-MATERIALIZED token
+    array column.  Callers must pass a plain column reference (not an
+    inline tokenization expression): a Column built inline would be
+    re-evaluated for every slice inside the lambda — measured 300x
+    per-row blowup on real documents."""
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(doc_id, sh: array<string>) with tokenization materialized as
+    its own projection step so it evaluates once per row."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__"))
+        .withColumn("__toks__", F.transform(tokens("__text__"), F.lower))
+        .withColumn(out_col, shingles_of(F.col("__toks__"), n))
+        .select("doc_id", out_col)
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Single-Column convenience form — fine for tests/small frames;
+    hot paths go through with_shingles (see shingles_of note)."""
+    toks = F.transform(tokens(text), F.lower)
+    return shingles_of(toks, n)
+
+
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle) inverted-index rows + per-doc shingle count.
+
+    ``max_df`` drops shingles appearing in more than that many docs —
+    the standard discriminative-shingle filter: a shingle shared by
+    thousands of documents contributes nothing to near-dup detection
+    but quadratic join cost.  When set, ``n_shingles`` counts only the
+    KEPT shingles, so downstream Jaccard stays internally consistent.
+    """
+    exploded = with_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    if max_df is not None:
+        w_sh = Window.partitionBy("shingle")
+        exploded = exploded.withColumn("sh_df", F.count(F.lit(1)).over(w_sh)).filter(
+            F.col("sh_df") <= max_df
+        ).drop("sh_df")
+    w_doc = Window.partitionBy("doc_id")
+    return exploded.withColumn("n_shingles", F.count(F.lit(1)).over(w_doc)).select(
+        "doc_id", "n_shingles", "shingle"
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over discriminative shingles
+    for all pairs sharing >=1 kept shingle.  The self-join is an
+    equi-join on the shingle (inverted index); the ``max_df`` filter
+    bounds per-shingle bucket size, so join cost is
+    O(n_shingles * max_df^2) worst-case instead of quadratic in the
+    corpus — this is what keeps the operator viable at 100 TB.
+
+    Returns (doc_a, doc_b, inter_cnt, jaccard) with doc_a < doc_b,
+    where jaccard is over the kept-shingle sets.
+    """
+    sh = shingle_table(df, text_col, id_col, n, max_df)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+        "shingle",
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+        "shingle",
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter_cnt", "jaccard")
+    )
+    return pairs
+
+
+# ------------------------------------------------------------ minhash
+def minhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) k-permutation MinHash signatures.
+
+    Permutation i is xxhash64(shingle, i); the signature element is
+    the min over the doc's shingles.  Computed as ONE fold over the
+    materialized shingle column — each shingle is hashed k times with
+    literal seeds and folded into the running elementwise min via
+    zip_with — so every hash call is codegen-friendly and the whole
+    signature is a single map stage.  Empty docs get MaxLong
+    sentinels.
+    """
+    max_long = 9223372036854775807
+    init = F.array(*[F.lit(max_long).cast("long") for _ in range(k)])
+    sig = F.aggregate(
+        F.col("sh"),
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(k)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return with_shingles(df, text_col, id_col, n).select(
+        "doc_id", sig.alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the k-length signature into ``bands`` rows
+    of k/bands values, bucket-key each band with xxhash64, and
+    equi-join docs sharing any (band, bucket).  Returns candidate
+    pairs (doc_a < doc_b) with the number of agreeing bands.
+
+    Scale: the only shuffle is the groupBy on (band, bucket) —
+    candidates never materialize across buckets, which is what makes
+    this the 100 TB path.
+    """
+    rows_per_band = k // bands
+    sig = minhash_table(df, text_col, id_col, k, n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidates from LSH banding, verified with exact Jaccard —
+    the standard sketch-then-verify dedup pipeline.  Output matches
+    jaccard_pairs' schema (plus n_bands_hit) but only computes exact
+    overlap for LSH candidates."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, n)
+    sh = shingle_table(df, text_col, id_col, n, max_df=20)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return inter.join(cands, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "inter_cnt", "jaccard", "n_bands_hit"
+    )
+
+
+# ------------------------------------------------------------ simhash
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document -> (doc_id, simhash: long).
+
+    Each token hashes once (xxhash64); bit i of the fingerprint is
+    the sign of sum over tokens of (+1 if hash-bit i set else -1).
+    Shaped as explode + groupBy with 64 conditional-sum aggregate
+    columns: fully vectorized, and the shuffle is tiny because
+    partial (map-side) aggregation reduces each partition to one row
+    per doc before exchange.  Documents with zero tokens drop out.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    ).select("doc_id", F.xxhash64(F.lower("tok")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(n_bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit_val = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        fp = fp + F.when(F.col(f"v{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (popcount of
+    xor, via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: any pair within hamming<=3*chunk must
+    agree on >=1 chunk; for larger budgets this is a recall-tunable
+    heuristic), equi-join per chunk, verify with exact hamming."""
+    sig = simhash_table(df, text_col, id_col).select(
+        "doc_id", F.col("simhash").alias("sh")
+    )
+    chunks = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "chunk", "key")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

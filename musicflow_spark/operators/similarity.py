@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- brute-force cosine top-k: exact; cross-join of a (small) query set
+  against the corpus.  The dot product is a native F.zip_with +
+  F.aggregate fold — JVM-side, no Python.  Cost Q x N — the baseline
+  and the verifier.
+- LSH-bucketed ANN (sign random projection): deterministic
+  hyperplanes derived from a seeded RNG; bucket key = b sign bits;
+  candidates = bucket equi-join (optionally multi-probe with extra
+  tables).  The 100 TB path: shuffle only on (table, bucket) keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (native fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` is broadcast (it is the small side by construction);
+    the per-query ranking window partitions on query_id so no global
+    sort exists.  Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-random-projection."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        bucket = bucket + F.when(
+            dot(vec, plane_col) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: rank only candidates that share an
+    SRP bucket with the query in any of ``n_tables`` independent
+    hash tables.  Recall grows with n_tables; candidate count drops
+    ~2^n_planes-fold vs brute force.  Same output schema as
+    brute_force_topk (queries with zero candidates simply emit <k rows).
+    """
+    tables = [
+        random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        parts = []
+        for t, planes in enumerate(tables):
+            parts.append(
+                df.select(
+                    F.col(id_col).alias(idname),
+                    F.col(vec_col).alias(vecname),
+                    F.lit(t).alias("table_id"),
+                    srp_bucket(F.col(vec_col), planes).alias("bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qb = bucketed(queries, "query_id", "q_vec")
+    cb = bucketed(corpus, "neighbor_id", "c_vec")
+    cands = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,1 +1,303 @@
-QUERIES = []
+"""Document/text operator queries: the fix_title rewrite chain (F1-F3)
+and the training-data text-analysis + dedup extensions over the
+documents table.
+
+The fix_title oracle is generated from the same step table the Spark
+expression chain uses (functions/strings.py), as a CTE pipeline —
+one CTE per rewrite step with the reference's blank-undo guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from musicflow_spark.functions.strings import FIX_TITLE_STEPS, is_ost, with_fixed_title
+from musicflow_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+from musicflow_spark.operators.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_id,
+    lang_scores,
+    quality_features,
+)
+from musicflow_spark.queries.portable import pround
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+# ------------------------------------------------------------ fix_title
+# synthetic "video titles" built from part columns — identical
+# expression on both engines — exercising every rewrite step:
+# brackets, dash-dividers, pipes, colons, curly apostrophes, OST,
+# years, 'Full Album' (case-insensitive)
+
+
+def _title_expr_spark() -> F.Column:
+    year = (F.lit(1980) + F.col("p_partkey") % 45).cast("string")
+    return F.concat(
+        F.col("p_name"),
+        F.lit(" ["),
+        F.col("p_brand"),
+        F.lit("] -"),
+        F.col("p_type"),
+        F.lit("- "),
+        year,
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(" | full album")).otherwise(F.lit("")),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(" OST")).otherwise(F.lit("")),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(" ‘best‘")).otherwise(F.lit("")),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(": Live")).otherwise(F.lit("")),
+    )
+
+
+_TITLE_EXPR_SQL = """p_name || ' [' || p_brand || '] -' || p_type || '- '
+    || cast(1980 + p_partkey % 45 AS varchar)
+    || CASE WHEN p_partkey % 3 = 0 THEN ' | full album' ELSE '' END
+    || CASE WHEN p_partkey % 7 = 0 THEN ' OST' ELSE '' END
+    || CASE WHEN p_partkey % 5 = 0 THEN ' ‘best‘' ELSE '' END
+    || CASE WHEN p_partkey % 4 = 0 THEN ': Live' ELSE '' END"""
+
+
+def _fix_title_oracle_sql() -> str:
+    """Generate the DuckDB CTE chain from FIX_TITLE_STEPS — one CTE
+    per step, each applying regexp_replace(..., 'g') with the
+    blank-undo guard (undo restores the ORIGINAL title, matching the
+    reference's fix_title, spotify_elt.py:160-211)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    ctes = [
+        f"titled AS (SELECT p_partkey, {_TITLE_EXPR_SQL} AS title FROM part)",
+        "s0 AS (SELECT p_partkey, title, title AS t0 FROM titled)",
+    ]
+    for i, (pat, rep) in enumerate(FIX_TITLE_STEPS, start=1):
+        prev, cur = f"t{i - 1}", f"t{i}"
+        rr = f"regexp_replace({prev}, '{q(pat)}', '{q(rep)}', 'g')"
+        ctes.append(
+            f"s{i} AS (SELECT * EXCLUDE ({prev}), "
+            f"CASE WHEN trim({rr}) = '' THEN title ELSE {rr} END AS {cur} "
+            f"FROM s{i - 1})"
+        )
+    last = f"t{len(FIX_TITLE_STEPS)}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT p_partkey, title, {last} AS fixed_title,
+       regexp_matches(title, '\\bOST\\b') AS title_is_ost
+FROM s{len(FIX_TITLE_STEPS)}
+"""
+    )
+
+
+def fix_title_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F3: the reference's 9-step title-rewrite chain with per-step
+    blank-undo (spotify_elt.py:160-211) as a native regexp_replace /
+    when expression chain — zero UDFs, whole-stage codegen."""
+    part = read_table(spark, sf_dir, "part")
+    titled = part.select("p_partkey", _title_expr_spark().alias("title"))
+    return with_fixed_title(titled, "title").select(
+        "p_partkey",
+        "title",
+        "fixed_title",
+        is_ost("title").alias("title_is_ost"),
+    )
+
+
+# ------------------------------------------------------------ token stats
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (ext: text analysis): whitespace tokenization via
+    native split + higher-order functions; single map stage."""
+    docs = quality_features(read_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        pround(F.col("avg_token_len"), 4).alias("avg_token_len"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents)
+SELECT doc_id,
+       len(t)                 AS n_tokens,
+       len(list_distinct(t))  AS n_uniq_tokens,
+       round(CASE WHEN len(t) = 0 THEN 0.0
+             ELSE list_sum(list_transform(t, x -> length(x))) / cast(len(t) AS double)
+             END * 10000.0) / 10000.0 AS avg_token_len,
+       length(text)           AS n_chars_measured
+FROM toks
+"""
+
+
+# --------------------------------------------------------- quality score
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (ext): stopword / punctuation / uniqueness
+    ratios — the standard pre-training text-filter features."""
+    docs = quality_features(read_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        pround(F.col("stopword_frac"), 4).alias("stopword_frac"),
+        pround(F.col("punct_frac"), 4).alias("punct_frac"),
+        pround(F.col("uniq_frac"), 4).alias("uniq_frac"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+DOC_QUALITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       round(CASE WHEN len(t) = 0 THEN 0.0
+             ELSE len(list_filter(t, x -> list_contains([{_SW}], x))) / cast(len(t) AS double)
+             END * 10000.0) / 10000.0 AS stopword_frac,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{{}}-]', '', 'g')))
+                  / cast(length(text) AS double)
+             END * 10000.0) / 10000.0 AS punct_frac,
+       round(CASE WHEN len(t) = 0 THEN 0.0
+             ELSE len(list_distinct(t)) / cast(len(t) AS double)
+             END * 10000.0) / 10000.0 AS uniq_frac
+FROM toks
+"""
+
+
+# ------------------------------------------------------------- lang id
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (ext): marker-word hit counts per
+    language, argmax with deterministic tie-break."""
+    docs = read_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    cols += [scores[lang].alias(f"s_{lang}") for lang in sorted(scores)]
+    cols.append(lang_id("text").alias("pred_lang"))
+    return docs.select(*cols)
+
+
+def _lang_id_oracle_sql() -> str:
+    marker_exprs = []
+    for lang in sorted(LANG_MARKERS):
+        mk = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        marker_exprs.append(
+            f"len(list_filter(t, x -> list_contains([{mk}], x))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {g} THEN '{lang}' "
+    case += "END"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+scores AS (SELECT doc_id, lang AS labeled_lang, {", ".join(marker_exprs)} FROM toks)
+SELECT doc_id, labeled_lang, {", ".join("s_" + lang for lang in langs)},
+       {case} AS pred_lang
+FROM scores
+"""
+
+
+# -------------------------------------------------------- exact dedup
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (ext): md5 fingerprint of normalized text, keep
+    lowest doc_id per group (deterministic keep-first)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "fp", "dup_count")
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT doc_id, fp, dup_count FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                            ORDER BY doc_id) AS rn,
+         count(*)    OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS dup_count
+  FROM documents) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------ n-gram jaccard
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (ext): 3-token shingles with the
+    max_df=20 discriminative-shingle filter (bounds the inverted-index
+    join at scale), exact overlap ratio over kept shingles."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2, max_df=20)
+    return pairs.select(
+        "doc_a", "doc_b", "inter_cnt", pround(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+DOC_JACCARD_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv1 AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS sh_df FROM inv0),
+inv AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM inv1 WHERE sh_df <= 20)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS inter_cnt,
+       round(count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) * 1000000.0) / 1000000.0 AS jaccard
+FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) >= 0.2
+"""
+
+
+# --------------------------------------- sketch-based dedup (rows-only)
+def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (ext): 64-perm signature, 16 bands,
+    bucket equi-join candidates, exact-Jaccard verification.  Not
+    SQL-expressible (xxhash64 permutations) -> rows-only driver check;
+    semantics validated against jaccard_pairs in tests/test_dedup.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    return pairs.select(
+        "doc_a", "doc_b", "inter_cnt",
+        pround(F.col("jaccard"), 6).alias("jaccard"), "n_bands_hit",
+    )
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (ext): 64-bit weighted fingerprint,
+    16-bit chunk banding, hamming<=20 verification.  Rows-only check
+    (xxhash64 not available to the oracle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=20)
+
+
+QUERIES = [
+    Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
+    Query("doc_token_stats", "ext: token counting", doc_token_stats, DOC_TOKEN_STATS_SQL),
+    Query("doc_quality", "ext: quality scoring", doc_quality, DOC_QUALITY_SQL),
+    Query("doc_lang_id", "ext: language id", doc_lang_id, _lang_id_oracle_sql()),
+    Query("doc_exact_dedup", "ext: exact dedup; A7", doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    Query("doc_jaccard_pairs", "ext: ngram jaccard dedup; J8", doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL, bench=True),
+    Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, None, bench=True),
+    Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, None),
+]

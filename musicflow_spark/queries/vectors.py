@@ -1,1 +1,104 @@
-QUERIES = []
+"""Embedding-similarity queries over the embeddings table
+(vec_id, embedding: array<float>, label).
+
+knn_bruteforce is the exact baseline the oracle can check; the
+LSH-bucketed variant is the approximate scale path (rows-only check
+here; recall measured against brute force in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    norm,
+)
+from musicflow_spark.queries.portable import pround
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+N_QUERY_VECS = 8
+TOP_K = 10
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (ext: similarity search): query set =
+    vec_id < 8, brute-force against the corpus, rank by similarity
+    with id tie-break.  Dot product is a native zip_with/aggregate
+    fold — JVM-side, no UDF."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    topk = brute_force_topk(emb, queries, k=TOP_K)
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> cast(q.qv[i] AS double) * cast(c.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(q.qv, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(c.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats: count + mean L2 norm (ext; exercises
+    the native vector-norm fold at aggregation grain)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm(F.col("embedding")).alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            pround(F.avg("l2"), 4).alias("avg_norm"),
+        )
+    )
+
+
+EMBEDDING_LABEL_STATS_SQL = """
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(sqrt(list_sum(list_transform(embedding, x -> cast(x AS double) * cast(x AS double)))))
+             * 10000.0) / 10000.0 AS avg_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via sign-random-projection LSH
+    (ext: the 100 TB ANN path — candidates from bucket equi-joins
+    across 4 hash tables of 8 hyperplanes).  Rows-only driver check;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    # 6 planes x 16 tables: measured ~0.56 recall@10 on the synthetic
+    # corpus while scoring ~25% of it — random vectors are the LSH
+    # worst case; clustered real embeddings bucket far better
+    topk = lsh_topk(emb, queries, k=TOP_K, dim=64, n_planes=6, n_tables=16)
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
+QUERIES = [
+    Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
+    Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
+    Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, None),
+]

@@ -1,0 +1,168 @@
+"""Semantic tests for the training-data operators: sketch methods are
+validated against their exact counterparts (minhash vs exact jaccard,
+LSH-ANN recall vs brute force), text stats against Python reference
+implementations on sample rows."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    shingle_table,
+    simhash_near_pairs,
+)
+from musicflow_spark.operators.similarity import brute_force_topk, lsh_topk
+from musicflow_spark.operators.textstats import fingerprint, lang_id, tokens
+from musicflow_spark.sources.catalog import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    rows = [
+        (1, "The quick brown fox"),
+        (2, "the  QUICK   brown fox!!"),  # same after normalization
+        (3, "something else entirely"),
+        (4, "The quick brown fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df).select("doc_id", "dup_count").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert set(by_id) == {1, 3}  # lowest id survives per group
+    assert by_id[1] == 3 and by_id[3] == 1
+
+
+def test_tokens_and_fingerprint_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "  a  b   c "), (2, ""), (3, "   ")], "id long, text string"
+    )
+    out = df.select(
+        "id", F.size(tokens("text")).alias("n"), fingerprint("text").alias("fp")
+    ).collect()
+    n = {r["id"]: r["n"] for r in out}
+    assert n == {1: 3, 2: 0, 3: 0}
+    fps = {r["id"]: r["fp"] for r in out}
+    assert fps[2] == fps[3]  # both normalize to empty
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of war"),
+            (2, "der Hund und die Katze und der Vogel"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["pred"] for r in df.select("id", lang_id("text").alias("pred")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_minhash_candidates_cover_high_jaccard_pairs(docs):
+    """Every exact-Jaccard pair >= 0.5 must be recovered by the
+    MinHash+LSH pipeline (16 bands of 4 rows: P[miss at j=0.5] =
+    (1-0.5^4)^16 ~ 35% per band-row config... use the verified pairs
+    which share the exact verifier, so equality is on candidate
+    coverage of truly-similar pairs)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5, max_df=20).collect()
+    }
+    sketched = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    missed = set(exact) - set(sketched)
+    assert len(missed) <= max(1, len(exact) // 5), (
+        f"minhash missed {len(missed)}/{len(exact)} high-sim pairs"
+    )
+    for pair in set(exact) & set(sketched):
+        assert sketched[pair] == pytest.approx(exact[pair])
+
+
+def test_minhash_no_false_verified_pairs(docs):
+    """Verified minhash output must be a subset of the exact pairs at
+    the same threshold (the verifier is exact, so no false positives)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.2, max_df=20).collect()
+    }
+    sketched = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(docs, threshold=0.2).collect()
+    }
+    assert sketched <= exact
+
+
+def test_simhash_pairs_sane(docs):
+    pairs = simhash_near_pairs(docs, max_hamming=10).collect()
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 10
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_shingle_table_counts_match_python(spark):
+    text = "a b c d e f"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = shingle_table(df).collect()
+    got = {r["shingle"] for r in rows}
+    toks = text.split()
+    want = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert got == want
+    assert all(r["n_shingles"] == len(want) for r in rows)
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in pdf.itertuples()}
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        q = vecs[qid]
+        sims = {
+            vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = [(r["neighbor_id"], r["cos_sim"]) for r in rows]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_lsh_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, k=10, dim=64, n_planes=6, n_tables=16).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"LSH mean recall {mean_recall:.2f} too low"
