@@ -1,0 +1,103 @@
+"""Check-runner tests: the ported dbt suite (SURVEY §5) must pass on
+the fixture pipeline, and each check family must actually catch
+planted violations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from musicflow_spark.checks import CheckSet, reference_suite
+from musicflow_spark.config import PipelineConfig
+from musicflow_spark.plans.pipeline import build_all
+
+
+@pytest.fixture(scope="module")
+def models(musicflow_sources):
+    return build_all(musicflow_sources, PipelineConfig())
+
+
+def test_reference_suite_green(models):
+    suite = reference_suite(models)
+    # the reference runs ~130 dbt assertions; the port must be in
+    # that league, not a token subset
+    assert suite.count() >= 130
+    results = suite.run()
+    failing = [r for r in results if not r.passed]
+    assert failing == [], "\n".join(str(r) for r in failing)
+
+
+def test_row_check_fusion_single_scan(models):
+    # all row checks for one table fuse into one aggregate: verify by
+    # constructing N checks and observing a single-row result drives
+    # them all (behavioral: counts still correct per check)
+    s = CheckSet(tables=dict(models))
+    s.not_null("stg__youtube_videos", "video_id")
+    s.expression_is_true("stg__youtube_videos", "duration_ms > 0")
+    s.accepted_values("stg__youtube_videos", "type", ["nope"])
+    res = {r.name: r.failures for r in s.run()}
+    assert res["not_null: video_id"] == 0
+    assert res["expression: duration_ms > 0"] == 0
+    assert res["accepted_values: type"] == 10  # every fixture video
+
+
+def test_unique_catches_duplicates(spark, models):
+    t = models["stg__youtube_videos"]
+    dup = t.unionByName(t.limit(1))
+    s = CheckSet(tables={"t": dup})
+    s.unique("t", "video_id")
+    assert s.run()[0].failures == 1
+
+
+def test_relationships_catches_orphans(spark, models):
+    s = CheckSet(
+        tables={
+            "child": models["stg__spotify_log"].withColumn(
+                "track_uri", F.lit("spotify:track:orphan")
+            ),
+            "parent": models["stg__spotify_tracks"],
+        }
+    )
+    s.relationships("child", "track_uri", "parent", "track_uri")
+    assert s.run()[0].failures == 1
+
+
+def test_not_null_where_scoping(spark):
+    df = spark.createDataFrame(
+        [("LM", None), ("PL", None), ("PL2", "x")], "id string, author string"
+    )
+    s = CheckSet(tables={"t": df})
+    s.not_null("t", "author", where="id != 'LM'")
+    # only the PL row violates; LM's null author is allowed
+    assert s.run()[0].failures == 1
+
+
+def test_equal_rowcount_and_singular(models):
+    s = CheckSet(tables=dict(models))
+    s.equal_rowcount("stg__youtube_library", "stg__spotify_log")  # 14 vs 12
+    assert s.run()[0].failures == 2
+
+
+def test_aggregate_match_catches_duration_drift(models):
+    bad_albums = models["stg__spotify_albums"].withColumn(
+        "duration_ms", F.col("duration_ms") + 1
+    )
+    s = CheckSet(
+        tables={
+            "stg__spotify_albums": bad_albums,
+            "stg__spotify_tracks": models["stg__spotify_tracks"],
+        }
+    )
+    s.aggregate_match(
+        "stg__spotify_albums", "album_uri", "duration_ms", "stg__spotify_tracks",
+        "album_uri", F.sum("duration_ms"), "duration_match",
+    )
+    assert s.run()[0].failures == 1
+
+
+def test_column_type_check_is_static(models):
+    s = CheckSet(tables=dict(models))
+    s.column_type("stg__youtube_videos", "duration_ms", "bigint")
+    s.column_type("stg__youtube_videos", "duration_ms", "string")  # wrong
+    res = s.run()
+    assert res[0].passed and not res[1].passed
