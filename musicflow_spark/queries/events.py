@@ -103,6 +103,60 @@ ORDER BY user_id, session_id
 """
 
 
+# ------------------------------------------- native session windows
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization on the native ``session_window`` primitive —
+    the exact batch twin of streaming/events.py::user_sessions_stream
+    (same merge rule: events < 30 min apart join one session; session
+    end = last event + gap).  Unlike user_sessions (lag/cumsum at
+    whole-second precision), this merges at full microsecond
+    precision, so it is the semantics the streaming engine enforces."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+SESSION_WINDOW_STATS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sess AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       min(ts)                                 AS session_start,
+       max(ts) + INTERVAL '30 minutes'         AS session_end,
+       count(*)                                AS n_events,
+       sum(cast(round(value * 100) AS bigint)) / 100.0 AS session_value
+FROM sess
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
 # -------------------------------------------------- tumbling window agg
 def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation — the batch twin of the streaming
@@ -197,6 +251,7 @@ ORDER BY event_id
 QUERIES = [
     Query("latest_event_per_user", "W2,O3", latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
     Query("user_sessions", "W2,A1,A2 (ext: sessionization)", user_sessions, USER_SESSIONS_SQL, bench=True),
+    Query("session_window_stats", "ext: session windows (streaming twin)", session_window_stats, SESSION_WINDOW_STATS_SQL),
     Query("hourly_event_stats", "A1,A2 (ext: windowed agg)", hourly_event_stats, HOURLY_EVENT_STATS_SQL),
     Query("event_value_as_clock", "F10,F13", event_value_as_clock, EVENT_VALUE_AS_CLOCK_SQL),
     Query("event_props_extract", "F21", event_props_extract, EVENT_PROPS_EXTRACT_SQL),

@@ -1,0 +1,7 @@
+from musicflow_spark.streaming.events import (  # noqa: F401
+    event_stream,
+    foreach_batch_upsert,
+    hourly_event_stats_stream,
+    latest_event_per_user_stream,
+    user_sessions_stream,
+)

@@ -1,0 +1,179 @@
+"""Structured Streaming over the events table (beyond-reference
+extension, SURVEY §2.9).
+
+The reference is batch-only; its nearest analogues are Redis
+memoization (incremental re-runs, spotify_elt.py:772-797) and the
+run-over-run dedup encoded in ``status``.  This module exposes the
+same event-analytics operators as queries/events.py in streaming
+form, built on the idiomatic primitives:
+
+- file-source ``readStream`` with explicit schema,
+- ``withWatermark`` + ``window``/``session_window`` aggregations,
+- a custom stateful operator via ``applyInPandasWithState``
+  (latest-event-per-user upsert state),
+- a ``foreachBatch`` upsert sink (the streaming twin of the
+  reference's WRITE_TRUNCATE-vs-append load semantics).
+
+Scale notes: streaming aggregations shuffle on the grouping key
+exactly like their batch twins; state store size is bounded by the
+watermark (windows/sessions older than it are evicted).  Exact
+``countDistinct`` is not expressible in streaming — the hourly stream
+uses ``approx_count_distinct`` (HLL), a documented deviation from the
+batch twin.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events parquet directory.
+
+    Streaming sources need a static schema — taken from a batch read
+    of the same directory (the standard file-stream idiom).  The
+    TIMESTAMP(NANOS) normalization of sources/catalog.py::read_table
+    is applied when the at-rest type is nanos-as-long.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of queries/events.py::hourly_event_stats:
+    watermarked tumbling-window aggregate.  Same cents-exact value
+    arithmetic; ``n_users`` is approximate (HLL) — exact distinct is
+    not a streaming-expressible aggregate."""
+    cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (cents / 100.0).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value", "n_users_approx")
+    )
+
+
+def user_sessions_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization on the native ``session_window``
+    primitive: events within ``gap`` of each other merge; a session
+    finalizes once the watermark passes its close (append mode).
+    Batch twin with identical semantics:
+    queries/events.py::session_window_stats."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+#: output/state shapes for the stateful latest-event operator
+_LATEST_OUTPUT = "user_id bigint, event_id bigint, ts timestamp, event_type string, value double"
+_LATEST_STATE = "event_id bigint, ts timestamp, event_type string, value double"
+
+
+def latest_event_per_user_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: keeps
+    one row of state per user (their latest event by (ts, event_id))
+    and emits the new latest whenever it changes — the streaming form
+    of W2/O3 top-1-per-key (queries/events.py::latest_event_per_user).
+
+    State is one tiny tuple per key, so the state store scales with
+    |users|, not |events|; no timeout — the 'latest' never expires.
+    """
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        best = state.get if state.exists else None  # (event_id, ts, event_type, value)
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                cand = (int(row.event_id), row.ts.to_pydatetime(), row.event_type, float(row.value))
+                if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                    best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "event_id": best[0],
+                        "ts": best[1],
+                        "event_type": best[2],
+                        "value": best[3],
+                    }
+                ]
+            )
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, _LATEST_OUTPUT, _LATEST_STATE, "update", "NoTimeout")
+    )
+
+
+def foreach_batch_upsert(path: str, keys: list[str]):
+    """A ``foreachBatch`` sink that merges each micro-batch into a
+    parquet table by key (delete-matching + insert): the streaming
+    upsert the reference approximates with WRITE_TRUNCATE reloads.
+
+    Parquet has no transactional MERGE, so the merge writes to a
+    sibling tmp dir and atomically swaps — on a lakehouse table format
+    (Delta/Iceberg) this function body becomes a single MERGE INTO.
+    Batches arriving for the same key overwrite (last write wins),
+    which with update-mode aggregations converges to the exact final
+    aggregate per key.
+    """
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # freeze before the swap
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = existing.join(batch.select(*keys), keys, "left_anti").unionByName(batch)
+        else:
+            merged = batch
+        tmp = f"{path}.__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return sink

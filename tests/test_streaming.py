@@ -1,0 +1,156 @@
+"""Structured Streaming tests: every streaming operator must converge
+to its batch twin when fed the same events as an in-order file stream
+(multiple micro-batches via maxFilesPerTrigger=1, availableNow
+termination, a far-future flush sentinel to advance the watermark
+past all real data)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from musicflow_spark.queries.events import (
+    hourly_event_stats,
+    latest_event_per_user,
+    session_window_stats,
+)
+from musicflow_spark.sources.catalog import read_table
+from musicflow_spark.streaming import (
+    event_stream,
+    foreach_batch_upsert,
+    hourly_event_stats_stream,
+    latest_event_per_user_stream,
+    user_sessions_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SENTINEL_USER = -1
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Events split into 3 ts-ordered chunk files plus a flush
+    sentinel 30 days past the end (advances the global watermark so
+    every real window/session finalizes in append mode)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    ev = read_table(spark, SF_DIR, "events").orderBy("ts").localCheckpoint(eager=True)
+    n = ev.count()
+    rows_per_chunk = n // 3 + 1
+    chunked = ev.withColumn(
+        "chunk",
+        F.floor((F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / rows_per_chunk),
+    )
+    for i in range(3):
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), SENTINEL_USER, "flush", 0.0, "{}")],
+        ev.schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def _run_to_memory(df, name: str, tmp_path, mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+def test_hourly_stream_matches_batch(spark, stream_dir, tmp_path):
+    stream = hourly_event_stats_stream(
+        event_stream(spark, stream_dir, max_files_per_trigger=1)
+    )
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in _run_to_memory(stream, "hourly", tmp_path, "append").collect()
+        if r["event_type"] != "flush"
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hourly_event_stats(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_sessions_stream_matches_batch_session_window(spark, stream_dir, tmp_path):
+    stream = user_sessions_stream(event_stream(spark, stream_dir, max_files_per_trigger=1))
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["session_value"])
+        for r in _run_to_memory(stream, "sessions", tmp_path, "append").collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["session_value"])
+        for r in session_window_stats(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_stateful_latest_event_converges(spark, stream_dir, tmp_path):
+    # update-mode stateful operator: fold every micro-batch's updates
+    # into an upsert dict; final state must equal the batch top-1
+    stream = latest_event_per_user_stream(
+        event_stream(spark, stream_dir, max_files_per_trigger=1)
+    )
+    final: dict = {}
+
+    def absorb(batch, _bid):
+        for r in batch.collect():
+            final[r["user_id"]] = (r["event_id"], r["ts"], r["event_type"])
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_latest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final.pop(SENTINEL_USER, None)
+    want = {
+        r["user_id"]: (r["event_id"], r["ts"], r["event_type"])
+        for r in latest_event_per_user(spark, SF_DIR).collect()
+    }
+    assert final == want
+
+
+def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
+    # update-mode windowed agg -> keyed parquet upsert; the sink's
+    # final state is the complete aggregate (last write per key wins)
+    out = str(tmp_path / "hourly_upsert")
+    stream = hourly_event_stats_stream(
+        event_stream(spark, stream_dir, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(out, ["hour_start", "event_type"])
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_upsert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] != "flush"
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hourly_event_stats(spark, SF_DIR).collect()
+    }
+    assert got == want
