@@ -1,0 +1,255 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (beyond-reference extension for training-data pipelines).
+
+Design contract (the part that must be right at 100 TB):
+
+- Media travels as a ``binary`` payload column next to a typed
+  metadata struct — never decoded into the row until an operator
+  needs pixels/samples, so shuffles move bytes, not Python objects.
+- Decode / feature-extract / resize run as Arrow-batched
+  ``mapInPandas`` stages with explicit output schemas; batch size is
+  bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` and
+  payload bytes per partition by ``media_repartition`` (size-aware
+  repartition), so executor memory is bounded regardless of payload
+  skew.
+- Frame sampling is pure JVM (``sequence`` + ``explode``) — the
+  expensive per-frame decode fans out AFTER the explode, so it
+  parallelizes across the cluster.
+
+The actual codec work is STUBBED: no image/audio library ships in
+this container.  ``Codec`` is the injection point — production swaps
+in a Pillow/ffmpeg-backed codec; tests and this environment use
+``FakeCodec`` (deterministic bytes -> features) or ``LibraryCodec``
+which raises NotImplementedError at call time if its import is
+missing.  The Spark-side plumbing (schemas, batching, partitioning,
+UDF signatures) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: canonical media-table schema: payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+class Codec:
+    """Decode boundary. Implementations must be picklable (they ship
+    to executors inside the mapInPandas closure)."""
+
+    def features(self, payload: bytes, media_type: str, dim: int) -> list[float]:
+        raise NotImplementedError
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class FakeCodec(Codec):
+    """Deterministic stand-in: features are a seeded unit-norm-ish
+    projection of the payload digest; resize re-digests with the
+    target shape.  Stable across runs/workers — good enough to test
+    every piece of Spark plumbing without a codec library."""
+
+    seed: int = 0
+
+    def features(self, payload: bytes, media_type: str, dim: int) -> list[float]:
+        out: list[float] = []
+        h = hashlib.sha256(f"{self.seed}:{media_type}".encode() + (payload or b""))
+        raw = h.digest()
+        while len(out) < dim:
+            for i in range(0, len(raw), 4):
+                if len(out) >= dim:
+                    break
+                v = int.from_bytes(raw[i : i + 4], "big")
+                out.append((v / 2**32) * 2.0 - 1.0)
+            raw = hashlib.sha256(raw).digest()
+        return out
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        return hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
+
+
+@dataclass(frozen=True)
+class LibraryCodec(Codec):
+    """The production shape: import the codec lib lazily on the
+    executor; absent in this container, so calls raise
+    NotImplementedError (clearly-marked stub per the build brief)."""
+
+    def features(self, payload: bytes, media_type: str, dim: int) -> list[float]:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "image/audio codec libraries are not installed in this "
+                "environment; inject FakeCodec or install Pillow/ffmpeg"
+            ) from e
+        raise NotImplementedError("real decode path not implemented here")
+
+    resize = features  # same gating
+
+
+def fake_media_from_documents(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Build a deterministic media table from the documents fixture:
+    payload = utf-8 text bytes, metadata derived from doc stats.  The
+    JVM does all of it (no Python) — this is ingest plumbing, not a
+    codec."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode("text", "UTF-8").cast("binary").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 1920 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 1080 + 1).cast("int").alias("height"),
+            (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+            F.lit(16_000).alias("sample_rate"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def media_repartition(media: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Size-aware repartition: media rows are wildly skewed (a 4 KB
+    thumbnail vs a 2 GB video), so partition count comes from total
+    payload bytes, not row count.  One extra cheap aggregate; prevents
+    OOM batches in every downstream mapInPandas."""
+    total = media.agg(F.sum(F.length("payload"))).collect()[0][0] or 0
+    n = max(1, int(total // target_partition_bytes) + 1)
+    return media.repartition(n, "media_id")
+
+
+def extract_features(media: DataFrame, codec: Codec, dim: int = 8) -> DataFrame:
+    """Arrow-batched decode -> fixed-dim feature vector per media row.
+
+    mapInPandas (not a scalar pandas_udf) so one batch can yield
+    nothing for undecodable rows without nulls, and so the codec can
+    amortize per-batch setup (model load, ffmpeg handle) across rows.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(data),
+                        "digest": hashlib.sha256(data).hexdigest(),
+                        "feature": codec.features(data, str(mtype), dim),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_media(media: DataFrame, codec: Codec, width: int, height: int) -> DataFrame:
+    """Payload -> payload transform (image resize / audio resample).
+    Output keeps MEDIA_SCHEMA so resize stages compose."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                codec.resize(bytes(p) if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            meta = []
+            for m in pdf["meta"]:
+                d = dict(m) if m is not None else {}
+                d["width"], d["height"] = width, height
+                meta.append(d)
+            pdf["meta"] = meta
+            yield pdf
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video -> one row per sampled frame timestamp.  Pure JVM
+    (sequence + explode over metadata duration): the fan-out happens
+    BEFORE any decode, so per-frame work downstream is distributed;
+    payload is carried by reference alongside each frame row."""
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+            ).alias("frame_ms"),
+        )
+    )
+
+
+def decode_frames(frames: DataFrame, codec: Codec, dim: int = 8) -> DataFrame:
+    """Per-frame feature extraction on the exploded frame rows: the
+    codec sees (payload, frame_ms) per row, batched via Arrow."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ms", T.LongType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(mid),
+                    "frame_ms": int(fms),
+                    "feature": codec.features(
+                        (bytes(p) if p is not None else b"") + int(fms).to_bytes(8, "big"),
+                        "video-frame",
+                        dim,
+                    ),
+                }
+                for mid, p, fms in zip(pdf["media_id"], pdf["payload"], pdf["frame_ms"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return frames.mapInPandas(run, schema)
