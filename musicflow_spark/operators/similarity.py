@@ -147,3 +147,43 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a, b), a < b,
+    with cos(a, b) >= threshold.
+
+    This is the exact O(N^2/p) variant — the correctness baseline and
+    the right tool up to ~10^5 vectors per run.  At corpus scale the
+    same predicate runs as LSH-bucket candidates (srp_bucket tables,
+    see lsh_topk) + this exact verify on the candidate set; the
+    all-pairs form stays the oracle for recall measurement.
+
+    Pre-normalizing once before the self-join does the O(N) norm work
+    a single time instead of inside every pair comparison.
+    """
+    normed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    ).select(
+        "id",
+        F.transform("v", lambda x: x.cast("double") / F.col("n")).alias("unit"),
+    )
+    a = normed.select(F.col("id").alias("id_a"), F.col("unit").alias("unit_a"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dot(F.col("unit_a"), F.col("unit_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -484,8 +484,66 @@ LIMIT 10
 """
 
 
+def iso_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: ISO-8601 duration parsing (the reference uses the
+    aniso8601 library per row, youtube_elt.py:223-226,273-276) as
+    native regexp_extract + arithmetic, then F10 clock rendering of
+    the parsed value.  Durations are synthesized from order keys with
+    zero components omitted ('PT5S', 'PT3M5S', 'PT1H5S', ...) so the
+    optional-part grammar is exercised."""
+    from musicflow_spark.functions.timeutils import iso8601_duration_to_ms, ms_to_clock
+
+    o = read_table(spark, sf_dir, "orders")
+    h = F.col("o_orderkey") % 24
+    m = F.col("o_orderkey") % 60
+    s = (F.col("o_orderkey") * 7) % 60
+    iso = F.concat(
+        F.lit("PT"),
+        F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(""),
+        F.when(m > 0, F.concat(m.cast("string"), F.lit("M"))).otherwise(""),
+        s.cast("string"),
+        F.lit("S"),
+    )
+    parsed = iso8601_duration_to_ms(F.col("iso_duration"))
+    return (
+        o.select("o_orderkey", iso.alias("iso_duration"))
+        .select(
+            "o_orderkey",
+            "iso_duration",
+            parsed.alias("duration_ms"),
+            ms_to_clock(parsed).alias("duration_time"),
+        )
+    )
+
+
+ISO_DURATION_PARSE_SQL = r"""
+WITH built AS (
+  SELECT o_orderkey,
+         'PT'
+         || CASE WHEN o_orderkey % 24 > 0 THEN cast(o_orderkey % 24 AS varchar) || 'H' ELSE '' END
+         || CASE WHEN o_orderkey % 60 > 0 THEN cast(o_orderkey % 60 AS varchar) || 'M' ELSE '' END
+         || cast((o_orderkey * 7) % 60 AS varchar) || 'S' AS iso_duration
+  FROM orders
+), parsed AS (
+  SELECT o_orderkey, iso_duration,
+         (cast(coalesce(nullif(regexp_extract(iso_duration, '(\d+)H', 1), ''), '0') AS bigint) * 3600
+          + cast(coalesce(nullif(regexp_extract(iso_duration, '(\d+)M', 1), ''), '0') AS bigint) * 60
+          + cast(coalesce(nullif(regexp_extract(iso_duration, '(\d+)S', 1), ''), '0') AS bigint)) * 1000
+         AS duration_ms
+  FROM built
+)
+SELECT o_orderkey, iso_duration, duration_ms,
+       lpad(cast((duration_ms // 1000) // 3600 AS varchar), 2, '0') || ':' ||
+       lpad(cast(((duration_ms // 1000) % 3600) // 60 AS varchar), 2, '0') || ':' ||
+       lpad(cast((duration_ms // 1000) % 60 AS varchar), 2, '0') AS duration_time
+FROM parsed
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
+    Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
     Query("snowflake_flatten", "J1-J5,F16,F17,A10,F11", snowflake_flatten, SNOWFLAKE_FLATTEN_SQL, bench=True),
     Query("customers_without_orders", "J6,U3", customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
     Query("order_ratio_by_nation", "J7,A1,A10", order_ratio_by_nation, ORDER_RATIO_BY_NATION_SQL),

@@ -291,8 +291,47 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, max_hamming=20)
 
 
+# ------------------------------------------------ doc fingerprinting
+FP_GRAM = 8
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (ext): rolling window of 8-char grams,
+    each hashed (md5, 16-hex prefix), fingerprint = minimum hash —
+    the min-hash-of-rolling-windows core of winnowing.  Equal texts
+    share fingerprints; near-equal texts share them with probability
+    ~ overlap.  All JVM-side: sequence + transform + array_min, no
+    UDF; fingerprints stay strings so Spark and the oracle compare
+    identically (lexicographic on lowercase hex)."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {FP_GRAM - 1}, 1)),"
+        f" i -> substring(md5(substring(text, i, {FP_GRAM})), 1, 16))"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fingerprint"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {FP_GRAM - 1}, 1) + 1),
+                        i -> substr(md5(substr(text, i, {FP_GRAM})), 1, 16)) AS grams
+  FROM documents)
+SELECT doc_id,
+       list_min(grams)           AS fingerprint,
+       len(list_distinct(grams)) AS n_distinct_grams
+FROM g
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
+    Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),
     Query("doc_token_stats", "ext: token counting", doc_token_stats, DOC_TOKEN_STATS_SQL),
     Query("doc_quality", "ext: quality scoring", doc_quality, DOC_QUALITY_SQL),
     Query("doc_lang_id", "ext: language id", doc_lang_id, _lang_id_oracle_sql()),

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from musicflow_spark.operators.similarity import (
     brute_force_topk,
+    cosine_neardup_pairs,
     lsh_topk,
     norm,
 )
@@ -97,8 +98,40 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_THRESHOLD = 0.4
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (ext: near-dedup for
+    training data): all id pairs with cosine >= threshold.  Exact
+    all-pairs variant — the correctness baseline; the scale path runs
+    the same predicate over LSH-bucket candidates (similarity.py).
+    Threshold 0.4 sits above the synthetic corpus's p99 (~0.29) so the
+    result is a meaningful near-dup set, not half the cross join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, NEARDUP_THRESHOLD)
+    return pairs.select("id_a", "id_b", pround(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+EMBEDDING_NEARDUP_PAIRS_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim
+FROM scored
+WHERE cos_sim >= {NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = [
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
     Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, None),
+    Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
 ]
