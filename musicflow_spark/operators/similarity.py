@@ -91,6 +91,54 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def srp_buckets(
+    vec: Column,
+    planes_flat: Column,
+    n_tables: int,
+    n_planes: int,
+) -> Column:
+    """All tables' SRP bucket ids as one ``array<long>`` in a single
+    expression — one corpus scan for every table (the per-table
+    ``srp_bucket`` union-of-selects formulation re-scanned and
+    re-planned the corpus once per table).
+
+    ``planes_flat`` is an ``array<array<double>>`` COLUMN of
+    n_tables*n_planes plane vectors, typically from a broadcast 1-row
+    frame (see ``planes_frame``): embedding the matrix as expression
+    literals costs seconds of analysis/codegen per query (measured ~3s
+    for 16x6x64), dominating the actual compute."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.element_at(planes_flat, (t * n_planes + i + 1).cast("int")),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                > 0,
+                # shiftleft needs a literal bit count; 2^i is exact in
+                # double for i < 53
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def planes_frame(spark, tables: list[list[list[float]]]) -> DataFrame:
+    """The flattened plane matrix as a 1-row broadcastable frame
+    (column ``__planes__: array<array<double>>``)."""
+    flat = [[float(v) for v in plane] for tbl in tables for plane in tbl]
+    return spark.createDataFrame([(flat,)], "__planes__ array<array<double>>")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -111,22 +159,19 @@ def lsh_topk(
     tables = [
         random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
+    planes = planes_frame(corpus.sparkSession, tables)
 
     def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        parts = []
-        for t, planes in enumerate(tables):
-            parts.append(
-                df.select(
-                    F.col(id_col).alias(idname),
-                    F.col(vec_col).alias(vecname),
-                    F.lit(t).alias("table_id"),
-                    srp_bucket(F.col(vec_col), planes).alias("bucket"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # one scan for all tables: buckets come back as an array and
+        # posexplode fans them to (table_id, bucket) rows; the plane
+        # matrix arrives via broadcast crossJoin, not literals
+        return df.crossJoin(F.broadcast(planes)).select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            F.posexplode(
+                srp_buckets(F.col(vec_col), F.col("__planes__"), n_tables, n_planes)
+            ).alias("table_id", "bucket"),
+        )
 
     qb = bucketed(queries, "query_id", "q_vec")
     cb = bucketed(corpus, "neighbor_id", "c_vec")
