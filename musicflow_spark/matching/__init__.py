@@ -10,5 +10,10 @@ set-at-a-time; scoring and accept predicates are native columns; the
 anti-join sets; the guarded dict-upsert is a prefer-non-null window.
 """
 
+from musicflow_spark.matching.cache import (  # noqa: F401
+    load_cache,
+    match_with_cache,
+    save_cache,
+)
 from musicflow_spark.matching.candidates import CatalogCandidateSource  # noqa: F401
 from musicflow_spark.matching.engine import MatchEngine, MatchResult  # noqa: F401

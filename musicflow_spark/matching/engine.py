@@ -114,10 +114,14 @@ class MatchEngine:
         spotify_elt.py:92-126).
         playlist_map: (youtube_playlist_id, user_playlist_id) with the
         'LM' pseudo-row (reference get_user_playlist_id :134-138)."""
-        spark = videos.sparkSession
-        liked_tracks = liked_tracks or spark.createDataFrame([], "uri string")
-        liked_albums = liked_albums or spark.createDataFrame([], "uri string")
+        matches = self.compute_matches(videos, playlist_map)
+        return self.assemble(matches, liked_tracks, liked_albums)
 
+    def compute_matches(self, videos: DataFrame, playlist_map: DataFrame) -> DataFrame:
+        """The search/score/accept stage alone: one unioned match-row
+        frame (``_match_schema`` shape) across the track/album/
+        playlist branches.  Split out so the cache layer (cache.py)
+        can bypass it for cache-hit videos."""
         # prepared and the per-kind winner sets each feed 2+ downstream
         # consumers (the album winners gate the playlist pass; assembly
         # unions all three and fans into 7 outputs).  Materialize them
@@ -146,8 +150,9 @@ class MatchEngine:
             coll_missing, kind="playlist"
         ).localCheckpoint(eager=True)
 
-        return self._assemble(
-            spark, track_matches, album_matches, playlist_matches, liked_tracks, liked_albums
+        return (
+            track_matches.unionByName(album_matches, allowMissingColumns=True)
+            .unionByName(playlist_matches, allowMissingColumns=True)
         )
 
     # ------------------------------------------------------------ stages
@@ -391,19 +396,18 @@ class MatchEngine:
         )
 
     # ---------------------------------------------------------- assembly
-    def _assemble(
+    def assemble(
         self,
-        spark,
-        track_matches: DataFrame,
-        album_matches: DataFrame,
-        playlist_matches: DataFrame,
-        liked_tracks: DataFrame,
-        liked_albums: DataFrame,
+        matches: DataFrame,
+        liked_tracks: DataFrame | None = None,
+        liked_albums: DataFrame | None = None,
     ) -> MatchResult:
-        matches = (
-            track_matches.unionByName(album_matches, allowMissingColumns=True)
-            .unionByName(playlist_matches, allowMissingColumns=True)
-        )
+        """Statuses, log shaping, entity tables, and side-effect sets
+        from a unioned match-row frame (compute_matches output or the
+        cache layer's hit+miss union)."""
+        spark = matches.sparkSession
+        liked_tracks = liked_tracks or spark.createDataFrame([], "uri string")
+        liked_albums = liked_albums or spark.createDataFrame([], "uri string")
 
         # ---- statuses (collect_*: liked-before check first, then the
         # saved-during membership probe over earlier log rows)

@@ -1,0 +1,101 @@
+"""REST-source adapters (SURVEY §2.1 S3-S8) against fake APIs, and
+the S5 enrichment shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from musicflow_spark.sources.rest import (
+    batched_enrichment,
+    fetch_offset_paginated,
+    fetch_token_paginated,
+    lookup_join_enrichment,
+)
+
+ITEM_SCHEMA = "item_id bigint, name string"
+
+
+def _fake_token_api(n_items: int, page_size: int):
+    """nextPageToken-style walk over n_items."""
+
+    def fetch_page(token):
+        start = int(token) if token else 0
+        rows = [
+            {"item_id": i, "name": f"item-{i}"}
+            for i in range(start, min(start + page_size, n_items))
+        ]
+        nxt = str(start + page_size) if start + page_size < n_items else None
+        return rows, nxt
+
+    return fetch_page
+
+
+def _make_offset_api():
+    # defined as a nested function so cloudpickle ships it BY VALUE —
+    # module-level test functions aren't importable on executors
+    def fake_offset_api(offset: int, limit: int):
+        return [
+            {"item_id": i, "name": f"item-{i}"}
+            for i in range(offset, min(offset + limit, 173))
+        ]
+
+    return fake_offset_api
+
+
+def test_token_pagination_walks_all_pages(spark):
+    df = fetch_token_paginated(spark, _fake_token_api(123, 50), ITEM_SCHEMA)
+    assert df.count() == 123
+    assert df.agg(F.min("item_id"), F.max("item_id")).collect()[0][:] == (0, 122)
+
+
+def test_token_pagination_guards_nontermination(spark):
+    def never_ends(token):
+        return [{"item_id": 0, "name": "x"}], "again"
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not terminate"):
+        fetch_token_paginated(spark, never_ends, ITEM_SCHEMA, max_pages=5)
+
+
+def test_offset_pagination_is_distributed_and_complete(spark):
+    df = fetch_offset_paginated(
+        spark, _make_offset_api(), ITEM_SCHEMA, total=173, page_size=50, n_partitions=3
+    )
+    rows = df.collect()
+    assert len(rows) == 173
+    assert {r["item_id"] for r in rows} == set(range(173))
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_batched_enrichment_chunks_and_fills(spark):
+    df = spark.createDataFrame([(i,) for i in range(120)], "video_id bigint").coalesce(1)
+
+    def lookup(ids):
+        # executor-side enforcement of the API's batch limit: chunking
+        # failures surface as task errors
+        if len(ids) > 50:
+            raise AssertionError(f"batch limit exceeded: {len(ids)}")
+        # id 7 missing from the API response -> null duration
+        return {i: {"duration_ms": i * 1000} for i in ids if i != 7}
+
+    out = batched_enrichment(
+        df,
+        "video_id",
+        lookup,
+        [T.StructField("duration_ms", T.LongType(), True)],
+        batch_size=50,
+    ).collect()
+    by_id = {r["video_id"]: r["duration_ms"] for r in out}
+    assert by_id[3] == 3000 and by_id[7] is None
+    assert len(by_id) == 120
+
+
+def test_lookup_join_enrichment_broadcasts(spark):
+    base = spark.createDataFrame([(1,), (2,), (3,)], "id bigint")
+    lut = spark.createDataFrame([(1, "a"), (3, "c")], "id bigint, v string")
+    out = lookup_join_enrichment(base, lut, "id")
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: "a", 2: None, 3: "c"}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
