@@ -232,3 +232,74 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse
+    quantization partitions the corpus into cluster lists; each query
+    scores only the ``n_probe`` nearest clusters' vectors, then exact
+    cosine reranks.  Expected scan fraction ~ n_probe/n_clusters.
+
+    The cluster assignment is the 100 TB organizing principle: write
+    the corpus partitioned by cluster id and a probe query prunes
+    whole files (partition pruning), not just rows.  Centroids are a
+    dimension-sized table -> broadcast everywhere.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+
+    def nearest(df: DataFrame, idname: str, vecname: str, top: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            "cluster_id",
+            # squared L2 to the centroid (argmin is norm-free)
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    "centroid",
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__d2__"),
+        )
+        w = Window.partitionBy(idname).orderBy("__d2__", "cluster_id")
+        return (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= top)
+            .drop("__d2__", "__rn__")
+        )
+
+    assigned = nearest(corpus, "neighbor_id", "c_vec", 1)
+    probed = nearest(queries, "query_id", "q_vec", n_probe)
+
+    cands = assigned.join(F.broadcast(probed), "cluster_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

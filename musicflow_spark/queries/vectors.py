@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from musicflow_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    ivf_topk,
     lsh_topk,
     norm,
 )
@@ -98,6 +99,20 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (ext: the second ANN path — KMeans
+    coarse quantization + n_probe cluster scan + exact rerank).
+    Rows-only driver check; recall vs brute force asserted in
+    tests/test_scale_ops.py.  At corpus scale the cluster id becomes
+    the physical partition key (partition pruning per probe)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    topk = ivf_topk(emb, queries, k=TOP_K, n_clusters=16, n_probe=6)
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
 NEARDUP_THRESHOLD = 0.4
 
 
@@ -133,5 +148,6 @@ QUERIES = [
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
     Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, None),
+    Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, None),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
 ]
