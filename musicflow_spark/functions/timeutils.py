@@ -17,18 +17,18 @@ from pyspark.sql import functions as F
 
 
 def ms_to_clock(ms: Column | str) -> Column:
-    """milliseconds -> 'HH:mm:ss' string (floor seconds)."""
+    """milliseconds -> 'HH:mm:ss' string (floor seconds).
+
+    format_string, not lpad: SQL lpad TRUNCATES strings longer than
+    the pad width, silently corrupting durations >= 100 hours
+    ('100:00:00' -> '10:00:00') — caught by the hypothesis property
+    test; %02d pads without ever truncating."""
     c = F.col(ms) if isinstance(ms, str) else ms
     total_s = F.floor(c / F.lit(1000)).cast("long")
     h = F.floor(total_s / 3600).cast("long")
     m = F.floor((total_s % 3600) / 60).cast("long")
     s = (total_s % 60).cast("long")
-    return F.concat_ws(
-        ":",
-        F.lpad(h.cast("string"), 2, "0"),
-        F.lpad(m.cast("string"), 2, "0"),
-        F.lpad(s.cast("string"), 2, "0"),
-    )
+    return F.format_string("%02d:%02d:%02d", h, m, s)
 
 
 def iso8601_duration_to_ms(duration: Column | str) -> Column:

@@ -216,9 +216,10 @@ def event_value_as_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_VALUE_AS_CLOCK_SQL = """
 WITH ms AS (SELECT event_id, cast(trunc(value * 1000) AS bigint) AS duration_ms FROM events)
 SELECT event_id, duration_ms,
-       lpad(cast((duration_ms // 1000) // 3600 AS varchar), 2, '0') || ':' ||
-       lpad(cast(((duration_ms // 1000) % 3600) // 60 AS varchar), 2, '0') || ':' ||
-       lpad(cast((duration_ms // 1000) % 60 AS varchar), 2, '0')   AS duration_time
+       printf('%02d:%02d:%02d',
+              (duration_ms // 1000) // 3600,
+              ((duration_ms // 1000) % 3600) // 60,
+              (duration_ms // 1000) % 60)     AS duration_time
 FROM ms
 ORDER BY event_id
 """

@@ -533,9 +533,10 @@ WITH built AS (
   FROM built
 )
 SELECT o_orderkey, iso_duration, duration_ms,
-       lpad(cast((duration_ms // 1000) // 3600 AS varchar), 2, '0') || ':' ||
-       lpad(cast(((duration_ms // 1000) % 3600) // 60 AS varchar), 2, '0') || ':' ||
-       lpad(cast((duration_ms // 1000) % 60 AS varchar), 2, '0') AS duration_time
+       printf('%02d:%02d:%02d',
+              (duration_ms // 1000) // 3600,
+              ((duration_ms // 1000) % 3600) // 60,
+              (duration_ms // 1000) % 60) AS duration_time
 FROM parsed
 ORDER BY o_orderkey
 """

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): invariants of the scalar
+expression library that must hold for ANY input, checked by shipping
+each generated batch through Spark once (one job per example batch,
+not per value)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from musicflow_spark.functions.strings import with_fixed_title
+from musicflow_spark.functions.timeutils import iso8601_duration_to_ms, ms_to_clock
+from musicflow_spark.operators.dedup import shingles
+from musicflow_spark.operators.textstats import tokens
+
+SET = settings(max_examples=8, deadline=None)
+
+_spark = None
+
+
+def _get_spark():
+    # reuse the session-scoped fixture session (already created by
+    # conftest's first use); hypothesis @given can't take fixtures
+    global _spark
+    if _spark is None:
+        from musicflow_spark.session import get_spark
+
+        _spark = get_spark("tests", cpus=8)
+    return _spark
+
+
+titles = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=60
+)
+
+
+@SET
+@given(st.lists(titles, min_size=1, max_size=30))
+def test_fix_title_never_blanks_nonblank_input(batch):
+    spark = _get_spark()
+    df = spark.createDataFrame([(t,) for t in batch], "title string")
+    out = with_fixed_title(df, "title").select("title", "fixed_title").collect()
+    for r in out:
+        # the per-step undo guarantees: non-blank input -> non-blank output
+        if r["title"].strip():
+            assert r["fixed_title"].strip() != ""
+        # blank input passes through
+        else:
+            assert r["fixed_title"] == r["title"]
+
+
+@SET
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50))
+def test_ms_to_clock_matches_python(batch):
+    spark = _get_spark()
+    df = spark.createDataFrame([(v,) for v in batch], "ms bigint")
+    out = {r["ms"]: r["clock"] for r in df.select("ms", ms_to_clock("ms").alias("clock")).collect()}
+    for ms in batch:
+        s = ms // 1000
+        want = f"{s // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}"
+        assert out[ms] == want
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),
+            st.integers(min_value=0, max_value=59),
+            st.integers(min_value=0, max_value=59),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_iso_duration_roundtrip(batch):
+    spark = _get_spark()
+    rows = []
+    for h, m, s in batch:
+        iso = "PT"
+        if h:
+            iso += f"{h}H"
+        if m:
+            iso += f"{m}M"
+        iso += f"{s}S"
+        rows.append((iso, (h * 3600 + m * 60 + s) * 1000))
+    df = spark.createDataFrame(rows, "iso string, want bigint")
+    bad = df.filter(iso8601_duration_to_ms("iso") != F.col("want"))
+    assert bad.count() == 0
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=30))
+def test_shingle_count_bound(batch):
+    spark = _get_spark()
+    df = spark.createDataFrame([(t,) for t in batch], "text string")
+    out = df.select(
+        F.size(tokens("text")).alias("n_toks"),
+        F.size(shingles("text", n=3)).alias("n_sh"),
+    ).collect()
+    for r in out:
+        if r["n_toks"] < 3:
+            assert r["n_sh"] == 0
+        else:
+            # distinct shingles: at most n_toks - 2, at least 1
+            assert 1 <= r["n_sh"] <= r["n_toks"] - 2
