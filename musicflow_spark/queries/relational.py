@@ -226,22 +226,23 @@ def parts_in_multiple_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_join (Spark aggregation is unordered; SURVEY §7 watch-list #2).
     """
     (li,) = _t(spark, sf_dir, "lineitem")
+    # ONE distinct-set aggregate: n_orders is the set's size.  A
+    # separate countDistinct alongside collect_set makes Spark plan an
+    # Expand (row duplication for the distinct path) — same answer,
+    # twice the shuffle input.
     return (
         li.groupBy("l_partkey")
         .agg(
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            F.array_join(
-                F.array_sort(F.collect_set(F.col("l_orderkey").cast("string"))), ","
-            ).alias("order_keys"),
+            F.array_sort(F.collect_set(F.col("l_orderkey").cast("string"))).alias("__ks__")
         )
-        .filter(F.col("n_orders") > 1)
+        .filter(F.size("__ks__") > 1)
         .select(
             "l_partkey",
             F.concat(F.lit("part://"), F.col("l_partkey").cast("string")).alias(
                 "part_url"
             ),
-            "n_orders",
-            "order_keys",
+            F.size("__ks__").cast("long").alias("n_orders"),
+            F.array_join("__ks__", ",").alias("order_keys"),
         )
     )
 
