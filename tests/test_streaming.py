@@ -154,3 +154,38 @@ def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
         for r in hourly_event_stats(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_marts_converge_to_batch(spark, musicflow_sources, tmp_path):
+    """Log rows arriving as a 2-chunk stream must leave the warehouse
+    marts identical to a one-shot batch build over the same rows."""
+    from musicflow_spark.config import PipelineConfig
+    from musicflow_spark.plans.pipeline import build_all
+    from musicflow_spark.streaming.pipeline import MARTS, stream_log_to_marts
+
+    cfg = PipelineConfig()
+    log = musicflow_sources["spotify_log"]
+    stream_dir = str(tmp_path / "log_stream")
+    half = log.filter(F.col("log_id") < 6)
+    rest = log.filter(F.col("log_id") >= 6)
+    half.coalesce(1).write.mode("append").parquet(stream_dir)
+    rest.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    static = {k: v for k, v in musicflow_sources.items() if k != "spotify_log"}
+    wh = str(tmp_path / "wh")
+    q = stream_log_to_marts(
+        spark, stream_dir, static, cfg, wh, str(tmp_path / "ckpt_marts")
+    )
+    q.awaitTermination(300)
+
+    batch_models = build_all(musicflow_sources, cfg)
+    for mart in MARTS:
+        got = spark.read.parquet(f"{wh}/{mart}")
+        want = batch_models[mart]
+        cols = sorted(set(got.columns) - {"id"})  # W1 surrogate ids are order-dependent
+        key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731 - None-safe sort
+        g = sorted((tuple(r) for r in got.select(*cols).collect()), key=key)
+        w = sorted((tuple(r) for r in want.select(*cols).collect()), key=key)
+        assert g == w, mart
+    # the upserted log equals the full input
+    assert spark.read.parquet(f"{wh}/spotify_log").count() == log.count()
