@@ -44,7 +44,7 @@ class PoisonSource:
 
 
 @pytest.fixture(scope="module")
-def setup(spark, musicflow_sources, engine_inputs_factory=None):
+def setup(spark, musicflow_sources):
     source = CatalogCandidateSource(
         musicflow_sources["spotify_tracks"],
         musicflow_sources["spotify_albums"],
