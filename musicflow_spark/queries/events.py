@@ -70,7 +70,12 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            pround(F.sum("value"), 2).alias("session_value"),
+            # integer-cents arithmetic: double addition is order-dependent,
+            # so a float sum can round differently per engine; summing exact
+            # longs is order-invariant (same trick as session_window_stats)
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "session_value"
+            ),
         )
     )
 
@@ -96,7 +101,7 @@ SELECT user_id, session_id,
        count(*)             AS n_events,
        min(ts)              AS session_start,
        max(ts)              AS session_end,
-       round(sum(value) * 100.0) / 100.0 AS session_value
+       sum(cast(round(value * 100) AS bigint)) / 100.0 AS session_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
