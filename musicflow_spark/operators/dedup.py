@@ -273,24 +273,40 @@ def minhash_dedup_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 20,
 ) -> DataFrame:
     """Candidates from LSH banding, verified with exact Jaccard —
     the standard sketch-then-verify dedup pipeline.  Output matches
     jaccard_pairs' schema (plus n_bands_hit) but only computes exact
-    overlap for LSH candidates."""
-    # ONE shingle pass feeds signature, banding, and verify: shingling
-    # dominates every dedup tier, so the shared frame is materialized
-    # once (localCheckpoint) instead of recomputed per stage —
-    # measured ~3x wall-clock on the sf0.1 corpus.
-    all_sets = with_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
-    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, n, sets=all_sets)
+    overlap for LSH candidates.
+
+    The ``max_df`` discriminative-shingle filter is applied ONCE to
+    the shared shingle frame, so signatures, banding, and the verify
+    stage all see the same kept-shingle sets — candidate generation
+    and verification agree, matching jaccard_pairs(max_df=...) with
+    no recall asymmetry (pairs similar only after filtering band on
+    the filtered sets too).  Docs whose shingles are all filtered out
+    are dropped before banding: an all-sentinel signature would
+    otherwise collide every empty doc into one bucket per band.
+    """
+    # ONE shingle pass feeds the df-count aggregate, signature,
+    # banding, and verify: shingling dominates every dedup tier, so
+    # the frame is materialized (localCheckpoint inside
+    # kept_shingle_sets) instead of recomputed per stage — measured
+    # ~3x wall-clock on the sf0.1 corpus.  The filtered sets are
+    # checkpointed again so the array_except runs once, not 3x.
+    sets = (
+        kept_shingle_sets(df, text_col, id_col, n, max_df=max_df)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, n, sets=sets)
     # Verify by joining each candidate pair to the two docs'
     # kept-shingle ARRAYS and intersecting in-row: cost is
     # O(|candidates| * shingles-per-doc), versus re-running the full
     # inverted-index self-join the exact-Jaccard operator pays.  The
     # candidate set is the small output of the LSH stage by design,
     # which is the whole point of sketch-then-verify.
-    sets = kept_shingle_sets(df, text_col, id_col, n, max_df=20, sets=all_sets)
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_shingles").alias("n_a")
     )
@@ -312,21 +328,40 @@ def minhash_dedup_pairs(
 
 
 # ------------------------------------------------------------ simhash
-def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
-) -> DataFrame:
-    """64-bit SimHash per document -> (doc_id, simhash: long).
+def portable_hash60(col: Column) -> Column:
+    """60-bit positive hash both Spark and DuckDB compute identically:
+    first 15 hex chars of md5, parsed base-16.  Max value 16^15-1 ~
+    1.15e18 < Long.MAX, so it is overflow- and sign-free on both
+    engines (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT).  Used
+    where a sketch must be oracle-replicable; xxhash64 stays the
+    default for speed."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Each token hashes once (xxhash64); bit i of the fingerprint is
-    the sign of sum over tokens of (+1 if hash-bit i set else -1).
-    Shaped as explode + groupBy with 64 conditional-sum aggregate
-    columns: fully vectorized, and the shuffle is tiny because
-    partial (map-side) aggregation reduces each partition to one row
-    per doc before exchange.  Documents with zero tokens drop out.
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """n_bits-wide SimHash per document -> (doc_id, simhash: long).
+
+    Each token hashes once (xxhash64, or the md5-based portable_hash60
+    with ``portable=True`` — then n_bits must be <= 60); bit i of the
+    fingerprint is the sign of sum over tokens of (+1 if hash-bit i
+    set else -1).  Shaped as explode + groupBy with n_bits
+    conditional-sum aggregate columns: fully vectorized, and the
+    shuffle is tiny because partial (map-side) aggregation reduces
+    each partition to one row per doc before exchange.  Documents
+    with zero tokens drop out.
     """
+    if portable and n_bits > 60:
+        raise ValueError("portable_hash60 provides only 60 bits")
+    token_hash = portable_hash60 if portable else F.xxhash64
     hashed = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
-    ).select("doc_id", F.xxhash64(F.lower("tok")).alias("h"))
+    ).select("doc_id", token_hash(F.lower("tok")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -353,12 +388,18 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    n_bits: int = 64,
+    n_chunks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
-    16-bit chunks (pigeonhole: any pair within hamming<=3*chunk must
-    agree on >=1 chunk; for larger budgets this is a recall-tunable
-    heuristic), equi-join per chunk, verify with exact hamming."""
-    sig = simhash_table(df, text_col, id_col).select(
+    """Near-dup pairs by SimHash: band the n_bits fingerprint into
+    ``n_chunks`` equal chunks (pigeonhole: any pair within
+    hamming < n_chunks must agree on >=1 chunk; for larger budgets
+    this is a recall-tunable heuristic), equi-join per chunk, verify
+    with exact hamming."""
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_table(df, text_col, id_col, n_bits, portable=portable).select(
         "doc_id", F.col("simhash").alias("sh")
     )
     chunks = sig.select(
@@ -369,11 +410,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sh"), c * 16)
-                        .bitwiseAND(F.lit(65535))
+                        F.shiftright(F.col("sh"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),

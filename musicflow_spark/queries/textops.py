@@ -269,26 +269,90 @@ HAVING count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) >= 0.2
 """
 
 
-# --------------------------------------- sketch-based dedup (rows-only)
+# ------------------------------------------- sketch-based dedup
 def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (ext): 64-perm signature, 16 bands,
-    bucket equi-join candidates, exact-Jaccard verification.  Not
-    SQL-expressible (xxhash64 permutations) -> rows-only driver check;
-    semantics validated against jaccard_pairs in tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs (ext): 64-perm signature, banded
+    bucket equi-join candidates, exact-Jaccard verification over the
+    same max_df-filtered shingle sets.
+
+    Oracle: the exact jaccard_pairs SQL at the same threshold.  The
+    verify stage makes every emitted pair exactly correct
+    (soundness); equality with the exact result additionally asserts
+    100% LSH recall on this corpus — an honest bar here because the
+    corpus pair distribution is strongly bimodal (every qualifying
+    pair has jaccard >= 0.8, the next pair down is <= 0.14, measured
+    at sf 0.001/0.01/0.1) and 32 bands x 2 rows gives
+    P(miss | j=0.8) = (1 - 0.64)^32 ~ 6e-15.  n_bands_hit is sketch
+    bookkeeping the oracle cannot see -> dropped from the projection.
+    """
     docs = read_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.2)
+    pairs = minhash_dedup_pairs(docs, bands=32, threshold=0.2, max_df=20)
     return pairs.select(
-        "doc_a", "doc_b", "inter_cnt",
-        pround(F.col("jaccard"), 6).alias("jaccard"), "n_bands_hit",
+        "doc_a", "doc_b", "inter_cnt", pround(F.col("jaccard"), 6).alias("jaccard")
     )
 
 
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = 20
+
+
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (ext): 64-bit weighted fingerprint,
-    16-bit chunk banding, hamming<=20 verification.  Rows-only check
-    (xxhash64 not available to the oracle)."""
+    """SimHash near-dup pairs (ext): 60-bit weighted fingerprint over
+    the md5-based portable token hash, 15-bit chunk banding, exact
+    hamming verification.  The portable hash makes the WHOLE pipeline
+    integer-exact on both engines, so the oracle replicates it end to
+    end (fingerprints, banding, hamming) — a full hash-match check,
+    not rows-only.  The production default stays xxhash64/64-bit
+    (operators/dedup.py::simhash_near_pairs(portable=False))."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=20)
+    pairs = simhash_near_pairs(
+        docs,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        n_bits=SIMHASH_BITS,
+        n_chunks=SIMHASH_CHUNKS,
+        portable=True,
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of the portable simhash pipeline: same md5-based
+    60-bit token hash, same per-bit votes, same chunk banding, same
+    exact-hamming verify — integer arithmetic only, so bit-exact."""
+    n_bits, n_chunks = SIMHASH_BITS, SIMHASH_CHUNKS
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(n_bits)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp} AS sh FROM votes),
+chunks AS (
+  SELECT doc_id, sh, c, (sh >> (c * {chunk_bits})) & {mask} AS key
+  FROM fp, (SELECT unnest(range({n_chunks})) AS c))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM chunks a JOIN chunks b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 # ------------------------------------------------ doc fingerprinting
@@ -337,6 +401,6 @@ QUERIES = [
     Query("doc_lang_id", "ext: language id", doc_lang_id, _lang_id_oracle_sql()),
     Query("doc_exact_dedup", "ext: exact dedup; A7", doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     Query("doc_jaccard_pairs", "ext: ngram jaccard dedup; J8", doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL, bench=True),
-    Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, None, bench=True),
-    Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, None),
+    Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
+    Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
 ]
