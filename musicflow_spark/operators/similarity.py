@@ -243,6 +243,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse
     quantization partitions the corpus into cluster lists; each query
@@ -253,17 +254,24 @@ def ivf_topk(
     the corpus partitioned by cluster id and a probe query prunes
     whole files (partition pruning), not just rows.  Centroids are a
     dimension-sized table -> broadcast everywhere.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster_id int, centroid array<double>",
-    )
+    Pass ``centroids`` (cluster_id, centroid: array<double>) to skip
+    KMeans and use a fixed coarse quantizer — e.g. a deterministic
+    corpus sample, the classic IVF seeding — which makes the whole
+    operator SQL-replicable for oracle checks; KMeans quantization
+    remains the quality default.
+    """
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+        model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
+        spark = corpus.sparkSession
+        centroids = spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+            "cluster_id int, centroid array<double>",
+        )
 
     def nearest(df: DataFrame, idname: str, vecname: str, top: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).select(

@@ -17,6 +17,7 @@ from musicflow_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
     norm,
+    random_hyperplanes,
 )
 from musicflow_spark.queries.portable import pround
 from musicflow_spark.queries.registry import Query
@@ -83,34 +84,153 @@ GROUP BY label
 """
 
 
+LSH_DIM, LSH_PLANES, LSH_TABLES, LSH_SEED = 64, 6, 16, 42
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via sign-random-projection LSH
     (ext: the 100 TB ANN path — candidates from bucket equi-joins
-    across 4 hash tables of 8 hyperplanes).  Rows-only driver check;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    across 16 hash tables of 6 hyperplanes).  The hyperplanes are
+    seeded-deterministic, so the oracle replicates the FULL pipeline
+    (buckets, candidate join, exact rerank) from the same plane
+    literals — a full hash-match check.  Recall vs brute force is
+    additionally asserted in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     # 6 planes x 16 tables: measured ~0.56 recall@10 on the synthetic
     # corpus while scoring ~25% of it — random vectors are the LSH
     # worst case; clustered real embeddings bucket far better
-    topk = lsh_topk(emb, queries, k=TOP_K, dim=64, n_planes=6, n_tables=16)
+    topk = lsh_topk(
+        emb, queries, k=TOP_K, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES, seed=LSH_SEED,
+    )
     return topk.select(
         "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
     )
+
+
+def _knn_lsh_oracle_sql() -> str:
+    """DuckDB replica of lsh_topk from the same seeded hyperplanes
+    (embedded as literals): per-table sign-bit buckets, candidate =
+    shares any (table, bucket) with a query, exact cosine rerank.
+    All-float work; the only cross-engine risk is a sign flip of a
+    dot product within ~1e-13 of zero — negligible and empirically
+    absent on this corpus."""
+    tables = [
+        random_hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED + t)
+        for t in range(LSH_TABLES)
+    ]
+    flat = [
+        "[" + ",".join(repr(float(v)) for v in plane) + "]"
+        for tbl in tables
+        for plane in tbl
+    ]
+    planes = "[" + ",".join(flat) + "]"
+    bucket = f"""list_sum(list_transform(range({LSH_PLANES}), i ->
+             CASE WHEN list_sum(list_transform(range(1, {LSH_DIM} + 1),
+                    j -> cast(embedding[j] AS double) * p[t.t * {LSH_PLANES} + i + 1][j])) > 0
+                  THEN (2 ** i)::BIGINT ELSE 0::BIGINT END))"""
+    return f"""
+WITH planes AS (SELECT {planes} AS p),
+tt AS (SELECT unnest(range({LSH_TABLES})) AS t),
+cb AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, t.t AS table_id,
+         {bucket} AS bucket
+  FROM embeddings, planes, tt t),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, t.t AS table_id,
+         {bucket} AS bucket
+  FROM embeddings, planes, tt t
+  WHERE vec_id < {N_QUERY_VECS}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, q_vec, c_vec
+  FROM cb JOIN qb USING (table_id, bucket)
+  WHERE neighbor_id <> query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> cast(q_vec[i] AS double) * cast(c_vec[i] AS double)))
+         / (sqrt(list_sum(list_transform(q_vec, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(c_vec, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+IVF_CENT_MOD, IVF_CENT_REM, IVF_PROBE = 97, 3, 6
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (ext: the second ANN path — KMeans
-    coarse quantization + n_probe cluster scan + exact rerank).
-    Rows-only driver check; recall vs brute force asserted in
-    tests/test_scale_ops.py.  At corpus scale the cluster id becomes
-    the physical partition key (partition pruning per probe)."""
+    """IVF approximate top-k (ext: the second ANN path — coarse
+    quantization + n_probe cluster scan + exact rerank).  The
+    registered form seeds centroids from a deterministic corpus
+    stride (vec_id % 97 == 3, the classic sample-seeded IVF), which
+    makes the whole operator SQL-replicable — full hash-match oracle.
+    The KMeans-quantized default (ivf_topk(centroids=None)) has
+    recall asserted in tests/test_scale_ops.py.  At corpus scale the
+    cluster id becomes the physical partition key (partition pruning
+    per probe)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    topk = ivf_topk(emb, queries, k=TOP_K, n_clusters=16, n_probe=6)
+    cent = emb.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    topk = ivf_topk(emb, queries, k=TOP_K, n_probe=IVF_PROBE, centroids=cent)
     return topk.select(
         "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
     )
+
+
+def _knn_ivf_oracle_sql() -> str:
+    """DuckDB replica of the stride-seeded IVF: argmin-L2 cluster
+    assignment (ties by cluster_id), n_probe nearest clusters per
+    query, exact cosine rerank over probed clusters only."""
+    d2 = """list_sum(list_transform(range(1, len(e.embedding) + 1),
+               j -> (cast(e.embedding[j] AS double) - cast(c.cv[j] AS double))
+                  * (cast(e.embedding[j] AS double) - cast(c.cv[j] AS double))))"""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+probed AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERY_VECS})
+  WHERE rn <= {IVF_PROBE}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, q_vec, c_vec
+  FROM assigned JOIN probed USING (cluster_id)
+  WHERE neighbor_id <> query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> cast(q_vec[i] AS double) * cast(c_vec[i] AS double)))
+         / (sqrt(list_sum(list_transform(q_vec, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(c_vec, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
 
 
 NEARDUP_THRESHOLD = 0.4
@@ -147,7 +267,7 @@ ORDER BY id_a, id_b
 QUERIES = [
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
-    Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, None),
-    Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, None),
+    Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, _knn_lsh_oracle_sql()),
+    Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
 ]
