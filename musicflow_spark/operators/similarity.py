@@ -234,6 +234,63 @@ def cosine_neardup_pairs(
     )
 
 
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Sketch-then-verify embedding near-dedup — the 100 TB
+    composition of cosine_neardup_pairs: SRP-bucket candidate pairs
+    (equi-join per hash table, never all-pairs) verified with exact
+    cosine, mirroring minhash_dedup_pairs' shape on the text side.
+
+    Soundness is exact (every emitted pair passes the exact
+    predicate); recall depends on the angle distribution — SRP
+    collision probability is (1 - theta/pi)^n_planes per table.
+    Near-orthogonal random vectors are the worst case; clustered
+    real embeddings bucket far better.  Tune n_planes down /
+    n_tables up to buy recall with candidate volume.
+
+    The corpus is normalized ONCE before bucketing, so the verify
+    dot product is the cosine and the O(N) norm work never sits
+    inside a pair comparison.
+    """
+    tables = [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    planes = planes_frame(corpus.sparkSession, tables)
+    normed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    ).select(
+        "id", F.transform("v", lambda x: x.cast("double") / F.col("n")).alias("unit")
+    )
+    bucketed = normed.crossJoin(F.broadcast(planes)).select(
+        "id",
+        "unit",
+        F.posexplode(
+            srp_buckets(F.col("unit"), F.col("__planes__"), n_tables, n_planes)
+        ).alias("table_id", "bucket"),
+    )
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("unit").alias("unit_a"), "table_id", "bucket"
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("unit").alias("unit_b"), "table_id", "bucket"
+    )
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", dot(F.col("unit_a"), F.col("unit_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

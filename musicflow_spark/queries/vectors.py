@@ -15,6 +15,7 @@ from musicflow_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     ivf_topk,
+    lsh_neardup_pairs,
     lsh_topk,
     norm,
     random_hyperplanes,
@@ -264,10 +265,67 @@ ORDER BY id_a, id_b
 """
 
 
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-then-verify embedding near-dedup (ext): SRP-bucket
+    candidates -> exact cosine verify — the scale composition of
+    embedding_neardup_pairs, which stays registered as the exact
+    baseline/oracle anchor.  Deterministic planes let the oracle
+    replicate the full approximate pipeline (hash-match check);
+    recall vs the exact pair set is asserted in tests."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb, NEARDUP_THRESHOLD, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES, seed=LSH_SEED,
+    )
+    return pairs.select("id_a", "id_b", pround(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+def _embedding_lsh_neardup_oracle_sql() -> str:
+    """DuckDB replica of lsh_neardup_pairs from the same seeded
+    hyperplanes: normalize once, per-table sign-bit buckets over the
+    UNIT vectors, candidate equi-join, exact cosine verify."""
+    tables = [
+        random_hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED + t)
+        for t in range(LSH_TABLES)
+    ]
+    flat = [
+        "[" + ",".join(repr(float(v)) for v in plane) + "]"
+        for tbl in tables
+        for plane in tbl
+    ]
+    planes = "[" + ",".join(flat) + "]"
+    bucket = f"""list_sum(list_transform(range({LSH_PLANES}), i ->
+             CASE WHEN list_sum(list_transform(range(1, {LSH_DIM} + 1),
+                    j -> unit[j] * p[t.t * {LSH_PLANES} + i + 1][j])) > 0
+                  THEN (2 ** i)::BIGINT ELSE 0::BIGINT END))"""
+    return f"""
+WITH planes AS (SELECT {planes} AS p),
+tt AS (SELECT unnest(range({LSH_TABLES})) AS t),
+normed AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> cast(x AS double) /
+           sqrt(list_sum(list_transform(embedding, y -> cast(y AS double) * cast(y AS double))))) AS unit
+  FROM embeddings),
+bucketed AS (
+  SELECT id, unit, t.t AS table_id, {bucket} AS bucket
+  FROM normed, planes, tt t),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.unit AS unit_a, b.unit AS unit_b
+  FROM bucketed a JOIN bucketed b ON a.table_id = b.table_id AND a.bucket = b.bucket
+  WHERE a.id < b.id)
+SELECT id_a, id_b,
+       round(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> unit_a[i] * unit_b[i])) * 1000000.0) / 1000000.0 AS cos_sim
+FROM cand
+WHERE list_sum(list_transform(range(1, {LSH_DIM} + 1), i -> unit_a[i] * unit_b[i])) >= {NEARDUP_THRESHOLD}
+"""
+
+
 QUERIES = [
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
     Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, _knn_lsh_oracle_sql()),
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
-    Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
+    Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
+    Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
 ]

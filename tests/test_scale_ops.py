@@ -6,7 +6,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from musicflow_spark.operators.similarity import brute_force_topk, ivf_topk
+from musicflow_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+    lsh_neardup_pairs,
+)
 from musicflow_spark.operators.skew import hot_keys, salted_join, salted_sum_count
 from musicflow_spark.sources.catalog import read_table
 
@@ -82,3 +87,24 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"recall {recall:.2f}"
     # and the rank-1 neighbor structure is exact cosine on candidates
     assert all(r["rank"] >= 1 for r in ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=2).collect())
+
+
+def test_lsh_neardup_sound_and_recalls(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_neardup_pairs(emb, 0.4).collect()
+    }
+    sketched = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_neardup_pairs(emb, 0.4, n_planes=6, n_tables=16).collect()
+    }
+    # soundness: every emitted pair is a true near-dup (exact verify)
+    assert set(sketched) <= set(exact)
+    for pair, cs in sketched.items():
+        assert abs(cs - exact[pair]) < 1e-9
+    # recall: this corpus is all near-orthogonal random vectors with
+    # qualifying pairs at cos 0.4-0.6 — the SRP worst case; ~0.70
+    # measured.  Clustered real embeddings recall far higher.
+    recall = len(sketched) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
