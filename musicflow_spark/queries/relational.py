@@ -338,8 +338,9 @@ def nation_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: global row_number surrogate id (log_for_tableau.sql:98 does
     row_number() over (order by search_type_id)).  Single-partition by
     construction — acceptable only on dimension-sized inputs like this
-    one; at fact scale the engine swaps in monotonically_increasing_id
-    (see operators/ids.py)."""
+    one; at fact scale the engine swaps in
+    operators/ids.py::surrogate_ids (range-partition + per-partition
+    offsets; equality to this window proven by part_surrogate_ids)."""
     nat, reg = _t(spark, sf_dir, "nation", "region")
     return (
         nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"], "inner")
@@ -354,6 +355,28 @@ SELECT n.n_name                                   AS n_name,
        r.r_name                                   AS region_name,
        row_number() OVER (ORDER BY n.n_name)      AS surrogate_id
 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY surrogate_id
+"""
+
+
+def part_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 at scale: the same dense row_number numbering produced with
+    NO global window — operators/ids.py::surrogate_ids range-partitions
+    on the order columns and adds per-partition offsets (the
+    zipWithIndex shape).  The oracle is the plain global row_number,
+    proving the two formulations are equal on a total order."""
+    from musicflow_spark.operators.ids import surrogate_ids
+
+    (part,) = _t(spark, sf_dir, "part")
+    return surrogate_ids(
+        part.select("p_partkey", "p_brand"), ["p_brand", "p_partkey"], num_partitions=8
+    ).select("p_partkey", "p_brand", "surrogate_id")
+
+
+PART_SURROGATE_IDS_SQL = """
+SELECT p_partkey, p_brand,
+       row_number() OVER (ORDER BY p_brand, p_partkey) AS surrogate_id
+FROM part
 ORDER BY surrogate_id
 """
 
@@ -553,6 +576,7 @@ QUERIES = [
     Query("lineitems_in_line_order", "A3,A2,F19", lineitems_in_line_order, LINEITEMS_IN_LINE_ORDER_SQL),
     Query("guarded_upsert_parts", "A8,W2", guarded_upsert_parts, GUARDED_UPSERT_PARTS_SQL, bench=True),
     Query("nation_surrogate_ids", "W1", nation_surrogate_ids, NATION_SURROGATE_IDS_SQL),
+    Query("part_surrogate_ids", "W1 (scale form)", part_surrogate_ids, PART_SURROGATE_IDS_SQL),
     Query("order_priority_routing", "P7,U1,F18,F16", order_priority_routing, ORDER_PRIORITY_ROUTING_SQL),
     Query("conservation_counts", "A9,J11", conservation_counts, CONSERVATION_COUNTS_SQL),
     Query("distinct_flag_status", "A7", distinct_flag_status, DISTINCT_FLAG_STATUS_SQL),

@@ -166,3 +166,26 @@ def test_lsh_recall_vs_brute_force(spark, emb):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, f"LSH mean recall {mean_recall:.2f} too low"
+
+
+def test_surrogate_ids_equal_global_row_number(spark):
+    from pyspark.sql import Window
+
+    from musicflow_spark.operators.ids import opaque_ids, surrogate_ids
+
+    df = spark.range(0, 10_000, 1, 16).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k"), F.col("id").alias("orig")
+    )
+    got = {
+        r["orig"]: r["surrogate_id"]
+        for r in surrogate_ids(df, ["k", "orig"], num_partitions=16).collect()
+    }
+    want = {
+        r["orig"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "orig")).cast("long")
+        ).collect()
+    }
+    assert got == want
+    ids = [r["row_id"] for r in opaque_ids(df).collect()]
+    assert len(set(ids)) == len(ids)
