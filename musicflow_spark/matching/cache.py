@@ -38,10 +38,14 @@ PAYLOAD_SCHEMA = (
     "search_type_id bigint, q string, spotify_uri string, album_uri string, "
     "item_title string, item_artists_s string, item_duration_ms bigint, "
     "difference_ms bigint, track_match bigint, total_tracks bigint, "
-    "children array<struct<track_uri:string,track_title:string,duration_ms:bigint>>, "
+    "children array<struct<track_uri:string,track_title:string,duration_ms:bigint,"
+    "track_artists:string,album_uri:string>>, "
     "found_on_try bigint, kind string"
 )
 
+#: one store, two key namespaces — video_id for the video pass and
+#: youtube_playlist_id for the other-playlists pass, exactly like the
+#: reference's shared Redis db (spotify_elt.py:772,863)
 CACHE_SCHEMA = "video_id string, payload string"
 
 
@@ -108,13 +112,19 @@ def match_with_cache(
     cache: DataFrame | None = None,
     liked_tracks: DataFrame | None = None,
     liked_albums: DataFrame | None = None,
+    grouped_others: DataFrame | None = None,
 ) -> tuple[MatchResult, DataFrame]:
     """Cache-aware matching: returns (result, merged_cache).
 
     Cache hits never reach the CandidateSource; only miss videos run
     the search cascade.  Assembly sees hits and misses together, so
     statuses / guarded upserts / side-effect sets behave exactly as a
-    cold run over the same videos."""
+    cold run over the same videos.
+
+    ``grouped_others`` (extract_other_playlists grouping) runs the
+    second pass the same way, cached under the youtube_playlist_id
+    key — the reference memoizes that pass per playlist id in the
+    same Redis db (spotify_elt.py:863-884)."""
     spark = videos.sparkSession
     cache = cache if cache is not None else empty_cache(spark)
 
@@ -130,6 +140,8 @@ def match_with_cache(
             "log_id",
             "user_playlist_id",
             *[F.col(f"__m__.{c}").alias(c) for c in PAYLOAD_FIELDS],
+            F.lit(None).cast("array<bigint>").alias("log_ids"),
+            F.lit(0).alias("pass_no"),
         )
     )
     if misses.isEmpty():
@@ -139,11 +151,50 @@ def match_with_cache(
         miss_matches = engine.compute_matches(misses, playlist_map)
     all_matches = hit_matches.unionByName(miss_matches.select(*hit_matches.columns))
 
+    new_entries = cache_entries(miss_matches, misses)
+
+    if grouped_others is not None:
+        g_keyed = grouped_others.withColumn("log_id", F.element_at("log_ids", 1))
+        g_hits = g_keyed.join(
+            cache.withColumnRenamed("video_id", "youtube_playlist_id"),
+            "youtube_playlist_id",
+            "inner",
+        )
+        g_misses = g_keyed.drop("log_id").join(
+            cache.select(F.col("video_id").alias("youtube_playlist_id")),
+            "youtube_playlist_id",
+            "left_anti",
+        )
+        g_hit_matches = (
+            g_hits.filter(F.col("payload").isNotNull())
+            .withColumn("__m__", F.from_json("payload", PAYLOAD_SCHEMA))
+            .select(
+                "log_id",
+                F.lit("LM").alias("user_playlist_id"),
+                *[F.col(f"__m__.{c}").alias(c) for c in PAYLOAD_FIELDS],
+                F.col("log_ids"),
+                F.lit(1).alias("pass_no"),
+            )
+        )
+        g_miss_matches = engine.compute_matches_others(g_misses)
+        all_matches = all_matches.unionByName(g_hit_matches).unionByName(
+            g_miss_matches.select(*hit_matches.columns)
+        )
+        # group entries reuse the video cache shape with the playlist
+        # id in the key column
+        g_new = cache_entries(
+            g_miss_matches,
+            g_misses.select(
+                F.element_at("log_ids", 1).alias("log_id"),
+                F.col("youtube_playlist_id").alias("video_id"),
+            ),
+        )
+        new_entries = new_entries.unionByName(g_new)
+
     result = engine.assemble(all_matches, liked_tracks, liked_albums)
     # misses are disjoint from the cache by construction; keep the
     # merge an explicit prefer-new anti-join rather than an arbitrary
     # dropDuplicates so re-merging the same run is idempotent
-    new_entries = cache_entries(miss_matches, misses)
     merged = cache.join(new_entries.select("video_id"), "video_id", "left_anti").unionByName(
         new_entries
     )

@@ -48,6 +48,13 @@ CANDIDATE_SCHEMA = T.StructType(
                         T.StructField("track_uri", T.StringType(), False),
                         T.StructField("track_title", T.StringType(), False),
                         T.StructField("duration_ms", T.LongType(), False),
+                        # per-child provenance the reference's playlist
+                        # tracks_info carries (spotify_elt.py:727-733);
+                        # album children get these overridden at
+                        # assembly (log_album :544-556 stores the
+                        # ALBUM's artists on every child)
+                        T.StructField("track_artists", T.StringType(), True),
+                        T.StructField("album_uri", T.StringType(), True),
                     ]
                 )
             ),
@@ -202,7 +209,11 @@ class CatalogCandidateSource:
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            F.col("track_uri"), F.col("track_title"), F.col("duration_ms")
+                            F.col("track_uri"),
+                            F.col("track_title"),
+                            F.col("duration_ms"),
+                            F.col("track_artists"),
+                            F.col("album_uri"),
                         )
                     )
                 ).alias("children")
@@ -227,7 +238,11 @@ class CatalogCandidateSource:
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            F.col("track_uri"), F.col("track_title"), F.col("duration_ms")
+                            F.col("track_uri"),
+                            F.col("track_title"),
+                            F.col("duration_ms"),
+                            F.col("track_artists"),
+                            F.col("album_uri"),
                         )
                     )
                 ).alias("children")

@@ -55,6 +55,20 @@ COLLECTION_STRATEGIES = [
     (1, 3, "{raw}", True),
 ]
 
+OTHERS_COLLECTION_STRATEGIES = COLLECTION_STRATEGIES + [
+    # the *_extended '{author} {fixed}' fallback (search_type_id 6) the
+    # other-playlists pass adds (find_album_extended spotify_elt.py:
+    # 386-394, find_other_playlist_extended :579-587) — raw author, not
+    # the Topic-stripped artist
+    (2, 6, "{author} {fixed}", False),
+]
+
+#: the children element type shared by schema strings below
+_CHILD_T = (
+    "array<struct<track_uri:string,track_title:string,duration_ms:bigint,"
+    "track_artists:string,album_uri:string>>"
+)
+
 
 @dataclass
 class MatchResult:
@@ -67,6 +81,11 @@ class MatchResult:
     playlists_others: DataFrame
     tracks_to_like: DataFrame  # (track_uri) where saved via LM
     albums_to_like: DataFrame
+    #: (playlist_uri) saved playlist-kind LM matches — the reference
+    #: follows these (collect_other_playlist spotify_elt.py:715-722,
+    #: like_playlists :935-943; it stores the playlist id, the engine
+    #: keeps the uri like every other side-effect set)
+    playlists_to_like: DataFrame
     playlist_additions: DataFrame  # (user_playlist_id, track_uri)
 
 
@@ -74,19 +93,21 @@ def _q_expr(template: str) -> F.Column:
     """Render a strategy template from the prepared video columns."""
     out: list[F.Column] = []
     rest = template
+    keys = (
+        ("{fixed}", F.col("fixed_title")),
+        ("{raw}", F.col("title")),
+        ("{artist}", F.col("artist")),
+        ("{author}", F.col("author")),
+    )
     while rest:
-        for key, col in (
-            ("{fixed}", F.col("fixed_title")),
-            ("{raw}", F.col("title")),
-            ("{artist}", F.col("artist")),
-        ):
+        for key, col in keys:
             if rest.startswith(key):
                 out.append(col)
                 rest = rest[len(key) :]
                 break
         else:
             nxt = min(
-                [i for i in (rest.find("{fixed}"), rest.find("{raw}"), rest.find("{artist}")) if i >= 0],
+                [i for i in (rest.find(k) for k, _ in keys) if i >= 0],
                 default=len(rest),
             )
             out.append(F.lit(rest[:nxt]))
@@ -107,14 +128,20 @@ class MatchEngine:
         playlist_map: DataFrame,
         liked_tracks: DataFrame | None = None,
         liked_albums: DataFrame | None = None,
+        grouped_others: DataFrame | None = None,
     ) -> MatchResult:
         """videos: (log_id, youtube_playlist_id, video_id, title,
         author, description, duration_ms) — one row per library entry
         of the current user (reference extract_videos,
         spotify_elt.py:92-126).
         playlist_map: (youtube_playlist_id, user_playlist_id) with the
-        'LM' pseudo-row (reference get_user_playlist_id :134-138)."""
+        'LM' pseudo-row (reference get_user_playlist_id :134-138).
+        grouped_others: one row per OTHER user's playlist (reference
+        extract_other_playlists :58-89 grouping) for the second match
+        pass — see compute_matches_others."""
         matches = self.compute_matches(videos, playlist_map)
+        if grouped_others is not None:
+            matches = matches.unionByName(self.compute_matches_others(grouped_others))
         return self.assemble(matches, liked_tracks, liked_albums)
 
     def compute_matches(self, videos: DataFrame, playlist_map: DataFrame) -> DataFrame:
@@ -154,6 +181,42 @@ class MatchEngine:
             track_matches.unionByName(album_matches, allowMissingColumns=True)
             .unionByName(playlist_matches, allowMissingColumns=True)
         )
+
+    def compute_matches_others(self, grouped: DataFrame) -> DataFrame:
+        """The reference's SECOND pass — other users' playlists
+        (prepare_playlists_others, spotify_elt.py:859-923, driven at
+        :1141-1143): each youtube playlist authored by someone else is
+        matched as a whole against albums first, then playlists, with
+        the extended '{author} {fixed}' strategy (search_type_id 6).
+
+        grouped: (youtube_playlist_id, title, author, total_tracks,
+        track_titles: array<string> of LOWERCASED video titles in
+        log-id order, log_ids: array<bigint> sorted, duration_ms:
+        summed video duration) — the extract_other_playlists grouping.
+
+        Match rows come back at GROUP grain (log_id = first log id, so
+        statuses dedup per group exactly like the reference's shared
+        log membership probe); assemble() fans log rows out per log_id
+        afterwards, all carrying the group's status (:886-889,914-916
+        loop log_ids with one status)."""
+        if grouped.isEmpty():
+            return grouped.sparkSession.createDataFrame([], self._match_schema())
+        prepared = (
+            with_fixed_title(grouped, "title", "fixed_title")
+            .withColumn("artist", strip_topic_suffix("author"))
+            .withColumn("ost", is_ost("title"))
+            .withColumn("user_playlist_id", F.lit("LM"))
+            .withColumn("log_id", F.element_at("log_ids", 1))
+            .localCheckpoint(eager=True)
+        )
+        album_matches = self._match_collections(
+            prepared, kind="album", strategies=OTHERS_COLLECTION_STRATEGIES, grouped=True
+        ).localCheckpoint(eager=True)
+        missing = prepared.join(album_matches.select("log_id"), "log_id", "left_anti")
+        playlist_matches = self._match_collections(
+            missing, kind="playlist", strategies=OTHERS_COLLECTION_STRATEGIES, grouped=True
+        ).localCheckpoint(eager=True)
+        return album_matches.unionByName(playlist_matches)
 
     # ------------------------------------------------------------ stages
     def _prepare(self, videos: DataFrame, playlist_map: DataFrame) -> DataFrame:
@@ -248,42 +311,64 @@ class MatchEngine:
             diff.alias("difference_ms"),
             F.lit(1).cast("long").alias("track_match"),  # pseudo (log_track :363-364)
             F.lit(1).cast("long").alias("total_tracks"),
-            F.lit(None).cast(
-                "array<struct<track_uri:string,track_title:string,duration_ms:bigint>>"
-            ).alias("children"),
+            F.lit(None).cast(_CHILD_T).alias("children"),
+            F.lit(None).cast("array<bigint>").alias("log_ids"),
+            F.lit(0).alias("pass_no"),
             accepted.alias("accepted"),
         )
 
-    def _match_collections(self, videos: DataFrame, kind: str) -> DataFrame:
+    def _match_collections(
+        self,
+        videos: DataFrame,
+        kind: str,
+        strategies=COLLECTION_STRATEGIES,
+        grouped: bool = False,
+    ) -> DataFrame:
         if videos.isEmpty():
             return videos.sparkSession.createDataFrame([], self._match_schema())
-        strat = self._strategy_rows(videos, COLLECTION_STRATEGIES)
+        strat = self._strategy_rows(videos, strategies)
         cands = self.source.search(
             strat.select("qid", "q"), kind, self.cfg.search_limit_albums
         ).filter(F.col("result_rank") == 1)
-        scored = self._score_collections(strat.join(cands, "qid", "inner"), kind)
+        scored = self._score_collections(strat.join(cands, "qid", "inner"), kind, grouped)
         return self._pick_winner(scored, kind=kind)
 
-    def _score_collections(self, joined: DataFrame, kind: str) -> DataFrame:
+    def _score_collections(
+        self, joined: DataFrame, kind: str, grouped: bool = False
+    ) -> DataFrame:
         """qsearch_album/qsearch_playlist scoring (spotify_elt.py:
         399-516,592-690): child-track fan -> duration delta vs the
         video, title-in-description match counting, the 60%/40s accept
         rule.  Child containment checks run on the children array with
-        higher-order functions — no explode needed for scoring."""
-        children = F.coalesce(
-            F.col("children"),
-            F.array().cast(
-                "array<struct<track_uri:string,track_title:string,duration_ms:bigint>>"
-            ),
-        )
+        higher-order functions — no explode needed for scoring.
+
+        ``grouped`` = the other-playlists pass: match counting checks
+        each child title against the GROUP's video-title array instead
+        of a description (:432-435), and total_tracks is the group's
+        library row count, not the child count (:444-446 row.get)."""
+        children = F.coalesce(F.col("children"), F.array().cast(_CHILD_T))
         child_sum = F.aggregate(
             children, F.lit(0).cast("long"), lambda acc, c: acc + c["duration_ms"]
         )
-        lower_desc = F.lower(F.coalesce(F.col("description"), F.lit("")))
-        track_match_cnt = F.size(
-            F.filter(children, lambda c: lower_desc.contains(F.lower(c["track_title"])))
-        )
-        total_tracks = F.greatest(F.size(children), F.lit(1)).cast("long")
+        if grouped:
+            # child title found "like any track title in the YouTube
+            # album": containment within any lowered video title
+            track_match_cnt = F.size(
+                F.filter(
+                    children,
+                    lambda c: F.exists(
+                        F.col("track_titles"),
+                        lambda t: t.contains(F.lower(c["track_title"])),
+                    ),
+                )
+            )
+            total_tracks = F.col("total_tracks").cast("long")
+        else:
+            lower_desc = F.lower(F.coalesce(F.col("description"), F.lit("")))
+            track_match_cnt = F.size(
+                F.filter(children, lambda c: lower_desc.contains(F.lower(c["track_title"])))
+            )
+            total_tracks = F.greatest(F.size(children), F.lit(1)).cast("long")
         diff = F.col("duration_ms") - child_sum
         pct = (track_match_cnt / total_tracks) * 100
         # reference :455-462: case-SENSITIVE containment for the
@@ -317,6 +402,12 @@ class MatchEngine:
             track_match_cnt.cast("long").alias("track_match"),
             total_tracks.alias("total_tracks"),
             children.alias("children"),
+            (
+                F.col("log_ids")
+                if grouped
+                else F.lit(None).cast("array<bigint>")
+            ).alias("log_ids"),
+            F.lit(1 if grouped else 0).alias("pass_no"),
             accepted.alias("accepted"),
         )
 
@@ -391,7 +482,8 @@ class MatchEngine:
             "spotify_uri string, album_uri string, item_title string, "
             "item_artists_s string, item_duration_ms bigint, difference_ms bigint, "
             "track_match bigint, total_tracks bigint, "
-            "children array<struct<track_uri:string,track_title:string,duration_ms:bigint>>, "
+            f"children {_CHILD_T}, "
+            "log_ids array<bigint>, pass_no int, "
             "found_on_try bigint, kind string"
         )
 
@@ -409,6 +501,12 @@ class MatchEngine:
         liked_tracks = liked_tracks or spark.createDataFrame([], "uri string")
         liked_albums = liked_albums or spark.createDataFrame([], "uri string")
 
+        # back-compat for callers assembling pre-grouped match frames
+        if "log_ids" not in matches.columns:
+            matches = matches.withColumn("log_ids", F.lit(None).cast("array<bigint>"))
+        if "pass_no" not in matches.columns:
+            matches = matches.withColumn("pass_no", F.lit(0))
+
         # ---- statuses (collect_*: liked-before check first, then the
         # saved-during membership probe over earlier log rows)
         liked = (
@@ -418,7 +516,13 @@ class MatchEngine:
             )
             .withColumn("liked", F.lit(True))
         )
-        w_dup = Window.partitionBy("spotify_uri", "user_playlist_id").orderBy("log_id")
+        # the reference runs the video pass before the other-playlists
+        # pass (spotify_elt.py:1135-1143) and its during-run dedup is
+        # insertion order over the shared log lists — pass_no first
+        # mirrors that, log_id orders within a pass
+        w_dup = Window.partitionBy("spotify_uri", "user_playlist_id").orderBy(
+            F.coalesce(F.col("pass_no"), F.lit(0)), "log_id"
+        )
         with_status = (
             matches.join(
                 F.broadcast(liked),
@@ -442,8 +546,11 @@ class MatchEngine:
             .drop("liked", "occ")
         )
 
+        # group-grain rows (other-playlists pass) fan out one log row
+        # per aggregated log_id, all with the group's status
+        # (spotify_elt.py:886-889,914-916)
         log = with_status.select(
-            "log_id",
+            F.explode(F.coalesce("log_ids", F.array("log_id"))).alias("log_id"),
             F.when(F.col("kind") == "album", F.col("spotify_uri")).alias("album_uri"),
             F.when(F.col("kind") == "playlist", F.col("spotify_uri")).alias("playlist_uri"),
             F.when(F.col("kind") == "track", F.col("spotify_uri")).alias("track_uri"),
@@ -468,13 +575,16 @@ class MatchEngine:
         )
         album_children = (
             with_status.filter(F.col("kind") == "album")
-            .select("spotify_uri", "log_id", F.explode("children").alias("c"))
+            .select("spotify_uri", "log_id", "item_artists_s", F.explode("children").alias("c"))
             .select(
                 F.col("c.track_uri").alias("track_uri"),
                 F.col("spotify_uri").alias("album_uri"),
                 F.lit(None).cast("string").alias("playlist_uri"),
                 F.col("c.track_title").alias("track_title"),
-                F.lit("").alias("track_artists"),
+                # the ALBUM's artists on every child — "not always
+                # correct, but we don't iterate for every artist on
+                # every track" (log_album spotify_elt.py:544-556)
+                F.col("item_artists_s").alias("track_artists"),
                 F.col("c.duration_ms").alias("duration_ms"),
                 F.col("log_id"),
             )
@@ -484,10 +594,13 @@ class MatchEngine:
             .select("spotify_uri", "log_id", F.explode("children").alias("c"))
             .select(
                 F.col("c.track_uri").alias("track_uri"),
-                F.lit(None).cast("string").alias("album_uri"),
+                # playlist children keep their OWN album_uri + artists
+                # (log_other_playlist tracks_info, spotify_elt.py:
+                # 727-739 stores each child's artists and album)
+                F.col("c.album_uri").alias("album_uri"),
                 F.col("spotify_uri").alias("playlist_uri"),
                 F.col("c.track_title").alias("track_title"),
-                F.lit("").alias("track_artists"),
+                F.coalesce(F.col("c.track_artists"), F.lit("")).alias("track_artists"),
                 F.col("c.duration_ms").alias("duration_ms"),
                 F.col("log_id"),
             )
@@ -538,6 +651,9 @@ class MatchEngine:
         albums_to_like = saved.filter(
             (F.col("kind") == "album") & (F.col("user_playlist_id") == "LM")
         ).select(F.col("spotify_uri").alias("album_uri"))
+        playlists_to_like = saved.filter(
+            (F.col("kind") == "playlist") & (F.col("user_playlist_id") == "LM")
+        ).select(F.col("spotify_uri").alias("playlist_uri"))
         direct_adds = saved.filter(
             (F.col("kind") == "track") & (F.col("user_playlist_id") != "LM")
         ).select("user_playlist_id", F.col("spotify_uri").alias("track_uri"))
@@ -557,6 +673,7 @@ class MatchEngine:
             playlists_others=playlists_others,
             tracks_to_like=tracks_to_like,
             albums_to_like=albums_to_like,
+            playlists_to_like=playlists_to_like,
             playlist_additions=playlist_additions,
         )
 

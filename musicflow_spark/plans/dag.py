@@ -121,9 +121,54 @@ def musicflow_pipeline(
         playlist_map = sources["playlist_ids"].select(
             "youtube_playlist_id", F.col("spotify_playlist_id").alias("user_playlist_id")
         )
+        # second pass: OTHER users' playlists matched as whole albums/
+        # playlists — the extract_other_playlists grouping
+        # (spotify_elt.py:58-89): per playlist, video titles lowered in
+        # log-id order, log ids, summed duration
+        others_lib = (
+            lib.join(
+                yp.select(
+                    "youtube_playlist_id",
+                    F.col("title").alias("pl_title"),
+                    F.col("author").alias("pl_author"),
+                ),
+                "youtube_playlist_id",
+            )
+            .filter(
+                F.col("pl_author").isNotNull()
+                & (F.col("pl_author") != cfg.your_channel_name)
+            )
+            .join(
+                ctx["src__youtube_videos"].select(
+                    "video_id", F.col("title").alias("v_title"), "duration_ms"
+                ),
+                "video_id",
+            )
+        )
+        grouped_others = (
+            others_lib.groupBy("youtube_playlist_id", "pl_title", "pl_author")
+            .agg(
+                F.count(F.lit(1)).alias("total_tracks"),
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("id"), F.lower("v_title").alias("t")))
+                ).alias("__o__"),
+                F.sum("duration_ms").alias("duration_ms"),
+            )
+            .select(
+                "youtube_playlist_id",
+                F.col("pl_title").alias("title"),
+                F.col("pl_author").alias("author"),
+                "total_tracks",
+                F.transform("__o__", lambda s: s["t"]).alias("track_titles"),
+                F.transform("__o__", lambda s: s["id"]).alias("log_ids"),
+                "duration_ms",
+            )
+        )
         engine = MatchEngine(cfg, candidate_source)
         cache = load_cache(spark, cache_path) if cache_path else None
-        result, new_cache = match_with_cache(engine, videos, playlist_map, cache=cache)
+        result, new_cache = match_with_cache(
+            engine, videos, playlist_map, cache=cache, grouped_others=grouped_others
+        )
         outputs = {
             "spotify_log": result.log,
             "spotify_tracks": result.tracks,

@@ -25,7 +25,7 @@ youtube_playlists = [
     ("LM", "Playlist", "Liked Music", None, None),
     ("PL_rock", "Playlist", "Rock Classics", YOUR_CHANNEL, 2020),
     ("PL_jazz", "Playlist", "Jazz Evenings", YOUR_CHANNEL, None),
-    ("PL_other1", "Album", "Best of Blues", "other_user_a", 1999),
+    ("PL_other1", "Album", "Blues Collection", "other_user_a", 1999),
     ("PL_other2", "EP", "Synthwave EP", "other_user_b", 2021),
 ]
 

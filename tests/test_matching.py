@@ -189,3 +189,63 @@ def test_lazy_rounds_equal_eager(spark, source, engine_inputs):
     e = sorted(tuple(r) for r in eager.log.select(*cols).collect())
     l = sorted(tuple(r) for r in lazy.log.select(*cols).collect())
     assert e == l
+
+
+# ----------------------------------------------- other-playlists pass
+@pytest.fixture(scope="module")
+def others_result(spark, source, engine_inputs):
+    videos, playlist_map = engine_inputs
+    engine = MatchEngine(CFG, source)
+    # two grouped other-user playlists (extract_other_playlists shape):
+    # one that matches playlist p10 exactly by duration, one unfindable
+    grouped = spark.createDataFrame(
+        [
+            (
+                "PL_other1", "Blues Collection", "other_user_a", 2,
+                ["blues collection - complete - ", "hidden gem"],
+                [9, 21], 3_600_000,
+            ),
+            (
+                "PL_other2", "Synthwave EP", "other_user_b", 1,
+                ["midnight drive"], [10], 244_000,
+            ),
+        ],
+        "youtube_playlist_id string, title string, author string, "
+        "total_tracks bigint, track_titles array<string>, "
+        "log_ids array<bigint>, duration_ms bigint",
+    )
+    return engine.match(videos, playlist_map, grouped_others=grouped)
+
+
+def test_others_pass_matches_whole_playlists(others_result):
+    log = {r["log_id"]: r for r in others_result.log.collect()}
+    # both aggregated log ids got a fanned-out row with the SAME match
+    assert log[9]["playlist_uri"] == "spotify:playlist:p10"
+    assert log[21]["playlist_uri"] == "spotify:playlist:p10"
+    assert log[9]["status"] == "saved" and log[21]["status"] == "saved"
+    assert log[9]["search_type_id"] == 2  # found on the {fixed} strategy
+    # group total_tracks (library rows), not the spotify child count
+    assert log[9]["total_tracks"] == 2
+    # track_match: children whose title appears in ANY video title
+    assert log[9]["track_match"] == 1  # 'Hidden Gem' in 'hidden gem'
+    # the unfindable group produced no log rows
+    assert 10 not in log
+
+
+def test_others_pass_side_effects_and_children(others_result):
+    # saved LM playlist-kind match -> playlists_to_like
+    likes = {r["playlist_uri"] for r in others_result.playlists_to_like.collect()}
+    assert likes == {"spotify:playlist:p10"}
+    # playlist children keep their own artists and album_uri
+    tracks = {r["track_uri"]: r for r in others_result.tracks.collect()}
+    assert tracks["spotify:track:t21"]["album_uri"] == "spotify:album:a20"
+    assert tracks["spotify:track:t21"]["track_artists"] == "BluesVault"
+    assert tracks["spotify:track:t21"]["playlist_uri"] == "spotify:playlist:p10"
+
+
+def test_album_children_carry_album_artists(result):
+    # album a10's children store the ALBUM's artists (reference
+    # log_album bug-compat), never ''
+    tracks = {r["track_uri"]: r for r in result.tracks.collect()}
+    assert tracks["spotify:track:t11"]["track_artists"] == "PinkArchive"
+    assert tracks["spotify:track:t11"]["album_uri"] == "spotify:album:a10"
