@@ -82,12 +82,18 @@ def musicflow_pipeline(
     candidate_source,
     warehouse_dir: str,
     cache_path: str | None = None,
+    materializations: dict[str, str] | None = None,
 ) -> Pipeline:
     """The full reference flow as one Pipeline: extract-normalize ->
     match (cache-aware) -> load entity tables -> staged models ->
     intermediates/marts/analyses.  Mirrors the Airflow task boundaries
     (youtube extract / spotify match / dbt run) without importing
-    Airflow."""
+    Airflow.
+
+    ``materializations`` overrides the per-model choice
+    (model name -> 'ephemeral' | 'view' | 'table'), the dbt
+    per-model-header / dbt_project.yml:24-33 config surface; defaults
+    stay the dbt-equivalent ones (marts + engine tables as 'table')."""
     from pyspark.sql import functions as F
 
     from musicflow_spark.matching import MatchEngine, load_cache, match_with_cache, save_cache
@@ -199,17 +205,26 @@ def musicflow_pipeline(
         return build_all(model_sources, cfg)
 
     marts = ("log_found_videos", "log_not_found_videos", "log_for_tableau")
+    overrides = dict(materializations or {})
+    extract_models = ("src__youtube_playlists", "src__youtube_videos", "src__youtube_library")
+    match_models = ("spotify_log", "spotify_tracks", "spotify_albums", "spotify_playlists_others")
+
+    def mat(defaults: dict[str, str], owned: tuple[str, ...]) -> dict[str, str]:
+        # per-model override wins over the task default; overrides may
+        # also promote this task's ephemeral-by-default models
+        out = dict(defaults)
+        out.update({m: how for m, how in overrides.items() if m in owned})
+        return out
+
     return (
         Pipeline(spark, warehouse_dir)
-        .add(Task("extract", extract))
+        .add(Task("extract", extract, materialize=mat({}, extract_models)))
         .add(
             Task(
                 "match",
                 match,
                 deps=("extract",),
-                materialize={k: "table" for k in (
-                    "spotify_log", "spotify_tracks", "spotify_albums", "spotify_playlists_others"
-                )},
+                materialize=mat({m: "table" for m in match_models}, match_models),
             )
         )
         .add(
@@ -217,7 +232,16 @@ def musicflow_pipeline(
                 "models",
                 models,
                 deps=("match",),
-                materialize={m: "table" for m in marts},
+                # every dbt-layer model is produced by this task, so
+                # any override key that is not an extract/match output
+                # belongs here (staging views, intermediates, marts)
+                materialize=mat(
+                    {m: "table" for m in marts},
+                    tuple(
+                        m for m in overrides
+                        if m not in extract_models and m not in match_models
+                    ),
+                ),
             )
         )
     )
