@@ -1,4 +1,6 @@
 from musicflow_spark.streaming.events import (  # noqa: F401
+    content_dedup_stream,
+    dedup_stream,
     event_stream,
     foreach_batch_upsert,
     hourly_event_stats_stream,

@@ -109,6 +109,44 @@ _LATEST_OUTPUT = "user_id bigint, event_id bigint, ts timestamp, event_type stri
 _LATEST_STATE = "event_id bigint, ts timestamp, event_type string, value double"
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup — the ingestion twin of
+    operators/dedup.py::exact_dedup and the streaming form of the
+    reference's natural-key dedup (dedup_by_key, sources/ingest.py):
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per key
+    and evicts key state once the watermark passes it, so state is
+    bounded by (arrival rate x watermark), never the stream's
+    history.  Exactly the operator a 100 TB training-data ingest
+    needs: late replays inside the watermark are dropped, replays
+    beyond it are a documented at-least-once boundary."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def content_dedup_stream(
+    events: DataFrame,
+    text_col: str = "props",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Content-keyed streaming dedup: fingerprint the payload with the
+    same normalize+md5 the batch exact_dedup uses, then key the
+    watermarked dedup on the fingerprint — duplicate CONTENT arriving
+    under different ids within the watermark is dropped."""
+    from musicflow_spark.operators.textstats import normalize_for_fingerprint
+
+    fp = F.md5(normalize_for_fingerprint(text_col))
+    return (
+        events.withColumn("fp", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def latest_event_per_user_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: keeps
     one row of state per user (their latest event by (ts, event_id))

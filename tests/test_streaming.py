@@ -189,3 +189,60 @@ def test_streaming_marts_converge_to_batch(spark, musicflow_sources, tmp_path):
         assert g == w, mart
     # the upserted log equals the full input
     assert spark.read.parquet(f"{wh}/spotify_log").count() == log.count()
+
+
+@pytest.fixture(scope="module")
+def replayed_stream_dir(spark, tmp_path_factory):
+    """The same events written TWICE as separate chunk files (an
+    at-least-once replay inside the watermark) plus the flush
+    sentinel."""
+    path = str(tmp_path_factory.mktemp("events_replay") / "events")
+    ev = read_table(spark, SF_DIR, "events").localCheckpoint(eager=True)
+    for _ in range(2):
+        ev.coalesce(1).write.mode("append").parquet(path)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), SENTINEL_USER, "flush", 0.0, "{}")],
+        ev.schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def test_dedup_stream_drops_replays(spark, replayed_stream_dir, tmp_path):
+    from musicflow_spark.streaming import dedup_stream
+
+    stream = event_stream(spark, replayed_stream_dir, max_files_per_trigger=1)
+    out = _run_to_memory(
+        dedup_stream(stream, ["event_id"], watermark="90 days"),
+        "dedup_stream_out",
+        tmp_path,
+        "append",
+    )
+    got = out.filter(F.col("user_id") != SENTINEL_USER)
+    n_batch_distinct = read_table(spark, SF_DIR, "events").count()
+    # every replayed duplicate dropped, every original kept exactly once
+    assert got.count() == n_batch_distinct
+    assert got.select("event_id").distinct().count() == n_batch_distinct
+
+
+def test_content_dedup_stream_collapses_same_payload(spark, replayed_stream_dir, tmp_path):
+    from musicflow_spark.operators.textstats import normalize_for_fingerprint
+    from musicflow_spark.streaming import content_dedup_stream
+
+    stream = event_stream(spark, replayed_stream_dir, max_files_per_trigger=1)
+    out = _run_to_memory(
+        content_dedup_stream(stream, text_col="props", watermark="90 days"),
+        "content_dedup_out",
+        tmp_path,
+        "append",
+    )
+    got = out.filter(F.col("user_id") != SENTINEL_USER)
+    want = (
+        read_table(spark, SF_DIR, "events")
+        .select(F.md5(normalize_for_fingerprint("props")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == want
+    assert got.select("fp").distinct().count() == want
