@@ -1,0 +1,88 @@
+"""Physical-plan health audit over every registered query.
+
+For each query in the driver registry, prints the markers that decide
+100 TB behavior:
+
+- shuffles: count of hash/range partitioning exchanges (every one is
+  a full-data network pass at scale)
+- single: Exchange SinglePartition occurrences — ONLY acceptable on
+  scalar/near-scalar aggregates (flagged loudly otherwise)
+- bcast: broadcast exchanges (dimension sides staying off the wire)
+- scans/pushed: parquet scans and how many carry pushed filters
+- cartesian: BroadcastNestedLoopJoin / CartesianProduct occurrences —
+  acceptable only in the documented exact-baseline queries
+
+Usage: PYTHONPATH=/root/repo python tools/plan_audit.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: queries allowed a cartesian/BNLJ product: the documented exact
+#: baselines (oracle anchors), plus broadcast-planes crossJoins that
+#: are 1-row frames
+CARTESIAN_OK = {
+    "knn_bruteforce",          # exact baseline (broadcast query side)
+    "embedding_neardup_pairs", # exact all-pairs oracle anchor
+    "knn_lsh", "knn_ivf", "embedding_lsh_neardup",  # 1-row planes/centroid broadcasts
+    "doc_jaccard_pairs", "doc_minhash_dedup",       # 1-row common-shingle broadcast
+    "conservation_counts",     # three 1-row scalar aggregates cross-joined
+}
+
+#: queries allowed SinglePartition exchanges: global scalar aggregates
+#: or dimension-sized global windows (documented W1 form)
+SINGLE_OK = {
+    "conservation_counts", "nation_surrogate_ids",
+    "doc_jaccard_pairs", "doc_minhash_dedup",  # common-shingle collect (tiny by construction)
+    "doc_simhash_pairs",
+    "top_revenue_orders",  # global top-k limit
+}
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from musicflow_spark.queries.registry import get_queries
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = 0
+    print(f"{'query':28s} {'shuffles':>8s} {'single':>6s} {'bcast':>5s} {'scans':>5s} {'pushed':>6s} {'cartesian':>9s}")
+    for q in get_queries():
+        if only and q.name not in only:
+            continue
+        plan = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        shuf = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+        single = plan.count("Exchange SinglePartition")
+        bcast = plan.count("BroadcastExchange")
+        scans = plan.count("FileScan parquet") + plan.count("Scan parquet")
+        pushed = sum(1 for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip())
+        cart = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
+        flags = []
+        if single and q.name not in SINGLE_OK:
+            flags.append("SINGLE-PARTITION!")
+            bad += 1
+        if cart and q.name not in CARTESIAN_OK:
+            flags.append("CARTESIAN!")
+            bad += 1
+        print(
+            f"{q.name:28s} {shuf:8d} {single:6d} {bcast:5d} {scans:5d} {pushed:6d} {cart:9d}  {' '.join(flags)}"
+        )
+    print("PLAN AUDIT:", "FLAGS RAISED" if bad else "CLEAN")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
