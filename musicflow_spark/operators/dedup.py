@@ -347,6 +347,74 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------------- dedup clustering
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> one keeper per
+    duplicate cluster.  Pair emission (jaccard/minhash/simhash/
+    embedding tiers) finds EDGES; production dedup needs the
+    transitive closure: if A~B and B~C, exactly one of {A,B,C}
+    survives.  Returns (doc_id, cluster_id, keep) where cluster_id is
+    the minimum reachable id and keep marks the canonical doc.
+
+    Algorithm: min-label propagation to fixpoint — each round every
+    node takes the min label among itself and its neighbors.
+    Converges in O(graph diameter) rounds; near-dup clusters are
+    near-cliques, so 2-3 rounds in practice (``max_iter`` is a
+    safety bound, raised loudly if hit).  Each round is one
+    edge⋈label equi-join + a min-aggregate — all shuffles are keyed,
+    nothing quadratic; labels are localCheckpointed per round so
+    lineage stays flat (iterative plans otherwise grow
+    exponentially).  The per-round convergence probe is a scalar
+    count — the standard driver-side loop control every iterative
+    Spark algorithm (incl. GraphX/Pregel) uses, not a data collect.
+
+    nodes: one row per document (singletons become their own
+    cluster); pairs: (doc_a, doc_b) undirected near-dup edges.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("new_label") < F.col("label")).count()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )
+
+
 # ------------------------------------------------------------ simhash
 def portable_hash60(col: Column) -> Column:
     """60-bit positive hash both Spark and DuckDB compute identically:

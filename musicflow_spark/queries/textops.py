@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from musicflow_spark.functions.strings import FIX_TITLE_STEPS, is_ost, with_fixed_title
 from musicflow_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     jaccard_pairs,
     minhash_dedup_pairs,
@@ -292,6 +293,52 @@ def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering (ext): connected components over the exact
+    jaccard near-dup pairs — transitive closure via iterative
+    min-label propagation, one keeper per cluster.  The oracle
+    recomputes the same closure with a recursive CTE, so the
+    ITERATIVE DataFrame algorithm is hash-checked against a
+    declarative fixpoint — singletons included (their own cluster)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2, max_df=20)
+    return dedup_clusters(docs.select("doc_id"), pairs)
+
+
+DOC_DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv1 AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS sh_df FROM inv0),
+inv AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM inv1 WHERE sh_df <= 20),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+  HAVING count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) >= 0.2),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS keep
+FROM reach
+GROUP BY id
+"""
+
+
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 SIMHASH_MAX_HAMMING = 20
@@ -401,6 +448,7 @@ QUERIES = [
     Query("doc_lang_id", "ext: language id", doc_lang_id, _lang_id_oracle_sql()),
     Query("doc_exact_dedup", "ext: exact dedup; A7", doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     Query("doc_jaccard_pairs", "ext: ngram jaccard dedup; J8", doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL, bench=True),
+    Query("doc_dedup_clusters", "ext: dedup clustering (connected components)", doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
 ]

@@ -189,3 +189,20 @@ def test_surrogate_ids_equal_global_row_number(spark):
     assert got == want
     ids = [r["row_id"] for r in opaque_ids(df).collect()]
     assert len(set(ids)) == len(ids)
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    from musicflow_spark.operators.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    # chain 0-1-2-3-4 (multi-hop: needs several propagation rounds),
+    # pair 7-8, singletons 5, 6, 9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(nodes, pairs).collect()}
+    assert {d: c for d, (c, _) in got.items()} == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9,
+    }
+    assert {d for d, (_, k) in got.items() if k} == {0, 5, 6, 7, 9}
