@@ -106,3 +106,27 @@ def test_shingle_count_bound(batch):
         else:
             # distinct shingles: at most n_toks - 2, at least 1
             assert 1 <= r["n_sh"] <= r["n_toks"] - 2
+
+
+@SET
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=50))
+def test_portable_hash60_matches_duckdb(batch):
+    """The md5-based 60-bit portable hash must be bit-identical on
+    Spark and DuckDB for ARBITRARY unicode input — it is what makes
+    the simhash oracle an exact pipeline replica."""
+    import duckdb
+
+    from musicflow_spark.operators.dedup import portable_hash60
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)], "i long, t string")
+    got = {r["i"]: r["h"] for r in df.select("i", portable_hash60(F.col("t")).alias("h")).collect()}
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT i, ('0x' || substr(md5(t), 1, 15))::BIGINT "
+            "FROM (SELECT unnest(range(len($b))) AS i, unnest($b) AS t)",
+            {"b": batch},
+        ).fetchall()
+    )
+    assert got == want
