@@ -1,9 +1,12 @@
 """Embedding-similarity queries over the embeddings table
 (vec_id, embedding: array<float>, label).
 
-knn_bruteforce is the exact baseline the oracle can check; the
-LSH-bucketed variant is the approximate scale path (rows-only check
-here; recall measured against brute force in tests/test_similarity.py).
+knn_bruteforce is the exact baseline; the LSH- and IVF-bucketed
+variants are the approximate scale paths.  ALL of them hash-match
+full oracles: the approximate pipelines are seeded-deterministic, so
+their DuckDB oracles replicate them end to end (plane literals /
+stride-seeded centroids), and recall vs brute force is additionally
+asserted in tests.
 """
 
 from __future__ import annotations
