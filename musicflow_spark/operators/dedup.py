@@ -82,6 +82,42 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return shingles_of(toks, n)
 
 
+def with_hashed_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(doc_id, sh: array<long>) — shingle identities as 64-bit
+    hashes combined DIRECTLY from per-token hashes, with the n-gram
+    string never materialized: each token lowers+hashes once, each
+    shingle is one fixed-width xxhash64 over its n token hashes.
+
+    This is the hash-early production shape: set cardinalities
+    (distinct counts, intersections, Jaccard) are preserved up to
+    64-bit collisions (~d^2/2^65 — negligible), every downstream
+    shuffle/array op moves 8-byte longs instead of n-token strings,
+    and it is strictly MORE precise than join-with-space shingling
+    (token boundaries cannot alias).  String shingles remain
+    available via with_shingles where human-readable output matters.
+    """
+    toks = F.transform(tokens("__text__"), lambda t: F.xxhash64(F.lower(t)))
+    th = F.col("__th__")
+    k = F.size(th)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(th, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    sh = F.when(k < n, F.array().cast("array<bigint>")).otherwise(F.array_distinct(grams))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__"))
+        .withColumn("__th__", toks)
+        .withColumn(out_col, sh)
+        .select("doc_id", out_col)
+    )
+
+
 def kept_shingle_sets(
     df: DataFrame,
     text_col: str = "text",
@@ -89,9 +125,12 @@ def kept_shingle_sets(
     n: int = 3,
     max_df: int | None = None,
     sets: DataFrame | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
-    """(doc_id, sh: array<string>, n_shingles) with the
-    discriminative-shingle filter applied ARRAY-SIDE.
+    """(doc_id, sh, n_shingles) with the discriminative-shingle
+    filter applied ARRAY-SIDE; ``sh`` is array<string>, or
+    array<long> with ``hashed=True`` (see with_hashed_shingles —
+    identical set semantics, fixed-width keys).
 
     ``max_df`` drops shingles appearing in more than that many docs —
     a shingle shared by thousands of documents contributes nothing to
@@ -107,7 +146,8 @@ def kept_shingle_sets(
     running several tiers pass their own pre-materialized ``sets``
     (from with_shingles) to share the single pass."""
     if sets is None:
-        sets = with_shingles(df, text_col, id_col, n)
+        maker = with_hashed_shingles if hashed else with_shingles
+        sets = maker(df, text_col, id_col, n)
         if max_df is not None:
             sets = sets.localCheckpoint(eager=True)
     if max_df is not None:
@@ -136,19 +176,16 @@ def shingle_table(
     kept-shingle sets.  ``n_shingles`` counts only KEPT shingles, so
     downstream Jaccard stays internally consistent.
 
-    ``hashed=True`` replaces the shingle string with its xxhash64 —
-    the join/shuffle key becomes 8 fixed bytes instead of a
-    variable-length string, which shrinks the inverted-index exchange
-    and speeds key compares at scale.  A 64-bit collision would
-    merge two shingles' postings; at 2^64 that is ~d^2/2^65 for d
-    distinct shingles (~1e-8 even at 10^5 distinct) — the standard
-    trade every production shingle index makes."""
-    out = kept_shingle_sets(df, text_col, id_col, n, max_df).select(
+    ``hashed=True`` indexes 64-bit token-combined shingle hashes
+    (with_hashed_shingles) — the n-gram string is never built and the
+    join/shuffle key is 8 fixed bytes, which shrinks the
+    inverted-index exchange and speeds key compares at scale.  A
+    collision would merge two shingles' postings; at 2^64 that is
+    ~d^2/2^65 for d distinct shingles (~1e-8 even at 10^5 distinct)
+    — the standard trade every production shingle index makes."""
+    return kept_shingle_sets(df, text_col, id_col, n, max_df, hashed=hashed).select(
         "doc_id", "n_shingles", F.explode("sh").alias("shingle")
     )
-    if hashed:
-        out = out.withColumn("shingle", F.xxhash64("shingle"))
-    return out
 
 
 def jaccard_pairs(
@@ -209,22 +246,30 @@ def minhash_table(
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) k-permutation MinHash signatures.
 
-    Two-level hashing: each shingle STRING is hashed once
-    (xxhash64), then permutation i re-hashes that 8-byte base value
-    with seed i — so the per-shingle cost is 1 string hash + k fixed-
-    width long hashes instead of k string hashes (variable-length
-    byte walks dominate xxhash64 cost; measured ~35% off the whole
-    dedup pipeline at sf0.1).  Re-hashing a 64-bit value per seed is
-    the standard one-permutation-per-seed construction; min-wise
-    behavior is preserved because the base hash is collision-free in
-    practice at 2^64.  The signature element is the min over the
-    doc's shingles, computed as ONE fold over a materialized
-    base-hash array — every hash call codegen-friendly, the whole
-    signature a single map stage.  Empty docs get MaxLong sentinels.
+    Two-level hashing: each shingle reduces to one 8-byte base value
+    (already free when the sets are hash-shingled —
+    with_hashed_shingles — else one xxhash64 over the string), then
+    permutation i re-hashes the base with seed i — so the
+    per-shingle cost is k fixed-width long hashes instead of k
+    string hashes (variable-length byte walks dominate xxhash64
+    cost).  Re-hashing a 64-bit value per seed is the standard
+    one-permutation-per-seed construction; min-wise behavior is
+    preserved because the base is collision-free in practice at
+    2^64.  The signature element is the min over the doc's shingles,
+    computed as ONE fold — every hash call codegen-friendly, the
+    whole signature a single map stage.  Empty docs get MaxLong
+    sentinels.
     """
     max_long = 9223372036854775807
     init = F.array(*[F.lit(max_long).cast("long") for _ in range(k)])
-    base = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    if sets is None:
+        sets = with_shingles(df, text_col, id_col, n)
+    sh_type = dict(sets.dtypes)["sh"]
+    base = (
+        F.col("sh")
+        if sh_type == "array<bigint>"
+        else F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    )
     sig = F.aggregate(
         base,
         init,
@@ -234,8 +279,6 @@ def minhash_table(
             lambda a, b: F.least(a, b),
         ),
     )
-    if sets is None:
-        sets = with_shingles(df, text_col, id_col, n)
     return sets.select("doc_id", sig.alias("sig"))
 
 
@@ -294,6 +337,7 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 20,
+    hashed: bool = True,
 ) -> DataFrame:
     """Candidates from LSH banding, verified with exact Jaccard —
     the standard sketch-then-verify dedup pipeline.  Output matches
@@ -316,7 +360,7 @@ def minhash_dedup_pairs(
     # ~3x wall-clock on the sf0.1 corpus.  The filtered sets are
     # checkpointed again so the array_except runs once, not 3x.
     sets = (
-        kept_shingle_sets(df, text_col, id_col, n, max_df=max_df)
+        kept_shingle_sets(df, text_col, id_col, n, max_df=max_df, hashed=hashed)
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)
     )
