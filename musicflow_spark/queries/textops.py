@@ -282,12 +282,15 @@ def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100% LSH recall on this corpus — an honest bar here because the
     corpus pair distribution is strongly bimodal (every qualifying
     pair has jaccard >= 0.8, the next pair down is <= 0.14, measured
-    at sf 0.001/0.01/0.1) and 32 bands x 2 rows gives
-    P(miss | j=0.8) = (1 - 0.64)^32 ~ 6e-15.  n_bands_hit is sketch
+    at sf 0.001/0.01/0.1) and 16 bands x 2 rows gives
+    P(miss | j=0.8) = (1 - 0.64)^16 ~ 3e-8 (1e-12 at the sf0.01
+    check's j >= 0.9).  k = bands x rows exactly: with exact
+    verification downstream, signature length beyond what banding
+    consumes is pure hashing waste.  n_bands_hit is sketch
     bookkeeping the oracle cannot see -> dropped from the projection.
     """
     docs = read_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, bands=32, threshold=0.2, max_df=20)
+    pairs = minhash_dedup_pairs(docs, k=32, bands=16, threshold=0.2, max_df=20)
     return pairs.select(
         "doc_a", "doc_b", "inter_cnt", pround(F.col("jaccard"), 6).alias("jaccard")
     )
