@@ -234,6 +234,49 @@ def cosine_neardup_pairs(
     )
 
 
+def feature_hash_embedding(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick bag-of-words embedding (text -> array<double>):
+    every token hashes to a dimension index (low bits) and a +-1 sign
+    (the next bit up), and the document vector is the signed count
+    fold — the classic feature-hashing projection, here as a pure
+    MAP-ONLY fold over the token array: no explode, no shuffle, which
+    is exactly what a 100 TB featurization pass wants (the shuffle-
+    free alternative to explode + two-level groupBy).
+
+    Uses the md5-based portable hash so the whole operator is
+    bit-replicable by the SQL oracle (values are signed integer
+    counts held in doubles — no float-summation ambiguity).  ``dim``
+    must be a power of two (index = h % dim, sign = bit log2(dim)).
+    """
+    from musicflow_spark.operators.dedup import portable_hash60
+    from musicflow_spark.operators.textstats import tokens
+
+    if dim & (dim - 1):
+        raise ValueError("dim must be a power of two")
+    sign_bit = dim.bit_length() - 1
+    th = F.transform(tokens(text_col), lambda t: portable_hash60(F.lower(t)))
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    sign = lambda h: (  # noqa: E731
+        F.when(F.shiftright(h, sign_bit).bitwiseAND(1) == 1, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+    )
+    vec = F.aggregate(
+        th,
+        zeros,
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: x + F.when((h % dim) == i.cast("long"), sign(h)).otherwise(F.lit(0.0)),
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), vec.alias("embedding"))
+
+
 def lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -296,6 +296,47 @@ def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DIM = 64
+
+
+def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedding (ext): the hashing-trick bag-of-words
+    projection from the documents table — the text->vector bridge
+    into the ANN/near-dup operators, computed as a map-only fold (no
+    shuffle).  Emitted long-form (doc_id, dim, v) so the oracle
+    compares scalar cells; values are signed token counts (exact in
+    doubles).  Portable md5 hash -> the oracle replicates the whole
+    projection bit-for-bit."""
+    from musicflow_spark.operators.similarity import feature_hash_embedding
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = feature_hash_embedding(docs, dim=EMBED_DIM)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "v")
+
+
+DOC_HASH_EMBEDDING_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+cells AS (
+  SELECT doc_id, h % {EMBED_DIM} AS dim,
+         CASE WHEN ((h >> {EMBED_DIM.bit_length() - 1}) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM h),
+agg AS (SELECT doc_id, dim, sum(s) AS v FROM cells GROUP BY doc_id, dim)
+SELECT d.doc_id, g.dim, coalesce(agg.v, 0.0) AS v
+FROM documents d
+CROSS JOIN (SELECT unnest(range({EMBED_DIM})) AS dim) g
+LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.dim = g.dim
+"""
+
+
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering (ext): connected components over the exact
     jaccard near-dup pairs — transitive closure via iterative
@@ -452,6 +493,7 @@ QUERIES = [
     Query("doc_exact_dedup", "ext: exact dedup; A7", doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     Query("doc_jaccard_pairs", "ext: ngram jaccard dedup; J8", doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_dedup_clusters", "ext: dedup clustering (connected components)", doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
+    Query("doc_hash_embedding", "ext: feature-hashing text embedding", doc_hash_embedding, DOC_HASH_EMBEDDING_SQL),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
 ]

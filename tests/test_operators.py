@@ -206,3 +206,37 @@ def test_dedup_clusters_transitive_closure(spark):
         0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9,
     }
     assert {d for d, (_, k) in got.items() if k} == {0, 5, 6, 7, 9}
+
+
+def test_feature_hash_embedding_matches_explode_groupby(spark):
+    from musicflow_spark.operators.dedup import portable_hash60
+    from musicflow_spark.operators.similarity import feature_hash_embedding
+    from musicflow_spark.operators.textstats import tokens
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "beta beta"), (3, "")],
+        "doc_id long, text string",
+    )
+    dim = 16
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in feature_hash_embedding(docs, dim=dim).collect()
+    }
+    # reference formulation: explode + groupBy (the shuffle path)
+    cells = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", portable_hash60(F.lower("tok")).alias("h"))
+        .select(
+            "doc_id",
+            (F.col("h") % dim).alias("dim"),
+            F.when(F.shiftright("h", 4).bitwiseAND(1) == 1, 1.0).otherwise(-1.0).alias("s"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("v"))
+        .collect()
+    )
+    want = {d: [0.0] * dim for d in (1, 2, 3)}
+    for r in cells:
+        want[r["doc_id"]][r["dim"]] = r["v"]
+    assert got == want
+    assert got[3] == [0.0] * dim  # empty doc -> zero vector, still present
