@@ -264,7 +264,10 @@ class MatchEngine:
     def _match_tracks(self, videos: DataFrame) -> DataFrame:
         strat = self._strategy_rows(videos, TRACK_STRATEGIES)
         if self.lazy:
-            return self._rounds(strat, videos, kind="track", n_pri=len(TRACK_STRATEGIES))
+            return self._rounds(
+                strat, videos, kind="track", n_pri=len(TRACK_STRATEGIES),
+                limit=self.cfg.search_limit_tracks,
+            )
         cands = self.source.search(
             strat.select("qid", "q"), "track", self.cfg.search_limit_tracks
         ).filter(F.col("result_rank") == 1)
@@ -327,6 +330,14 @@ class MatchEngine:
         if videos.isEmpty():
             return videos.sparkSession.createDataFrame([], self._match_schema())
         strat = self._strategy_rows(videos, strategies)
+        if self.lazy:
+            # miss-driven rounds apply to collection searches too —
+            # the reference's find_album/find_other_playlist only fire
+            # later strategies when earlier ones returned nothing
+            return self._rounds(
+                strat, videos, kind=kind, n_pri=len(strategies),
+                limit=self.cfg.search_limit_albums, grouped=grouped,
+            )
         cands = self.source.search(
             strat.select("qid", "q"), kind, self.cfg.search_limit_albums
         ).filter(F.col("result_rank") == 1)
@@ -433,7 +444,15 @@ class MatchEngine:
             .withColumn("kind", F.lit(kind))
         )
 
-    def _rounds(self, strat: DataFrame, videos: DataFrame, kind: str, n_pri: int) -> DataFrame:
+    def _rounds(
+        self,
+        strat: DataFrame,
+        videos: DataFrame,
+        kind: str,
+        n_pri: int,
+        limit: int,
+        grouped: bool = False,
+    ) -> DataFrame:
         """Miss-driven evaluation: one search round per priority over
         still-missing videos only (preserves the reference's API-call
         cost model).  Same output as the eager path."""
@@ -446,13 +465,13 @@ class MatchEngine:
             if round_q.isEmpty():
                 continue
             cands = self.source.search(
-                round_q.select("qid", "q"), kind, self.cfg.search_limit_tracks
+                round_q.select("qid", "q"), kind, limit
             ).filter(F.col("result_rank") == 1)
             joined = round_q.join(cands, "qid", "inner")
             scored = (
                 self._score_tracks(joined)
                 if kind == "track"
-                else self._score_collections(joined, kind)
+                else self._score_collections(joined, kind, grouped)
             )
             scored = scored.localCheckpoint(eager=True)
             got = scored.select("log_id").distinct()

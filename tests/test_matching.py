@@ -176,14 +176,14 @@ def test_side_effect_sets(result):
     assert all(p != "LM" for p, _ in adds)
 
 
-def test_lazy_rounds_equal_eager(spark, source, engine_inputs):
+def test_lazy_rounds_equal_eager(spark, source, engine_inputs, others_grouped):
     videos, playlist_map = engine_inputs
     liked = spark.createDataFrame([("spotify:track:t03",)], "uri string")
     eager = MatchEngine(CFG, source, lazy=False).match(
-        videos, playlist_map, liked_tracks=liked
+        videos, playlist_map, liked_tracks=liked, grouped_others=others_grouped
     )
     lazy = MatchEngine(CFG, source, lazy=True).match(
-        videos, playlist_map, liked_tracks=liked
+        videos, playlist_map, liked_tracks=liked, grouped_others=others_grouped
     )
     cols = ["log_id", "track_uri", "album_uri", "playlist_uri", "found_on_try", "search_type_id", "status"]
     e = sorted(tuple(r) for r in eager.log.select(*cols).collect())
@@ -193,12 +193,10 @@ def test_lazy_rounds_equal_eager(spark, source, engine_inputs):
 
 # ----------------------------------------------- other-playlists pass
 @pytest.fixture(scope="module")
-def others_result(spark, source, engine_inputs):
-    videos, playlist_map = engine_inputs
-    engine = MatchEngine(CFG, source)
+def others_grouped(spark):
     # two grouped other-user playlists (extract_other_playlists shape):
     # one that matches playlist p10 exactly by duration, one unfindable
-    grouped = spark.createDataFrame(
+    return spark.createDataFrame(
         [
             (
                 "PL_other1", "Blues Collection", "other_user_a", 2,
@@ -214,7 +212,13 @@ def others_result(spark, source, engine_inputs):
         "total_tracks bigint, track_titles array<string>, "
         "log_ids array<bigint>, duration_ms bigint",
     )
-    return engine.match(videos, playlist_map, grouped_others=grouped)
+
+
+@pytest.fixture(scope="module")
+def others_result(spark, source, engine_inputs, others_grouped):
+    videos, playlist_map = engine_inputs
+    engine = MatchEngine(CFG, source)
+    return engine.match(videos, playlist_map, grouped_others=others_grouped)
 
 
 def test_others_pass_matches_whole_playlists(others_result):
