@@ -296,6 +296,51 @@ def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling (ext): per-language document-length
+    distribution — count, mean, and exact interpolated quartiles/p95.
+    The standard first look at a training corpus (length filters are
+    set off these numbers).  Uses Spark's exact ``percentile`` (not
+    the approx sketch) so DuckDB's ``quantile_cont`` — the same
+    linear-interpolation definition — can hash-check it; at corpus
+    scale swap in ``percentile_approx`` (documented, sketch-based,
+    not oracle-exact)."""
+    docs = read_table(spark, sf_dir, "documents")
+    cents = F.expr(
+        "percentile(length(text), array(0.25, 0.5, 0.75, 0.95))"
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.length("text")) / F.count(F.lit(1))).alias("mean_chars"),
+            cents.alias("__p__"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            pround(F.col("mean_chars"), 4).alias("mean_chars"),
+            pround(F.element_at("__p__", 1), 4).alias("p25"),
+            pround(F.element_at("__p__", 2), 4).alias("p50"),
+            pround(F.element_at("__p__", 3), 4).alias("p75"),
+            pround(F.element_at("__p__", 4), 4).alias("p95"),
+        )
+    )
+
+
+DOC_LENGTH_PROFILE_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(sum(length(text)) / cast(count(*) AS double) * 10000.0) / 10000.0 AS mean_chars,
+       round(quantile_cont(length(text), 0.25) * 10000.0) / 10000.0 AS p25,
+       round(quantile_cont(length(text), 0.50) * 10000.0) / 10000.0 AS p50,
+       round(quantile_cont(length(text), 0.75) * 10000.0) / 10000.0 AS p75,
+       round(quantile_cont(length(text), 0.95) * 10000.0) / 10000.0 AS p95
+FROM documents
+GROUP BY lang
+"""
+
+
 EMBED_DIM = 64
 
 
@@ -494,6 +539,7 @@ QUERIES = [
     Query("doc_jaccard_pairs", "ext: ngram jaccard dedup; J8", doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_dedup_clusters", "ext: dedup clustering (connected components)", doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
     Query("doc_hash_embedding", "ext: feature-hashing text embedding", doc_hash_embedding, DOC_HASH_EMBEDDING_SQL),
+    Query("doc_length_profile", "ext: corpus length profiling (exact percentiles)", doc_length_profile, DOC_LENGTH_PROFILE_SQL),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
 ]
