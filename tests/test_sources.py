@@ -99,3 +99,56 @@ def test_lookup_join_enrichment_broadcasts(spark):
     got = {r["id"]: r["v"] for r in out.collect()}
     assert got == {1: "a", 2: None, 3: "c"}
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_runs_shuffle_free(spark, tmp_path):
+    """The 100 TB fact-join story, proven on the plan: both sides
+    written bucketBy the join key -> the join reads pre-co-located
+    buckets and the physical plan contains NO shuffle exchange."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.sources.catalog import read_table, write_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = read_table(spark, sf, "orders")
+    lineitem = read_table(spark, sf, "lineitem")
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", lineitem, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_table(
+            df, str(tmp_path / name), bucket_by=(8, [key]), table_name=name
+        )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # emulate the at-scale regime: neither fact side broadcastable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must not shuffle either side; the only
+        # exchange allowed is the post-join aggregation's
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert n_shuffles <= 1, plan
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # and it computes the right thing
+        want = (
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        got = {r["o_orderpriority"]: r["n"] for r in joined.collect()}
+        assert got == {r["o_orderpriority"]: r["count"] for r in want.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
