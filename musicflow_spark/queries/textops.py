@@ -296,6 +296,106 @@ def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLEAN_MIN_TOKENS = 20
+CLEAN_MIN_UNIQ = 0.3
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data cleaning pipeline as ONE query
+    (ext): language filter (predicted 'en') -> quality gates
+    (n_tokens, uniq_frac) -> exact dedup (lowest id per fingerprint)
+    -> near-dup clustering (jaccard pairs within the survivor set ->
+    connected components -> one keeper per cluster).  Returns the
+    surviving documents with their dedup provenance.
+
+    Every stage is an operator verified on its own elsewhere; this
+    query verifies the COMPOSITION — filters narrowing the dedup
+    universe, df-counts computed over the filtered subset, the
+    clustering keep-rule applied after the exact tier — which is
+    where production pipelines actually break."""
+    docs = read_table(spark, sf_dir, "documents")
+    feats = quality_features(docs)
+    passed = feats.withColumn("pred_lang", lang_id("text")).filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+        & (F.col("uniq_frac") >= CLEAN_MIN_UNIQ)
+    )
+    ex = exact_dedup(passed)
+    pairs = jaccard_pairs(ex, threshold=0.2, max_df=20)
+    clusters = dedup_clusters(ex.select("doc_id"), pairs)
+    return (
+        ex.join(clusters.filter(F.col("keep")), "doc_id")
+        .select("doc_id", "n_tokens", "dup_count", "cluster_id")
+    )
+
+
+def _corpus_clean_oracle_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    marker_exprs = ", ".join(
+        f"len(list_filter(tl, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"], x))) AS s_{lang}"
+        for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {g} THEN '{lang}' "
+    case += "END"
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS tl
+  FROM documents),
+feats AS (
+  SELECT doc_id, text, tl, len(t) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE len(list_distinct(t)) / cast(len(t) AS double) END AS uniq_frac,
+         {marker_exprs}
+  FROM toks),
+passed AS (
+  SELECT doc_id, text, tl, n_tokens FROM feats
+  WHERE {case} = 'en' AND n_tokens >= {CLEAN_MIN_TOKENS} AND uniq_frac >= {CLEAN_MIN_UNIQ}),
+ex0 AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM passed),
+ex AS (
+  SELECT doc_id, tl, n_tokens, dup_count FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY fp) AS dup_count
+    FROM ex0) WHERE rn = 1),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(tl) - 1, 1)),
+                                      i -> array_to_string(tl[i:i+2], ' '))) AS s
+  FROM ex),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv1 AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS sh_df FROM inv0),
+inv AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM inv1 WHERE sh_df <= 20),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+  HAVING count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) >= 0.2),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM ex
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+clusters AS (
+  SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS keep
+  FROM reach GROUP BY id)
+SELECT e.doc_id, e.n_tokens, e.dup_count, c.cluster_id
+FROM ex e JOIN clusters c ON e.doc_id = c.doc_id
+WHERE c.keep
+"""
+
+
 def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling (ext): per-language document-length
     distribution — count, mean, and exact interpolated quartiles/p95.
@@ -540,6 +640,7 @@ QUERIES = [
     Query("doc_dedup_clusters", "ext: dedup clustering (connected components)", doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
     Query("doc_hash_embedding", "ext: feature-hashing text embedding", doc_hash_embedding, DOC_HASH_EMBEDDING_SQL),
     Query("doc_length_profile", "ext: corpus length profiling (exact percentiles)", doc_length_profile, DOC_LENGTH_PROFILE_SQL),
+    Query("corpus_clean", "ext: full cleaning pipeline (lang+quality+dedup+clustering)", corpus_clean, _corpus_clean_oracle_sql()),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
 ]
