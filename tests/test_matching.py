@@ -253,3 +253,48 @@ def test_album_children_carry_album_artists(result):
     tracks = {r["track_uri"]: r for r in result.tracks.collect()}
     assert tracks["spotify:track:t11"]["track_artists"] == "PinkArchive"
     assert tracks["spotify:track:t11"]["album_uri"] == "spotify:album:a10"
+
+
+# ----------------------------------------------- REST candidate source
+def test_rest_candidate_source_schema_and_batching(spark):
+    from musicflow_spark.matching.candidates import RestCandidateSource
+
+    def search_fn(q, kind, limit):
+        assert kind == "track" and limit == 7
+        if q == "miss":
+            return []
+        out = [
+            {
+                "item_uri": f"uri:{q}:1",
+                "item_title": q.title(),
+                "item_artists": ["A", "B"],
+                "item_duration_ms": 1000,
+                "album_uri": "alb:1",
+                # children in the OLD 3-key shape: new struct fields
+                # must coerce to null, not break the Arrow batch
+                "children": [
+                    {"track_uri": "c1", "track_title": "C1", "duration_ms": 10},
+                ],
+            },
+            {
+                "item_uri": f"uri:{q}:2",
+                "item_title": q,
+                "item_artists": [],
+                # optional keys absent entirely
+            },
+        ][:limit]
+        return out
+
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (2, "miss"), (3, "beta")], "qid long, q string"
+    )
+    got = RestCandidateSource(search_fn, n_partitions=2).search(queries, "track", 7)
+    rows = {(r["qid"], r["result_rank"]): r for r in got.collect()}
+    assert set(rows) == {(1, 1), (1, 2), (3, 1), (3, 2)}  # 'miss' -> no rows
+    top = rows[(1, 1)]
+    assert top["item_uri"] == "uri:alpha:1" and top["item_artists"] == ["A", "B"]
+    child = top["children"][0]
+    assert child["track_uri"] == "c1"
+    assert child["track_artists"] is None and child["album_uri"] is None
+    second = rows[(1, 2)]
+    assert second["item_duration_ms"] is None and second["children"] is None
