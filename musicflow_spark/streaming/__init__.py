@@ -1,3 +1,6 @@
+from musicflow_spark.streaming.dedup import (  # noqa: F401
+    minhash_candidates_stream,
+)
 from musicflow_spark.streaming.events import (  # noqa: F401
     content_dedup_stream,
     dedup_stream,

@@ -246,3 +246,49 @@ def test_content_dedup_stream_collapses_same_payload(spark, replayed_stream_dir,
     )
     assert got.count() == want
     assert got.select("fp").distinct().count() == want
+
+
+def test_minhash_candidates_stream_converges_to_batch(spark, tmp_path):
+    from musicflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        with_hashed_shingles,
+    )
+    from musicflow_spark.streaming import minhash_candidates_stream
+
+    docs = read_table(spark, SF_DIR, "documents").localCheckpoint(eager=True)
+    # 3 chunk files -> 3+ micro-batches with maxFilesPerTrigger=1
+    path = str(tmp_path / "docs_stream")
+    for lo, hi in ((0, 170), (170, 340), (340, 10_000)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    # replay the first chunk: already-seen docs must not re-pair
+    docs.filter(F.col("doc_id") < 170).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = minhash_candidates_stream(stream, k=32, bands=16)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_cands_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.table("mh_cands_stream").collect()
+    }
+
+    sets = with_hashed_shingles(docs).filter(F.size("sh") > 0)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, k=32, bands=16, sets=sets).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the corpus does contain near-dups
