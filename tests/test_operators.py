@@ -240,3 +240,33 @@ def test_feature_hash_embedding_matches_explode_groupby(spark):
         want[r["doc_id"]][r["dim"]] = r["v"]
     assert got == want
     assert got[3] == [0.0] * dim  # empty doc -> zero vector, still present
+
+
+def test_operators_survive_empty_input(spark):
+    """Degenerate inputs must produce empty outputs, not crashes —
+    partition-empty frames are routine at 100 TB (filter cliffs,
+    empty date partitions)."""
+    from musicflow_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        jaccard_pairs,
+        minhash_dedup_pairs,
+        simhash_near_pairs,
+    )
+    from musicflow_spark.operators.ids import opaque_ids, surrogate_ids
+    from musicflow_spark.operators.similarity import feature_hash_embedding
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert exact_dedup(empty).count() == 0
+    assert jaccard_pairs(empty).count() == 0
+    assert minhash_dedup_pairs(empty).count() == 0
+    assert simhash_near_pairs(empty).count() == 0
+    assert feature_hash_embedding(empty, dim=8).count() == 0
+    no_pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert dedup_clusters(empty.select("doc_id"), no_pairs).count() == 0
+    # single-node graph: its own keeper
+    one = spark.createDataFrame([(7,)], "doc_id bigint")
+    got = dedup_clusters(one, no_pairs).collect()
+    assert [(r["doc_id"], r["cluster_id"], r["keep"]) for r in got] == [(7, 7, True)]
+    assert surrogate_ids(empty.select("doc_id"), ["doc_id"]).count() == 0
+    assert opaque_ids(empty).count() == 0
