@@ -396,6 +396,80 @@ WHERE c.keep
 """
 
 
+DOC_KNN_K = 5
+DOC_KNN_QUERIES = 8
+
+
+def doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-ANN composite (ext): documents -> feature-hash
+    embeddings -> exact cosine top-k among documents.  Exercises the
+    full text->vector->similarity bridge as one query; the oracle
+    recomputes the identical embedding (portable hash) and the same
+    rerank.  Zero-vector docs never rank (cosine undefined -> null ->
+    filtered), identically on both engines."""
+    from musicflow_spark.operators.similarity import (
+        brute_force_topk,
+        feature_hash_embedding,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = feature_hash_embedding(docs, dim=EMBED_DIM).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    nonzero = emb.filter(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
+    ).localCheckpoint(eager=True)
+    queries = nonzero.filter(F.col("vec_id") < DOC_KNN_QUERIES)
+    topk = brute_force_topk(nonzero, queries, k=DOC_KNN_K)
+    return topk.select(
+        F.col("query_id").alias("doc_id"),
+        F.col("neighbor_id").alias("neighbor_doc"),
+        pround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+def _doc_text_knn_oracle_sql() -> str:
+    sign_bit = EMBED_DIM.bit_length() - 1
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+cells AS (
+  SELECT doc_id, h % {EMBED_DIM} AS dim,
+         CASE WHEN ((h >> {sign_bit}) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM h),
+agg AS (SELECT doc_id, dim, sum(s) AS v FROM cells GROUP BY doc_id, dim),
+grid AS (
+  SELECT d.doc_id, g.dim
+  FROM documents d CROSS JOIN (SELECT unnest(range({EMBED_DIM})) AS dim) g),
+filled AS (
+  SELECT grid.doc_id, grid.dim, coalesce(agg.v, 0.0) AS v
+  FROM grid LEFT JOIN agg ON agg.doc_id = grid.doc_id AND agg.dim = grid.dim),
+emb AS (SELECT doc_id, list(v ORDER BY dim) AS e FROM filled GROUP BY doc_id),
+nz AS (
+  SELECT * FROM emb
+  WHERE list_sum(list_transform(e, x -> x * x)) > 0),
+scored AS (
+  SELECT q.doc_id AS doc_id, c.doc_id AS neighbor_doc,
+         list_sum(list_transform(range(1, {EMBED_DIM} + 1), i -> q.e[i] * c.e[i]))
+         / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos_sim
+  FROM nz c CROSS JOIN (SELECT * FROM nz WHERE doc_id < {DOC_KNN_QUERIES}) q
+  WHERE c.doc_id <> q.doc_id)
+SELECT doc_id, neighbor_doc,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cos_sim DESC, neighbor_doc) AS rank
+      FROM scored)
+WHERE rank <= {DOC_KNN_K}
+"""
+
+
 def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling (ext): per-language document-length
     distribution — count, mean, and exact interpolated quartiles/p95.
@@ -641,6 +715,7 @@ QUERIES = [
     Query("doc_hash_embedding", "ext: feature-hashing text embedding", doc_hash_embedding, DOC_HASH_EMBEDDING_SQL),
     Query("doc_length_profile", "ext: corpus length profiling (exact percentiles)", doc_length_profile, DOC_LENGTH_PROFILE_SQL),
     Query("corpus_clean", "ext: full cleaning pipeline (lang+quality+dedup+clustering)", corpus_clean, _corpus_clean_oracle_sql()),
+    Query("doc_text_knn", "ext: text->embedding->ANN composite", doc_text_knn, _doc_text_knn_oracle_sql()),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
 ]

@@ -152,3 +152,22 @@ def test_bucketed_join_runs_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Partition pruning, proven on the plan: events written
+    partitionBy(event_type), a single-type query must scan ONE
+    partition directory and push the predicate out of the scan."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.sources.catalog import read_table, write_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ev_part")
+    write_table(ev, path, partition_by=["event_type"])
+    one = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the partition filter reaches the scan; no row-level filter left
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert one.count() == want and want > 0
