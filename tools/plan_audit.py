@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: are 1-row frames
 CARTESIAN_OK = {
     "knn_bruteforce",          # exact baseline (broadcast query side)
+    "doc_text_knn",            # same exact-rerank shape over doc embeddings
     "embedding_neardup_pairs", # exact all-pairs oracle anchor
     "knn_lsh", "knn_ivf", "embedding_lsh_neardup",  # 1-row planes/centroid broadcasts
     "doc_jaccard_pairs", "doc_minhash_dedup",       # 1-row common-shingle broadcast
