@@ -68,7 +68,8 @@ def main() -> int:
         shuf = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
         single = plan.count("Exchange SinglePartition")
         bcast = plan.count("BroadcastExchange")
-        scans = plan.count("FileScan parquet") + plan.count("Scan parquet")
+        # "FileScan parquet" contains "Scan parquet" — count once
+        scans = plan.count("Scan parquet")
         pushed = sum(1 for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip())
         cart = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
         flags = []
