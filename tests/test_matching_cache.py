@@ -125,3 +125,43 @@ def test_cache_key_is_video_not_library_row(spark, setup):
         .select("video_id").distinct().count()
     )
     assert cache.filter(F.col("payload").isNotNull()).count() == matched_videos
+
+
+def test_grouped_others_cached_under_playlist_key(spark, setup):
+    source, videos, playlist_map = setup
+    grouped = spark.createDataFrame(
+        [
+            (
+                "PL_other1", "Blues Collection", "other_user_a", 2,
+                ["blues collection - complete - ", "hidden gem"],
+                [9, 21], 3_600_000,
+            ),
+            (
+                "PL_other2", "Synthwave EP", "other_user_b", 1,
+                ["midnight drive"], [10], 244_000,
+            ),
+        ],
+        "youtube_playlist_id string, title string, author string, "
+        "total_tracks bigint, track_titles array<string>, "
+        "log_ids array<bigint>, duration_ms bigint",
+    )
+    engine = MatchEngine(CFG, source)
+    cold, cache = match_with_cache(
+        engine, videos, playlist_map, grouped_others=grouped
+    )
+    # both group keys cached: PL_other1 a hit payload, PL_other2 a
+    # cached negative verdict
+    keys = {r["video_id"]: r["payload"] for r in cache.collect()}
+    assert keys["PL_other1"] is not None and keys["PL_other2"] is None
+
+    warm_engine = MatchEngine(CFG, PoisonSource())  # any search raises
+    warm, cache2 = match_with_cache(
+        warm_engine, videos, playlist_map, cache=cache, grouped_others=grouped
+    )
+    cold_log = sorted(tuple(r) for r in cold.log.select(*LOG_COLS).collect())
+    warm_log = sorted(tuple(r) for r in warm.log.select(*LOG_COLS).collect())
+    assert warm_log == cold_log
+    assert cache2.count() == cache.count()
+    # the grouped hit fanned out per log id on the warm path too
+    warm_ids = {r["log_id"] for r in warm.log.collect()}
+    assert {9, 21} <= warm_ids and 10 not in warm_ids

@@ -191,3 +191,31 @@ def test_auth_retry_bounded_backoff_on_429():
     with pytest.raises(TransientError):
         with_auth_retry(dead, p, max_transient_retries=3, backoff=1.0, sleep=sleeps.append)()
     assert sleeps == [1.0, 2.0, 4.0]  # exponential, then give up
+
+
+def test_pipeline_dag_spec_executes_end_to_end(spark, musicflow_sources, tmp_path):
+    """Running the DAG-spec form must produce the same warehouse as
+    Pipeline.run — the adapter executes, not just topo-sorts."""
+    import os
+
+    from musicflow_spark.config import PipelineConfig
+    from musicflow_spark.matching import CatalogCandidateSource
+    from musicflow_spark.plans.dag import musicflow_pipeline
+
+    wh = str(tmp_path / "wh_spec")
+    pipe = musicflow_pipeline(
+        spark,
+        musicflow_sources,
+        PipelineConfig(),
+        CatalogCandidateSource(
+            musicflow_sources["spotify_tracks"],
+            musicflow_sources["spotify_albums"],
+            musicflow_sources["spotify_playlists_others"],
+        ),
+        wh,
+    )
+    ctx = pipeline_dag_spec(pipe).run()
+    assert os.path.isdir(os.path.join(wh, "log_for_tableau"))
+    assert ctx["spotify_log"].count() > 0
+    total = ctx["src__youtube_library"].count()
+    assert total == ctx["int_join_spotify_uris"].count() + ctx["log_not_found_videos"].count()
