@@ -1,0 +1,204 @@
+"""Dataset splitting, sampling, and sequence packing — the selection
+layer of a training-data pipeline: decide which documents go to which
+split, draw reproducible samples, and lay tokens out into fixed-budget
+training sequences.
+
+Everything here is *deterministic by hash*, never by RNG state:
+``rand()`` draws depend on partition layout and task retries, so the
+same corpus can produce different splits run-to-run — a silent
+train/test-leak generator.  A content/id hash gives every row a stable
+pseudo-uniform draw that survives repartitioning, retries, and
+cluster-size changes, and makes every operator here exactly
+reproducible by an independent engine (the DuckDB oracles replicate
+them bit-for-bit via the shared md5-based ``portable_hash60``).
+
+Scale shapes:
+- ``hash_split`` is a pure map — no shuffle, no state, applies
+  identically to 100 TB and 100 rows.
+- ``stratified_sample`` shuffles once on the stratum key (the quota
+  needs a per-stratum order); strata counts are typically small
+  (languages, sources, buckets), and within-stratum skew is bounded by
+  the quota itself.
+- ``pack_sequences`` shuffles once on the shard key; each shard packs
+  independently, so parallelism = shard count — size shards so one
+  shard's token sum fits a task (the round-robin hash shard does this
+  automatically for uniform docs).
+- ``chunk_documents`` is a map + generate (explode) — no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.dedup import portable_hash60
+from musicflow_spark.operators.textstats import tokens
+
+
+def split_column(
+    key: Column,
+    weights: dict[str, float],
+    *,
+    salt: str = "",
+    buckets: int = 10_000,
+) -> tuple[Column, Column]:
+    """(bucket, split) columns for a deterministic weighted split.
+
+    ``bucket = portable_hash60(salt || key) % buckets`` is a stable
+    pseudo-uniform draw; cumulative weight thresholds carve it into
+    named splits (insertion order of ``weights``).  Changing ``salt``
+    re-draws the whole assignment; adding rows never moves existing
+    ones — the property that keeps eval sets frozen as the corpus
+    grows.  Weights must sum to 1 (strict: a silent remainder bucket
+    would be a split nobody asked for)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = portable_hash60(F.concat(F.lit(salt), key.cast("string"))) % buckets
+    acc = 0.0
+    expr: Column | None = None
+    for name, w in weights.items():
+        acc += w
+        hi = round(acc * buckets)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return bucket, expr.otherwise(list(weights)[-1])
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "",
+    bucket_col: str = "bucket",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by stable key hash — the
+    map-only, shuffle-free train/val/test splitter."""
+    bucket, split = split_column(F.col(key_col), weights, salt=salt)
+    return df.withColumn(bucket_col, bucket).withColumn(split_col, split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    *,
+    salt: str = "",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly ``min(n, stratum_size)`` rows per stratum, drawn by
+    hash order — a reproducible quota sample (every stratum equally
+    represented regardless of its population share, the standard
+    rebalancing draw for over/under-represented sources).
+
+    The hash is the random key and ``key_col`` the tiebreak, so the
+    sample is a total-order prefix per stratum: adding new rows can
+    displace old ones only by hashing lower — exactly the reservoir
+    property a re-runnable pipeline wants."""
+    h = portable_hash60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_stratum)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str,
+    key_col: str,
+    budget: int,
+    *,
+    n_shards: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    a deterministic order and mark where each lands in the stream of
+    ``budget``-token training sequences.
+
+    Documents are sharded by key hash (shards pack independently —
+    the parallelism unit), ordered by key within the shard, and
+    assigned ``[tok_offset, tok_offset + n_tokens)`` in the shard's
+    token stream via a running sum.  ``seq_first``/``seq_last`` are the
+    budget-sized sequence indices the document touches (GPT-style
+    packing splits a straddling document across sequence boundaries
+    rather than padding).  Columns added:
+
+    - ``shard``      — hash shard id (0..n_shards-1)
+    - ``tok_offset`` — tokens before this doc within its shard
+    - ``seq_first``  — ``tok_offset div budget``
+    - ``seq_last``   — ``(tok_offset + n_tokens - 1) div budget``
+      (== seq_first - docs never straddle - when n_tokens is 0,
+      clamped to seq_first)
+
+    One shuffle (by shard); the running sum is a per-shard window,
+    so a shard must fit one task's sort — pick ``n_shards`` ≈
+    corpus_tokens / (a few hundred M) at scale."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    h = portable_hash60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(n_tokens_col).cast("long")
+    return (
+        df.withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("tok_offset", F.sum(n).over(w) - n)
+        .withColumn("seq_first", F.expr(f"tok_offset div {budget}"))
+        .withColumn(
+            "seq_last",
+            F.greatest(
+                F.expr(f"(tok_offset + {n_tokens_col} - 1) div {budget}"),
+                F.col("seq_first"),
+            ),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_len: int,
+    stride: int,
+    *,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Split each document into fixed-length character windows with
+    overlap (``stride < chunk_len``) — the context-window chunker for
+    embedding / retrieval pipelines.  Pure map + explode, no shuffle;
+    every document yields at least one chunk (possibly short), chunk
+    starts at ``i * stride``, and the final chunk is the last window
+    that still starts inside the text.
+
+    Output: ``(id_col, chunk_idx, chunk_text?, chunk_n_chars)`` —
+    drop the text (``keep_text=False``) when only offsets/counts flow
+    downstream, so the explode does not materialize the corpus
+    ``chunk_len/stride`` times."""
+    if not 0 < stride <= chunk_len:
+        raise ValueError(f"need 0 < stride <= chunk_len, got {stride}/{chunk_len}")
+    n_chunks = F.expr(
+        f"greatest(cast(ceil((length({text_col}) - {chunk_len}) / {stride}.0) "
+        f"as int), 0) + 1"
+    )
+    chunk = F.expr(f"substring({text_col}, chunk_idx * {stride} + 1, {chunk_len})")
+    out = (
+        df.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("chunk_n_chars", F.length(chunk))
+    )
+    cols = [id_col, "chunk_idx", "chunk_n_chars"]
+    if keep_text:
+        out = out.withColumn("chunk_text", chunk)
+        cols.insert(2, "chunk_text")
+    return out.select(*cols)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count — the same tokenizer every text operator
+    in this engine uses (textstats.tokens), exposed for packing."""
+    return F.size(tokens(text))

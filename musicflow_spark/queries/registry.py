@@ -32,12 +32,21 @@ def get_queries() -> list[Query]:
     from musicflow_spark.queries import events as _events
     from musicflow_spark.queries import multimodal as _multimodal
     from musicflow_spark.queries import relational as _relational
+    from musicflow_spark.queries import sampling as _sampling
     from musicflow_spark.queries import textops as _textops
     from musicflow_spark.queries import timeseries as _timeseries
     from musicflow_spark.queries import vectors as _vectors
 
     out: list[Query] = []
-    for mod in (_relational, _events, _timeseries, _textops, _vectors, _multimodal):
+    for mod in (
+        _relational,
+        _events,
+        _timeseries,
+        _textops,
+        _sampling,
+        _vectors,
+        _multimodal,
+    ):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     dupes = {n for n in names if names.count(n) > 1}

@@ -1,0 +1,173 @@
+"""Dataset-selection queries (ext): deterministic split, stratified
+sampling, sequence packing, and document chunking over the documents
+table — the selection/layout layer of a training-data pipeline
+(operators/sampling.py).
+
+Every draw is hash-based (no RNG), so each oracle replicates the full
+pipeline bit-for-bit through the shared portable 60-bit md5 hash —
+these are exact hash-match checks, not statistical ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.sampling import (
+    chunk_documents,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+    token_count,
+)
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+#: DuckDB twin of operators/dedup.py::portable_hash60 on a string expr
+_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRATUM_N = 20
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (ext): stable hash of the
+    doc id -> bucket -> named split; map-only, no shuffle, frozen
+    under corpus growth."""
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", SPLIT_WEIGHTS).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+DOC_SPLIT_ASSIGN_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_H.format(x="cast(doc_id AS varchar)")} % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sample (ext): exactly min(20, |stratum|) docs
+    per language, drawn by hash order — the reproducible rebalancing
+    draw for skewed source distributions."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ["lang"], STRATUM_N, "doc_id")
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+DOC_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_H.format(x="cast(doc_id AS varchar)")}, doc_id
+         ) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {STRATUM_N}
+"""
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (ext): documents sharded by hash, laid
+    end-to-end per shard, mapped to their 256-token training-sequence
+    span — one shuffle, shards pack independently."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, "n_tokens", "doc_id", PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("shard").cast("long").alias("shard"),
+        "tok_offset",
+        "seq_first",
+        "seq_last",
+    )
+
+
+DOC_PACK_SEQUENCES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+         {_H.format(x="cast(doc_id AS varchar)")} % {PACK_SHARDS} AS shard
+  FROM documents),
+w AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM t)
+SELECT doc_id, n_tokens, shard, tok_offset,
+       tok_offset // {PACK_BUDGET} AS seq_first,
+       greatest((tok_offset + n_tokens - 1) // {PACK_BUDGET},
+                tok_offset // {PACK_BUDGET}) AS seq_last
+FROM w
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (ext): 200-char windows at stride 150
+    (50-char overlap); map + explode, no shuffle.  Chunk content
+    compared by md5 so the hash check covers the bytes without
+    shipping the corpus twice."""
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", CHUNK_LEN, CHUNK_STRIDE)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.col("chunk_n_chars").cast("long").alias("chunk_n_chars"),
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(greatest(cast(ceil((length(text) - {CHUNK_LEN}) / {CHUNK_STRIDE}.0) AS BIGINT), 0) + 1)) AS chunk_idx
+  FROM documents)
+SELECT doc_id, chunk_idx,
+       md5(substr(text, cast(chunk_idx * {CHUNK_STRIDE} + 1 AS int), {CHUNK_LEN})) AS chunk_md5,
+       length(substr(text, cast(chunk_idx * {CHUNK_STRIDE} + 1 AS int), {CHUNK_LEN})) AS chunk_n_chars
+FROM c
+"""
+
+
+QUERIES = [
+    Query(
+        "doc_split_assign",
+        "ext: deterministic hash split (train/val/test)",
+        doc_split_assign,
+        DOC_SPLIT_ASSIGN_SQL,
+    ),
+    Query(
+        "doc_stratified_sample",
+        "ext: stratified quota sample",
+        doc_stratified_sample,
+        DOC_STRATIFIED_SAMPLE_SQL,
+    ),
+    Query(
+        "doc_pack_sequences",
+        "ext: token-budget sequence packing",
+        doc_pack_sequences,
+        DOC_PACK_SEQUENCES_SQL,
+    ),
+    Query(
+        "doc_chunks",
+        "ext: overlapping context-window chunking",
+        doc_chunks,
+        DOC_CHUNKS_SQL,
+    ),
+]

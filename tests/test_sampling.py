@@ -1,0 +1,141 @@
+"""Sampling/packing operator tests: split determinism and frozen
+assignments, quota exactness, packing-stream contiguity, and chunk
+reconstruction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.sampling import (
+    chunk_documents,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"lang{i % 3}", " ".join(f"w{i}_{j}" for j in range(i % 7))) for i in range(200)]
+    return spark.createDataFrame(rows, "id long, lang string, text string")
+
+
+class TestHashSplit:
+    def test_partitions_all_rows_roughly_by_weight(self, docs):
+        out = hash_split(docs, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 200
+        assert set(counts) <= {"train", "val", "test"}
+        assert counts["train"] > counts.get("val", 0)
+        assert counts["train"] > counts.get("test", 0)
+
+    def test_assignment_frozen_under_growth(self, spark, docs):
+        # adding rows must not move existing assignments
+        small = docs.filter(F.col("id") < 50)
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {r["id"]: r["split"] for r in hash_split(small, "id", w).collect()}
+        b = {
+            r["id"]: r["split"]
+            for r in hash_split(docs, "id", w).filter(F.col("id") < 50).collect()
+        }
+        assert a == b
+
+    def test_salt_redraws(self, docs):
+        w = {"a": 0.5, "b": 0.5}
+        x = {r["id"]: r["split"] for r in hash_split(docs, "id", w).collect()}
+        y = {r["id"]: r["split"] for r in hash_split(docs, "id", w, salt="v2").collect()}
+        assert x != y  # some assignment moved under a new salt
+
+    def test_bad_weights_rejected(self, docs):
+        with pytest.raises(ValueError):
+            hash_split(docs, "id", {"a": 0.5, "b": 0.4})
+
+
+class TestStratifiedSample:
+    def test_exact_quota_per_stratum(self, docs):
+        out = stratified_sample(docs, ["lang"], 10, "id")
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"lang0": 10, "lang1": 10, "lang2": 10}
+
+    def test_small_stratum_returned_whole(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], "id long, lang string"
+        )
+        out = stratified_sample(df, ["lang"], 10, "id")
+        assert out.count() == 3
+
+    def test_deterministic_across_repartition(self, docs):
+        a = sorted(r["id"] for r in stratified_sample(docs, ["lang"], 5, "id").collect())
+        b = sorted(
+            r["id"]
+            for r in stratified_sample(docs.repartition(13), ["lang"], 5, "id").collect()
+        )
+        assert a == b
+
+
+class TestPackSequences:
+    def test_offsets_contiguous_per_shard(self, docs):
+        with_n = docs.withColumn("n_tokens", F.size(F.split("text", " ")))
+        out = pack_sequences(with_n, "n_tokens", "id", budget=16, n_shards=4)
+        rows = sorted(
+            ((r["shard"], r["id"], r["tok_offset"], r["n_tokens"]) for r in out.collect())
+        )
+        # within a shard (ordered by id) each offset == previous end
+        expected = {}
+        for shard, _id, off, n in rows:
+            assert off == expected.get(shard, 0)
+            expected[shard] = off + n
+        assert out.count() == docs.count()
+
+    def test_seq_span_matches_offsets(self, docs):
+        with_n = docs.withColumn("n_tokens", F.size(F.split("text", " ")))
+        out = pack_sequences(with_n, "n_tokens", "id", budget=16, n_shards=4)
+        for r in out.collect():
+            assert r["seq_first"] == r["tok_offset"] // 16
+            end = r["tok_offset"] + max(r["n_tokens"], 1) - 1
+            assert r["seq_last"] == max(end // 16, r["seq_first"])
+
+    def test_bad_budget(self, docs):
+        with pytest.raises(ValueError):
+            pack_sequences(docs.withColumn("n", F.lit(1)), "n", "id", budget=0)
+
+
+class TestChunkDocuments:
+    def test_reconstruction_covers_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "short"), (3, "")],
+            "id long, text string",
+        )
+        out = chunk_documents(df, "text", "id", chunk_len=10, stride=7)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"]))
+        # doc 1: starts at 0,7,14,21 — stitching strides reconstructs
+        chunks1 = [t for _, t in sorted(by_doc[1])]
+        assert chunks1[0] == "abcdefghij"
+        # overlap-aware stitch: each chunk contributes its first
+        # `stride` chars, the final chunk contributes itself whole
+        stitched = "".join(c[:7] for c in chunks1[:-1]) + chunks1[-1]
+        assert stitched == "abcdefghijklmnopqrstuvwxyz"
+        assert by_doc[2] == [(0, "short")]
+        assert by_doc[3] == [(0, "")]
+
+    def test_every_char_covered_and_overlap_consistent(self, spark):
+        text = "x" * 1001
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        out = chunk_documents(df, "text", "id", chunk_len=200, stride=150).collect()
+        spans = sorted((r["chunk_idx"] * 150, r["chunk_idx"] * 150 + r["chunk_n_chars"]) for r in out)
+        assert spans[0][0] == 0
+        assert spans[-1][1] == 1001
+        for (s0, e0), (s1, _) in zip(spans, spans[1:]):
+            assert s1 <= e0  # no gaps
+        # last chunk still starts inside the text
+        assert spans[-1][0] < 1001
+
+    def test_stride_validation(self, spark):
+        df = spark.createDataFrame([(1, "abc")], "id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, "text", "id", chunk_len=10, stride=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, "text", "id", chunk_len=10, stride=11)
