@@ -1,0 +1,153 @@
+"""Corpus-cleansing queries (ext): PII redaction and repetition-based
+quality signals (operators/cleanse.py).
+
+The PII query synthesizes contact-bearing text from the customer table
+(emails always, phones on even keys, URLs on keys divisible by 3) so
+the redaction counts are deterministic and non-trivial; the oracle
+rebuilds the same text and redacts with the same patterns — DuckDB's
+RE2 and Spark's Java regex agree on these deliberately backtracking-
+free character classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.cleanse import (
+    PII_PATTERNS,
+    digit_ratio,
+    redact_pii,
+    repetition_features,
+)
+from musicflow_spark.queries.portable import pround, pround_sql
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+
+def _contact_text_spark() -> F.Column:
+    key = F.col("c_custkey")
+    return F.concat(
+        F.col("c_name"),
+        F.lit(" contact: user"),
+        key.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            key % 2 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((key % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            key % 3 == 0,
+            F.concat(F.lit(" see https://example.com/u/"), key.cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_CONTACT_TEXT_SQL = """c_name || ' contact: user' || cast(c_custkey AS varchar) || '@example.com'
+    || CASE WHEN c_custkey % 2 = 0
+            THEN ' call 415-555-' || lpad(cast(c_custkey % 10000 AS varchar), 4, '0')
+            ELSE '' END
+    || CASE WHEN c_custkey % 3 = 0
+            THEN ' see https://example.com/u/' || cast(c_custkey AS varchar)
+            ELSE '' END"""
+
+
+def customer_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (ext): regex scrub of emails/phones/URLs with
+    per-kind match counts — one codegen map stage, no UDF, no
+    shuffle."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", _contact_text_spark().alias("contact")
+    )
+    out = redact_pii(cust, "contact")
+    return out.select(
+        "c_custkey",
+        "n_email",
+        "n_phone",
+        "n_url",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(contact, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    redacted = "contact"
+    for kind, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+WITH c AS (SELECT c_custkey, {_CONTACT_TEXT_SQL} AS contact FROM customer)
+SELECT c_custkey, {counts},
+       md5({redacted}) AS redacted_md5,
+       length({redacted}) AS redacted_len
+FROM c
+"""
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signals (ext): per-document bigram
+    repetition (Gopher-style top/dup n-gram fractions) + digit
+    density.  Explode -> two map-side-combining aggregations; zero
+    rows become zero-valued rows via the co-partitioned left join."""
+    docs = read_table(spark, sf_dir, "documents")
+    rep = repetition_features(docs, "doc_id", "text", n=2)
+    digits = docs.select("doc_id", pround(digit_ratio("text"), 6).alias("digit_frac"))
+    return rep.join(digits, "doc_id").select(
+        "doc_id",
+        "n_ngrams",
+        "n_uniq_ngrams",
+        "top_ngram_cnt",
+        pround(F.col("top_ngram_frac"), 6).alias("top_ngram_frac"),
+        pround(F.col("dup_ngram_frac"), 6).alias("dup_ngram_frac"),
+        "digit_frac",
+    )
+
+
+DOC_REPETITION_STATS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM toks),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+pd AS (
+  SELECT doc_id,
+         cast(sum(c) AS BIGINT) AS n_ngrams,
+         count(*)               AS n_uniq_ngrams,
+         max(c)                 AS top_ngram_cnt
+  FROM pg GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_ngrams, 0)       AS n_ngrams,
+       coalesce(pd.n_uniq_ngrams, 0)  AS n_uniq_ngrams,
+       coalesce(pd.top_ngram_cnt, 0)  AS top_ngram_cnt,
+       {pround_sql("CASE WHEN pd.n_ngrams IS NULL THEN 0.0 ELSE pd.top_ngram_cnt / cast(pd.n_ngrams AS double) END", 6)} AS top_ngram_frac,
+       {pround_sql("CASE WHEN pd.n_ngrams IS NULL THEN 0.0 ELSE 1 - pd.n_uniq_ngrams / cast(pd.n_ngrams AS double) END", 6)} AS dup_ngram_frac,
+       {pround_sql("CASE WHEN length(d.text) = 0 THEN 0.0 ELSE (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g'))) / cast(length(d.text) AS double) END", 6)} AS digit_frac
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
+QUERIES = [
+    Query(
+        "customer_pii_redact",
+        "ext: PII redaction (regex scrub + counts)",
+        customer_pii_redact,
+        _pii_oracle_sql(),
+    ),
+    Query(
+        "doc_repetition_stats",
+        "ext: repetition/boilerplate quality signals",
+        doc_repetition_stats,
+        DOC_REPETITION_STATS_SQL,
+    ),
+]

@@ -29,6 +29,7 @@ class Query:
 
 def get_queries() -> list[Query]:
     """All registered queries (import-time side-effect free)."""
+    from musicflow_spark.queries import cleanse as _cleanse
     from musicflow_spark.queries import events as _events
     from musicflow_spark.queries import multimodal as _multimodal
     from musicflow_spark.queries import relational as _relational
@@ -44,6 +45,7 @@ def get_queries() -> list[Query]:
         _timeseries,
         _textops,
         _sampling,
+        _cleanse,
         _vectors,
         _multimodal,
     ):

@@ -1,0 +1,101 @@
+"""Cleansing operator tests: PII redaction correctness/counts and
+repetition-feature semantics on hand-built documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.cleanse import (
+    digit_ratio,
+    ngram_strings,
+    redact_pii,
+    repetition_features,
+)
+
+
+class TestRedactPii:
+    @pytest.fixture(scope="class")
+    def redacted(self, spark):
+        rows = [
+            (1, "mail a.b+c@test-host.org now"),
+            (2, "call 415-555-0042 or 415-555-9999"),
+            (3, "see https://ex.com/a_b/c.html?"),
+            (4, "mix: x@y.io https://z.dev 111-222-3333"),
+            (5, "clean text, no pii 12345"),
+            (6, ""),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        return {r["id"]: r for r in redact_pii(df, "text").collect()}
+
+    def test_email(self, redacted):
+        assert redacted[1]["redacted"] == "mail [EMAIL] now"
+        assert redacted[1]["n_email"] == 1
+
+    def test_phone_counts_all(self, redacted):
+        assert redacted[2]["redacted"] == "call [PHONE] or [PHONE]"
+        assert redacted[2]["n_phone"] == 2
+
+    def test_url_stops_at_invalid_char(self, redacted):
+        # trailing '?' is outside the URL class and survives
+        assert redacted[3]["redacted"] == "see [URL]?"
+        assert redacted[3]["n_url"] == 1
+
+    def test_mixed_kinds(self, redacted):
+        r = redacted[4]
+        assert r["redacted"] == "mix: [EMAIL] [URL] [PHONE]"
+        assert (r["n_email"], r["n_phone"], r["n_url"]) == (1, 1, 1)
+
+    def test_clean_and_empty_untouched(self, redacted):
+        assert redacted[5]["redacted"] == "clean text, no pii 12345"
+        assert redacted[6]["redacted"] == ""
+        assert redacted[5]["n_email"] == redacted[6]["n_phone"] == 0
+
+    def test_partial_phone_not_matched(self, spark):
+        df = spark.createDataFrame(
+            [(1, "order 123-456-78901 shipped"), (2, "v1.2-345-6789")],
+            "id long, text string",
+        )
+        out = {r["id"]: r for r in redact_pii(df, "text").collect()}
+        # 5-digit tail breaks the \b boundary; no match either row
+        assert out[1]["n_phone"] == 0 and "[PHONE]" not in out[1]["redacted"]
+        assert out[2]["n_phone"] == 0
+
+
+class TestRepetition:
+    def test_ngram_strings_basic(self, spark):
+        df = spark.createDataFrame([(1, "A b a B c")], "id long, text string")
+        grams = df.select(ngram_strings("text", 2).alias("g")).collect()[0]["g"]
+        assert grams == ["a b", "b a", "a b", "b c"]
+
+    def test_short_docs_empty(self, spark):
+        df = spark.createDataFrame([(1, "one"), (2, ""), (3, "  ")], "id long, text string")
+        for row in df.select(ngram_strings("text", 2).alias("g")).collect():
+            assert row["g"] == []
+
+    def test_features_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "all distinct tokens here"), (3, "x")],
+            "id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               repetition_features(df.withColumnRenamed("id", "doc_id"), "doc_id", "text").collect()}
+        # doc 1: grams = [a b, b a, a b, b a] -> top 2/4, uniq 2/4
+        assert out[1]["n_ngrams"] == 4
+        assert out[1]["n_uniq_ngrams"] == 2
+        assert out[1]["top_ngram_cnt"] == 2
+        assert out[1]["top_ngram_frac"] == pytest.approx(0.5)
+        assert out[1]["dup_ngram_frac"] == pytest.approx(0.5)
+        # doc 2: 3 distinct bigrams, no repetition
+        assert out[2]["n_ngrams"] == 3
+        assert out[2]["dup_ngram_frac"] == pytest.approx(0.0)
+        # doc 3: too short -> explicit zero row, not a missing row
+        assert out[3]["n_ngrams"] == 0
+        assert out[3]["top_ngram_frac"] == 0.0
+
+    def test_digit_ratio(self, spark):
+        df = spark.createDataFrame([(1, "ab12"), (2, ""), (3, "999")], "id long, t string")
+        vals = {r["id"]: r["d"] for r in df.select("id", digit_ratio("t").alias("d")).collect()}
+        assert vals[1] == pytest.approx(0.5)
+        assert vals[2] == 0.0
+        assert vals[3] == pytest.approx(1.0)
