@@ -202,3 +202,83 @@ def token_count(text: Column | str) -> Column:
     """Whitespace token count — the same tokenizer every text operator
     in this engine uses (textstats.tokens), exposed for packing."""
     return F.size(tokens(text))
+
+
+def split_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    *,
+    train_split: str = "train",
+    threshold: float = 0.2,
+    max_df: int = 20,
+    salt: str = "",
+) -> DataFrame:
+    """Decontamination probe: eval-set documents that leak from the
+    training split — the check every train/eval split must pass
+    before the eval numbers mean anything.
+
+    Two tiers, one output of (eval-doc, train-doc) evidence pairs:
+
+    - ``kind='exact'`` — identical normalized-text fingerprints
+      across the split boundary (equi-join on the md5 fingerprint,
+      co-partitioned at scale; jaccard is null).
+    - ``kind='near'``  — n-gram Jaccard >= ``threshold`` across the
+      boundary, via the bounded inverted-index join
+      (operators/dedup.py::jaccard_pairs — the max_df cap keeps it
+      corpus-linear), minus pairs the exact tier already reported.
+
+    The split itself is the deterministic hash split, so the whole
+    probe — split, fingerprints, candidate pairs — replays
+    identically on any engine; train-train and eval-eval pairs are
+    dropped (duplication *within* a split is dedup's business, not
+    contamination)."""
+    from musicflow_spark.operators.dedup import jaccard_pairs
+    from musicflow_spark.operators.textstats import fingerprint
+
+    tagged = hash_split(df, id_col, weights, salt=salt).select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text__"), "split"
+    )
+    fp = tagged.select("doc", "split", fingerprint("__text__").alias("fp"))
+    train_fp = fp.filter(F.col("split") == train_split).select(
+        F.col("doc").alias("train_id"), "fp"
+    )
+    eval_fp = fp.filter(F.col("split") != train_split)
+    exact = eval_fp.join(train_fp, "fp").select(
+        F.col("doc").alias("eval_id"),
+        "split",
+        "train_id",
+        F.lit("exact").alias("kind"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+
+    pairs = jaccard_pairs(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        threshold=threshold,
+        max_df=max_df,
+    ).select("doc_a", "doc_b", "jaccard")
+    splits = tagged.select(F.col("doc"), "split")
+    sided = (
+        pairs.join(splits.withColumnRenamed("split", "split_a"), pairs["doc_a"] == splits["doc"])
+        .drop("doc")
+        .join(
+            splits.withColumnRenamed("split", "split_b").withColumnRenamed("doc", "doc2"),
+            F.col("doc_b") == F.col("doc2"),
+        )
+        .drop("doc2")
+    )
+    a_is_train = F.col("split_a") == train_split
+    b_is_train = F.col("split_b") == train_split
+    near = (
+        sided.filter(a_is_train != b_is_train)
+        .select(
+            F.when(a_is_train, F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_id"),
+            F.when(a_is_train, F.col("split_b")).otherwise(F.col("split_a")).alias("split"),
+            F.when(a_is_train, F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_id"),
+            F.lit("near").alias("kind"),
+            F.col("jaccard"),
+        )
+        .join(exact.select("eval_id", "train_id"), ["eval_id", "train_id"], "left_anti")
+    )
+    return exact.unionByName(near)

@@ -9,7 +9,7 @@ narrow-dependency map stage (zero shuffles).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language marker-word sets for the n-gram/stopword
@@ -101,6 +101,51 @@ def lang_id(text: Column | str) -> Column:
     for lang in reversed(langs):
         out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
     return out
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF —
+    keyword extraction for corpus exploration / topic sampling.
+
+    ``score = tf * ln((N + 1) / (df + 1))`` with N a 1-row broadcast
+    scalar and df the per-term document frequency.  Shape: explode ->
+    tf aggregation on (doc, term) -> df aggregation on term -> join
+    back on term -> per-doc top-k window.  Every aggregation combines
+    map-side; the (doc, term) and term shuffles are the explode's
+    natural keys; the window partitions by doc.  The df table is
+    vocabulary-sized — if the vocabulary fits an executor, hint it
+    broadcast; here it flows through the term-keyed shuffle join,
+    which is the safe default at 100 TB vocabularies.
+
+    Rank ties break by term (then deterministic); documents with no
+    tokens yield no rows (nothing to rank)."""
+    terms = df.select(
+        F.col(id_col), F.explode(F.transform(tokens(text_col), F.lower)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
 
 
 def normalize_for_fingerprint(text: Column | str) -> Column:

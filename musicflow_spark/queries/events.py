@@ -254,6 +254,40 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------- outlier filter
+def event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-gated outlier filter (ext): events above their
+    type's exact p99 — the distribution-aware anomaly/cap filter every
+    metrics pipeline needs.  The per-type threshold table is
+    aggregate-sized, so the probe join broadcasts; the exact
+    ``percentile`` keeps the oracle checkable (at corpus scale swap
+    ``percentile_approx``, documented in doc_length_profile).  The
+    filter compares against the 4dp-rounded threshold on BOTH engines:
+    Spark's interpolated percentile and DuckDB's quantile_cont agree
+    to 4dp, not to the last ulp, and a raw comparison would let a
+    boundary row flip sets."""
+    ev = read_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        pround(F.expr("percentile(value, 0.99)"), 4).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .select("event_id", "event_type", "value", "p99")
+    )
+
+
+EVENT_OUTLIERS_SQL = """
+WITH th AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.99) * 10000.0) / 10000.0 AS p99
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value, th.p99
+FROM events e JOIN th USING (event_type)
+WHERE e.value > th.p99
+"""
+
+
 QUERIES = [
     Query("latest_event_per_user", "W2,O3", latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
     Query("user_sessions", "W2,A1,A2 (ext: sessionization)", user_sessions, USER_SESSIONS_SQL, bench=True),
@@ -261,4 +295,5 @@ QUERIES = [
     Query("hourly_event_stats", "A1,A2 (ext: windowed agg)", hourly_event_stats, HOURLY_EVENT_STATS_SQL),
     Query("event_value_as_clock", "F10,F13", event_value_as_clock, EVENT_VALUE_AS_CLOCK_SQL),
     Query("event_props_extract", "F21", event_props_extract, EVENT_PROPS_EXTRACT_SQL),
+    Query("event_outliers", "ext: percentile-gated outlier filter", event_outliers, EVENT_OUTLIERS_SQL),
 ]

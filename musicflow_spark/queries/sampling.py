@@ -17,9 +17,11 @@ from musicflow_spark.operators.sampling import (
     chunk_documents,
     hash_split,
     pack_sequences,
+    split_contamination,
     stratified_sample,
     token_count,
 )
+from musicflow_spark.queries.portable import pround
 from musicflow_spark.queries.registry import Query
 from musicflow_spark.sources.catalog import read_table
 
@@ -145,6 +147,84 @@ FROM c
 """
 
 
+def doc_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probe (ext): eval documents that leak from the
+    training split, as (eval, train) evidence pairs — exact tier by
+    normalized fingerprint equi-join, near tier by the bounded
+    inverted-index Jaccard join across the split boundary
+    (operators/sampling.py::split_contamination)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = split_contamination(docs, "doc_id", "text", SPLIT_WEIGHTS)
+    return out.select(
+        "eval_id",
+        "split",
+        "train_id",
+        "kind",
+        pround(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+DOC_SPLIT_CONTAMINATION_SQL = rf"""
+WITH h AS (
+  SELECT doc_id, text,
+         {_H.format(x="cast(doc_id AS varchar)")} % 10000 AS bucket
+  FROM documents),
+split AS (
+  SELECT doc_id, text,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM h),
+fp AS (
+  SELECT doc_id, split,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM split),
+exact AS (
+  SELECT e.doc_id AS eval_id, e.split AS split, t.doc_id AS train_id,
+         'exact' AS kind, CAST(NULL AS double) AS jaccard
+  FROM fp e JOIN fp t ON e.fp = t.fp
+  WHERE t.split = 'train' AND e.split <> 'train'),
+toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv1 AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS sh_df FROM inv0),
+inv AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM inv1 WHERE sh_df <= 20),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) AS jaccard
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+  HAVING count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) >= 0.2),
+sided AS (
+  SELECT p.*, sa.split AS split_a, sb.split AS split_b
+  FROM pairs p
+  JOIN split sa ON p.doc_a = sa.doc_id
+  JOIN split sb ON p.doc_b = sb.doc_id),
+near AS (
+  SELECT CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS eval_id,
+         CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS split,
+         CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_id,
+         'near' AS kind,
+         round(jaccard * 1000000.0) / 1000000.0 AS jaccard
+  FROM sided
+  WHERE (split_a = 'train') <> (split_b = 'train')),
+near2 AS (
+  SELECT n.* FROM near n
+  LEFT JOIN exact x ON n.eval_id = x.eval_id AND n.train_id = x.train_id
+  WHERE x.eval_id IS NULL)
+SELECT * FROM exact UNION ALL SELECT * FROM near2
+"""
+
+
 QUERIES = [
     Query(
         "doc_split_assign",
@@ -169,5 +249,11 @@ QUERIES = [
         "ext: overlapping context-window chunking",
         doc_chunks,
         DOC_CHUNKS_SQL,
+    ),
+    Query(
+        "doc_split_contamination",
+        "ext: train/eval decontamination probe",
+        doc_split_contamination,
+        DOC_SPLIT_CONTAMINATION_SQL,
     ),
 ]

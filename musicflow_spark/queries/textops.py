@@ -703,6 +703,45 @@ ORDER BY doc_id
 """
 
 
+TFIDF_K = 3
+
+
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (ext): top-3 characteristic terms per
+    document by smoothed tf-idf (operators/textstats.py::tfidf_topk) —
+    explode -> keyed tf/df aggregations -> per-doc top-k window.  The
+    1-row corpus-count broadcast is the only non-equi join."""
+    from musicflow_spark.operators.textstats import tfidf_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, "doc_id", "text", k=TFIDF_K)
+    return out.select(
+        "doc_id", "term", "tf", "df", pround(F.col("score"), 6).alias("score"), "rank"
+    )
+
+
+DOC_TFIDF_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+         tf.tf * ln((n.n_docs + 1) / cast(dfr.df + 1 AS double)) AS score
+  FROM tf JOIN dfr USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df,
+       round(score * 1000000.0) / 1000000.0 AS score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank FROM s)
+WHERE rank <= {TFIDF_K}
+"""
+
+
 QUERIES = [
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
     Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),
@@ -718,4 +757,5 @@ QUERIES = [
     Query("doc_text_knn", "ext: text->embedding->ANN composite", doc_text_knn, _doc_text_knn_oracle_sql()),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
+    Query("doc_tfidf_topk", "ext: tf-idf keyword extraction", doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
 ]

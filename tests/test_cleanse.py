@@ -99,3 +99,41 @@ class TestRepetition:
         assert vals[1] == pytest.approx(0.5)
         assert vals[2] == 0.0
         assert vals[3] == pytest.approx(1.0)
+
+
+class TestTfidfTopk:
+    def test_characteristic_term_wins(self, spark):
+        from musicflow_spark.operators.textstats import tfidf_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, "common common unicorn"),
+                (2, "common words only"),
+                (3, "common words again"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_topk(df, "doc_id", "text", k=2)
+        rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+        # 'unicorn' (df=1) beats 'common' (df=3) despite tf 1 vs 2
+        assert rows[(1, 1)]["term"] == "unicorn"
+        assert rows[(1, 2)]["term"] == "common"
+        # all docs get <= k rows; the empty doc gets none
+        assert not any(d == 4 for d, _ in rows)
+        assert max(r["rank"] for r in out.collect()) <= 2
+        # score sanity: tf * ln((N+1)/(df+1))
+        import math
+
+        assert rows[(1, 1)]["score"] == pytest.approx(1 * math.log(5 / 2))
+
+    def test_tie_breaks_by_term(self, spark):
+        from musicflow_spark.operators.textstats import tfidf_topk
+
+        df = spark.createDataFrame(
+            [(1, "zebra apple"), (2, "other stuff")], "doc_id long, text string"
+        )
+        out = {r["rank"]: r["term"] for r in
+               tfidf_topk(df, "doc_id", "text", k=2).filter(F.col("doc_id") == 1).collect()}
+        # equal tf and df -> equal score -> alphabetical term order
+        assert out == {1: "apple", 2: "zebra"}

@@ -11,6 +11,7 @@ from musicflow_spark.operators.sampling import (
     chunk_documents,
     hash_split,
     pack_sequences,
+    split_contamination,
     stratified_sample,
 )
 
@@ -139,3 +140,42 @@ class TestChunkDocuments:
             chunk_documents(df, "text", "id", chunk_len=10, stride=0)
         with pytest.raises(ValueError):
             chunk_documents(df, "text", "id", chunk_len=10, stride=11)
+
+
+class TestSplitContamination:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # engineered corpus: ids chosen so the hash split puts 1,3 in
+        # different splits than their duplicates would like — we don't
+        # control the hash, so instead make EVERY doc either a dup of
+        # doc 0 or unique, and assert against the actual split map
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        near = "alpha beta gamma delta epsilon zeta eta iota"  # 6/9 shingle overlap
+        rows = [(0, base), (1, base), (2, near), (3, "totally different words here now")]
+        rows += [(i, f"filler doc {i} " + " ".join(f"t{i}_{j}" for j in range(8))) for i in range(4, 40)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_tiers_and_orientation(self, corpus):
+        w = {"train": 0.5, "eval": 0.5}
+        out = split_contamination(
+            corpus, "doc_id", "text", w, threshold=0.2, max_df=30
+        ).collect()
+        from musicflow_spark.operators.sampling import hash_split as hs
+
+        splits = {r["doc_id"]: r["split"] for r in hs(corpus, "doc_id", w).collect()}
+        for r in out:
+            # orientation: eval_id is never in train, train_id always is
+            assert splits[r["eval_id"]] != "train"
+            assert splits[r["train_id"]] == "train"
+            assert r["split"] == splits[r["eval_id"]]
+            if r["kind"] == "exact":
+                assert r["jaccard"] is None
+            else:
+                assert r["jaccard"] >= 0.2
+        # exact dup pair (0,1) must be reported iff it crosses the boundary
+        crosses = (splits[0] == "train") != (splits[1] == "train")
+        exact_pairs = {(r["eval_id"], r["train_id"]) for r in out if r["kind"] == "exact"}
+        assert (len(exact_pairs) > 0) == crosses
+        # no pair is reported by both tiers
+        near_pairs = {(r["eval_id"], r["train_id"]) for r in out if r["kind"] == "near"}
+        assert not (exact_pairs & near_pairs)

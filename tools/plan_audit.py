@@ -33,6 +33,8 @@ CARTESIAN_OK = {
     "knn_lsh", "knn_ivf", "embedding_lsh_neardup",  # 1-row planes/centroid broadcasts
     "doc_jaccard_pairs", "doc_minhash_dedup",       # 1-row common-shingle broadcast
     "conservation_counts",     # three 1-row scalar aggregates cross-joined
+    "doc_tfidf_topk",          # 1-row corpus-count broadcast (idf denominator)
+    "doc_split_contamination", # inherits jaccard's 1-row common-shingle broadcast
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -42,6 +44,8 @@ SINGLE_OK = {
     "doc_jaccard_pairs", "doc_minhash_dedup",  # common-shingle collect (tiny by construction)
     "doc_simhash_pairs",
     "top_revenue_orders",  # global top-k limit
+    "doc_tfidf_topk",          # scalar corpus count (1 row by construction)
+    "doc_split_contamination", # scalar common-shingle collect (tiny by construction)
 }
 
 
