@@ -87,56 +87,51 @@ FROM events e ASOF LEFT JOIN o1 o
 """
 
 
-def order_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed range join (ext): events falling in each order's
-    [orderdate, orderdate + 7d) window, aggregated per order —
-    explode-over-day-buckets equi-join
-    (operators/timejoin.py::range_join_bucketed), then the usual
-    integer-cents order-invariant sum.  Orders with no events keep a
-    zero row (left semantics via the post-agg join, so the hot path
-    stays inner)."""
-    orders = read_table(spark, sf_dir, "orders")
-    events = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    iv = orders.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
-        (F.col("o_orderdate") + F.expr(f"INTERVAL {WINDOW_DAYS} DAYS")).alias("__hi__"),
+def first_week_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (ext): each user's events inside their
+    first-week activity window [first_ts, first_ts + 7d), aggregated
+    per user — explode-over-day-buckets equi-join
+    (operators/timejoin.py::range_join_bucketed) against intervals
+    derived from the data itself (the synthetic orders and events
+    tables do not overlap in time, so order-anchored windows would be
+    a vacuously-empty check), then the usual integer-cents
+    order-invariant sum.  The 7-day window spans 8 day-buckets, so
+    the interval explode is genuinely exercised."""
+    events = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    iv = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr(f"INTERVAL {WINDOW_DAYS} DAYS"))
+        .withColumnRenamed("user_id", "iv_user")
     )
     joined = range_join_bucketed(
         events,
         iv,
         point_key="user_id",
-        interval_key="o_custkey",
+        interval_key="iv_user",
         point_ts="ts",
-        interval_lo="o_orderdate",
-        interval_hi="__hi__",
+        interval_lo="w_start",
+        interval_hi="w_end",
         bucket_us=US_PER_DAY,
     )
-    per_order = joined.groupBy("o_orderkey").agg(
+    return joined.groupBy(F.col("user_id")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
     )
-    return (
-        orders.select("o_orderkey")
-        .join(per_order, "o_orderkey", "left")
-        .select(
-            "o_orderkey",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
-        )
-    )
 
 
-ORDER_EVENT_WINDOW_SQL = f"""
-SELECT o.o_orderkey,
-       count(e.user_id) AS n_events,
-       coalesce(sum(cast(round(e.value * 100) AS bigint)), 0) AS value_cents
-FROM orders o LEFT JOIN events e
-  ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts < o.o_orderdate + INTERVAL {WINDOW_DAYS} DAY
-GROUP BY o.o_orderkey
+FIRST_WEEK_EVENT_WINDOW_SQL = f"""
+WITH w AS (
+  SELECT user_id, min(ts) AS w_start, min(ts) + INTERVAL {WINDOW_DAYS} DAY AS w_end
+  FROM events GROUP BY user_id)
+SELECT w.user_id,
+       count(*) AS n_events,
+       sum(cast(round(e.value * 100) AS bigint)) AS value_cents
+FROM w JOIN events e
+  ON e.user_id = w.user_id
+ AND e.ts >= w.w_start
+ AND e.ts < w.w_end
+GROUP BY w.user_id
 """
 
 
@@ -149,10 +144,10 @@ QUERIES = [
         bench=True,
     ),
     Query(
-        "order_event_window",
+        "first_week_event_window",
         "ext: bucketed range join (point-in-interval)",
-        order_event_window,
-        ORDER_EVENT_WINDOW_SQL,
+        first_week_event_window,
+        FIRST_WEEK_EVENT_WINDOW_SQL,
         bench=True,
     ),
 ]

@@ -1,6 +1,10 @@
 from musicflow_spark.streaming.dedup import (  # noqa: F401
     minhash_candidates_stream,
 )
+from musicflow_spark.streaming.timejoin import (  # noqa: F401
+    asof_join_stream,
+    range_join_stream,
+)
 from musicflow_spark.streaming.events import (  # noqa: F401
     content_dedup_stream,
     dedup_stream,

@@ -292,3 +292,70 @@ def test_minhash_candidates_stream_converges_to_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0  # the corpus does contain near-dups
+
+
+def test_asof_join_stream_converges_to_batch(spark, stream_dir, tmp_path):
+    from musicflow_spark.operators.timejoin import asof_join
+    from musicflow_spark.queries.timeseries import _orders_deduped
+    from musicflow_spark.streaming import asof_join_stream
+
+    orders = _orders_deduped(spark, SF_DIR)
+    stream = event_stream(spark, stream_dir, max_files_per_trigger=1).select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_stream(
+        stream, orders, "user_id", "o_custkey", "ts", "o_orderdate"
+    )
+    got = {
+        r["event_id"]: (r["o_orderkey"], r["o_totalprice"])
+        for r in _run_to_memory(out, "asof_stream", tmp_path, "append").collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    batch_left = spark.read.parquet(stream_dir).select(
+        "event_id", "user_id", "ts"
+    ).filter(F.col("user_id") != SENTINEL_USER)
+    want = {
+        r["event_id"]: (r["o_orderkey"], r["o_totalprice"])
+        for r in asof_join(
+            batch_left, orders, "user_id", "o_custkey", "ts", "o_orderdate"
+        ).collect()
+    }
+    assert got == want
+    assert any(v[0] is not None for v in want.values())
+
+
+def test_range_join_stream_converges_to_batch(spark, stream_dir, tmp_path):
+    from musicflow_spark.operators.timejoin import range_join_bucketed
+    from musicflow_spark.streaming import range_join_stream
+
+    # static intervals: each user's first week, derived from the batch
+    # view of the same data (a stream-side interval build would need a
+    # streaming agg — the operator's contract is stream points x
+    # static intervals)
+    batch_left = spark.read.parquet(stream_dir).select(
+        "event_id", "user_id", "ts"
+    ).filter(F.col("user_id") != SENTINEL_USER)
+    iv = (
+        batch_left.groupBy("user_id")
+        .agg(F.min("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 7 DAYS"))
+        .withColumnRenamed("user_id", "iv_user")
+    )
+    stream = event_stream(spark, stream_dir, max_files_per_trigger=1).select(
+        "event_id", "user_id", "ts"
+    ).filter(F.col("user_id") != SENTINEL_USER)
+    out = range_join_stream(
+        stream, iv, "user_id", "iv_user", "ts", "lo", "hi"
+    )
+    got = {
+        (r["event_id"], r["iv_user"])
+        for r in _run_to_memory(out, "range_stream", tmp_path, "append").collect()
+    }
+    want = {
+        (r["event_id"], r["iv_user"])
+        for r in range_join_bucketed(
+            batch_left, iv, "user_id", "iv_user", "ts", "lo", "hi"
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
