@@ -204,6 +204,45 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+def bernoulli_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: Column | float,
+    *,
+    salt: str = "",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff its hash
+    bucket falls under ``rate`` (a literal or a per-row Column — the
+    per-row form is the standard quality/source-weighted downsampler:
+    rate as a function of lang, source, quality score).  Same frozen
+    hash draw as ``hash_split``, so the kept set is stable under
+    reruns/repartition and composes with it: the draw uses its own
+    salt space, making sample and split independent coins.  Pure map
+    — no shuffle, no count pass, exact expectation but binomial
+    realized size (use stratified_sample when the count must be
+    exact)."""
+    r = F.lit(rate) if isinstance(rate, float) else rate
+    bucket = portable_hash60(
+        F.concat(F.lit("bern:" + salt), F.col(key_col).cast("string"))
+    ) % buckets
+    return df.filter(bucket < (r * buckets).cast("long"))
+
+
+def global_hash_sample(df: DataFrame, key_col: str, k: int, *, salt: str = "") -> DataFrame:
+    """Exactly-k deterministic global sample: the k rows with the
+    smallest key hashes — a distributed reservoir without reservoir
+    state.  ``orderBy(hash).limit(k)`` plans as TakeOrderedAndProject:
+    each partition keeps its local top-k and only k-row heaps merge,
+    so nothing resembling a global sort ever happens.  Adding rows
+    can only displace old picks by hashing lower (the reservoir
+    property); ``salt`` re-draws."""
+    h = portable_hash60(F.concat(F.lit("gs:" + salt), F.col(key_col).cast("string")))
+    return df.withColumn("__draw__", h).orderBy("__draw__", key_col).limit(k).drop(
+        "__draw__"
+    )
+
+
 def split_contamination(
     df: DataFrame,
     id_col: str,

@@ -254,6 +254,42 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------- pivot
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (ext): per-user event-type value matrix — long-to-wide
+    reshaping with an EXPLICIT pivot value list (the two-arg form:
+    without it Spark runs an extra distinct job to discover values,
+    and the output schema depends on the data — both wrong at scale).
+    One shuffle on user_id; each cell is the order-invariant
+    integer-cents sum."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.withColumn("__c__", cents)
+        .groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.coalesce(F.sum("__c__"), F.lit(0)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cents") for t in EVENT_TYPES],
+        )
+    )
+
+
+USER_EVENT_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           f"coalesce(sum(cast(round(value * 100) AS bigint)) FILTER (event_type = '{t}'), 0) AS {t}_cents"
+           for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------- outlier filter
 def event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-gated outlier filter (ext): events above their
@@ -296,4 +332,5 @@ QUERIES = [
     Query("event_value_as_clock", "F10,F13", event_value_as_clock, EVENT_VALUE_AS_CLOCK_SQL),
     Query("event_props_extract", "F21", event_props_extract, EVENT_PROPS_EXTRACT_SQL),
     Query("event_outliers", "ext: percentile-gated outlier filter", event_outliers, EVENT_OUTLIERS_SQL),
+    Query("user_event_pivot", "ext: long-to-wide pivot (explicit values)", user_event_pivot, USER_EVENT_PIVOT_SQL),
 ]

@@ -566,6 +566,69 @@ ORDER BY o_orderkey
 """
 
 
+# -------------------------------------------------- OLAP rollup / cube
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (ext: OLAP rollup): the pricing summary
+    re-aggregated at (flag, status), (flag), and grand-total levels in
+    ONE pass — Spark's ``rollup`` expands grouping sets inside a
+    single Expand+Aggregate, so the cost is one shuffle, not three
+    scans.  ``grouping_id`` disambiguates a real null group from a
+    subtotal row (same bitmask convention as DuckDB's GROUPING)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "price_cents"
+            ),
+            F.grouping_id().alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty", "price_cents", "gid")
+    )
+
+
+PRICING_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       cast(sum(cast(round(l_quantity) AS bigint)) AS bigint) AS sum_qty,
+       cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint) AS price_cents,
+       cast(GROUPING(l_returnflag, l_linestatus) AS bigint) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ------------------------------------------------- ranking-window family
+def customer_segment_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ext): decile + percent_rank of account
+    balance within each market segment — the ranking-window family
+    beyond row_number (W1).  Partitioned by segment, so the sort is
+    per-group and distributes; the tiebreak chain (acctbal desc,
+    custkey) makes both rank functions deterministic."""
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+CUSTOMER_SEGMENT_DECILES_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w * 1000000.0) / 1000000.0 AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
@@ -581,4 +644,6 @@ QUERIES = [
     Query("conservation_counts", "A9,J11", conservation_counts, CONSERVATION_COUNTS_SQL),
     Query("distinct_flag_status", "A7", distinct_flag_status, DISTINCT_FLAG_STATUS_SQL),
     Query("top_revenue_orders", "J5,O1,O3,A2", top_revenue_orders, TOP_REVENUE_ORDERS_SQL, bench=True),
+    Query("pricing_rollup", "ext: OLAP rollup (grouping sets)", pricing_rollup, PRICING_ROLLUP_SQL),
+    Query("customer_segment_deciles", "ext: ntile/percent_rank windows", customer_segment_deciles, CUSTOMER_SEGMENT_DECILES_SQL),
 ]

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from musicflow_spark.operators.sampling import (
+    bernoulli_sample,
     chunk_documents,
+    global_hash_sample,
     hash_split,
     pack_sequences,
     split_contamination,
@@ -225,6 +227,52 @@ SELECT * FROM exact UNION ALL SELECT * FROM near2
 """
 
 
+#: per-language keep rates for the weighted downsampler — the standard
+#: rebalancing move (keep all scarce languages, thin the dominant one)
+BERN_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.8, "zh": 1.0}
+GLOBAL_SAMPLE_K = 64
+
+
+def doc_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic downsampling (ext): per-language keep
+    rates via the hash-bucket Bernoulli draw — map-only, frozen under
+    reruns (operators/sampling.py::bernoulli_sample)."""
+    docs = read_table(spark, sf_dir, "documents")
+    rate = F.lit(0.5)
+    for lang, r in BERN_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return bernoulli_sample(docs, "doc_id", rate).select("doc_id", "lang")
+
+
+def _bernoulli_oracle_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in BERN_RATES.items()
+    ) + " ELSE 0.5 END"
+    h = _H.format(x="'bern:' || cast(doc_id AS varchar)")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {h} % 1000000 < cast({case} * 1000000 AS bigint)
+"""
+
+
+def doc_global_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k global sample (ext): smallest-hash top-k via
+    TakeOrderedAndProject — per-partition heaps, no global sort
+    (operators/sampling.py::global_hash_sample)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return global_hash_sample(docs, "doc_id", GLOBAL_SAMPLE_K).select(
+        "doc_id", "lang"
+    )
+
+
+def _global_sample_oracle_sql() -> str:
+    h = _H.format(x="'gs:' || cast(doc_id AS varchar)")
+    return f"""
+SELECT doc_id, lang FROM documents
+ORDER BY {h}, doc_id LIMIT {GLOBAL_SAMPLE_K}
+"""
+
+
 QUERIES = [
     Query(
         "doc_split_assign",
@@ -255,5 +303,17 @@ QUERIES = [
         "ext: train/eval decontamination probe",
         doc_split_contamination,
         DOC_SPLIT_CONTAMINATION_SQL,
+    ),
+    Query(
+        "doc_bernoulli_sample",
+        "ext: weighted deterministic downsampling",
+        doc_bernoulli_sample,
+        _bernoulli_oracle_sql(),
+    ),
+    Query(
+        "doc_global_sample",
+        "ext: exactly-k global hash sample (top-k, no global sort)",
+        doc_global_sample,
+        _global_sample_oracle_sql(),
     ),
 ]

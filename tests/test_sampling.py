@@ -8,7 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from musicflow_spark.operators.sampling import (
+    bernoulli_sample,
     chunk_documents,
+    global_hash_sample,
     hash_split,
     pack_sequences,
     split_contamination,
@@ -140,6 +142,52 @@ class TestChunkDocuments:
             chunk_documents(df, "text", "id", chunk_len=10, stride=0)
         with pytest.raises(ValueError):
             chunk_documents(df, "text", "id", chunk_len=10, stride=11)
+
+
+class TestBernoulliSample:
+    def test_rate_extremes_and_monotonicity(self, docs):
+        assert bernoulli_sample(docs, "id", 0.0).count() == 0
+        assert bernoulli_sample(docs, "id", 1.0).count() == 200
+        # a higher rate keeps a superset (nested-coin property)
+        lo = {r["id"] for r in bernoulli_sample(docs, "id", 0.3).collect()}
+        hi = {r["id"] for r in bernoulli_sample(docs, "id", 0.7).collect()}
+        assert lo <= hi
+        assert 0 < len(lo) < len(hi) < 200
+
+    def test_independent_of_split_draw(self, docs):
+        # the sample coin and the split coin use different salt
+        # spaces: sampling inside the train split must not be biased
+        w = {"train": 0.5, "test": 0.5}
+        split_train = {
+            r["id"] for r in hash_split(docs, "id", w).collect() if r["split"] == "train"
+        }
+        kept = {r["id"] for r in bernoulli_sample(docs, "id", 0.5).collect()}
+        inter = len(split_train & kept) / len(split_train)
+        assert 0.35 < inter < 0.65  # ~0.5 if independent; 0 or 1 if correlated
+
+    def test_per_row_rate_column(self, docs):
+        kept = bernoulli_sample(
+            docs, "id", F.when(F.col("lang") == "lang0", 1.0).otherwise(0.0)
+        )
+        assert {r["lang"] for r in kept.collect()} == {"lang0"}
+
+
+class TestGlobalHashSample:
+    def test_exactly_k_and_deterministic(self, docs):
+        a = [r["id"] for r in global_hash_sample(docs, "id", 17).collect()]
+        b = [r["id"] for r in global_hash_sample(docs.repartition(7), "id", 17).collect()]
+        assert len(a) == 17
+        assert sorted(a) == sorted(b)
+
+    def test_reservoir_property_under_growth(self, spark, docs):
+        # the sample of a superset is drawn from the same total order:
+        # picks only change by new rows hashing lower
+        small_pick = {r["id"] for r in
+                      global_hash_sample(docs.filter(F.col("id") < 100), "id", 10).collect()}
+        full_pick = {r["id"] for r in global_hash_sample(docs, "id", 10).collect()}
+        # every full-corpus pick that is an old row must be in the
+        # small pick too (new rows can displace, never reorder)
+        assert (full_pick & set(range(100))) <= small_pick
 
 
 class TestSplitContamination:
