@@ -254,6 +254,103 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------- date spine / gap fill
+def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill (ext): one row per day between the
+    corpus' first and last event, zero-filled where nothing happened —
+    the dbt date-spine idiom (a downstream chart must see the quiet
+    days).  The spine generates from a 1-row min/max aggregate
+    (broadcast, sequence+explode); the daily counts shuffle once."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+    )
+
+
+DAILY_EVENT_SPINE_SQL = """
+WITH b AS (
+  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events),
+spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(*) AS n_events,
+         sum(cast(round(value * 100) AS bigint)) AS value_cents
+  FROM events GROUP BY 1)
+SELECT spine.day,
+       coalesce(daily.n_events, 0)    AS n_events,
+       coalesce(daily.value_cents, 0) AS value_cents
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+"""
+
+
+# --------------------------------------------------------- funnel
+def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (ext): per signed-up user, the first
+    purchase at-or-after their first signup and the exact
+    seconds-to-convert — the event-sequence analysis every product
+    pipeline runs.  Two keyed aggregations + one co-partitioned join;
+    the temporal gate rides the join's post-filter (same shape as the
+    range join, keyed on user)."""
+    ev = read_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    out = su.join(pu, "user_id", "left")
+    return out.select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+        F.when(
+            F.col("first_purchase_ts").isNotNull(),
+            (
+                (F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts"))
+                / F.lit(1_000_000)
+            ).cast("long"),
+        ).alias("secs_to_convert"),
+    )
+
+
+SIGNUP_CONVERSION_FUNNEL_SQL = """
+WITH su AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase_ts
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+  GROUP BY e.user_id)
+SELECT su.user_id, su.signup_ts, pu.first_purchase_ts,
+       pu.first_purchase_ts IS NOT NULL AS converted,
+       CASE WHEN pu.first_purchase_ts IS NOT NULL
+            THEN cast((epoch_us(pu.first_purchase_ts) - epoch_us(su.signup_ts)) // 1000000 AS bigint)
+       END AS secs_to_convert
+FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+"""
+
+
 # --------------------------------------------------------- pivot
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -333,4 +430,6 @@ QUERIES = [
     Query("event_props_extract", "F21", event_props_extract, EVENT_PROPS_EXTRACT_SQL),
     Query("event_outliers", "ext: percentile-gated outlier filter", event_outliers, EVENT_OUTLIERS_SQL),
     Query("user_event_pivot", "ext: long-to-wide pivot (explicit values)", user_event_pivot, USER_EVENT_PIVOT_SQL),
+    Query("daily_event_spine", "ext: calendar-spine gap fill", daily_event_spine, DAILY_EVENT_SPINE_SQL),
+    Query("signup_conversion_funnel", "ext: conversion funnel (event sequencing)", signup_conversion_funnel, SIGNUP_CONVERSION_FUNNEL_SQL),
 ]

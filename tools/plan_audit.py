@@ -46,6 +46,7 @@ SINGLE_OK = {
     "top_revenue_orders",  # global top-k limit
     "doc_tfidf_topk",          # scalar corpus count (1 row by construction)
     "doc_split_contamination", # scalar common-shingle collect (tiny by construction)
+    "daily_event_spine",       # scalar min/max bounds (1 row by construction)
 }
 
 
