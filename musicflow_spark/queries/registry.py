@@ -37,6 +37,7 @@ def get_queries() -> list[Query]:
     from musicflow_spark.queries import textops as _textops
     from musicflow_spark.queries import timeseries as _timeseries
     from musicflow_spark.queries import vectors as _vectors
+    from musicflow_spark.queries import warehouse as _warehouse
 
     out: list[Query] = []
     for mod in (
@@ -48,6 +49,7 @@ def get_queries() -> list[Query]:
         _cleanse,
         _vectors,
         _multimodal,
+        _warehouse,
     ):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]

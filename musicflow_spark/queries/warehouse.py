@@ -1,0 +1,261 @@
+"""Warehouse-scale operator queries (ext): the maintenance and
+hygiene operations a 100 TB deployment runs that the reference's
+full-refresh dbt project sidesteps at its data size — each registered
+with a full DuckDB oracle.
+
+- skew-salted aggregation / join (`operators/skew.py`) proven
+  value-equal to the direct plan — the oracle IS the direct SQL, so a
+  green row certifies the rewrite, not a reimplementation;
+- CUBE / grouping-sets OLAP summary (reference analogue: the Tableau
+  rollup marts, `dbt/models/marts/log_for_tableau.sql` slicing by
+  status × kind);
+- frame-bounded window stats (moving / cumulative) over the daily
+  spine;
+- SCD Type-2 snapshot merge (`operators/scd.py`) — dbt-snapshot
+  semantics for dimension history;
+- incremental rollup maintenance (`operators/scd.py::
+  merge_partial_rollups`) — partial-aggregate merge proven equal to
+  full recompute.
+
+All measures ride as integer cents (`round(x*100)::long`) so every
+hash compare is order-insensitive-exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.dedup import portable_hash60
+from musicflow_spark.operators.scd import merge_partial_rollups, scd2_init, scd2_merge
+from musicflow_spark.operators.skew import salted_join, salted_sum_count
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+
+def _cents(col: str) -> Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+# ------------------------------------------------- skew-salted aggregation
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py:29) registered
+    against the DIRECT group-by as its oracle: the hash-match proves
+    sum/count re-aggregation over (key, salt) partials loses nothing.
+    The extra exchange carries one row per key per salt."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", _cents("l_quantity").alias("qty_cents")
+    )
+    return salted_sum_count(
+        li, ["l_returnflag", "l_linestatus"], "qty_cents", n_salts=16
+    )
+
+
+SKEW_SALTED_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(cast(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------- skew-salted join
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join (operators/skew.py:66) vs the plain join as
+    oracle.  min_share is set low enough that real keys cross the
+    hot threshold at every test SF, so BOTH branches (salted hot path,
+    bare-key tail) carry rows and the union is exercised end to end."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "okey", n_salts=8, hot=None, how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT o_orderpriority,
+       sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------- CUBE / grouping sets
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over priority × status with grouping_id — all four
+    slice levels in ONE pass (Spark expands grouping sets map-side;
+    a 100 TB scan serves every rollup level at once instead of four
+    scans)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", _cents("o_totalprice").alias("price_cents")
+    )
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
+ORDER_STATUS_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       cast(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       sum(cast(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ------------------------------------------------- frame-bounded windows
+def daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-frame window stats over the daily series: 7-day moving
+    sum (ROWS BETWEEN 6 PRECEDING) and running cumulative count.  The
+    global-ordered window runs on the DAY-grain aggregate (one row per
+    day — dozens of rows where the raw table has billions), which is
+    why the single-partition sort is by construction safe; the raw
+    scan aggregates with an ordinary keyed shuffle first."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("value_cents"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_events",
+        "value_cents",
+        F.sum("value_cents").over(w7).alias("mov7_value_cents"),
+        F.sum("n_events").over(wcum).alias("cum_events"),
+    )
+
+
+DAILY_MOVING_STATS_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(*) AS n_events,
+         sum(cast(round(value * 100) AS BIGINT)) AS value_cents
+  FROM events GROUP BY 1)
+SELECT day, n_events, value_cents,
+       sum(value_cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS mov7_value_cents,
+       sum(n_events) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_events
+FROM daily
+"""
+
+
+# ------------------------------------------------- SCD Type-2 merge
+def _customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _cents("c_acctbal").alias("bal_cents"),
+        "c_mktsegment",
+    )
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history after one update batch
+    (operators/scd.py::scd2_merge).  The batch is derived
+    deterministically from the table itself via the portable 60-bit
+    hash: bucket<3 → balance +500 cents (real change ⇒ close+reopen),
+    bucket 3–4 → identical values (no-op ⇒ must NOT version), others
+    absent from the batch (untouched).  The oracle replays the same
+    merge in SQL, so the hash-match certifies the set algebra."""
+    dim = _customer_dim(spark, sf_dir)
+    history = scd2_init(dim, batch_id=0)
+    bucket = portable_hash60(F.col("c_custkey").cast("string")) % 10
+    updates = (
+        dim.withColumn("__b__", bucket)
+        .filter(F.col("__b__") < 5)
+        .select(
+            "c_custkey",
+            F.when(F.col("__b__") < 3, F.col("bal_cents") + 500)
+            .otherwise(F.col("bal_cents"))
+            .alias("bal_cents"),
+            "c_mktsegment",
+        )
+    )
+    return scd2_merge(
+        history, updates, "c_custkey", ["bal_cents", "c_mktsegment"], batch_id=1
+    )
+
+
+SCD2_CUSTOMER_HISTORY_SQL = """
+WITH dim AS (
+  SELECT c_custkey,
+         cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         c_mktsegment
+  FROM customer),
+bucketed AS (
+  SELECT *, ('0x' || substr(md5(cast(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+  FROM dim),
+changed AS (SELECT c_custkey, bal_cents + 500 AS bal_cents, c_mktsegment
+            FROM bucketed WHERE b < 3)
+SELECT c_custkey, bal_cents, c_mktsegment,
+       cast(0 AS BIGINT) AS valid_from, cast(1 AS BIGINT) AS valid_to
+FROM dim WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, bal_cents, c_mktsegment,
+       cast(1 AS BIGINT) AS valid_from, cast(NULL AS BIGINT) AS valid_to
+FROM changed
+UNION ALL
+SELECT c_custkey, bal_cents, c_mktsegment,
+       cast(0 AS BIGINT) AS valid_from, cast(NULL AS BIGINT) AS valid_to
+FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+"""
+
+
+# ------------------------------------------------- incremental rollup
+def incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialization parity: the per-user rollup is
+    computed as merge(aggregate(history), aggregate(last day)) —
+    operators/scd.py::merge_partial_rollups — and the oracle is the
+    FULL recompute, so the green row proves the delta-maintenance
+    path reproduces the from-scratch table bit-for-bit.  At 100 TB
+    only the delta partition is scanned per refresh."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        _cents("value").alias("value_cents"),
+    )
+    cutoff = ev.agg(F.max("day").alias("d1"))
+    ev = ev.join(F.broadcast(cutoff), F.lit(True), "inner")
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+
+    hist = _agg(ev.filter(F.col("day") < F.col("d1")))
+    delta = _agg(ev.filter(F.col("day") == F.col("d1")))
+    return merge_partial_rollups([hist, delta], ["user_id"])
+
+
+INCREMENTAL_USER_ROLLUP_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(cast(round(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = [
+    Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
+    Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
+    Query("order_status_cube", "ext: CUBE grouping-sets OLAP summary", order_status_cube, ORDER_STATUS_CUBE_SQL),
+    Query("daily_moving_stats", "ext: frame-bounded moving/cumulative windows", daily_moving_stats, DAILY_MOVING_STATS_SQL),
+    Query("scd2_customer_history", "ext: SCD Type-2 snapshot merge", scd2_customer_history, SCD2_CUSTOMER_HISTORY_SQL),
+    Query("incremental_user_rollup", "ext: partial-aggregate merge == recompute", incremental_user_rollup, INCREMENTAL_USER_ROLLUP_SQL),
+]
