@@ -118,6 +118,73 @@ def with_hashed_shingles(
     )
 
 
+def positional_shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, pos, gram) — NON-distinct, position-carrying n-grams
+    (0-based token position).  The set forms above serve membership
+    math; this long form serves SPAN analysis — which contiguous
+    region two documents share, not just how many shingles."""
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__"))
+        .withColumn("__toks__", F.transform(tokens("__text__"), F.lower))
+    )
+    k = F.size("__toks__")
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(F.col("__toks__"), i + 1, n), " ")
+        )
+    )
+    return base.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+
+
+def shared_span_stats(
+    pairs: DataFrame,
+    grams: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Longest duplicated token span per candidate pair — the
+    span-level refinement of near-dup detection (substring dedup à la
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", bounded to CANDIDATE pairs so cost is pairs×doc-length,
+    never corpus-quadratic).
+
+    ``pairs``: (doc_a, doc_b) candidates (from jaccard/minhash LSH);
+    ``grams``: positional_shingle_table output.  Two grams at
+    positions (pa, pb) extend the same shared span iff their diagonal
+    pa-pb matches and pa is consecutive — classic gaps-and-islands on
+    (pair, diagonal): island id = pa - row_number, one keyed window,
+    no self-join.  Returns per pair: n_shared_grams (positional gram
+    matches) and max_run_tokens (longest contiguous shared run,
+    re-expressed in tokens: run_grams + n - 1)."""
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
+    )
+    pts = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "gram"])
+        .withColumn("d", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    runs = (
+        pts.withColumn("__isl__", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "d", "__isl__")
+        .agg(F.count(F.lit(1)).alias("run_grams"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.sum("run_grams").alias("n_shared_grams"),
+        (F.max("run_grams") + F.lit(n - 1)).cast("long").alias("max_run_tokens"),
+    )
+
+
 def kept_shingle_sets(
     df: DataFrame,
     text_col: str = "text",

@@ -351,6 +351,35 @@ FROM su LEFT JOIN pu ON su.user_id = pu.user_id
 """
 
 
+# --------------------------------------------------- value histogram
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distribution profile (ext): 25-unit value bins with
+    count and integer-cents mass per bin, clamped to [0, 19] so the
+    binning is total on any input.  Map-side arithmetic + one keyed
+    aggregate — the cheapest possible full-table profile; the bin
+    column is also the natural partition key for a histogram sink."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    bin_ = F.greatest(F.least(F.floor(cents / 2500), F.lit(19)), F.lit(0)).cast("long")
+    return (
+        ev.select(bin_.alias("bin"), cents.alias("cents"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+
+
+EVENT_VALUE_HISTOGRAM_SQL = """
+SELECT greatest(least(cast(floor(cast(round(value * 100) AS BIGINT) / 2500) AS BIGINT), 19), 0) AS bin,
+       count(*) AS n_events,
+       sum(cast(round(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------- pivot
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -432,4 +461,5 @@ QUERIES = [
     Query("user_event_pivot", "ext: long-to-wide pivot (explicit values)", user_event_pivot, USER_EVENT_PIVOT_SQL),
     Query("daily_event_spine", "ext: calendar-spine gap fill", daily_event_spine, DAILY_EVENT_SPINE_SQL),
     Query("signup_conversion_funnel", "ext: conversion funnel (event sequencing)", signup_conversion_funnel, SIGNUP_CONVERSION_FUNNEL_SQL),
+    Query("event_value_histogram", "ext: fixed-width histogram profile", event_value_histogram, EVENT_VALUE_HISTOGRAM_SQL),
 ]

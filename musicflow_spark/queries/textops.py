@@ -18,7 +18,10 @@ from musicflow_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_dedup_pairs,
+    positional_shingle_table,
+    shared_span_stats,
     simhash_near_pairs,
+    with_shingles,
 )
 from musicflow_spark.operators.textstats import (
     LANG_MARKERS,
@@ -742,6 +745,105 @@ WHERE rank <= {TFIDF_K}
 """
 
 
+# ------------------------------------------- heavy-hitter n-grams
+def doc_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (ext): the 20 trigrams present in the
+    most documents — C4-style heavy-hitter mining (a phrase in
+    thousands of pages is template text, not content).  One explode +
+    one keyed count; the global top-k plans as TakeOrderedAndProject
+    (per-partition heaps, no single-partition shuffle).  Tie-break by
+    ngram string makes the cut deterministic."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        with_shingles(docs, n=3, out_col="sh")
+        .select(F.explode("sh").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(20)
+    )
+
+
+DOC_FREQUENT_NGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks)
+SELECT shingle AS ngram, count(*) AS doc_freq
+FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+GROUP BY shingle
+ORDER BY doc_freq DESC, ngram
+LIMIT 20
+"""
+
+
+# ------------------------------------------- duplicated-span analysis
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup QA (ext): for every near-dup candidate pair,
+    the total positional trigram overlap and the LONGEST contiguous
+    shared token run — substring-level duplication evidence (Lee et
+    al. 2022) bounded to candidate pairs, so the positional join costs
+    pairs x doc-length rather than corpus².  Composition:
+    jaccard_pairs candidates -> positional_shingle_table ->
+    shared_span_stats (gaps-and-islands on the pair diagonal, one
+    keyed window)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2, max_df=20).select("doc_a", "doc_b")
+    grams = positional_shingle_table(docs, n=3)
+    return shared_span_stats(pairs, grams, n=3)
+
+
+DOC_DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv1 AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS sh_df FROM inv0),
+inv AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM inv1 WHERE sh_df <= 20),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+  HAVING count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) >= 0.2),
+pg0 AS (
+  SELECT doc_id, unnest(range(1, greatest(len(t) - 1, 1))) AS i, t
+  FROM toks),
+pgrams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+2], ' ') AS gram FROM pg0),
+pts AS (
+  SELECT p.doc_a, p.doc_b, a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS d
+  FROM pairs p
+  JOIN pgrams a ON a.doc_id = p.doc_a
+  JOIN pgrams b ON b.doc_id = p.doc_b AND b.gram = a.gram),
+isl AS (
+  SELECT doc_a, doc_b, d, pos_a,
+         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pos_a) AS isl
+  FROM pts),
+runs AS (
+  SELECT doc_a, doc_b, d, isl, count(*) AS run_grams
+  FROM isl GROUP BY doc_a, doc_b, d, isl)
+SELECT doc_a, doc_b,
+       cast(sum(run_grams) AS BIGINT) AS n_shared_grams,
+       cast(max(run_grams) + 2 AS BIGINT) AS max_run_tokens
+FROM runs
+GROUP BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
     Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),
@@ -758,4 +860,6 @@ QUERIES = [
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
     Query("doc_tfidf_topk", "ext: tf-idf keyword extraction", doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
+    Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),
+    Query("doc_dup_spans", "ext: longest duplicated token span per near-dup pair", doc_dup_spans, DOC_DUP_SPANS_SQL),
 ]

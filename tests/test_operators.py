@@ -270,3 +270,49 @@ def test_operators_survive_empty_input(spark):
     assert [(r["doc_id"], r["cluster_id"], r["keep"]) for r in got] == [(7, 7, True)]
     assert surrogate_ids(empty.select("doc_id"), ["doc_id"]).count() == 0
     assert opaque_ids(empty).count() == 0
+
+
+def test_shared_span_stats_known_runs(spark):
+    from musicflow_spark.operators.dedup import (
+        positional_shingle_table,
+        shared_span_stats,
+    )
+
+    # doc 2 shares exactly tokens 'c d e f' (run of 4) and 'x y z'
+    # (run of 3, below trigram visibility only as ONE gram) with doc 1
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y z q"),
+            (2, "c d e f m n o p x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    grams = positional_shingle_table(docs, n=3)
+    out = shared_span_stats(pairs, grams, n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 'c d e f' -> grams 'c d e','d e f' (run 2 -> 4 tokens);
+    # 'x y z'  -> gram 'x y z' (run 1 -> 3 tokens)
+    assert r["max_run_tokens"] == 4
+    assert r["n_shared_grams"] == 3
+
+
+def test_shared_span_stats_repeated_gram_positions(spark):
+    from musicflow_spark.operators.dedup import (
+        positional_shingle_table,
+        shared_span_stats,
+    )
+
+    # the SAME trigram occurs twice in each doc: every positional
+    # combination is a point, but runs stay per-diagonal
+    docs = spark.createDataFrame(
+        [(1, "u v w k u v w"), (2, "u v w t u v w")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = shared_span_stats(pairs, positional_shingle_table(docs, n=3), n=3).collect()[0]
+    # 'u v w' at A-pos {0,4} x B-pos {0,4} -> 4 points; no diagonal
+    # chains two of them consecutively
+    assert out["n_shared_grams"] == 4
+    assert out["max_run_tokens"] == 3

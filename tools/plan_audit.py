@@ -35,6 +35,7 @@ CARTESIAN_OK = {
     "conservation_counts",     # three 1-row scalar aggregates cross-joined
     "doc_tfidf_topk",          # 1-row corpus-count broadcast (idf denominator)
     "doc_split_contamination", # inherits jaccard's 1-row common-shingle broadcast
+    "doc_dup_spans",           # inherits jaccard's 1-row common-shingle broadcast
     "incremental_user_rollup", # 1-row cutoff-day broadcast (delta boundary)
 }
 
@@ -47,6 +48,7 @@ SINGLE_OK = {
     "top_revenue_orders",  # global top-k limit
     "doc_tfidf_topk",          # scalar corpus count (1 row by construction)
     "doc_split_contamination", # scalar common-shingle collect (tiny by construction)
+    "doc_dup_spans",           # scalar common-shingle collect (tiny by construction)
     "daily_event_spine",       # scalar min/max bounds (1 row by construction)
     "daily_moving_stats",      # global window on the day-grain aggregate (dozens of rows)
     "incremental_user_rollup", # scalar max-day cutoff (1 row by construction)
