@@ -9,6 +9,7 @@ from musicflow_spark.streaming.events import (  # noqa: F401
     content_dedup_stream,
     dedup_stream,
     event_stream,
+    foreach_batch_rollup_merge,
     foreach_batch_upsert,
     hourly_event_stats_stream,
     latest_event_per_user_stream,

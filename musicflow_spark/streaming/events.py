@@ -215,3 +215,38 @@ def foreach_batch_upsert(path: str, keys: list[str]):
         os.rename(tmp, path)
 
     return sink
+
+
+def foreach_batch_rollup_merge(path: str, keys: list[str]):
+    """The streaming form of incremental materialization
+    (operators/scd.py::merge_partial_rollups): each micro-batch of an
+    APPEND-mode stream is pre-aggregated to one partial rollup and
+    merged into the materialized rollup table — the running table is
+    exact after every batch because append-mode batches are disjoint
+    and the measures are algebraic.  Unlike update-mode streaming
+    aggregation this keeps NO state store: the table itself is the
+    state, so the operator restarts from disk for free.
+
+    Expects batches already shaped (keys..., measure columns); every
+    non-key column must be sum-mergeable.  Same tmp-dir atomic swap as
+    foreach_batch_upsert; on Delta/Iceberg this becomes MERGE INTO
+    with ``+=`` set clauses."""
+    from musicflow_spark.operators.scd import merge_partial_rollups
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        val_cols = [c for c in batch.columns if c not in keys]
+        partial = batch.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in val_cols]
+        )
+        parts = [partial]
+        if os.path.exists(path):
+            parts.append(spark.read.parquet(path))
+        merged = merge_partial_rollups(parts, keys).localCheckpoint(eager=True)
+        tmp = f"{path}.__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return sink

@@ -359,3 +359,41 @@ def test_range_join_stream_converges_to_batch(spark, stream_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_rollup_merge_sink_converges_to_batch(spark, stream_dir, tmp_path):
+    """Append-mode raw stream -> per-batch partial aggregate merged
+    into the materialized rollup (no state store): final table must
+    equal the from-scratch batch rollup exactly."""
+    from musicflow_spark.streaming import foreach_batch_rollup_merge
+
+    out = str(tmp_path / "user_rollup")
+    shaped = event_stream(spark, stream_dir, max_files_per_trigger=1).select(
+        "user_id",
+        F.lit(1).cast("long").alias("n_events"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    q = (
+        shaped.writeStream.foreachBatch(foreach_batch_rollup_merge(out, ["user_id"]))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["user_id"]: (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["value_cents"])
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == want
