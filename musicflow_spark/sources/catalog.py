@@ -14,6 +14,7 @@ through :func:`write_table` which exposes ``partition_by`` and
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -98,3 +99,40 @@ def write_table(
         )
         return
     writer.parquet(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    small-file management, the maintenance job every incremental sink
+    (streaming upsert/rollup, per-batch appends) needs at scale: a
+    100 TB table accreting thousands of KB-sized files per day turns
+    scan planning and NameNode/listing into the bottleneck long before
+    the data itself does.
+
+    File count derives from the ON-DISK byte size (sum of part files,
+    so compression is accounted for), the rewrite is a coalesce (no
+    shuffle — merges whole files), and the swap is the same tmp-dir
+    rename the streaming sinks use.  ``sort_within_by`` optionally
+    sorts WITHIN output files (sortWithinPartitions — still no global
+    shuffle) so min/max row-group stats become selective for those
+    columns.  Returns the output file count."""
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-size // target_file_bytes))
+    df = spark.read.parquet(path).coalesce(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    tmp = f"{path}.__compact__"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

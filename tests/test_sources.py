@@ -171,3 +171,31 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan
     want = ev.filter(F.col("event_type") == "click").count()
     assert one.count() == want and want > 0
+
+
+def test_compact_table_reduces_file_count_preserves_rows(spark, tmp_path):
+    from musicflow_spark.sources.catalog import compact_table, read_table
+
+    path = str(tmp_path / "fragmented")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    # simulate an accreting incremental sink: 12 tiny appends
+    for i in range(12):
+        ev.filter(F.col("event_id") % 12 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 12
+    want = ev.count()
+    n = compact_table(spark, path, target_file_bytes=64 * 1024, sort_within_by=["ts"])
+    after = glob.glob(f"{path}/*.parquet")
+    assert len(after) == n < before
+    got = spark.read.parquet(path)
+    assert got.count() == want
+    # within-file ts ordering -> selective min/max row-group stats
+    import pyarrow.parquet as pq
+
+    metas = [(pq.read_metadata(f)) for f in after]
+    for m in metas:
+        assert m.num_rows > 0
