@@ -57,6 +57,33 @@ def redact_pii(
     return out.withColumn(out_col, redacted)
 
 
+def erase_keys(
+    facts: DataFrame,
+    tombstones: DataFrame,
+    key: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Right-to-erasure propagation: drop every fact row belonging to
+    a tombstoned key and return ``(kept, audit)`` — the kept frame
+    (left-anti join, the one join shape that never widens rows) and a
+    per-key audit count of what was erased (the deletion-log evidence
+    a compliance pipeline must emit).
+
+    Scale shape: tombstone sets are tiny relative to facts (deleted
+    users ≪ all users), so the anti-join broadcasts; the audit is a
+    semi-join + keyed count over only the doomed rows.  On a lakehouse
+    table the kept frame overwrites via the same tmp-swap as
+    compact_table; at 100 TB partition the facts by a key prefix so
+    erasure rewrites only affected partitions."""
+    t = tombstones.select(key).distinct()
+    kept = facts.join(t, key, "left_anti")
+    audit = (
+        facts.join(t, key, "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_erased"))
+    )
+    return kept, audit
+
+
 def digit_ratio(text: Column | str) -> Column:
     """Fraction of characters that are ASCII digits (0.0 for empty)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 from musicflow_spark.operators.cleanse import (
     PII_PATTERNS,
     digit_ratio,
+    erase_keys,
     redact_pii,
     repetition_features,
 )
+from musicflow_spark.operators.dedup import portable_hash60
 from musicflow_spark.queries.portable import pround, pround_sql
 from musicflow_spark.queries.registry import Query
 from musicflow_spark.sources.catalog import read_table
@@ -137,6 +139,47 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
 
+# ------------------------------------------------- erasure propagation
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation (ext): a deterministic ~5% of
+    users (portable-hash bucket 0 of 20) are tombstoned; their event
+    rows are dropped via operators/cleanse.py::erase_keys (left-anti)
+    and the per-type audit reports total/kept/erased — the compliance
+    evidence a deletion pipeline must produce.  The oracle recomputes
+    the same partition with FILTER counts, certifying the anti-join
+    path drops exactly the tombstoned rows and nothing else."""
+    ev = read_table(spark, sf_dir, "events")
+    tomb = (
+        ev.select("user_id")
+        .distinct()
+        .filter(portable_hash60(F.col("user_id").cast("string")) % 20 == 0)
+    )
+    kept, _audit = erase_keys(ev, tomb, "user_id")
+    total = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    keptc = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+    return total.join(keptc, "event_type", "left").select(
+        "event_type",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_erased"),
+    )
+
+
+USER_ERASURE_AUDIT_SQL = """
+WITH tomb AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 15))::BIGINT % 20 = 0)
+SELECT event_type,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM tomb)) AS n_kept,
+       count(*) FILTER (WHERE user_id IN (SELECT user_id FROM tomb)) AS n_erased
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = [
     Query(
         "customer_pii_redact",
@@ -149,5 +192,11 @@ QUERIES = [
         "ext: repetition/boilerplate quality signals",
         doc_repetition_stats,
         DOC_REPETITION_STATS_SQL,
+    ),
+    Query(
+        "user_erasure_audit",
+        "ext: right-to-erasure propagation (anti-join + audit)",
+        user_erasure_audit,
+        USER_ERASURE_AUDIT_SQL,
     ),
 ]
