@@ -318,6 +318,11 @@ def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("first_purchase_ts"))
     )
     out = su.join(pu, "user_id", "left")
+    # micros() handles both timestamp flavors (the testdata parquet
+    # reads as TIMESTAMP_NTZ under Spark 4's NTZ inference, where
+    # unix_micros does not resolve)
+    from musicflow_spark.operators.timejoin import micros
+
     return out.select(
         "user_id",
         "signup_ts",
@@ -326,7 +331,7 @@ def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("first_purchase_ts").isNotNull(),
             (
-                (F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts"))
+                (micros(out, "first_purchase_ts") - micros(out, "signup_ts"))
                 / F.lit(1_000_000)
             ).cast("long"),
         ).alias("secs_to_convert"),

@@ -56,6 +56,12 @@ def event_stream(
     df = reader.parquet(source_dir)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Spark 4 infers parquet naive timestamps as TIMESTAMP_NTZ, but
+        # watermarks/event-time windows require TIMESTAMP.  The session
+        # timezone is pinned UTC (session.py), so this cast relabels the
+        # type without shifting any value.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
