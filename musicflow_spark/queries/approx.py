@@ -1,0 +1,210 @@
+"""Approximate/sketch query surfaces with soundness oracles, plus the
+blocked fuzzy join certified against its quadratic twin.
+
+The sketch queries follow the soundness-oracle pattern used by the
+ANN family: the approximate value itself is not oracle-reproducible
+(DuckDB runs a different HLL / quantile sketch), so the registered
+query emits only (a) exactly-recomputable columns and (b) a boolean
+"within documented error bound" gate computed ON SPARK against the
+exact value.  The DuckDB oracle recomputes the exact columns and
+emits literal TRUE for the gate — if the sketch ever drifts outside
+its bound, the hash comparison goes red.  approx_count_distinct
+(HLL++) and percentile_approx (KLL-ish GK variant) are deterministic
+for a fixed input, so this is a stable, driver-checkable contract.
+
+Weighted sampling is Efraimidis–Spirakis order sampling driven by the
+engine-portable 60-bit hash (operators/dedup.py::portable_hash60), so
+the DuckDB oracle replays the identical selection: key = ln(u)/w is a
+monotone transform of u^(1/w); top-k by key is TakeOrderedAndProject
+on Spark (per-partition top-k + merge, no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.dedup import portable_hash60
+from musicflow_spark.operators.fuzzyjoin import fuzzy_pairs_dist1
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+_POW2_60 = float(1 << 60)
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count soundness
+# ---------------------------------------------------------------------------
+
+def hll_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: HLL++ sketch vs exact, gated at
+    5% relative error (+10 absolute slack for tiny groups; the
+    configured rsd is 2%).  One shuffle; both aggregates ride the
+    same hash aggregation (map-side partial merge for both)."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("hll") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05 + F.lit(10)
+        ).alias("hll_ok"),
+    )
+
+
+HLL_EVENT_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS hll_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate-quantile soundness
+# ---------------------------------------------------------------------------
+
+def approx_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag approximate median of l_extendedprice
+    (percentile_approx, accuracy 10000 => rank error <= n/10000),
+    gated by recomputing the returned value's true rank: the count of
+    rows <= the sketch's answer must sit within 48-52% of the group
+    (+10 rows slack for ties).  The gate is the oracle-checkable
+    column; the sketch value itself never leaves Spark.
+
+    Plan: one agg for the sketch (tiny result, broadcast back), one
+    agg for the rank check — both map-side-combining group-bys."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("l_extendedprice") <= F.col("m")).cast("long")).alias(
+                "_n_le"
+            ),
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            "n_rows",
+            (
+                (F.col("_n_le") >= F.col("n_rows") * 0.48)
+                & (F.col("_n_le") <= F.col("n_rows") * 0.52 + 10)
+            ).alias("p50_ok"),
+        )
+    )
+
+
+APPROX_MEDIAN_PRICES_SQL = """
+SELECT l_returnflag AS flag,
+       count(*) AS n_rows,
+       TRUE AS p50_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis, portable-hash driven)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement of 100 orders, selection
+    probability proportional to o_totalprice: ES order sampling with
+    u = (portable_hash60(o_orderkey)+1)/2^60 in (0,1], rank key
+    ln(u)/o_totalprice descending (monotone-equivalent to u^(1/w)).
+    Deterministic, engine-portable, and one pass: orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition heap + driver
+    merge of 100 rows), so no global sort at 100 TB."""
+    o = read_table(spark, sf_dir, "orders")
+    u = (portable_hash60(F.col("o_orderkey").cast("string")) + 1) / F.lit(_POW2_60)
+    key = F.ln(u) / F.col("o_totalprice")
+    return (
+        o.select("o_orderkey", "o_custkey", key.alias("_es_key"))
+        .orderBy(F.desc("_es_key"), "o_orderkey")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+WEIGHTED_SAMPLE_ORDERS_SQL = f"""
+SELECT o_orderkey, o_custkey
+FROM (
+  SELECT o_orderkey, o_custkey,
+         ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT + 1)
+            / 1152921504606846976.0) / o_totalprice AS es_key
+  FROM orders
+)
+ORDER BY es_key DESC, o_orderkey
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy join vs its quadratic oracle
+# ---------------------------------------------------------------------------
+
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name pairs within edit distance 1 via the
+    symmetric-deletion blocked join (operators/fuzzyjoin.py).  The
+    oracle is the quadratic levenshtein theta-join — a row-for-row
+    match certifies the blocking scheme loses no pairs."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # no output orderBy: the driver's value-hash is order-insensitive,
+    # and a global sort on a pairs table is pure shuffle cost at scale
+    return fuzzy_pairs_dist1(cust, "c_custkey", "c_name")
+
+
+FUZZY_CUSTOMER_PAIRS_SQL = """
+SELECT a.c_custkey AS id_a,
+       b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+QUERIES = [
+    Query(
+        "hll_distinct_users",
+        "ext: HLL++ distinct-count sketch, exact-gated",
+        hll_event_users,
+        HLL_EVENT_USERS_SQL,
+    ),
+    Query(
+        "approx_median_prices",
+        "ext: quantile sketch, rank-soundness gated",
+        approx_median_prices,
+        APPROX_MEDIAN_PRICES_SQL,
+    ),
+    Query(
+        "weighted_sample_orders",
+        "ext: ES weighted sampling, portable-hash deterministic",
+        weighted_sample_orders,
+        WEIGHTED_SAMPLE_ORDERS_SQL,
+    ),
+    Query(
+        "fuzzy_customer_pairs",
+        "ext: blocked edit-distance join == quadratic theta-join; J8",
+        fuzzy_customer_pairs,
+        FUZZY_CUSTOMER_PAIRS_SQL,
+    ),
+]

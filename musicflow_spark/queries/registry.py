@@ -29,6 +29,7 @@ class Query:
 
 def get_queries() -> list[Query]:
     """All registered queries (import-time side-effect free)."""
+    from musicflow_spark.queries import approx as _approx
     from musicflow_spark.queries import cleanse as _cleanse
     from musicflow_spark.queries import events as _events
     from musicflow_spark.queries import multimodal as _multimodal
@@ -50,6 +51,7 @@ def get_queries() -> list[Query]:
         _vectors,
         _multimodal,
         _warehouse,
+        _approx,
     ):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
