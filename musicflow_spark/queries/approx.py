@@ -206,5 +206,6 @@ QUERIES = [
         "ext: blocked edit-distance join == quadratic theta-join; J8",
         fuzzy_customer_pairs,
         FUZZY_CUSTOMER_PAIRS_SQL,
+        bench=True,
     ),
 ]

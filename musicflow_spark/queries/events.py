@@ -455,6 +455,49 @@ WHERE e.value > th.p99
 """
 
 
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (ext): users bucketed by the ISO week
+    of their first event; per (cohort week, weeks since) the count of
+    distinct active users — the standard product-retention triangle.
+
+    Plan at scale: the (user, week) distinct collapses events before
+    anything else (map-side combine), the cohort min rides the same
+    user-hash partitioning, and the self-join is co-partitioned on
+    user_id — so the expensive input is touched once and every later
+    stage works on user-grain or week-grain frames."""
+    uw = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            F.to_date("cohort_wk").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("wk"), F.to_date("cohort_wk")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+WEEKLY_COHORT_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+c AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+SELECT CAST(c.cohort_wk AS DATE) AS cohort_week,
+       CAST(date_diff('day', CAST(c.cohort_wk AS DATE), CAST(uw.wk AS DATE)) / 7 AS INT) AS week_offset,
+       count(DISTINCT uw.user_id) AS active_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     Query("latest_event_per_user", "W2,O3", latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
     Query("user_sessions", "W2,A1,A2 (ext: sessionization)", user_sessions, USER_SESSIONS_SQL, bench=True),
@@ -467,4 +510,5 @@ QUERIES = [
     Query("daily_event_spine", "ext: calendar-spine gap fill", daily_event_spine, DAILY_EVENT_SPINE_SQL),
     Query("signup_conversion_funnel", "ext: conversion funnel (event sequencing)", signup_conversion_funnel, SIGNUP_CONVERSION_FUNNEL_SQL),
     Query("event_value_histogram", "ext: fixed-width histogram profile", event_value_histogram, EVENT_VALUE_HISTOGRAM_SQL),
+    Query("weekly_cohort_retention", "ext: cohort retention triangle", weekly_cohort_retention, WEEKLY_COHORT_RETENTION_SQL),
 ]

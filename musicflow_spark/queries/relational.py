@@ -629,6 +629,46 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 """
 
 
+def top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per nation (W-family: partitioned
+    window top-k).  The rank window partitions on the nation key, so
+    the only wide exchange is the orders⋈customer shuffle on custkey;
+    nation is a broadcast dim.  Tiebreak on o_orderkey makes the
+    cut deterministic; o_totalprice passes through unmodified (no
+    float arithmetic to drift)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("rk").alias("nation_rank"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+
+
+TOP_ORDERS_PER_NATION_SQL = """
+SELECT n.n_name AS nation_name,
+       row_number() OVER (PARTITION BY c.c_nationkey
+                          ORDER BY o.o_totalprice DESC, o.o_orderkey) AS nation_rank,
+       o.o_orderkey,
+       o.o_totalprice
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+QUALIFY nation_rank <= 3
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
@@ -646,4 +686,5 @@ QUERIES = [
     Query("top_revenue_orders", "J5,O1,O3,A2", top_revenue_orders, TOP_REVENUE_ORDERS_SQL, bench=True),
     Query("pricing_rollup", "ext: OLAP rollup (grouping sets)", pricing_rollup, PRICING_ROLLUP_SQL),
     Query("customer_segment_deciles", "ext: ntile/percent_rank windows", customer_segment_deciles, CUSTOMER_SEGMENT_DECILES_SQL),
+    Query("top_orders_per_nation", "ext: partitioned window top-k; W1,O1", top_orders_per_nation, TOP_ORDERS_PER_NATION_SQL, bench=True),
 ]
