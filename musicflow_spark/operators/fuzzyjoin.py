@@ -50,11 +50,15 @@ def fuzzy_pairs_dist1(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
     for the registered query IS the quadratic form, certifying the
     blocking scheme's completeness.
     """
+    # join on the 64-bit hash of the deletion key, not the string:
+    # the shuffle moves 8-byte longs instead of ~len-char keys, and a
+    # hash collision can only ADD a candidate pair, which the exact
+    # levenshtein verification below filters out
     keyed = df.select(
         F.col(id_col).alias("_fid"),
         F.col(s_col).alias("_fs"),
-        F.explode(deletion1_keys(F.col(s_col))).alias("_fk"),
-    )
+        F.explode(deletion1_keys(F.col(s_col))).alias("_fks"),
+    ).select("_fid", "_fs", F.xxhash64("_fks").alias("_fk"))
     a = keyed.select(
         F.col("_fid").alias("id_a"), F.col("_fs").alias("s_a"), "_fk"
     )

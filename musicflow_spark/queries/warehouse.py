@@ -251,6 +251,60 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------------------- z-order preview
+ZORDER_BITS = 10
+ZORDER_COLS = ["user_id", "value_cents"]
+
+
+def zorder_key_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key preview (ext: multi-column data-skipping layout):
+    the exact Z-order key operators/layout.py::zorder_write range
+    partitions on, emitted per event so the oracle can recompute the
+    interleave bit-for-bit (integer-only scaling, IEEE-exact floor
+    division — see layout.py docstring).  The write path itself is
+    pytest-verified on real parquet stats; this registers the key
+    math under the driver's hash gate."""
+    from musicflow_spark.operators.layout import column_bounds, morton_key
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", _cents("value").alias("value_cents")
+    )
+    bounds = column_bounds(ev, ZORDER_COLS)
+    return ev.select(
+        "event_id",
+        morton_key(ZORDER_COLS, bounds, ZORDER_BITS).alias("zkey"),
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    n = len(ZORDER_COLS)
+    tops = (1 << ZORDER_BITS) - 1
+    scaled = {
+        c: (
+            f"CAST(floor(((t.{c} - b.lo_{c}) * {tops}) /"
+            f" (CASE WHEN b.hi_{c} > b.lo_{c} THEN b.hi_{c} - b.lo_{c} ELSE 1 END)) AS BIGINT)"
+        )
+        for c in ZORDER_COLS
+    }
+    terms = [
+        f"((({scaled[c]} >> {j}) & 1) << {j * n + i})"
+        for j in range(ZORDER_BITS)
+        for i, c in enumerate(ZORDER_COLS)
+    ]
+    bounds = ", ".join(
+        f"min({c}) AS lo_{c}, max({c}) AS hi_{c}" for c in ZORDER_COLS
+    )
+    return f"""
+WITH t AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events),
+b AS (SELECT {bounds} FROM t)
+SELECT t.event_id, ({' | '.join(terms)}) AS zkey
+FROM t CROSS JOIN b
+"""
+
+
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
@@ -258,4 +312,5 @@ QUERIES = [
     Query("daily_moving_stats", "ext: frame-bounded moving/cumulative windows", daily_moving_stats, DAILY_MOVING_STATS_SQL),
     Query("scd2_customer_history", "ext: SCD Type-2 snapshot merge", scd2_customer_history, SCD2_CUSTOMER_HISTORY_SQL),
     Query("incremental_user_rollup", "ext: partial-aggregate merge == recompute", incremental_user_rollup, INCREMENTAL_USER_ROLLUP_SQL),
+    Query("zorder_key_preview", "ext: Z-order layout key (multi-column data skipping)", zorder_key_preview, _zorder_oracle_sql()),
 ]
