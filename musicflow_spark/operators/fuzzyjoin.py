@@ -65,14 +65,18 @@ def fuzzy_pairs_dist1(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
     b = keyed.select(
         F.col("_fid").alias("id_b"), F.col("_fs").alias("s_b"), "_fk"
     )
-    cand = (
+    # verify BEFORE deduplicating: levenshtein runs in the join's
+    # output stage (no extra exchange), so the distinct only shuffles
+    # the ~matches, not every candidate with both name strings
+    # (measured ~1M candidates -> ~280k matches at sf0.1)
+    return (
         a.join(b, "_fk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "s_a", "id_b", "s_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("s_a", "s_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
         .distinct()
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.levenshtein("s_a", "s_b").alias("dist"),
-    ).filter(F.col("dist") <= 1)
