@@ -669,6 +669,54 @@ QUALIFY nation_rank <= 3
 """
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated aggregate: revenue from lineitems
+    whose quantity is below 20% of their part's average — the
+    'compare each row to its group's aggregate' idiom.
+
+    Shape: the correlated subquery is a window average over the SAME
+    partitioning the filter consumes, so the whole query costs ONE
+    shuffle on l_partkey (no self-join of lineitem against a grouped
+    copy of itself); the brand filter is a broadcast semi-join that
+    prunes before the shuffle.  l_quantity is integral so the window
+    average is an exact int-sum / count — both engines produce the
+    identical double, and the 20% threshold compare cannot drift."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    below = (
+        li.join(
+            F.broadcast(brand_parts),
+            li["l_partkey"] == brand_parts["p_partkey"],
+        )
+        .withColumn("qty_thresh", F.avg("l_quantity").over(w) * 0.2)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+    )
+    return below.agg(
+        pround(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            / 100.0
+            / 7.0,
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH below AS (
+  SELECT l.l_extendedprice, l.l_quantity,
+         0.2 * avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS qty_thresh
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#13')
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0 * 100.0) / 100.0 AS avg_yearly,
+       count(*) AS n_small
+FROM below
+WHERE l_quantity < qty_thresh
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
@@ -687,4 +735,5 @@ QUERIES = [
     Query("pricing_rollup", "ext: OLAP rollup (grouping sets)", pricing_rollup, PRICING_ROLLUP_SQL),
     Query("customer_segment_deciles", "ext: ntile/percent_rank windows", customer_segment_deciles, CUSTOMER_SEGMENT_DECILES_SQL),
     Query("top_orders_per_nation", "ext: partitioned window top-k; W1,O1", top_orders_per_nation, TOP_ORDERS_PER_NATION_SQL, bench=True),
+    Query("small_quantity_revenue", "ext: correlated group-aggregate filter (Q17 shape)", small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
 ]

@@ -397,3 +397,48 @@ def test_rollup_merge_sink_converges_to_batch(spark, stream_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("variant", ["tws", "legacy"])
+def test_running_user_stats_converges(spark, stream_dir, tmp_path, variant):
+    # per-user running (count, cents-sum): the Spark-4
+    # transformWithStateInPandas form (needs protobuf; skipped where
+    # absent) and its applyInPandasWithState twin must both converge
+    # to the batch aggregate
+    from musicflow_spark.streaming.stateful import (
+        running_user_stats_stream,
+        running_user_stats_stream_legacy,
+    )
+
+    if variant == "tws":
+        pytest.importorskip("google.protobuf")
+        make = running_user_stats_stream
+    else:
+        make = running_user_stats_stream_legacy
+    stream = make(event_stream(spark, stream_dir, max_files_per_trigger=1))
+    final: dict = {}
+
+    def absorb(batch, _bid):
+        for r in batch.collect():
+            final[r["user_id"]] = (r["n_events"], r["sum_cents"])
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{variant}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final.pop(SENTINEL_USER, None)
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert final == want
