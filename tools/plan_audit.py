@@ -52,6 +52,7 @@ SINGLE_OK = {
     "daily_event_spine",       # scalar min/max bounds (1 row by construction)
     "daily_moving_stats",      # global window on the day-grain aggregate (dozens of rows)
     "incremental_user_rollup", # scalar max-day cutoff (1 row by construction)
+    "small_quantity_revenue",  # final global scalar aggregate (1 row by construction)
 }
 
 
