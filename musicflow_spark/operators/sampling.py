@@ -321,3 +321,48 @@ def split_contamination(
         .join(exact.select("eval_id", "train_id"), ["eval_id", "train_id"], "left_anti")
     )
     return exact.unionByName(near)
+
+
+def mixture_interleave(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    *,
+    default_weight: float = 0.1,
+) -> DataFrame:
+    """Deterministic proportional interleave of multiple sources —
+    the data-loading schedule of a mixed-corpus training run ("70%
+    web, 20% code, 10% books"): stride scheduling, the classic
+    proportional-share algorithm.
+
+    Each source's rows are ranked by their portable hash (a frozen
+    uniform shuffle within source), and row r of a source with weight
+    w is placed at mix position r / w: a weight-0.5 source occupies
+    every 2nd slot, weight-0.1 every 10th, so any prefix of the
+    schedule holds each source in its target proportion (within ±1) —
+    without materializing a global order.
+
+    Output adds ``mix_rank`` (rank within source) and ``mix_pos``
+    (the interleave key).  Consumers range-partition / sort by
+    ``mix_pos`` when laying out shards; this operator itself costs
+    one hash shuffle on ``source_col`` for the window (at 100 TB:
+    partition count follows the source count — salt the window by
+    hash-bucket and re-rank with a second pass if a single source
+    outgrows an executor; noted rather than implemented since the
+    testdata's 5 sources are far from that bound).
+
+    Weights need not sum to 1 (only ratios matter); unknown sources
+    get ``default_weight``.
+    """
+    w_expr = F.lit(default_weight)
+    for src, w in weights.items():
+        w_expr = F.when(F.col(source_col) == src, F.lit(w)).otherwise(w_expr)
+    h = portable_hash60(
+        F.concat(F.lit("mix:"), F.col(id_col).cast("string"))
+    )
+    rank_w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("mix_rank", F.row_number().over(rank_w))
+        .withColumn("mix_pos", F.col("mix_rank") / w_expr)
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from musicflow_spark.operators.sampling import (
     bernoulli_sample,
+    mixture_interleave,
     chunk_documents,
     global_hash_sample,
     hash_split,
@@ -273,6 +274,37 @@ ORDER BY {h}, doc_id LIMIT {GLOBAL_SAMPLE_K}
 """
 
 
+MIX_WEIGHTS = {"en": 0.5, "zh": 0.15, "es": 0.15, "de": 0.1}
+MIX_DEFAULT = 0.1
+
+
+def doc_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-interleave schedule (ext): stride scheduling of the
+    documents corpus by language weights — any prefix of the mix_pos
+    order carries each language in its target proportion.  Fully
+    hash-deterministic, so the oracle replays rank and position
+    exactly (operators/sampling.py::mixture_interleave)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return mixture_interleave(
+        docs, "lang", MIX_WEIGHTS, "doc_id", default_weight=MIX_DEFAULT
+    ).select("doc_id", "lang", "mix_rank", "mix_pos")
+
+
+def _mixture_oracle_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in MIX_WEIGHTS.items()
+    ) + f" ELSE {MIX_DEFAULT} END"
+    h = _H.format(x="'mix:' || cast(doc_id AS varchar)")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS mix_rank
+  FROM documents)
+SELECT doc_id, lang, mix_rank, mix_rank / ({case}) AS mix_pos
+FROM ranked
+"""
+
+
 QUERIES = [
     Query(
         "doc_split_assign",
@@ -315,5 +347,11 @@ QUERIES = [
         "ext: exactly-k global hash sample (top-k, no global sort)",
         doc_global_sample,
         _global_sample_oracle_sql(),
+    ),
+    Query(
+        "doc_mixture_schedule",
+        "ext: stride-scheduled corpus mixture interleave",
+        doc_mixture_schedule,
+        _mixture_oracle_sql(),
     ),
 ]

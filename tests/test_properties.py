@@ -130,3 +130,38 @@ def test_portable_hash60_matches_duckdb(batch):
         ).fetchall()
     )
     assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    # reference DP edit distance for the fuzzy-join property
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SET
+@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=8), min_size=2, max_size=20))
+def test_fuzzy_pairs_dist1_matches_quadratic(strings):
+    # small alphabet + short strings force dense deletion-key
+    # collisions; the blocked join must equal the quadratic scan
+    from musicflow_spark.operators.fuzzyjoin import fuzzy_pairs_dist1
+
+    spark = _get_spark()
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist) for r in fuzzy_pairs_dist1(df, "id", "s").collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 1
+    }
+    assert got == want

@@ -227,3 +227,34 @@ class TestSplitContamination:
         # no pair is reported by both tiers
         near_pairs = {(r["eval_id"], r["train_id"]) for r in out if r["kind"] == "near"}
         assert not (exact_pairs & near_pairs)
+
+
+class TestMixtureInterleave:
+    WEIGHTS = {"lang0": 0.5, "lang1": 0.25}  # lang2 -> default 0.1
+
+    def test_prefix_proportionality_exact(self, docs):
+        from musicflow_spark.operators.sampling import mixture_interleave
+
+        out = mixture_interleave(
+            docs, "lang", self.WEIGHTS, "id", default_weight=0.1
+        ).collect()
+        w = {"lang0": 0.5, "lang1": 0.25, "lang2": 0.1}
+        per_lang_total = {}
+        for r in out:
+            per_lang_total[r["lang"]] = max(per_lang_total.get(r["lang"], 0), r["mix_rank"])
+        # stride scheduling invariant: rows of source s with
+        # mix_pos <= P are exactly those with rank <= P * w_s
+        import math
+
+        for P in (10.0, 37.5, 100.0, 400.0):
+            for lang, wt in w.items():
+                got = sum(1 for r in out if r["lang"] == lang and r["mix_pos"] <= P)
+                want = min(math.floor(P * wt + 1e-9), per_lang_total[lang])
+                assert got == want, (P, lang, got, want)
+
+    def test_deterministic(self, docs):
+        from musicflow_spark.operators.sampling import mixture_interleave
+
+        a = sorted(map(tuple, mixture_interleave(docs, "lang", self.WEIGHTS, "id").collect()))
+        b = sorted(map(tuple, mixture_interleave(docs, "lang", self.WEIGHTS, "id").collect()))
+        assert a == b
