@@ -251,6 +251,66 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------- mergeable exact moments
+def incremental_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable second-moment statistics (ext): per-event-type
+    variance maintained incrementally as EXACT integer sums — (n,
+    Σcents, Σcents²) are algebraic, so they ride the same
+    merge_partial_rollups path as the user rollup, and the variance
+    is DERIVED from exact integers at read time:
+    var_pop = (Σx² − (Σx)²/n) / n in cents².  No Welford-style
+    floating accumulation anywhere, so merge order cannot drift the
+    result and the DuckDB full-recompute oracle matches bit-for-bit
+    (the only doubles are the final, identical-on-both-engines
+    divisions).  Demonstrates that a 100 TB metrics store keeps
+    stddev/variance incrementally for free once measures are stored
+    as integer sums."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        _cents("value").alias("c"),
+    )
+    cutoff = ev.agg(F.max("day").alias("d1"))
+    ev = ev.join(F.broadcast(cutoff), F.lit(True), "inner")
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("sum_cents"),
+            F.sum(F.col("c") * F.col("c")).alias("sumsq_cents"),
+        )
+
+    hist = _agg(ev.filter(F.col("day") < F.col("d1")))
+    delta = _agg(ev.filter(F.col("day") == F.col("d1")))
+    merged = merge_partial_rollups([hist, delta], ["event_type"])
+    n = F.col("n_events").cast("double")
+    s = F.col("sum_cents").cast("double")
+    s2 = F.col("sumsq_cents").cast("double")
+    return merged.select(
+        "event_type",
+        "n_events",
+        "sum_cents",
+        "sumsq_cents",
+        ((s2 - s * s / n) / n).alias("var_pop_cents2"),
+    )
+
+
+INCREMENTAL_VALUE_MOMENTS_SQL = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         sum(c)     AS sum_cents,
+         sum(c * c) AS sumsq_cents
+  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+  GROUP BY event_type)
+SELECT event_type, n_events, sum_cents, sumsq_cents,
+       (CAST(sumsq_cents AS DOUBLE)
+        - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n_events AS DOUBLE))
+       / CAST(n_events AS DOUBLE) AS var_pop_cents2
+FROM m
+"""
+
+
 # ------------------------------------------------------- z-order preview
 ZORDER_BITS = 10
 ZORDER_COLS = ["user_id", "value_cents"]
@@ -313,4 +373,5 @@ QUERIES = [
     Query("scd2_customer_history", "ext: SCD Type-2 snapshot merge", scd2_customer_history, SCD2_CUSTOMER_HISTORY_SQL),
     Query("incremental_user_rollup", "ext: partial-aggregate merge == recompute", incremental_user_rollup, INCREMENTAL_USER_ROLLUP_SQL),
     Query("zorder_key_preview", "ext: Z-order layout key (multi-column data skipping)", zorder_key_preview, _zorder_oracle_sql()),
+    Query("incremental_value_moments", "ext: mergeable exact variance (integer moments)", incremental_value_moments, INCREMENTAL_VALUE_MOMENTS_SQL),
 ]

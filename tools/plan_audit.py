@@ -37,6 +37,7 @@ CARTESIAN_OK = {
     "doc_split_contamination", # inherits jaccard's 1-row common-shingle broadcast
     "doc_dup_spans",           # inherits jaccard's 1-row common-shingle broadcast
     "incremental_user_rollup", # 1-row cutoff-day broadcast (delta boundary)
+    "incremental_value_moments", # same 1-row cutoff-day broadcast
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -52,6 +53,7 @@ SINGLE_OK = {
     "daily_event_spine",       # scalar min/max bounds (1 row by construction)
     "daily_moving_stats",      # global window on the day-grain aggregate (dozens of rows)
     "incremental_user_rollup", # scalar max-day cutoff (1 row by construction)
+    "incremental_value_moments", # scalar max-day cutoff (1 row by construction)
     "small_quantity_revenue",  # final global scalar aggregate (1 row by construction)
 }
 
