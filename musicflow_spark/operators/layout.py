@@ -10,11 +10,11 @@ column prunes most files before a byte is read (the technique behind
 Delta/Iceberg OPTIMIZE ZORDER; public space-filling-curve layout
 literature).
 
-The key is integer-only: each column is affinely mapped onto
-[0, 2^bits) with long arithmetic (no doubles, so the same key is
-reproducible in any engine — the registered preview query's DuckDB
-oracle recomputes it bit-for-bit), then bits are interleaved with
-native shift/and/or expressions.  Everything is Catalyst expressions;
+The key is engine-portable: each column is affinely mapped onto
+[0, 2^bits) divide-first in IEEE doubles (exact for spans < 2^53 and
+overflow-free for any span — see _scaled), so the registered preview
+query's DuckDB oracle recomputes it bit-for-bit, then bits are
+interleaved with native shift/and/or expressions.  Everything is Catalyst expressions;
 the only driver-side data is the 1-row min/max bounds aggregate.
 
 At scale: repartitionByRange on the key is one range shuffle (the
@@ -30,12 +30,18 @@ from pyspark.sql import functions as F
 
 
 def _scaled(col: str, lo: int, hi: int, bits: int) -> Column:
-    """Affine map of a long column onto [0, 2^bits) using pure
-    integer arithmetic: ((x - lo) * (2^bits - 1)) div max(hi - lo, 1).
-    Engine-portable (no floating point)."""
+    """Affine map of a long column onto [0, 2^bits):
+    ((x - lo) / span) * (2^bits - 1), evaluated divide-FIRST in
+    doubles so no 64-bit product can overflow for wide-span columns
+    (epoch-micros spans ~1e15 would wrap a (x-lo)*65535 long
+    multiply).  (x - lo) is an exact double for spans < 2^53; the
+    divide and multiply are correctly-rounded IEEE ops, so any
+    IEEE-conformant engine (the DuckDB oracle included) reproduces
+    the result bit-for-bit when it evaluates the SAME operation
+    order."""
     span = max(hi - lo, 1)
     top = (1 << bits) - 1
-    return ((F.col(col) - F.lit(lo)) * F.lit(top)) / F.lit(span)
+    return ((F.col(col) - F.lit(lo)) / F.lit(float(span))) * F.lit(top)
 
 
 def morton_key(cols: list[str], bounds: dict[str, tuple[int, int]], bits: int = 16) -> Column:
@@ -65,6 +71,11 @@ def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[int, int]]:
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     row = df.agg(*aggs).first()
+    for c in cols:
+        if row[f"_lo_{c}"] is None:
+            raise ValueError(
+                f"cannot z-order on {c!r}: no non-null values (empty input?)"
+            )
     return {c: (int(row[f"_lo_{c}"]), int(row[f"_hi_{c}"])) for c in cols}
 
 

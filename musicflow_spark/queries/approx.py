@@ -75,9 +75,11 @@ GROUP BY event_type
 def approx_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag approximate median of l_extendedprice
     (percentile_approx, accuracy 10000 => rank error <= n/10000),
-    gated by recomputing the returned value's true rank: the count of
-    rows <= the sketch's answer must sit within 48-52% of the group
-    (+10 rows slack for ties).  The gate is the oracle-checkable
+    gated by recomputing the returned value's true rank band: rows
+    STRICTLY BELOW the sketch's answer must not exceed 52% of the
+    group, rows AT-OR-BELOW must reach 48% — the two-sided bound that
+    stays sound under arbitrarily heavy ties at the median (a tied
+    mass inflates <= but never <).  The gate is the oracle-checkable
     column; the sketch value itself never leaves Spark.
 
     Plan: one agg for the sketch (tiny result, broadcast back), one
@@ -96,13 +98,16 @@ def approx_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") <= F.col("m")).cast("long")).alias(
                 "_n_le"
             ),
+            F.sum((F.col("l_extendedprice") < F.col("m")).cast("long")).alias(
+                "_n_lt"
+            ),
         )
         .select(
             F.col("l_returnflag").alias("flag"),
             "n_rows",
             (
                 (F.col("_n_le") >= F.col("n_rows") * 0.48)
-                & (F.col("_n_le") <= F.col("n_rows") * 0.52 + 10)
+                & (F.col("_n_lt") <= F.col("n_rows") * 0.52)
             ).alias("p50_ok"),
         )
     )

@@ -339,10 +339,13 @@ def zorder_key_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_oracle_sql() -> str:
     n = len(ZORDER_COLS)
     tops = (1 << ZORDER_BITS) - 1
+    # divide-FIRST, multiply second — the exact operation order of
+    # operators/layout.py::_scaled, so the IEEE doubles agree
     scaled = {
         c: (
-            f"CAST(floor(((t.{c} - b.lo_{c}) * {tops}) /"
-            f" (CASE WHEN b.hi_{c} > b.lo_{c} THEN b.hi_{c} - b.lo_{c} ELSE 1 END)) AS BIGINT)"
+            f"CAST(floor(((t.{c} - b.lo_{c}) /"
+            f" (CASE WHEN b.hi_{c} > b.lo_{c} THEN b.hi_{c} - b.lo_{c} ELSE 1 END))"
+            f" * {tops}) AS BIGINT)"
         )
         for c in ZORDER_COLS
     }

@@ -11,9 +11,10 @@ into O(1) state per key, so the state store scales with |users|,
 not |events|, and the emitted row per key per batch is the current
 running total (Update mode).
 
-Cents arithmetic matches the batch twin exactly (HALF-UP like
-Spark's ``round``, not numpy's half-even), so the converged state is
-bit-equal to ``groupBy(user).agg(count, sum(round(value*100)))``.
+Cents are computed IN SPARK (``round(value*100)::long``) before the
+stateful operator, so the state accumulates exact integers with the
+same HALF-UP semantics as the batch twin — the Python side only sums
+longs and cannot drift on rounding boundaries.
 
 ENVIRONMENT GATE: transformWithStateInPandas requires the
 ``protobuf`` Python package (its state server speaks protobuf to the
@@ -36,13 +37,14 @@ OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_cents BIGINT"
 _STATE_SCHEMA = "n BIGINT, s BIGINT"
 
 
-def _cents_half_up(values) -> int:
-    """Integer cents with Spark's ROUND semantics (half away from
-    zero), vectorized."""
-    import numpy as np
+def _with_cents(events: DataFrame) -> DataFrame:
+    """Project to (user_id, cents) with Spark's own HALF-UP rounding —
+    the stateful operators only ever sum exact integers."""
+    from pyspark.sql import functions as F
 
-    x = np.asarray(values, dtype="float64") * 100.0
-    return int(np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).sum())
+    return events.select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
 
 
 def requires_protobuf() -> None:
@@ -80,7 +82,7 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
             n, s = self._agg.get() if self._agg.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                s += _cents_half_up(pdf["value"])
+                s += int(pdf["cents"].sum())
             self._agg.update((n, s))
             yield pd.DataFrame(
                 [{"user_id": key[0], "n_events": n, "sum_cents": s}]
@@ -90,7 +92,7 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
             pass
 
     return (
-        events.select("user_id", "value")
+        _with_cents(events)
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=RunningUserStats(),
@@ -113,12 +115,12 @@ def running_user_stats_stream_legacy(events: DataFrame) -> DataFrame:
         n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += _cents_half_up(pdf["value"])
+            s += int(pdf["cents"].sum())
         state.update((n, s))
         yield pd.DataFrame([{"user_id": key[0], "n_events": n, "sum_cents": s}])
 
     return (
-        events.select("user_id", "value")
+        _with_cents(events)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

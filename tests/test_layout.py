@@ -77,3 +77,18 @@ def test_column_bounds_scalar(spark):
         F.col("id").alias("a"), (F.col("id") * 2).alias("b")
     )
     assert column_bounds(df, ["a", "b"]) == {"a": (0, 99), "b": (0, 198)}
+
+
+def test_morton_key_wide_span_no_overflow(spark):
+    # epoch-micros-sized spans must not wrap the scaling arithmetic
+    # (a (x-lo)*65535 long multiply would); extremes map to the
+    # all-zeros / all-ones keys
+    span = 10**15
+    df = spark.createDataFrame([(0, 0), (span, span)], "x long, y long")
+    bounds = {"x": (0, span), "y": (0, span)}
+    got = sorted(
+        r.k
+        for r in df.select(morton_key(["x", "y"], bounds, bits=16).alias("k")).collect()
+    )
+    assert got == [0, (1 << 32) - 1]
+    assert all(k >= 0 for k in got)
