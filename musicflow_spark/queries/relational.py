@@ -717,6 +717,106 @@ WHERE l_quantity < qty_thresh
 """
 
 
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: customers above the average positive account
+    balance with NO orders in the trailing 90 days — scalar-subquery
+    threshold + anti join + group rollup.  Both scalars (the balance
+    threshold and the date cutoff) derive from exact integer
+    aggregates / max, so the comparisons cannot drift; each rides a
+    1-row broadcast.  The anti join shuffles on custkey only after
+    the balance filter pruned the build side."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("sc"), F.count(F.lit(1)).alias("n"))
+        .select((F.col("sc") / (F.col("n") * 100.0)).alias("bal_thresh"))
+    )
+    cutoff = orders.agg(
+        F.date_sub(F.max("o_orderdate"), 90).alias("d_cut")
+    )
+    recent = orders.join(F.broadcast(cutoff), F.lit(True)).filter(
+        F.col("o_orderdate") >= F.col("d_cut")
+    )
+    rich = cust.join(F.broadcast(thresh), F.lit(True)).filter(
+        F.col("c_acctbal") > F.col("bal_thresh")
+    )
+    dormant = rich.join(
+        recent.select("o_custkey"),
+        rich["c_custkey"] == recent["o_custkey"],
+        "left_anti",
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(cents).alias("acctbal_cents"),
+    )
+
+
+DORMANT_RICH_CUSTOMERS_SQL = """
+WITH t AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+         / (count(*) * 100.0) AS bal_thresh
+  FROM customer WHERE c_acctbal > 0),
+cut AS (
+  SELECT max(o_orderdate) - INTERVAL 90 DAY AS d_cut FROM orders),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders, cut WHERE o_orderdate >= d_cut)
+SELECT c.c_nationkey,
+       count(*) AS n_custs,
+       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+FROM customer c, t
+WHERE c.c_acctbal > t.bal_thresh
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c.c_nationkey
+"""
+
+
+def promo_revenue_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: disjunction of conjunctive brackets over a
+    part⋈lineitem join — the OR-of-ANDs predicate Catalyst must split
+    into per-scan pushdowns (common conjuncts reach both scans; the
+    mixed-table disjunction evaluates post-join).  part is broadcast;
+    revenue in exact cents."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+PROMO_REVENUE_BRACKETS_SQL = """
+SELECT sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1  AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
@@ -736,4 +836,6 @@ QUERIES = [
     Query("customer_segment_deciles", "ext: ntile/percent_rank windows", customer_segment_deciles, CUSTOMER_SEGMENT_DECILES_SQL),
     Query("top_orders_per_nation", "ext: partitioned window top-k; W1,O1", top_orders_per_nation, TOP_ORDERS_PER_NATION_SQL, bench=True),
     Query("small_quantity_revenue", "ext: correlated group-aggregate filter (Q17 shape)", small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
+    Query("dormant_rich_customers", "ext: scalar-threshold + anti join rollup (Q22 shape)", dormant_rich_customers, DORMANT_RICH_CUSTOMERS_SQL),
+    Query("promo_revenue_brackets", "ext: OR-of-ANDs bracket pushdown (Q19 shape)", promo_revenue_brackets, PROMO_REVENUE_BRACKETS_SQL),
 ]

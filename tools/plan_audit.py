@@ -38,6 +38,7 @@ CARTESIAN_OK = {
     "doc_dup_spans",           # inherits jaccard's 1-row common-shingle broadcast
     "incremental_user_rollup", # 1-row cutoff-day broadcast (delta boundary)
     "incremental_value_moments", # same 1-row cutoff-day broadcast
+    "dormant_rich_customers",  # 1-row balance-threshold + date-cutoff broadcasts
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -55,6 +56,8 @@ SINGLE_OK = {
     "incremental_user_rollup", # scalar max-day cutoff (1 row by construction)
     "incremental_value_moments", # scalar max-day cutoff (1 row by construction)
     "small_quantity_revenue",  # final global scalar aggregate (1 row by construction)
+    "dormant_rich_customers",  # scalar threshold/cutoff aggregates (1 row by construction)
+    "promo_revenue_brackets",  # final global scalar aggregate (1 row by construction)
 }
 
 
