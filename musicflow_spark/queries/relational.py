@@ -817,6 +817,318 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BET
 """
 
 
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: revenue flow between two nations by ship year
+    — the same dimension (nation) joined twice under different roles,
+    with a cross-role inequality evaluated post-join.
+
+    Scale shape: both role-filtered dimension chains (supplier⋈nation,
+    customer⋈nation) collapse to small broadcasts, and each prunes its
+    fact side BEFORE the one big shuffle (lineitem⋈orders on orderkey)
+    — with two of 25 nations kept, ~92% of each fact never shuffles."""
+    li, orders, cust, supp, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    keep = ("NATION_3", "NATION_7")
+    sup = (
+        supp.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .filter(F.col("supp_nation").isin(*keep))
+        .select("s_suppkey", "supp_nation")
+    )
+    cus = (
+        cust.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .filter(F.col("cust_nation").isin(*keep))
+        .select("c_custkey", "cust_nation")
+    )
+    li_s = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    ord_c = orders.join(
+        F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    return (
+        li_s.join(ord_c, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+NATION_PAIR_TRADE_VOLUME_SQL = """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       year(l.l_shipdate) AS ship_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_3', 'NATION_7')
+  AND nc.n_name IN ('NATION_3', 'NATION_7')
+  AND ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+"""
+
+
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: one nation's share of ECONOMY-part revenue
+    sold into the ASIA region, per order year — a conditional-sum
+    ratio over a five-table join.
+
+    Scale shape: part filter, supplier⋈nation role chain, and
+    region⋈nation⋈customer chain all broadcast and prune the facts
+    before the single lineitem⋈orders shuffle.  The share divides two
+    exact cent sums (long/long): one IEEE divide, identical in both
+    engines — no float-sum drift possible."""
+    li, orders, cust, supp, nation, region, part = _t(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
+    )
+    econ = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sup = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    asia_keys = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("a_nk"))
+    )
+    asia_cust = cust.join(
+        F.broadcast(asia_keys), F.col("c_nationkey") == F.col("a_nk")
+    ).select("c_custkey")
+    li_f = li.join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey")).join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    ord_f = orders.join(
+        F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").alias("order_year"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li_f.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("order_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "order_year",
+            "nation_cents",
+            "total_cents",
+            (F.col("nation_cents") / F.col("total_cents")).alias("mkt_share"),
+        )
+    )
+
+
+MARKET_SHARE_BY_YEAR_SQL = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS order_year,
+         ns.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA')
+SELECT order_year,
+       sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END) AS nation_cents,
+       sum(cents) AS total_cents,
+       sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+         / sum(cents) AS mkt_share
+FROM j
+GROUP BY order_year
+"""
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: parts whose revenue exceeds a fraction of
+    GLOBAL revenue — group-by with a scalar-subquery HAVING.
+
+    Scale shape: the global total re-aggregates the per-part partials
+    (one extra reduce over an already-tiny frame) instead of a second
+    scan of lineitem, then rides a 1-row broadcast back.  The
+    threshold multiplies an exact long by a literal — one IEEE op,
+    portable."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("part_cents")
+    )
+    per_part = per_part.localCheckpoint(eager=False)
+    total = per_part.agg(F.sum("part_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total), F.lit(True))
+        .filter(F.col("part_cents") > F.col("total_cents") * 0.0007)
+        .select("l_partkey", "part_cents")
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS part_cents
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, part_cents
+FROM per_part
+WHERE part_cents > (SELECT sum(part_cents) FROM per_part) * 0.0007
+"""
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose summed lineitem quantity tops a
+    threshold, joined back to orders⋈customer — the
+    aggregate-then-semi-join idiom.
+
+    Scale shape: the HAVING survivors are a tiny frame (p99 of
+    per-order quantity is 262 vs the 300 cut), so they broadcast back
+    to orders — the only shuffle is the lineitem groupBy on orderkey.
+    Quantities are integral; summed as longs."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "total_qty",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("totalprice_cents"),
+        )
+    )
+
+
+LARGE_VOLUME_ORDERS_SQL = """
+SELECT c.c_name,
+       o.o_orderkey,
+       o.o_orderdate,
+       big.total_qty,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents
+FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers who were the ONLY late shipper on a
+    multi-supplier order ("late" = shipped >100 days after the order
+    date; this corpus has no commit/receipt dates).  The classic
+    EXISTS + NOT-EXISTS double self-correlation, rewritten as one
+    aggregation pass: per (order, supplier) compute any-late, then per
+    order count suppliers and late suppliers, keep (late ∧ n_supps≥2 ∧
+    n_late=1).  The oracle states the textbook EXISTS/NOT-EXISTS form,
+    certifying the rewrite.
+
+    Scale shape: lineitem⋈orders co-partitions on orderkey; the
+    (order,supplier) aggregate reuses that partitioning (orderkey is a
+    prefix of the grouping key), the per-order rollup stays on the
+    same key, and the qualifying-order list is tiny so it broadcasts
+    back — no self-join of lineitem ever materializes."""
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    lo = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 100)).cast(
+                "int"
+            )
+        ).alias("late")
+    )
+    per_os = per_os.localCheckpoint(eager=False)
+    sole_orders = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supps"),
+            F.sum("late").alias("n_late"),
+        )
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late") == 1))
+        .select(F.col("l_orderkey").alias("sole_ok"))
+    )
+    return (
+        per_os.filter(F.col("late") == 1)
+        .join(F.broadcast(sole_orders), F.col("l_orderkey") == F.col("sole_ok"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+SOLE_LATE_SHIPPERS_SQL = """
+WITH lo AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk, l.l_shipdate AS sd, o.o_orderdate AS od
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+late AS (
+  SELECT DISTINCT ok, sk FROM lo WHERE sd > od + INTERVAL 100 DAY)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier s ON l1.sk = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lo l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
@@ -838,4 +1150,9 @@ QUERIES = [
     Query("small_quantity_revenue", "ext: correlated group-aggregate filter (Q17 shape)", small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
     Query("dormant_rich_customers", "ext: scalar-threshold + anti join rollup (Q22 shape)", dormant_rich_customers, DORMANT_RICH_CUSTOMERS_SQL),
     Query("promo_revenue_brackets", "ext: OR-of-ANDs bracket pushdown (Q19 shape)", promo_revenue_brackets, PROMO_REVENUE_BRACKETS_SQL),
+    Query("nation_pair_trade_volume", "ext: dual-role dimension join (Q7 shape)", nation_pair_trade_volume, NATION_PAIR_TRADE_VOLUME_SQL),
+    Query("market_share_by_year", "ext: conditional-sum ratio over 5-table join (Q8 shape)", market_share_by_year, MARKET_SHARE_BY_YEAR_SQL),
+    Query("important_parts", "ext: group-by vs global-scalar HAVING (Q11 shape)", important_parts, IMPORTANT_PARTS_SQL),
+    Query("large_volume_orders", "ext: aggregate-then-semi-join (Q18 shape)", large_volume_orders, LARGE_VOLUME_ORDERS_SQL),
+    Query("sole_late_shippers", "ext: EXISTS+NOT-EXISTS self-correlation (Q21 shape)", sole_late_shippers, SOLE_LATE_SHIPPERS_SQL, bench=True),
 ]

@@ -368,6 +368,143 @@ FROM t CROSS JOIN b
 """
 
 
+def nation_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (no sketch): median and p75 of order
+    value per customer nation, via ``F.percentile`` over integer
+    cents.
+
+    Portability note: both engines define the continuous quantile at
+    rank p·(n-1) with linear interpolation.  The probed points are
+    DYADIC (0.5, 0.75), so the interpolation arithmetic on exact
+    integer cents is exact in IEEE-754 regardless of whether the
+    engine computes a+f·(b-a) or (1-f)·a+f·b — non-dyadic fractions
+    (e.g. 0.9) would differ in the last ulp between those forms.
+
+    Scale shape: customer is a broadcast dimension; the percentile
+    aggregates shuffle once on nationkey.  Exact percentile holds the
+    per-group values — the documented scale swap is
+    ``approx_median_prices``' percentile_approx (sketch, mergeable);
+    this query is its exact anchor at the same API surface."""
+    orders, cust = (
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+    )
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_nationkey", _cents("o_totalprice").alias("cents"))
+    return j.groupBy("c_nationkey").agg(
+        F.percentile("cents", 0.5).alias("p50_cents"),
+        F.percentile("cents", 0.75).alias("p75_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+NATION_VALUE_PERCENTILES_SQL = """
+SELECT c.c_nationkey,
+       quantile_cont(CAST(round(o.o_totalprice * 100) AS BIGINT), 0.5)  AS p50_cents,
+       quantile_cont(CAST(round(o.o_totalprice * 100) AS BIGINT), 0.75) AS p75_cents,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+def segment_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface: INTERSECT / EXCEPT (distinct semantics)
+    between two customer populations — the BUILDING market segment vs
+    customers who placed an order over $400k — labelled and counted.
+
+    Scale shape: set ops hash-shuffle on the full row (here a single
+    key column), identical to a distinct groupBy; the three branches
+    share the two scans via lazy reuse and AQE coalesces the tiny
+    post-set-op partitions."""
+    orders, cust = (
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+    )
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    both = seg.intersect(big).withColumn("membership", F.lit("both"))
+    seg_only = seg.subtract(big).withColumn("membership", F.lit("seg_only"))
+    big_only = big.subtract(seg).withColumn("membership", F.lit("big_only"))
+    return (
+        both.unionByName(seg_only)
+        .unionByName(big_only)
+        .groupBy("membership")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SEGMENT_CUSTOMER_OVERLAP_SQL = """
+WITH seg AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+big AS (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000),
+labelled AS (
+  SELECT c_custkey, 'both' AS membership FROM (SELECT * FROM seg INTERSECT SELECT * FROM big)
+  UNION ALL
+  SELECT c_custkey, 'seg_only' FROM (SELECT * FROM seg EXCEPT SELECT * FROM big)
+  UNION ALL
+  SELECT c_custkey, 'big_only' FROM (SELECT * FROM big EXCEPT SELECT * FROM seg))
+SELECT membership, count(*) AS n_customers
+FROM labelled
+GROUP BY membership
+"""
+
+
+def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: per-nation order metrics unpivoted into
+    (nation, metric, value) rows via ``DataFrame.unpivot`` — the
+    melt surface (tidy-format export, the transpose of
+    ``user_event_pivot``).
+
+    Scale shape: unpivot is a narrow projection (no shuffle — each
+    wide row emits k long rows in place); the only shuffle is the
+    upstream groupBy.  All measures are exact longs."""
+    orders, cust = (
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+    )
+    wide = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+            F.max(_cents("o_totalprice")).alias("max_cents"),
+        )
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["n_orders", "total_cents", "max_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+NATION_METRICS_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT c.c_nationkey,
+         count(*) AS n_orders,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents,
+         max(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS max_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey)
+SELECT c_nationkey, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, total_cents, max_cents))
+"""
+
+
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
@@ -377,4 +514,7 @@ QUERIES = [
     Query("incremental_user_rollup", "ext: partial-aggregate merge == recompute", incremental_user_rollup, INCREMENTAL_USER_ROLLUP_SQL),
     Query("zorder_key_preview", "ext: Z-order layout key (multi-column data skipping)", zorder_key_preview, _zorder_oracle_sql()),
     Query("incremental_value_moments", "ext: mergeable exact variance (integer moments)", incremental_value_moments, INCREMENTAL_VALUE_MOMENTS_SQL),
+    Query("nation_value_percentiles", "ext: exact grouped percentiles (dyadic, bit-portable)", nation_value_percentiles, NATION_VALUE_PERCENTILES_SQL),
+    Query("segment_customer_overlap", "ext: INTERSECT/EXCEPT set-operator surface", segment_customer_overlap, SEGMENT_CUSTOMER_OVERLAP_SQL),
+    Query("nation_metrics_unpivot", "ext: unpivot/melt wide-to-long reshape", nation_metrics_unpivot, NATION_METRICS_UNPIVOT_SQL),
 ]

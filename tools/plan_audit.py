@@ -39,6 +39,7 @@ CARTESIAN_OK = {
     "incremental_user_rollup", # 1-row cutoff-day broadcast (delta boundary)
     "incremental_value_moments", # same 1-row cutoff-day broadcast
     "dormant_rich_customers",  # 1-row balance-threshold + date-cutoff broadcasts
+    "important_parts",         # 1-row global-revenue-threshold broadcast (Q11 shape)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -58,6 +59,7 @@ SINGLE_OK = {
     "small_quantity_revenue",  # final global scalar aggregate (1 row by construction)
     "dormant_rich_customers",  # scalar threshold/cutoff aggregates (1 row by construction)
     "promo_revenue_brackets",  # final global scalar aggregate (1 row by construction)
+    "important_parts",         # scalar global-revenue total (1 row by construction)
 }
 
 
