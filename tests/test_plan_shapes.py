@@ -1,0 +1,71 @@
+"""Physical-plan regression guards for the classic-join-shape queries.
+
+Each query's scale story (broadcast pruning, shuffle reuse, no
+cartesian product) is asserted against the EXECUTED plan at sf0.001,
+so a refactor that silently decays the plan — a lost broadcast hint, a
+new cartesian, an extra exchange — fails the suite, not just the
+per-round plan audit.  Bounds are upper bounds measured on the
+intended plan (+1 slack for AQE variation), not exact counts: AQE may
+legally remove exchanges, never add beyond these.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+CASES = [
+    # (query fn module path, max hash exchanges, wants broadcast join)
+    ("relational", "sole_late_shippers", 5, True),
+    ("relational", "large_volume_orders", 3, True),
+    ("relational", "nation_pair_trade_volume", 7, True),
+    ("relational", "market_share_by_year", 6, True),
+    ("warehouse", "nation_value_percentiles", 3, True),
+    ("warehouse", "nation_metrics_unpivot", 3, True),
+    ("warehouse", "segment_customer_overlap", 9, True),
+]
+
+
+@pytest.mark.parametrize("mod,name,max_hash_ex,wants_bcast", CASES)
+def test_plan_shape(spark, mod, name, max_hash_ex, wants_bcast):
+    import importlib
+
+    fn = getattr(
+        importlib.import_module(f"musicflow_spark.queries.{mod}"), name
+    )
+    plan = _executed(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= max_hash_ex, f"{name}: {n_ex} hash exchanges > {max_hash_ex}"
+    if wants_bcast:
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_important_parts_scalar_broadcast_only(spark):
+    """The Q11 shape is ALLOWED its deliberate 1-row scalar broadcast
+    (BroadcastNestedLoopJoin against the global total) but nothing
+    quadratic: no CartesianProduct, and at most one BNLJ."""
+    from musicflow_spark.queries.relational import important_parts
+
+    plan = _executed(important_parts(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # AQE's toString renders the joined subtree twice; one logical
+    # BNLJ appears as (up to) two occurrences
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_unpivot_expands_in_place(spark):
+    """unpivot must stay a narrow Expand projection — no shuffle
+    between the aggregate and the long output."""
+    from musicflow_spark.queries.warehouse import nation_metrics_unpivot
+
+    plan = _executed(nation_metrics_unpivot(spark, SF_DIR))
+    assert "Expand" in plan
