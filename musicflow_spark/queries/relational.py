@@ -1129,6 +1129,49 @@ GROUP BY s.s_suppkey, s.s_name
 """
 
 
+def nullaware_segment_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULLABLE probe key, expressed through the SQL
+    front end (spark.sql over a temp view) — exercises two surfaces
+    no other registered query touches:
+
+    1. ANSI three-valued NOT-IN semantics: ``nullif`` makes MACHINERY
+       probe keys NULL, and ``NULL NOT IN (non-empty set)`` is
+       UNKNOWN, so those rows are dropped — the opposite of what a
+       DataFrame left_anti on ``==`` would do (it KEEPS null-key probe
+       rows).  Catalyst plans this as the null-aware anti join (NAAJ,
+       single-key broadcast form), a dedicated physical operator.
+       If the subquery is empty (possible at tiny SF), NOT IN is TRUE
+       for every row including NULL keys — both engines agree, the
+       oracle stays green at every SF.
+    2. SQL-API parity: the identical SQL text runs on Spark and
+       DuckDB, proving the engine's SQL surface (views, CTEs,
+       subqueries) matches the DataFrame registry path.
+
+    Scale shape: the subquery side is a distinct over a dimension
+    (broadcast, KB-scale); the probe side never shuffles."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("naa_customer")
+    return spark.sql(
+        NULLAWARE_SEGMENT_ANTI_SQL.replace("FROM customer", "FROM naa_customer")
+    )
+
+
+NULLAWARE_SEGMENT_ANTI_SQL = """
+WITH probe AS (
+  SELECT c_custkey,
+         nullif(c_mktsegment, 'MACHINERY') AS seg_key,
+         c_mktsegment
+  FROM customer),
+sub AS (
+  SELECT DISTINCT c_mktsegment AS bad_seg FROM customer
+  WHERE c_acctbal < -990)
+SELECT c_mktsegment, count(*) AS n_customers
+FROM probe
+WHERE seg_key NOT IN (SELECT bad_seg FROM sub)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
@@ -1155,4 +1198,5 @@ QUERIES = [
     Query("important_parts", "ext: group-by vs global-scalar HAVING (Q11 shape)", important_parts, IMPORTANT_PARTS_SQL),
     Query("large_volume_orders", "ext: aggregate-then-semi-join (Q18 shape)", large_volume_orders, LARGE_VOLUME_ORDERS_SQL),
     Query("sole_late_shippers", "ext: EXISTS+NOT-EXISTS self-correlation (Q21 shape)", sole_late_shippers, SOLE_LATE_SHIPPERS_SQL, bench=True),
+    Query("nullaware_segment_anti", "ext: NOT IN three-valued logic / null-aware anti join; SQL front end", nullaware_segment_anti, NULLAWARE_SEGMENT_ANTI_SQL),
 ]

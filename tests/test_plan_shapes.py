@@ -62,6 +62,19 @@ def test_important_parts_scalar_broadcast_only(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_nullaware_anti_join_planned(spark):
+    """The NOT-IN query must plan Spark's null-aware anti join — a
+    BroadcastHashJoin rendered 'LeftAnti, BuildRight, true' (the
+    trailing flag is isNullAwareAntiJoin) — not a nested-loop
+    fallback."""
+    from musicflow_spark.queries.relational import nullaware_segment_anti
+
+    plan = _executed(nullaware_segment_anti(spark, SF_DIR))
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_unpivot_expands_in_place(spark):
     """unpivot must stay a narrow Expand projection — no shuffle
     between the aggregate and the long output."""
