@@ -1176,6 +1176,49 @@ GROUP BY c_mktsegment
 """
 
 
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: count orders per priority having AT LEAST ONE
+    lineitem shipped >90 days after the order date — the EXISTS
+    correlated subquery, planned as an explicit LEFT SEMI join (the
+    one join type no other registered query exercises; J9's semi
+    probes live in the match engine's pytest path).
+
+    Scale shape: the semi join ships only the probe's join key from
+    the build side and short-circuits on first match — no fan-out, so
+    an order with 7 late lineitems still yields one row with zero
+    dedup work.  lineitem is pre-filtered by the date predicate
+    before the orderkey shuffle; the count aggregate reuses nothing
+    exotic — two shuffles total."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lo = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late_keys = lo.filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    ).select("o_orderkey")
+    return (
+        orders.join(
+            late_keys,
+            orders["o_orderkey"] == late_keys["o_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+LATE_ORDER_PRIORITY_COUNTS_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
@@ -1203,4 +1246,5 @@ QUERIES = [
     Query("large_volume_orders", "ext: aggregate-then-semi-join (Q18 shape)", large_volume_orders, LARGE_VOLUME_ORDERS_SQL),
     Query("sole_late_shippers", "ext: EXISTS+NOT-EXISTS self-correlation (Q21 shape)", sole_late_shippers, SOLE_LATE_SHIPPERS_SQL, bench=True),
     Query("nullaware_segment_anti", "ext: NOT IN three-valued logic / null-aware anti join; SQL front end", nullaware_segment_anti, NULLAWARE_SEGMENT_ANTI_SQL),
+    Query("late_order_priority_counts", "ext: EXISTS via explicit LEFT SEMI join (Q4 shape)", late_order_priority_counts, LATE_ORDER_PRIORITY_COUNTS_SQL),
 ]

@@ -62,6 +62,16 @@ def test_important_parts_scalar_broadcast_only(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_left_semi_join_planned(spark):
+    """The Q4-shaped EXISTS must plan an actual LeftSemi join (no
+    fan-out + dedup workaround)."""
+    from musicflow_spark.queries.relational import late_order_priority_counts
+
+    plan = _executed(late_order_priority_counts(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_nullaware_anti_join_planned(spark):
     """The NOT-IN query must plan Spark's null-aware anti join — a
     BroadcastHashJoin rendered 'LeftAnti, BuildRight, true' (the
