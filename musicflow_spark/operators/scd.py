@@ -138,3 +138,58 @@ def merge_partial_rollups(partials: list[DataFrame], keys: list[str]) -> DataFra
     return unioned.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in val_cols]
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Symmetric snapshot reconciliation via FULL OUTER join: classify
+    every key as added / removed / changed / unchanged between two
+    table versions — the regression-diff every pipeline migration
+    needs (reference analogue: the full-refresh dbt rebuild implicitly
+    trusts the new snapshot; this operator makes the delta explicit).
+
+    Returns one row per key: (*keys, diff_status, old_<c>/new_<c> for
+    each compare column, nulls where the side is absent).  Comparison
+    is null-safe (``eqNullSafe``), so a NULL→value transition counts
+    as changed, not unchanged.
+
+    Scale: the full outer join shuffles both sides on the key — at
+    100 TB prefer bucketed snapshots on the same key so the join is
+    co-located; output is key-grain (no fan-out).
+    """
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_old_present"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    same = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in compare_cols
+        ],
+    )
+    status = (
+        F.when(F.col("_old_present").isNull(), F.lit("added"))
+        .when(F.col("_new_present").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out_cols = (
+        keys
+        + [status.alias("diff_status")]
+        + [c for pair in (
+            (f"old_{cc}", f"new_{cc}") for cc in compare_cols
+        ) for c in pair]
+    )
+    return j.select(*out_cols)

@@ -27,7 +27,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from musicflow_spark.operators.dedup import portable_hash60
-from musicflow_spark.operators.scd import merge_partial_rollups, scd2_init, scd2_merge
+from musicflow_spark.operators.scd import (
+    merge_partial_rollups,
+    scd2_init,
+    scd2_merge,
+    snapshot_diff,
+)
 from musicflow_spark.operators.skew import salted_join, salted_sum_count
 from musicflow_spark.queries.registry import Query
 from musicflow_spark.sources.catalog import read_table
@@ -505,6 +510,64 @@ UNPIVOT (value FOR metric IN (n_orders, total_cents, max_cents))
 """
 
 
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/scd.py::snapshot_diff): the
+    FULL OUTER join surface — the one join type no other registered
+    query plans — classifying every customer as added / removed /
+    changed / unchanged between two deterministic snapshot versions.
+
+    The 'new' snapshot derives from the portable 60-bit hash so both
+    engines build the identical delta: bucket<2 → balance +100 cents
+    (changed), bucket=2 → dropped (removed), bucket=3 → re-keyed copy
+    appended (added), the rest untouched (unchanged) — all four
+    classes populated at every SF."""
+    dim = _customer_dim(spark, sf_dir).select("c_custkey", "bal_cents")
+    b = portable_hash60(F.col("c_custkey").cast("string")) % 10
+    bucketed = dim.withColumn("_b", b)
+    new = (
+        bucketed.filter(F.col("_b") != 2)
+        .select(
+            "c_custkey",
+            F.when(F.col("_b") < 2, F.col("bal_cents") + 100)
+            .otherwise(F.col("bal_cents"))
+            .alias("bal_cents"),
+        )
+        .unionByName(
+            bucketed.filter(F.col("_b") == 3).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "bal_cents",
+            )
+        )
+    )
+    return snapshot_diff(dim, new, ["c_custkey"], ["bal_cents"])
+
+
+CUSTOMER_SNAPSHOT_DIFF_SQL = """
+WITH dim AS (
+  SELECT c_custkey, cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer),
+bucketed AS (
+  SELECT *, ('0x' || substr(md5(cast(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+  FROM dim),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN b < 2 THEN bal_cents + 100 ELSE bal_cents END AS bal_cents
+  FROM bucketed WHERE b <> 2
+  UNION ALL
+  SELECT c_custkey + 10000000 AS c_custkey, bal_cents
+  FROM bucketed WHERE b = 3)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.bal_cents IS NOT DISTINCT FROM n.bal_cents THEN 'unchanged'
+            ELSE 'changed' END AS diff_status,
+       o.bal_cents AS old_bal_cents,
+       n.bal_cents AS new_bal_cents
+FROM dim o
+FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
@@ -517,4 +580,5 @@ QUERIES = [
     Query("nation_value_percentiles", "ext: exact grouped percentiles (dyadic, bit-portable)", nation_value_percentiles, NATION_VALUE_PERCENTILES_SQL),
     Query("segment_customer_overlap", "ext: INTERSECT/EXCEPT set-operator surface", segment_customer_overlap, SEGMENT_CUSTOMER_OVERLAP_SQL),
     Query("nation_metrics_unpivot", "ext: unpivot/melt wide-to-long reshape", nation_metrics_unpivot, NATION_METRICS_UNPIVOT_SQL),
+    Query("customer_snapshot_diff", "ext: FULL OUTER snapshot reconciliation (added/removed/changed)", customer_snapshot_diff, CUSTOMER_SNAPSHOT_DIFF_SQL),
 ]

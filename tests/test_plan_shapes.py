@@ -62,6 +62,16 @@ def test_important_parts_scalar_broadcast_only(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_full_outer_join_planned(spark):
+    """Snapshot reconciliation must plan a real FullOuter join (not a
+    union-of-anti-joins emulation)."""
+    from musicflow_spark.queries.warehouse import customer_snapshot_diff
+
+    plan = _executed(customer_snapshot_diff(spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_left_semi_join_planned(spark):
     """The Q4-shaped EXISTS must plan an actual LeftSemi join (no
     fan-out + dedup workaround)."""
