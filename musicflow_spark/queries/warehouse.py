@@ -568,6 +568,52 @@ FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
 """
 
 
+def order_revenue_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (vs daily_moving_stats' ROWS frame): the
+    trailing-7-CALENDAR-day revenue per order day.  RANGE frames
+    differ from ROWS exactly when the series has gaps — a missing day
+    still ages out of a RANGE frame but a ROWS frame would reach
+    further back; registering both locks both semantics.
+
+    Scale: same argument as daily_moving_stats — the global ordered
+    window runs on the day-grain aggregate (one row per day), which
+    is dimension-sized by construction; the raw scan aggregates with
+    an ordinary keyed shuffle first."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(_cents("o_totalprice")).alias("day_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).withColumn(
+        "day_num", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_cents",
+        "n_orders",
+        F.sum("day_cents").over(w).alias("trail7_cents"),
+        F.sum("n_orders").over(w).alias("trail7_orders"),
+    )
+
+
+ORDER_REVENUE_RANGE_WINDOW_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(cast(round(o_totalprice * 100) AS BIGINT)) AS day_cents,
+         count(*) AS n_orders,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+  FROM orders GROUP BY 1, 4)
+SELECT day, day_cents, n_orders,
+       sum(day_cents) OVER (ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail7_cents,
+       sum(n_orders) OVER (ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail7_orders
+FROM daily
+"""
+
+
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
@@ -581,4 +627,5 @@ QUERIES = [
     Query("segment_customer_overlap", "ext: INTERSECT/EXCEPT set-operator surface", segment_customer_overlap, SEGMENT_CUSTOMER_OVERLAP_SQL),
     Query("nation_metrics_unpivot", "ext: unpivot/melt wide-to-long reshape", nation_metrics_unpivot, NATION_METRICS_UNPIVOT_SQL),
     Query("customer_snapshot_diff", "ext: FULL OUTER snapshot reconciliation (added/removed/changed)", customer_snapshot_diff, CUSTOMER_SNAPSHOT_DIFF_SQL),
+    Query("order_revenue_range_window", "ext: RANGE-framed trailing-interval window", order_revenue_range_window, ORDER_REVENUE_RANGE_WINDOW_SQL),
 ]

@@ -54,6 +54,7 @@ SINGLE_OK = {
     "doc_dup_spans",           # scalar common-shingle collect (tiny by construction)
     "daily_event_spine",       # scalar min/max bounds (1 row by construction)
     "daily_moving_stats",      # global window on the day-grain aggregate (dozens of rows)
+    "order_revenue_range_window",  # same day-grain global window (RANGE frame twin)
     "incremental_user_rollup", # scalar max-day cutoff (1 row by construction)
     "incremental_value_moments", # scalar max-day cutoff (1 row by construction)
     "small_quantity_revenue",  # final global scalar aggregate (1 row by construction)
