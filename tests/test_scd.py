@@ -96,3 +96,57 @@ def test_merge_partial_rollups_equals_recompute(spark):
         .collect()
     }
     assert merged == full
+
+
+def _diff_map(rows):
+    return {r["k"]: r["diff_status"] for r in rows}
+
+
+def test_snapshot_diff_classifies_all_four(spark):
+    from musicflow_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, 99), (4, 40)], ["k", "v"]
+    )
+    out = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert _diff_map(out) == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+    }
+    by_k = {r["k"]: r for r in out}
+    assert by_k[3]["new_v"] is None and by_k[3]["old_v"] == 30
+    assert by_k[4]["old_v"] is None and by_k[4]["new_v"] == 40
+
+
+def test_snapshot_diff_null_transition_is_changed(spark):
+    """NULL→value and value→NULL must classify as changed (null-safe
+    compare), and NULL→NULL as unchanged."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from musicflow_spark.operators.scd import snapshot_diff
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("v", IntegerType())]
+    )
+    old = spark.createDataFrame([(1, None), (2, 5), (3, None)], schema)
+    new = spark.createDataFrame([(1, 7), (2, None), (3, None)], schema)
+    out = _diff_map(snapshot_diff(old, new, ["k"], ["v"]).collect())
+    assert out == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_snapshot_diff_empty_sides(spark):
+    from musicflow_spark.operators.scd import snapshot_diff
+
+    frame = spark.createDataFrame([(1, 10)], ["k", "v"])
+    empty = frame.filter(F.lit(False))
+    assert _diff_map(
+        snapshot_diff(frame, empty, ["k"], ["v"]).collect()
+    ) == {1: "removed"}
+    assert _diff_map(
+        snapshot_diff(empty, frame, ["k"], ["v"]).collect()
+    ) == {1: "added"}
