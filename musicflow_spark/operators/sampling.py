@@ -353,8 +353,15 @@ def mixture_interleave(
     testdata's 5 sources are far from that bound).
 
     Weights need not sum to 1 (only ratios matter); unknown sources
-    get ``default_weight``.
+    get ``default_weight``.  All weights must be > 0 — a zero or
+    negative weight would yield a division-by-zero / negative
+    ``mix_pos`` and silently corrupt the schedule.
     """
+    bad = {s: w for s, w in weights.items() if not w > 0}
+    if bad or not default_weight > 0:
+        raise ValueError(
+            f"weights must be > 0: bad={bad}, default_weight={default_weight}"
+        )
     w_expr = F.lit(default_weight)
     for src, w in weights.items():
         w_expr = F.when(F.col(source_col) == src, F.lit(w)).otherwise(w_expr)

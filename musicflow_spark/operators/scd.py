@@ -161,6 +161,11 @@ def snapshot_diff(
     100 TB prefer bucketed snapshots on the same key so the join is
     co-located; output is key-grain (no fan-out).
     """
+    if not compare_cols:
+        raise ValueError(
+            "compare_cols must be non-empty; for presence-only diffing "
+            "pass a key column (added/removed/unchanged, never changed)"
+        )
     o = old.select(
         *keys,
         F.lit(1).alias("_old_present"),

@@ -93,8 +93,8 @@ WITH gaps AS (
   FROM gaps
 ), sessions AS (
   SELECT *,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -287,7 +287,7 @@ spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
 daily AS (
   SELECT date_trunc('day', ts) AS day,
          count(*) AS n_events,
-         sum(cast(round(value * 100) AS bigint)) AS value_cents
+         CAST(sum(cast(round(value * 100) AS bigint)) AS BIGINT) AS value_cents
   FROM events GROUP BY 1)
 SELECT spine.day,
        coalesce(daily.n_events, 0)    AS n_events,
@@ -379,7 +379,7 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_VALUE_HISTOGRAM_SQL = """
 SELECT greatest(least(cast(floor(cast(round(value * 100) AS BIGINT) / 2500) AS BIGINT), 19), 0) AS bin,
        count(*) AS n_events,
-       sum(cast(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1
 """
@@ -413,7 +413,7 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 USER_EVENT_PIVOT_SQL = f"""
 SELECT user_id,
        {", ".join(
-           f"coalesce(sum(cast(round(value * 100) AS bigint)) FILTER (event_type = '{t}'), 0) AS {t}_cents"
+           f"coalesce(CAST(sum(cast(round(value * 100) AS bigint)) FILTER (event_type = '{t}') AS BIGINT), 0) AS {t}_cents"
            for t in EVENT_TYPES
        )}
 FROM events

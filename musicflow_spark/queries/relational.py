@@ -763,7 +763,7 @@ recent AS (
   SELECT DISTINCT o_custkey FROM orders, cut WHERE o_orderdate >= d_cut)
 SELECT c.c_nationkey,
        count(*) AS n_custs,
-       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer c, t
 WHERE c.c_acctbal > t.bal_thresh
   AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
@@ -807,7 +807,7 @@ def promo_revenue_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PROMO_REVENUE_BRACKETS_SQL = """
-SELECT sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_lineitems
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -884,7 +884,7 @@ NATION_PAIR_TRADE_VOLUME_SQL = """
 SELECT ns.n_name AS supp_nation,
        nc.n_name AS cust_nation,
        year(l.l_shipdate) AS ship_year,
-       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -976,8 +976,8 @@ WITH j AS (
   JOIN region r ON nc.n_regionkey = r.r_regionkey
   WHERE r.r_name = 'ASIA')
 SELECT order_year,
-       sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END) AS nation_cents,
-       sum(cents) AS total_cents,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
        sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
          / sum(cents) AS mkt_share
 FROM j
@@ -1012,7 +1012,7 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMPORTANT_PARTS_SQL = """
 WITH per_part AS (
   SELECT l_partkey,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS part_cents
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS part_cents
   FROM lineitem GROUP BY l_partkey)
 SELECT l_partkey, part_cents
 FROM per_part
@@ -1028,7 +1028,10 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the HAVING survivors are a tiny frame (p99 of
     per-order quantity is 262 vs the 300 cut), so they broadcast back
     to orders — the only shuffle is the lineitem groupBy on orderkey.
-    Quantities are integral; summed as longs."""
+    Customer is fact-sized, so it joins un-hinted (AQE picks the
+    strategy; at sf0.1 it still broadcasts, at 100 TB it shuffles on
+    the already-tiny survivor⋈orders frame).  Quantities are
+    integral; summed as longs."""
     li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
     big = (
         li.groupBy("l_orderkey")
@@ -1037,7 +1040,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -1056,7 +1059,7 @@ SELECT c.c_name,
        o.o_orderdate,
        big.total_qty,
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents
-FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
 JOIN orders o ON o.o_orderkey = big.l_orderkey
@@ -1077,8 +1080,12 @@ def sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: lineitem⋈orders co-partitions on orderkey; the
     (order,supplier) aggregate reuses that partitioning (orderkey is a
     prefix of the grouping key), the per-order rollup stays on the
-    same key, and the qualifying-order list is tiny so it broadcasts
-    back — no self-join of lineitem ever materializes.  The obvious
+    same key, and the qualifying-order list joins back un-hinted: its
+    size grows with SF (~1% of orders), so a forced broadcast would
+    eventually blow the 8 GiB cap — AQE broadcasts it while it is
+    below spark.sql.autoBroadcastJoinThreshold and falls back to a
+    shuffle on the already-co-partitioned orderkey otherwise — no
+    self-join of lineitem ever materializes.  The obvious
     "one groupBy with two countDistincts" alternative was measured
     SLOWER (2.3s vs 1.8s at sf0.1): distinct-count pairs expand every
     input row ~3x before the shuffle, costing more than this form's
@@ -1107,7 +1114,7 @@ def sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_os.filter(F.col("late") == 1)
-        .join(F.broadcast(sole_orders), F.col("l_orderkey") == F.col("sole_ok"))
+        .join(sole_orders, F.col("l_orderkey") == F.col("sole_ok"))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(

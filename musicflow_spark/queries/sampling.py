@@ -112,8 +112,8 @@ WITH t AS (
   FROM documents),
 w AS (
   SELECT *,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
   FROM t)
 SELECT doc_id, n_tokens, shard, tok_offset,
        tok_offset // {PACK_BUDGET} AS seq_first,

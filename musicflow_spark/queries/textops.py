@@ -552,7 +552,7 @@ cells AS (
          CASE WHEN ((h >> {EMBED_DIM.bit_length() - 1}) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
   FROM h),
 agg AS (SELECT doc_id, dim, sum(s) AS v FROM cells GROUP BY doc_id, dim)
-SELECT d.doc_id, g.dim, coalesce(agg.v, 0.0) AS v
+SELECT d.doc_id, g.dim, CAST(coalesce(agg.v, 0.0) AS DOUBLE) AS v
 FROM documents d
 CROSS JOIN (SELECT unnest(range({EMBED_DIM})) AS dim) g
 LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.dim = g.dim

@@ -126,7 +126,7 @@ WITH w AS (
   FROM events GROUP BY user_id)
 SELECT w.user_id,
        count(*) AS n_events,
-       sum(cast(round(e.value * 100) AS bigint)) AS value_cents
+       CAST(sum(cast(round(e.value * 100) AS bigint)) AS BIGINT) AS value_cents
 FROM w JOIN events e
   ON e.user_id = w.user_id
  AND e.ts >= w.w_start

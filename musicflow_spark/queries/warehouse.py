@@ -58,7 +58,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKEW_SALTED_AGG_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(cast(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       CAST(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
        count(*) AS cnt
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -87,7 +87,7 @@ def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKEW_SALTED_JOIN_SQL = """
 SELECT o_orderpriority,
-       sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       CAST(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        count(*) AS n_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -114,7 +114,7 @@ ORDER_STATUS_CUBE_SQL = """
 SELECT o_orderpriority, o_orderstatus,
        cast(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
        count(*) AS n_orders,
-       sum(cast(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
@@ -148,13 +148,13 @@ DAILY_MOVING_STATS_SQL = """
 WITH daily AS (
   SELECT date_trunc('day', ts) AS day,
          count(*) AS n_events,
-         sum(cast(round(value * 100) AS BIGINT)) AS value_cents
+         CAST(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
   FROM events GROUP BY 1)
 SELECT day, n_events, value_cents,
-       sum(value_cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-           AS mov7_value_cents,
-       sum(n_events) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum_events
+       CAST(sum(value_cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS mov7_value_cents,
+       CAST(sum(n_events) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_events
 FROM daily
 """
 
@@ -250,7 +250,7 @@ def incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCREMENTAL_USER_ROLLUP_SQL = """
 SELECT user_id,
        count(*) AS n_events,
-       sum(cast(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY user_id
 """
@@ -304,8 +304,8 @@ INCREMENTAL_VALUE_MOMENTS_SQL = """
 WITH m AS (
   SELECT event_type,
          count(*) AS n_events,
-         sum(c)     AS sum_cents,
-         sum(c * c) AS sumsq_cents
+         CAST(sum(c) AS BIGINT)     AS sum_cents,
+         CAST(sum(c * c) AS BIGINT) AS sumsq_cents
   FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
   GROUP BY event_type)
 SELECT event_type, n_events, sum_cents, sumsq_cents,
@@ -499,7 +499,7 @@ NATION_METRICS_UNPIVOT_SQL = """
 WITH wide AS (
   SELECT c.c_nationkey,
          count(*) AS n_orders,
-         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
          max(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS max_cents
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -534,7 +534,10 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             bucketed.filter(F.col("_b") == 3).select(
-                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                # negated key: disjoint from real custkeys at ANY scale
+                # factor (a fixed +10M offset collides once customer
+                # cardinality reaches ~10M rows)
+                (-F.col("c_custkey")).alias("c_custkey"),
                 "bal_cents",
             )
         )
@@ -554,7 +557,7 @@ new AS (
          CASE WHEN b < 2 THEN bal_cents + 100 ELSE bal_cents END AS bal_cents
   FROM bucketed WHERE b <> 2
   UNION ALL
-  SELECT c_custkey + 10000000 AS c_custkey, bal_cents
+  SELECT -c_custkey AS c_custkey, bal_cents
   FROM bucketed WHERE b = 3)
 SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
        CASE WHEN o.c_custkey IS NULL THEN 'added'
@@ -601,15 +604,15 @@ def order_revenue_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDER_REVENUE_RANGE_WINDOW_SQL = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         sum(cast(round(o_totalprice * 100) AS BIGINT)) AS day_cents,
+         CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents,
          count(*) AS n_orders,
          date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
   FROM orders GROUP BY 1, 4)
 SELECT day, day_cents, n_orders,
-       sum(day_cents) OVER (ORDER BY day_num
-         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail7_cents,
-       sum(n_orders) OVER (ORDER BY day_num
-         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail7_orders
+       CAST(sum(day_cents) OVER (ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_cents,
+       CAST(sum(n_orders) OVER (ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_orders
 FROM daily
 """
 

@@ -23,7 +23,10 @@ def _executed(df) -> str:
 
 CASES = [
     # (query fn module path, max hash exchanges, wants broadcast join)
-    ("relational", "sole_late_shippers", 5, True),
+    # 6th exchange = the un-hinted qualifying-order join-back (AQE
+    # broadcasts it at runtime from the shuffle it reads; the forced
+    # hint was dropped as a 100-TB OOM hazard)
+    ("relational", "sole_late_shippers", 6, True),
     ("relational", "large_volume_orders", 3, True),
     ("relational", "nation_pair_trade_volume", 7, True),
     ("relational", "market_share_by_year", 6, True),

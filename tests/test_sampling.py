@@ -258,3 +258,17 @@ class TestMixtureInterleave:
         a = sorted(map(tuple, mixture_interleave(docs, "lang", self.WEIGHTS, "id").collect()))
         b = sorted(map(tuple, mixture_interleave(docs, "lang", self.WEIGHTS, "id").collect()))
         assert a == b
+
+
+def test_mixture_interleave_rejects_nonpositive_weights(spark):
+    import pytest as _pytest
+
+    from musicflow_spark.operators.sampling import mixture_interleave
+
+    df = spark.createDataFrame([("a", "s1")], ["id", "src"])
+    with _pytest.raises(ValueError, match="weights"):
+        mixture_interleave(df, "src", {"s1": 0.0}, "id")
+    with _pytest.raises(ValueError, match="weights"):
+        mixture_interleave(df, "src", {"s1": -1.0}, "id")
+    with _pytest.raises(ValueError, match="weights"):
+        mixture_interleave(df, "src", {"s1": 0.5}, "id", default_weight=0.0)

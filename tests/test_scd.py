@@ -150,3 +150,13 @@ def test_snapshot_diff_empty_sides(spark):
     assert _diff_map(
         snapshot_diff(empty, frame, ["k"], ["v"]).collect()
     ) == {1: "added"}
+
+
+def test_snapshot_diff_rejects_empty_compare_cols(spark):
+    import pytest as _pytest
+
+    from musicflow_spark.operators.scd import snapshot_diff
+
+    frame = spark.createDataFrame([(1, 10)], ["k", "v"])
+    with _pytest.raises(ValueError, match="compare_cols"):
+        snapshot_diff(frame, frame, ["k"], [])

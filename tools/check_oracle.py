@@ -42,6 +42,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Dtype-class gate: the driver hashes values WITH their dtype, so an
+        # integer column on one side vs float on the other (the DuckDB
+        # HUGEINT→float64 path) is a hash mismatch even when values agree.
+        # Fail here, BEFORE the float coercion below masks it.
+        s_int = pd.api.types.is_integer_dtype(sv)
+        o_int = pd.api.types.is_integer_dtype(ov)
+        s_flt = pd.api.types.is_float_dtype(sv)
+        o_flt = pd.api.types.is_float_dtype(ov)
+        if (s_int and o_flt) or (s_flt and o_int):
+            problems.append(
+                f"col {c}: dtype-class mismatch spark={sv.dtype} oracle={ov.dtype}"
+                " (driver hash would differ; CAST the oracle aggregate)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sa = sv.astype(float).to_numpy()
             oa = ov.astype(float).to_numpy()
