@@ -212,6 +212,84 @@ def range_join_bucketed(
     return inner.unionByName(pad)
 
 
+def overlap_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    *,
+    bucket_us: int = US_PER_DAY,
+) -> DataFrame:
+    """Interval x interval overlap join: all (left, right) pairs with
+    equal keys whose half-open spans intersect
+    (``l.lo < r.hi AND r.lo < l.hi``), without a theta join and
+    without a dedup stage.
+
+    Interval x interval is harder than the point-in-interval case
+    above: a pair of long intervals can share MANY buckets, so a naive
+    bucket equi-join emits it once per shared bucket and needs a
+    distinct() — a second full shuffle of the (potentially huge) pair
+    stream.  The standard fix (bin-based interval joins in the
+    MapReduce/Flink literature) makes emission unique by construction:
+    both sides explode over the buckets they cover, the equi-join runs
+    on (key, bucket), and a pair is KEPT only in the single bucket
+    containing ``greatest(l.lo, r.lo)``.  If the intervals overlap,
+    the later start lies inside both spans, so that bucket is covered
+    by both sides — every overlapping pair survives in exactly one
+    bucket and the distinct() disappears.
+
+    Plan shape: two explodes (map-side, replication factor
+    ceil(len/bucket)) + ONE shuffle equi-join on (key, bucket) + a
+    post-filter.  Skewed keys shard across buckets, so a hot key no
+    longer lands in a single task the way a key-only equi-join would.
+    Choose ``bucket_us`` near the median interval length: wider
+    buckets cut replication but fatten each join group.
+
+    ``*_lo``/``*_hi`` accept timestamp, timestamp_ntz, or exact
+    epoch-microsecond LONG columns (see :func:`micros`); empty
+    intervals (``hi <= lo``) are dropped before the explode.
+    """
+
+    def exploded(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
+        lo_us, hi_us = micros(df, lo), micros(df, hi)
+        return (
+            df.filter(hi_us > lo_us)
+            .withColumn(f"__lo{tag}__", lo_us)
+            .withColumn(f"__hi{tag}__", hi_us)
+            .withColumn(
+                f"__b{tag}__",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"__lo{tag}__ div {bucket_us}"),
+                        F.expr(f"(__hi{tag}__ - 1) div {bucket_us}"),
+                    )
+                ),
+            )
+        )
+
+    l = exploded(left, left_lo, left_hi, "l")
+    r = exploded(right, right_lo, right_hi, "r")
+    cond = (
+        (l[left_key] == r[right_key])
+        & (l["__bl__"] == r["__br__"])
+        # half-open overlap...
+        & (l["__lol__"] < r["__hir__"])
+        & (r["__lor__"] < l["__hil__"])
+        # ...emitted only in the bucket holding the later start
+        & (
+            F.expr(f"greatest(__lol__, __lor__) div {bucket_us}")
+            == l["__bl__"]
+        )
+    )
+    return l.join(r, cond).drop(
+        "__bl__", "__br__", "__lol__", "__hil__", "__lor__", "__hir__"
+    )
+
+
 def days_between(df: DataFrame, end_ts: str, start_ts: str) -> Column:
     """Whole 86400-second windows between two time columns of ``df``,
     as exact integer floor-division of the microsecond difference — no

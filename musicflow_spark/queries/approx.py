@@ -68,6 +68,62 @@ GROUP BY event_type
 """
 
 
+def hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch partials (ext): per-day Datasketches HLL
+    sketches of distinct users (``hll_sketch_agg``), merged with
+    ``hll_union_agg`` into a month total — the incremental pattern a
+    100 TB warehouse actually runs (build tiny daily sketches once,
+    re-merge on every query instead of rescanning raw events).
+
+    Soundness contract (same oracle pattern as ``hll_distinct_users``):
+    the sketch values never leave Spark; the query emits the exact
+    recomputable columns plus two gates computed ON Spark —
+    ``merge_lossless`` (the merged-daily estimate equals the
+    direct whole-range sketch estimate: HLL register merge is
+    max-wise, so same-lgK union must be exact) and ``est_ok`` (the
+    merged estimate within 5% of the exact distinct count; lgK=12
+    gives ~1.6% rsd).  The DuckDB oracle recomputes the exact columns
+    and emits literal TRUE for both gates."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "direct_est"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # two 1-row frames: the join is a trivial broadcast of scalars
+    return merged.join(direct).select(
+        "n_days",
+        "n_events",
+        "exact_users",
+        (F.col("merged_est") == F.col("direct_est")).alias("merge_lossless"),
+        (
+            F.abs(F.col("merged_est") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("est_ok"),
+    )
+
+
+HLL_MERGEABLE_DAILY_SQL = """
+SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS merge_lossless,
+       TRUE AS est_ok
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Approximate-quantile soundness
 # ---------------------------------------------------------------------------
@@ -193,6 +249,12 @@ QUERIES = [
         "ext: HLL++ distinct-count sketch, exact-gated",
         hll_event_users,
         HLL_EVENT_USERS_SQL,
+    ),
+    Query(
+        "hll_mergeable_daily",
+        "ext: mergeable HLL partials (hll_sketch_agg/hll_union_agg)",
+        hll_mergeable_daily,
+        HLL_MERGEABLE_DAILY_SQL,
     ),
     Query(
         "approx_median_prices",

@@ -54,6 +54,17 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "media_frame_stats",
 )
 
+# Queries added AFTER the round-3 window was frozen.  They sort after
+# the 50 never-driver-proven entries (which exactly fill this round's
+# window — every one must get its driver row) but before the proven
+# tail, so they enter the window automatically next round when this
+# round's greens move to _DRIVER_PROVEN.
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "shipment_overlap_pairs",
+    "hll_mergeable_daily",
+    "corpus_vocab_topk",
+)
+
 
 def get_queries() -> list[Query]:
     """All registered queries, never-driver-proven first (see
@@ -88,7 +99,10 @@ def get_queries() -> list[Query]:
     if dupes:
         raise ValueError(f"duplicate query names: {dupes}")
     proven = set(_DRIVER_PROVEN)
-    out.sort(key=lambda q: q.name in proven)  # stable: module order kept
+    fresh = set(_NEW_THIS_ROUND)
+    # tier 0: never proven, in the driver window; tier 1: added after
+    # the window froze; tier 2: driver-proven.  Stable within tiers.
+    out.sort(key=lambda q: 2 if q.name in proven else (1 if q.name in fresh else 0))
     return out
 
 

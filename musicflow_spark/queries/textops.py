@@ -9,7 +9,7 @@ one CTE per rewrite step with the reference's blank-undo guard.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from musicflow_spark.functions.strings import FIX_TITLE_STEPS, is_ost, with_fixed_title
@@ -29,6 +29,7 @@ from musicflow_spark.operators.textstats import (
     lang_id,
     lang_scores,
     quality_features,
+    tokens,
 )
 from musicflow_spark.queries.portable import pround
 from musicflow_spark.queries.registry import Query
@@ -844,6 +845,62 @@ GROUP BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------- vocabulary coverage
+VOCAB_K = 100
+
+
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design op (ext): the top-100 corpus unigrams with
+    their cumulative share of ALL token occurrences — the coverage
+    curve that sizes a vocabulary (how many types cover 90% of the
+    stream).  Two-level agg shape: explode -> keyed count (map-side
+    partial combine) -> global top-k as TakeOrderedAndProject
+    (per-partition heaps, no global sort); the cumulative window then
+    runs on the 100-row survivor frame only, so its single-partition
+    sort is over k rows, never the vocabulary.  Total-occurrence count
+    rides a 1-row broadcast.  Lowercasing is applied to the
+    whitespace tokens on both engines (ASCII corpus convention shared
+    with the shingle family)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.transform(tokens("text"), F.lower)).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    top = counts.orderBy(F.desc("n_occ"), "token").limit(VOCAB_K)
+    total = tok.agg(F.count(F.lit(1)).alias("_total_occ"))
+    w = (
+        Window.orderBy(F.desc("n_occ"), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.join(F.broadcast(total)).select(
+        "token",
+        "n_occ",
+        F.row_number().over(w).cast("long").alias("rank"),
+        (
+            F.sum("n_occ").over(w).cast("double") / F.col("_total_occ")
+        ).alias("cum_share"),
+    )
+
+
+CORPUS_VOCAB_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT lower(u.x) AS token
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                          x -> x <> '')) AS u(x)),
+counts AS (SELECT token, count(*) AS n_occ FROM toks GROUP BY token),
+total AS (SELECT count(*) AS total_occ FROM toks),
+top AS (SELECT token, n_occ FROM counts ORDER BY n_occ DESC, token LIMIT {VOCAB_K})
+SELECT token,
+       n_occ,
+       CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rank,
+       CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / (SELECT total_occ FROM total) AS cum_share
+FROM top
+"""
+
+
 QUERIES = [
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
     Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),
@@ -862,4 +919,5 @@ QUERIES = [
     Query("doc_tfidf_topk", "ext: tf-idf keyword extraction", doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
     Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),
     Query("doc_dup_spans", "ext: longest duplicated token span per near-dup pair", doc_dup_spans, DOC_DUP_SPANS_SQL),
+    Query("corpus_vocab_topk", "ext: vocabulary coverage curve (top-k unigrams + cum share)", corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
 ]

@@ -18,6 +18,8 @@ from musicflow_spark.operators.timejoin import (
     US_PER_DAY,
     asof_join,
     days_between,
+    micros,
+    overlap_join_bucketed,
     range_join_bucketed,
 )
 from musicflow_spark.queries.registry import Query
@@ -135,6 +137,70 @@ GROUP BY w.user_id
 """
 
 
+def shipment_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (ext): pairs of heavy shipments
+    (quantity >= 50) from the same supplier whose transit windows
+    [shipdate, shipdate + quantity days) intersect — the
+    exactly-once bucket-emission shape
+    (operators/timejoin.py::overlap_join_bucketed), no theta join, no
+    pair dedup shuffle.  The oracle is the quadratic theta self-join,
+    so the hash match certifies the bucket scheme loses no pair and
+    emits none twice.  Bucket = 32 days, near the ~50-day interval
+    length (replication factor ~2.6)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 50)
+    ship_us = micros(li, "l_shipdate")
+    base = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("line_id"),
+        "l_suppkey",
+        ship_us.alias("lo_us"),
+        (ship_us + F.col("l_quantity").cast("long") * US_PER_DAY).alias("hi_us"),
+    )
+    right = base.select(
+        F.col("line_id").alias("line_id_b"),
+        F.col("l_suppkey").alias("suppkey_b"),
+        F.col("lo_us").alias("lo_us_b"),
+        F.col("hi_us").alias("hi_us_b"),
+    )
+    pairs = overlap_join_bucketed(
+        base,
+        right,
+        left_key="l_suppkey",
+        right_key="suppkey_b",
+        left_lo="lo_us",
+        left_hi="hi_us",
+        right_lo="lo_us_b",
+        right_hi="hi_us_b",
+        bucket_us=32 * US_PER_DAY,
+    )
+    return pairs.filter(F.col("line_id") < F.col("line_id_b")).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("line_id").alias("id_a"),
+        F.col("line_id_b").alias("id_b"),
+        F.expr(
+            "(least(hi_us, hi_us_b) - greatest(lo_us, lo_us_b))"
+            f" div {US_PER_DAY}"
+        ).alias("overlap_days"),
+    )
+
+
+SHIPMENT_OVERLAP_PAIRS_SQL = """
+WITH t AS (
+  SELECT l_orderkey * 100 + l_linenumber AS line_id,
+         l_suppkey,
+         epoch_us(l_shipdate) AS lo_us,
+         epoch_us(l_shipdate) + CAST(l_quantity AS BIGINT) * 86400000000 AS hi_us
+  FROM lineitem WHERE l_quantity >= 50)
+SELECT a.l_suppkey AS suppkey,
+       a.line_id AS id_a,
+       b.line_id AS id_b,
+       CAST((least(a.hi_us, b.hi_us) - greatest(a.lo_us, b.lo_us))
+            // 86400000000 AS BIGINT) AS overlap_days
+FROM t a JOIN t b
+  ON a.l_suppkey = b.l_suppkey AND a.line_id < b.line_id
+ AND a.lo_us < b.hi_us AND b.lo_us < a.hi_us
+"""
+
+
 QUERIES = [
     Query(
         "events_asof_order",
@@ -149,5 +215,11 @@ QUERIES = [
         first_week_event_window,
         FIRST_WEEK_EVENT_WINDOW_SQL,
         bench=True,
+    ),
+    Query(
+        "shipment_overlap_pairs",
+        "ext: interval-overlap join, exactly-once bucket emission",
+        shipment_overlap_pairs,
+        SHIPMENT_OVERLAP_PAIRS_SQL,
     ),
 ]

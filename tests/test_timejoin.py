@@ -14,6 +14,7 @@ from musicflow_spark.operators.timejoin import (
     asof_join,
     days_between,
     micros,
+    overlap_join_bucketed,
     range_join_bucketed,
 )
 
@@ -171,6 +172,70 @@ class TestRangeJoinBucketed:
             bucket_us=US_PER_DAY // 24,
         )
         assert self._pairs(got) == self._pairs(narrow)
+
+
+class TestOverlapJoinBucketed:
+    @pytest.fixture(scope="class")
+    def spans(self, spark):
+        rows = [
+            # key 1: a overlaps b; b touches c exactly (half-open: NOT
+            # an overlap); d is a long interval crossing many buckets
+            # that overlaps a, b, AND c
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"), "a"),
+            (1, _ts("2024-01-02 00:00:00"), _ts("2024-01-04 00:00:00"), "b"),
+            (1, _ts("2024-01-04 00:00:00"), _ts("2024-01-05 00:00:00"), "c"),
+            (1, _ts("2023-12-25 00:00:00"), _ts("2024-01-20 00:00:00"), "d"),
+            # key 2: same span as a — keys must not cross-match
+            (2, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"), "e"),
+            # key 1: empty interval — dropped entirely
+            (1, _ts("2024-01-02 00:00:00"), _ts("2024-01-02 00:00:00"), "z"),
+        ]
+        return spark.createDataFrame(rows, "k long, lo timestamp, hi timestamp, iv string")
+
+    def _right(self, spans):
+        return spans.select(
+            F.col("k").alias("k2"),
+            F.col("lo").alias("lo2"),
+            F.col("hi").alias("hi2"),
+            F.col("iv").alias("iv2"),
+        )
+
+    def _pairs(self, df):
+        return sorted(
+            (r["iv"], r["iv2"]) for r in df.filter(F.col("iv") < F.col("iv2")).collect()
+        )
+
+    EXPECT = [("a", "b"), ("a", "d"), ("b", "d"), ("c", "d")]
+
+    def test_matches_theta_join(self, spans):
+        got = overlap_join_bucketed(
+            spans, self._right(spans), "k", "k2", "lo", "hi", "lo2", "hi2"
+        )
+        assert self._pairs(got) == self.EXPECT
+
+    def test_exactly_once_across_shared_buckets(self, spans):
+        # d shares ~26 day-buckets with a/b/c — each pair must still
+        # appear exactly once (emission pinned to the later-start bucket)
+        got = overlap_join_bucketed(
+            spans, self._right(spans), "k", "k2", "lo", "hi", "lo2", "hi2"
+        )
+        all_pairs = [(r["iv"], r["iv2"]) for r in got.collect()]
+        assert len(all_pairs) == len(set(all_pairs))
+        # symmetric closure: every unordered pair shows up in both
+        # orientations plus each interval matching itself
+        n_intervals = 5  # z is empty and dropped
+        assert len(all_pairs) == 2 * len(self.EXPECT) + n_intervals
+
+    def test_bucket_width_invariance(self, spans):
+        wide = overlap_join_bucketed(
+            spans, self._right(spans), "k", "k2", "lo", "hi", "lo2", "hi2",
+            bucket_us=40 * US_PER_DAY,
+        )
+        narrow = overlap_join_bucketed(
+            spans, self._right(spans), "k", "k2", "lo", "hi", "lo2", "hi2",
+            bucket_us=US_PER_DAY // 4,
+        )
+        assert self._pairs(wide) == self._pairs(narrow) == self.EXPECT
 
 
 class TestMicros:

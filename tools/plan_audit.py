@@ -40,6 +40,8 @@ CARTESIAN_OK = {
     "incremental_value_moments", # same 1-row cutoff-day broadcast
     "dormant_rich_customers",  # 1-row balance-threshold + date-cutoff broadcasts
     "important_parts",         # 1-row global-revenue-threshold broadcast (Q11 shape)
+    "hll_mergeable_daily",     # 1-row x 1-row scalar join (merged vs direct sketch)
+    "corpus_vocab_topk",       # 1-row total-occurrence broadcast (coverage denominator)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -61,6 +63,8 @@ SINGLE_OK = {
     "dormant_rich_customers",  # scalar threshold/cutoff aggregates (1 row by construction)
     "promo_revenue_brackets",  # final global scalar aggregate (1 row by construction)
     "important_parts",         # scalar global-revenue total (1 row by construction)
+    "hll_mergeable_daily",     # two global scalar aggregates (1 row each by construction)
+    "corpus_vocab_topk",       # global top-k limit + cum-window on the k-row survivor frame
 }
 
 
