@@ -63,6 +63,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "shipment_overlap_pairs",
     "hll_mergeable_daily",
     "corpus_vocab_topk",
+    "doc_rarity_score",
+    "doc_bpe_token_stats",
 )
 
 

@@ -901,6 +901,110 @@ FROM top
 """
 
 
+# ------------------------------------------------- BPE-ish token stats
+#: GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (the
+#: DuckDB oracle's engine) and Java regex agree on: letter runs, digit
+#: runs, single non-alnum glyphs.  No lookahead (RE2 has none), no
+#: \p{L} classes (ASCII corpus convention) — both engines match
+#: leftmost-first, so counts agree exactly.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish tier (ext: text analysis): counts
+    pre-tokenizer pieces (letter runs / digit runs / punctuation
+    glyphs) next to the whitespace count — the cheap proxy for "how
+    many BPE tokens will this doc cost" that data-mixing budgets use.
+    Single map stage, no shuffle beyond the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0))
+    ws = F.size(tokens("text"))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        F.size(pieces).alias("n_bpe_pieces"),
+        pround(
+            F.when(ws == 0, F.lit(0.0)).otherwise(
+                F.size(pieces) / ws.cast("double")
+            ),
+            4,
+        ).alias("pieces_per_word"),
+    )
+
+
+DOC_BPE_TOKEN_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe_pieces
+  FROM documents)
+SELECT doc_id, n_ws_tokens, n_bpe_pieces,
+       round(CASE WHEN n_ws_tokens = 0 THEN 0.0
+             ELSE n_bpe_pieces / CAST(n_ws_tokens AS DOUBLE) END
+             * 10000.0) / 10000.0 AS pieces_per_word
+FROM t
+"""
+
+
+# ------------------------------------------------- unigram rarity score
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-free quality signal (ext): per-document mean
+    token rarity against the corpus's own unigram table — the
+    CCNet/Gopher-style "perplexity bucket" idea with the LM replaced
+    by exact integer arithmetic so the score is bit-portable (a real
+    LM logprob sums `ln()` doubles whose libm last-ulps differ across
+    engines; `total div n_occ` is exact on both).  A common token
+    contributes a small integer, a hapax contributes ~corpus size;
+    the per-doc mean is one final portable-rounded divide.
+
+    Plan: explode -> corpus unigram agg (map-side combine) -> token
+    equi-join back (vocab side is 1 row/key; hot-token skew sits on
+    the probe side where AQE skew-split handles it; a pruned vocab
+    broadcasts if it fits) -> per-doc agg.  The total-occurrence
+    count rides the same 1-row broadcast as the coverage query."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.transform(tokens("text"), F.lower)).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    total = tok.agg(F.count(F.lit(1)).alias("_tot"))
+    per_doc = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("_tot div n_occ")).cast("long").alias("rarity_sum"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "rarity_sum",
+        pround(F.col("rarity_sum") / F.col("n_tokens"), 4).alias("rarity_avg"),
+    )
+
+
+DOC_RARITY_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lower(u.x) AS token
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                          x -> x <> '')) AS u(x)),
+vocab AS (SELECT token, count(*) AS n_occ FROM toks GROUP BY token),
+total AS (SELECT count(*) AS tot FROM toks)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(tot // n_occ) AS BIGINT) AS rarity_sum,
+       round(CAST(sum(tot // n_occ) AS BIGINT) / count(*) * 10000.0) / 10000.0
+         AS rarity_avg
+FROM toks JOIN vocab USING (token), total
+GROUP BY doc_id
+"""
+
+
 QUERIES = [
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
     Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),
@@ -920,4 +1024,6 @@ QUERIES = [
     Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),
     Query("doc_dup_spans", "ext: longest duplicated token span per near-dup pair", doc_dup_spans, DOC_DUP_SPANS_SQL),
     Query("corpus_vocab_topk", "ext: vocabulary coverage curve (top-k unigrams + cum share)", corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
+    Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
+    Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),
 ]

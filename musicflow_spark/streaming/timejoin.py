@@ -16,6 +16,11 @@ The bucketed range join is stateless in streaming form: the bucket
 explode happens on the static interval side, the stream side derives
 its one bucket in a map, and the equi-join + exact filter needs no
 state at all — pairs emit as they arrive.
+
+The overlap join is the one genuinely stream-STREAM member: two
+unbounded interval streams, watermarks on both start columns, and a
+declared max interval length that turns the overlap predicate into
+the time-range constraint Spark's join-state eviction needs.
 """
 
 from __future__ import annotations
@@ -73,6 +78,66 @@ def asof_join_stream(
     )
     out_payload = [F.col("__m__")[renamed[c]].alias(renamed[c]) for c in payload_cols]
     return agg.select(*left.columns, *out_payload)
+
+
+def overlap_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    *,
+    max_len: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM interval overlap join: pairs from two unbounded
+    interval streams with equal keys and intersecting half-open spans
+    (``l.lo < r.hi AND r.lo < l.hi``).
+
+    Unlike the batch twin (operators/timejoin.py::
+    overlap_join_bucketed) there is no bucket explode — a stream-stream
+    inner join emits each qualifying pair exactly once as both rows
+    arrive — but Spark must know when a buffered interval can never
+    match future arrivals, or join state grows forever.  That bound
+    comes from a declared maximum interval length ``max_len`` (both
+    sides): if every span is at most L, overlap implies
+    ``l.lo - L < r.lo < l.lo + L``, a time-range constraint between
+    the two watermarked start columns that Spark's state-eviction
+    analysis consumes directly.  State per side is then wm horizon +
+    2L of intervals per key — constant for a steady stream.
+
+    The length contract is enforced, not assumed: intervals longer
+    than ``max_len`` are dropped (deterministically, on both the
+    stream and any batch replay) rather than silently losing matches
+    to early state eviction.  Column names of the two sides must be
+    disjoint (rename before calling — streams have no auto-suffix).
+
+    Both ``*_lo``/``*_hi`` must be timestamp columns (event time);
+    the exact-micros LONG form the batch operator accepts cannot
+    carry a watermark.
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"column names must be disjoint, both sides have {clash}")
+    l = left.filter(
+        F.col(left_hi) <= F.col(left_lo) + F.expr(f"INTERVAL {max_len}")
+    ).withWatermark(left_lo, watermark)
+    r = right.filter(
+        F.col(right_hi) <= F.col(right_lo) + F.expr(f"INTERVAL {max_len}")
+    ).withWatermark(right_lo, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        # half-open overlap
+        & (F.col(left_lo) < F.col(right_hi))
+        & (F.col(right_lo) < F.col(left_hi))
+        # the state-eviction bound between the two event-time columns
+        & (F.col(right_lo) > F.col(left_lo) - F.expr(f"INTERVAL {max_len}"))
+        & (F.col(right_lo) < F.col(left_lo) + F.expr(f"INTERVAL {max_len}"))
+    )
+    return l.join(r, cond)
 
 
 def range_join_stream(

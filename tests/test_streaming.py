@@ -361,6 +361,58 @@ def test_range_join_stream_converges_to_batch(spark, stream_dir, tmp_path):
     assert len(want) > 0
 
 
+def test_overlap_join_stream_stream_converges_to_batch(spark, stream_dir, tmp_path):
+    from musicflow_spark.operators.timejoin import overlap_join_bucketed
+    from musicflow_spark.streaming import overlap_join_stream
+
+    # two unbounded interval streams carved from the same event files:
+    # even event_ids on the left, odd on the right, each a 30-minute
+    # activity span keyed by user — overlap pairs are co-active spans
+    def shape(df, tag):
+        side = 0 if tag == "l" else 1
+        return (
+            df.filter(F.col("user_id") != SENTINEL_USER)
+            .filter(F.col("event_id") % 2 == side)
+            .select(
+                F.col("event_id").alias(f"{tag}_id"),
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("ts").alias(f"{tag}_lo"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{tag}_hi"),
+            )
+        )
+
+    out = overlap_join_stream(
+        shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "l"),
+        shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "r"),
+        "l_user", "r_user", "l_lo", "l_hi", "r_lo", "r_hi",
+        max_len="1 hour", watermark="1 hour",
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in _run_to_memory(out, "overlap_stream", tmp_path, "append").collect()
+    }
+    batch = spark.read.parquet(stream_dir)
+    want = {
+        (r["l_id"], r["r_id"])
+        for r in overlap_join_bucketed(
+            shape(batch, "l"), shape(batch, "r"),
+            "l_user", "r_user", "l_lo", "l_hi", "r_lo", "r_hi",
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_overlap_join_stream_rejects_column_clash(spark, stream_dir):
+    from musicflow_spark.streaming import overlap_join_stream
+
+    ev = event_stream(spark, stream_dir)
+    with pytest.raises(ValueError, match="disjoint"):
+        overlap_join_stream(
+            ev, ev, "user_id", "user_id", "ts", "ts", "ts", "ts"
+        )
+
+
 def test_rollup_merge_sink_converges_to_batch(spark, stream_dir, tmp_path):
     """Append-mode raw stream -> per-batch partial aggregate merged
     into the materialized rollup (no state store): final table must

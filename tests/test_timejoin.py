@@ -226,6 +226,37 @@ class TestOverlapJoinBucketed:
         n_intervals = 5  # z is empty and dropped
         assert len(all_pairs) == 2 * len(self.EXPECT) + n_intervals
 
+    def test_random_spans_match_theta_join(self, spark):
+        # 300 seeded-random intervals over 20 keys, lengths 0..5 days,
+        # bucket deliberately mismatched to the length distribution —
+        # the bucketed join must still equal the quadratic theta join
+        import random
+
+        rng = random.Random(42)
+        base = _ts("2024-01-01 00:00:00")
+        rows = []
+        for i in range(300):
+            lo = base + dt.timedelta(minutes=rng.randrange(0, 60 * 24 * 30))
+            hi = lo + dt.timedelta(minutes=rng.randrange(0, 60 * 24 * 5))
+            rows.append((rng.randrange(20), lo, hi, f"iv{i}"))
+        spans = spark.createDataFrame(
+            rows, "k long, lo timestamp, hi timestamp, iv string"
+        )
+        right = self._right(spans)
+        got = overlap_join_bucketed(
+            spans, right, "k", "k2", "lo", "hi", "lo2", "hi2",
+            bucket_us=3 * US_PER_DAY // 2,
+        )
+        want = spans.join(
+            right,
+            (spans["k"] == right["k2"])
+            & (spans["lo"] < right["hi2"])
+            & (right["lo2"] < spans["hi"]),
+        )
+        assert sorted(
+            (r["iv"], r["iv2"]) for r in got.collect()
+        ) == sorted((r["iv"], r["iv2"]) for r in want.collect())
+
     def test_bucket_width_invariance(self, spans):
         wide = overlap_join_bucketed(
             spans, self._right(spans), "k", "k2", "lo", "hi", "lo2", "hi2",

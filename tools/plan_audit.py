@@ -42,6 +42,7 @@ CARTESIAN_OK = {
     "important_parts",         # 1-row global-revenue-threshold broadcast (Q11 shape)
     "hll_mergeable_daily",     # 1-row x 1-row scalar join (merged vs direct sketch)
     "corpus_vocab_topk",       # 1-row total-occurrence broadcast (coverage denominator)
+    "doc_rarity_score",        # same 1-row total-occurrence broadcast (rarity numerator)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -65,6 +66,7 @@ SINGLE_OK = {
     "important_parts",         # scalar global-revenue total (1 row by construction)
     "hll_mergeable_daily",     # two global scalar aggregates (1 row each by construction)
     "corpus_vocab_topk",       # global top-k limit + cum-window on the k-row survivor frame
+    "doc_rarity_score",        # scalar total-occurrence aggregate (1 row by construction)
 }
 
 
