@@ -78,12 +78,16 @@ def hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Soundness contract (same oracle pattern as ``hll_distinct_users``):
     the sketch values never leave Spark; the query emits the exact
     recomputable columns plus two gates computed ON Spark —
-    ``merge_lossless`` (the merged-daily estimate equals the
-    direct whole-range sketch estimate: HLL register merge is
-    max-wise, so same-lgK union must be exact) and ``est_ok`` (the
-    merged estimate within 5% of the exact distinct count; lgK=12
-    gives ~1.6% rsd).  The DuckDB oracle recomputes the exact columns
-    and emits literal TRUE for both gates."""
+    ``merge_consistent`` (the merged-daily estimate within 2% of the
+    direct whole-range sketch: register merge is max-wise lossless,
+    but Datasketches estimates a BUILT sketch with the HIP estimator
+    and a UNION with the composite one, so the two agree only to
+    sketch accuracy, not bitwise — equality held at sf0.01 purely
+    because both stayed in exact sparse mode, and sf0.1 disproved it)
+    and ``est_ok`` (the merged estimate within 5% of the exact
+    distinct count; lgK=12 gives ~1.6% rsd).  The DuckDB oracle
+    recomputes the exact columns and emits literal TRUE for both
+    gates."""
     ev = read_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
@@ -106,7 +110,10 @@ def hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "n_events",
         "exact_users",
-        (F.col("merged_est") == F.col("direct_est")).alias("merge_lossless"),
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= F.col("direct_est") * 0.02
+        ).alias("merge_consistent"),
         (
             F.abs(F.col("merged_est") - F.col("exact_users"))
             <= F.col("exact_users") * 0.05
@@ -118,7 +125,7 @@ HLL_MERGEABLE_DAILY_SQL = """
 SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
        count(*) AS n_events,
        count(DISTINCT user_id) AS exact_users,
-       TRUE AS merge_lossless,
+       TRUE AS merge_consistent,
        TRUE AS est_ok
 FROM events
 """

@@ -65,6 +65,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "corpus_vocab_topk",
     "doc_rarity_score",
     "doc_bpe_token_stats",
+    "embedding_gram_moments",
 )
 
 

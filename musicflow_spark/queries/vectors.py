@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from musicflow_spark.operators.embeddings import DEFAULT_SCALE, gram_moments_exact
 from musicflow_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
@@ -324,6 +325,49 @@ WHERE list_sum(list_transform(range(1, {LSH_DIM} + 1), i -> unit_a[i] * unit_b[i
 """
 
 
+GRAM_DIMS = 8
+
+
+def embedding_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram/covariance moments (ext: embedding stats,
+    the certification tier of operators/embeddings.py): coordinates
+    quantized to a 1e-3 grid, per-(i, j) integer sums over the first
+    8 dimensions — 36 symmetric cells, every input to a covariance in
+    bit-exact integer space.  The mapInPandas numpy tier
+    (gram_moments_fast) is pinned to this one by pytest; this query
+    pins it to an independent SQL replay."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, GRAM_DIMS).alias("emb")
+    )
+    m = gram_moments_exact(emb, "emb")
+    return m.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        "sum_qi",
+        "sum_qj",
+        "sum_qij",
+    )
+
+
+EMBEDDING_GRAM_MOMENTS_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding) * {DEFAULT_SCALE}) AS BIGINT) AS qi
+  FROM embeddings)
+SELECT CAST(a.i AS BIGINT) AS i,
+       CAST(b.i AS BIGINT) AS j,
+       count(*) AS n,
+       CAST(sum(a.qi) AS BIGINT) AS sum_qi,
+       CAST(sum(b.qi) AS BIGINT) AS sum_qj,
+       CAST(sum(a.qi * b.qi) AS BIGINT) AS sum_qij
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+WHERE a.i < {GRAM_DIMS} AND b.i < {GRAM_DIMS}
+GROUP BY a.i, b.i
+"""
+
+
 QUERIES = [
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
@@ -331,4 +375,5 @@ QUERIES = [
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
+    Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL),
 ]

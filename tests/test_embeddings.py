@@ -1,0 +1,109 @@
+"""Embedding Gram/PCA operator tests: the exact integer tier vs the
+numpy mapInPandas tier, and the projection's PCA invariants against a
+straight numpy reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.embeddings import (
+    DEFAULT_SCALE,
+    covariance_matrix,
+    gram_moments_exact,
+    gram_moments_fast,
+    pca_components,
+    pca_project,
+    quantized,
+)
+
+DIM = 6
+N = 200
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    # anisotropic: two dominant directions so eigenvalues separate
+    base = rng.normal(size=(N, DIM))
+    base[:, 0] *= 4.0
+    base[:, 1] *= 2.0
+    mat = base @ np.linalg.qr(rng.normal(size=(DIM, DIM)))[0]
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # repartition so the fast tier genuinely merges multiple partials
+    return mat.astype(np.float32).astype(np.float64), df.repartition(5)
+
+
+def test_quantized_rounding(spark):
+    df = spark.createDataFrame([([0.0014, -0.0005, 1.9996],)], "v array<float>")
+    got = df.select(quantized("v").alias("q")).collect()[0]["q"]
+    assert got == [1, -1, 2000]  # half away from zero
+
+
+def test_fast_matches_exact_tier(vecs):
+    mat, df = vecs
+    exact = {
+        (r["i"], r["j"]): r
+        for r in gram_moments_exact(df, "embedding").collect()
+    }
+    fast = {
+        (r["i"], r["j"]): r for r in gram_moments_fast(df, "embedding").collect()
+    }
+    assert set(exact) == set(fast) and len(exact) == DIM * (DIM + 1) // 2
+    s = float(DEFAULT_SCALE)
+    for key, e in exact.items():
+        f = fast[key]
+        assert e["n"] == f["n"] == N
+        # quantization error per coordinate <= 0.5/scale; compare on
+        # the descaled exact sums with that error budget
+        assert f["sum_xi"] == pytest.approx(e["sum_qi"] / s, abs=N * 0.5 / s)
+        assert f["sum_xij"] == pytest.approx(
+            e["sum_qij"] / s**2, rel=1e-3, abs=N * 0.02
+        )
+
+
+def test_covariance_matches_numpy(vecs):
+    mat, df = vecs
+    cov, mean, n = covariance_matrix(gram_moments_fast(df, "embedding"))
+    assert n == N
+    np.testing.assert_allclose(mean, mat.mean(axis=0), atol=1e-6)
+    # partial-Gram summation order differs from numpy's single matmul
+    np.testing.assert_allclose(cov, np.cov(mat, rowvar=False), rtol=1e-5, atol=1e-8)
+
+
+def test_pca_invariants_and_reference(vecs):
+    mat, df = vecs
+    k = 3
+    comps, vals, mean = pca_components(df, "embedding", k)
+    # orthonormal rows, eigenvalues descending and positive
+    np.testing.assert_allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    assert vals[0] > vals[1] > vals[2] > 0
+    # numpy reference: eigh of np.cov with the same sign convention
+    ref_vals, ref_vecs = np.linalg.eigh(np.cov(mat, rowvar=False))
+    order = np.argsort(ref_vals)[::-1][:k]
+    np.testing.assert_allclose(vals, ref_vals[order], rtol=1e-5)
+    for got, want in zip(comps, ref_vecs[:, order].T):
+        if want[np.argmax(np.abs(want))] < 0:
+            want = -want
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    out = pca_project(df, "embedding", k)
+    assert dict(out.dtypes)["pca"] == "array<double>"
+    scores = np.array([r["pca"] for r in out.orderBy("vec_id").collect()])
+    ref_scores = (mat - mat.mean(axis=0)) @ comps.T
+    np.testing.assert_allclose(scores, ref_scores, atol=1e-5)
+    # centered scores: per-component mean ~ 0, variance ~ eigenvalue
+    np.testing.assert_allclose(scores.mean(axis=0), np.zeros(k), atol=1e-5)
+    np.testing.assert_allclose(scores.var(axis=0, ddof=1), vals, rtol=1e-4)
+
+
+def test_project_plan_is_native(vecs):
+    # the row path must stay JVM-side: no Python eval nodes
+    _, df = vecs
+    plan = (
+        pca_project(df, "embedding", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
