@@ -334,6 +334,91 @@ def lsh_neardup_pairs(
     )
 
 
+def nearest_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    idname: str,
+    vecname: str,
+    top: int,
+) -> DataFrame:
+    """Each row's ``top`` nearest centroids by squared L2 (argmin is
+    norm-free; ties by cluster_id).  The centroid table is
+    dimension-sized by contract -> broadcast; per-row work is a
+    1-row-vs-centroids plane broadcast, not a data-sized cross join."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias(idname),
+        F.col(vec_col).alias(vecname),
+        "cluster_id",
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                "centroid",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__d2__"),
+    )
+    w = Window.partitionBy(idname).orderBy("__d2__", "cluster_id")
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= top)
+        .drop("__d2__", "__rn__")
+    )
+
+
+def semantic_dedup_flags(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023
+    shape): assign every vector to its nearest centroid, compare
+    pairs ONLY within a cluster, and drop a vector when a smaller-id
+    cluster-mate sits at-or-above the cosine threshold (min-id-wins,
+    one pass — a dropped vector still suppresses its own neighbors,
+    the deterministic variant of "keep one per duplicate group").
+
+    Output: (id, cluster_id, keep).  Cost is the within-cluster pair
+    count, never corpus² — the clustering IS the blocking scheme, and
+    at 100 TB the cluster id doubles as the physical partition key so
+    each cluster's pair scan is partition-local.  The centroid table
+    is dimension-sized (broadcast); the only shuffle is the
+    cluster_id equi-join."""
+    assigned = nearest_centroids(
+        corpus, centroids, id_col, vec_col, "__id__", "__v__", 1
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("__id__").alias("id_a"),
+        F.col("__v__").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("__cb__"),
+        F.col("__id__").alias("id_b"),
+        F.col("__v__").alias("vb"),
+    )
+    dropped = (
+        a.join(b, (a["cluster_id"] == b["__cb__"]) & (a["id_a"] < b["id_b"]))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("__id__"))
+        .distinct()
+        .withColumn("__dropped__", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            "cluster_id",
+            F.col("__dropped__").isNull().alias("keep"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -373,31 +458,12 @@ def ivf_topk(
             "cluster_id int, centroid array<double>",
         )
 
-    def nearest(df: DataFrame, idname: str, vecname: str, top: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            F.col(id_col).alias(idname),
-            F.col(vec_col).alias(vecname),
-            "cluster_id",
-            # squared L2 to the centroid (argmin is norm-free)
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    "centroid",
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("__d2__"),
-        )
-        w = Window.partitionBy(idname).orderBy("__d2__", "cluster_id")
-        return (
-            scored.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") <= top)
-            .drop("__d2__", "__rn__")
-        )
-
-    assigned = nearest(corpus, "neighbor_id", "c_vec", 1)
-    probed = nearest(queries, "query_id", "q_vec", n_probe)
+    assigned = nearest_centroids(
+        corpus, centroids, id_col, vec_col, "neighbor_id", "c_vec", 1
+    )
+    probed = nearest_centroids(
+        queries, centroids, id_col, vec_col, "query_id", "q_vec", n_probe
+    )
 
     cands = assigned.join(F.broadcast(probed), "cluster_id").filter(
         F.col("neighbor_id") != F.col("query_id")

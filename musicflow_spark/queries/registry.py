@@ -66,6 +66,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "doc_rarity_score",
     "doc_bpe_token_stats",
     "embedding_gram_moments",
+    "embedding_semantic_dedup",
 )
 
 

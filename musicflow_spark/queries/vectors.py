@@ -23,6 +23,7 @@ from musicflow_spark.operators.similarity import (
     lsh_topk,
     norm,
     random_hyperplanes,
+    semantic_dedup_flags,
 )
 from musicflow_spark.queries.portable import pround
 from musicflow_spark.queries.registry import Query
@@ -325,6 +326,52 @@ WHERE list_sum(list_transform(range(1, {LSH_DIM} + 1), i -> unit_a[i] * unit_b[i
 """
 
 
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ext): nearest-centroid
+    clustering as the blocking scheme, exact cosine only within a
+    cluster, min-id-wins keep flag
+    (operators/similarity.py::semantic_dedup_flags).  Same
+    stride-seeded deterministic centroids as knn_ivf, so the DuckDB
+    oracle replays assignment, pair scan, and suppression exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    return semantic_dedup_flags(emb, cent, NEARDUP_THRESHOLD)
+
+
+def _embedding_semantic_dedup_oracle_sql() -> str:
+    """DuckDB replica: argmin-L2 assignment (ties by cluster_id),
+    within-cluster id_a < id_b cosine pairs, NOT EXISTS keep flag."""
+    d2 = """list_sum(list_transform(range(1, len(e.embedding) + 1),
+               j -> (cast(e.embedding[j] AS double) - cast(c.cv[j] AS double))
+                  * (cast(e.embedding[j] AS double) - cast(c.cv[j] AS double))))"""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}),
+assigned AS (
+  SELECT vec_id, embedding AS v, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                 i -> cast(a.v[i] AS double) * cast(b.v[i] AS double)))
+        / (sqrt(list_sum(list_transform(a.v, x -> cast(x AS double) * cast(x AS double))))
+           * sqrt(list_sum(list_transform(b.v, x -> cast(x AS double) * cast(x AS double)))))
+        >= {NEARDUP_THRESHOLD})
+SELECT s.vec_id, s.cluster_id,
+       s.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM assigned s
+"""
+
+
 GRAM_DIMS = 8
 
 
@@ -376,4 +423,5 @@ QUERIES = [
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL),
+    Query("embedding_semantic_dedup", "ext: SemDeDup-style cluster-blocked semantic dedup", embedding_semantic_dedup, _embedding_semantic_dedup_oracle_sql()),
 ]

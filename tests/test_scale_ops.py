@@ -108,3 +108,37 @@ def test_lsh_neardup_sound_and_recalls(spark):
     # measured.  Clustered real embeddings recall far higher.
     recall = len(sketched) / len(exact)
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_semantic_dedup_min_id_wins_within_cluster(spark):
+    from musicflow_spark.operators.similarity import semantic_dedup_flags
+
+    # two well-separated centroids on orthogonal axes; ids 1/2/3 are
+    # near-identical x-ish vectors (one dup group), id 4 is an x-ish
+    # vector below threshold, ids 10/11 are identical y-ish vectors in
+    # the OTHER cluster (their own dup pair); id 3 is similar to 10 in
+    # angle? no — cross-cluster pairs are never compared by design
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.998, -0.02, 0.0]),
+        (4, [0.5, 0.5, 0.70]),     # same cluster, cosine ~0.5 to id 1
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cluster_id int, centroid array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup_flags(emb, cent, 0.9).collect()
+    }
+    assert out[1] == (0, True)     # smallest id of the dup group survives
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4][1] is True       # below threshold: kept
+    assert out[10] == (1, True)    # other cluster: its own min-id wins
+    assert out[11] == (1, False)
+    assert len(out) == 6           # every input row flagged exactly once

@@ -31,6 +31,7 @@ CARTESIAN_OK = {
     "doc_text_knn",            # same exact-rerank shape over doc embeddings
     "embedding_neardup_pairs", # exact all-pairs oracle anchor
     "knn_lsh", "knn_ivf", "embedding_lsh_neardup",  # 1-row planes/centroid broadcasts
+    "embedding_semantic_dedup",  # centroid-table broadcast (dimension-sized by contract)
     "doc_jaccard_pairs", "doc_minhash_dedup",       # 1-row common-shingle broadcast
     "conservation_counts",     # three 1-row scalar aggregates cross-joined
     "doc_tfidf_topk",          # 1-row corpus-count broadcast (idf denominator)
