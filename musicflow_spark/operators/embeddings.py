@@ -53,6 +53,8 @@ def quantized(vec: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     round(x * scale) per element, half away from zero on both engines
     (Spark BigDecimal HALF_UP == DuckDB round) since the scaled value
     is an exact IEEE product on both."""
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
     c = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(c, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
 
@@ -139,7 +141,11 @@ def pca_components(
     """(top-k principal axes as rows, their eigenvalues descending,
     the mean vector).  Deterministic up to sign; sign is fixed so
     each component's largest-|coordinate| entry is positive."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     cov, mean, _ = covariance_matrix(gram_moments_fast(df, vec_col))
+    if k > cov.shape[0]:
+        raise ValueError(f"k={k} exceeds embedding dim {cov.shape[0]}")
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T

@@ -175,6 +175,8 @@ def range_join_bucketed(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if bucket_us < 1:
+        raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
 
     lo_us = micros(intervals, interval_lo)
     hi_us = micros(intervals, interval_hi)
@@ -253,6 +255,8 @@ def overlap_join_bucketed(
     epoch-microsecond LONG columns (see :func:`micros`); empty
     intervals (``hi <= lo``) are dropped before the explode.
     """
+    if bucket_us < 1:
+        raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
 
     def exploded(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
         lo_us, hi_us = micros(df, lo), micros(df, hi)

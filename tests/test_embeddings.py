@@ -107,3 +107,13 @@ def test_project_plan_is_native(vecs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parameter_validation(spark, vecs):
+    _, df = vecs
+    with pytest.raises(ValueError, match="scale"):
+        df.select(quantized("embedding", scale=0))
+    with pytest.raises(ValueError, match="k must"):
+        pca_components(df, "embedding", 0)
+    with pytest.raises(ValueError, match="exceeds embedding dim"):
+        pca_components(df, "embedding", DIM + 1)

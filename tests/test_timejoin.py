@@ -310,3 +310,14 @@ class TestMicros:
         )
         vals = [r[0] for r in df.select(days_between(df, "e", "s")).collect()]
         assert vals == [6, 7]
+
+
+def test_bucket_width_validated(spark):
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"))],
+        "k long, lo timestamp, hi timestamp",
+    )
+    with pytest.raises(ValueError, match="bucket_us"):
+        range_join_bucketed(df, df, "k", "k", "lo", "lo", "hi", bucket_us=0)
+    with pytest.raises(ValueError, match="bucket_us"):
+        overlap_join_bucketed(df, df, "k", "k", "lo", "hi", "lo", "hi", bucket_us=-5)
