@@ -51,8 +51,12 @@ DEFAULT_SCALE = 1000
 def quantized(vec: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     """array<long> integer grid of an array<float> column:
     round(x * scale) per element, half away from zero on both engines
-    (Spark BigDecimal HALF_UP == DuckDB round) since the scaled value
-    is an exact IEEE product on both."""
+    (Spark BigDecimal HALF_UP == DuckDB round).  Agreement requires
+    the float->DOUBLE cast to happen BEFORE the scale multiply on
+    both sides — a float32-arithmetic product rounds differently at
+    .5 boundaries, so an oracle replay must write
+    ``round(CAST(x AS DOUBLE) * scale)``, never ``round(x * scale)``
+    on a FLOAT column."""
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
     c = F.col(vec) if isinstance(vec, str) else vec
@@ -92,7 +96,10 @@ def gram_moments_fast(df: DataFrame, vec_col: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(pdf[vec_col].to_numpy())  # rows x d
+            # rows x d; accumulate in float64 — Arrow hands float32
+            # arrays over for array<float> columns, and a float32 Gram
+            # loses ~3 digits before the merge even starts
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             g = m.T @ m
             s = m.sum(axis=0)
             d = m.shape[1]
@@ -123,8 +130,12 @@ def covariance_matrix(moments: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
     ``gram_moments_fast`` frame — driver-side, bounded by d^2 (the
     one intentional collect)."""
     rows = moments.collect()
+    if not rows:
+        raise ValueError("no moment rows: input frame is empty")
     d = max(r["j"] for r in rows) + 1
     n = rows[0]["n"]
+    if n < 2:
+        raise ValueError(f"covariance needs >= 2 vectors, got {n}")
     cov = np.zeros((d, d))
     mean = np.zeros(d)
     for r in rows:

@@ -253,10 +253,15 @@ def overlap_join_bucketed(
 
     ``*_lo``/``*_hi`` accept timestamp, timestamp_ntz, or exact
     epoch-microsecond LONG columns (see :func:`micros`); empty
-    intervals (``hi <= lo``) are dropped before the explode.
+    intervals (``hi <= lo``) are dropped before the explode.  Column
+    names of the two sides must be disjoint (rename before calling —
+    same contract as the stream twin; self-joins alias one side).
     """
     if bucket_us < 1:
         raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"column names must be disjoint, both sides have {clash}")
 
     def exploded(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
         lo_us, hi_us = micros(df, lo), micros(df, hi)

@@ -867,7 +867,9 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
     top = counts.orderBy(F.desc("n_occ"), "token").limit(VOCAB_K)
-    total = tok.agg(F.count(F.lit(1)).alias("_total_occ"))
+    # total occurrences from the (tiny) vocabulary frame — summing
+    # n_occ avoids re-exploding the whole corpus a second time
+    total = counts.agg(F.sum("n_occ").alias("_total_occ"))
     w = (
         Window.orderBy(F.desc("n_occ"), "token")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -889,7 +891,7 @@ WITH toks AS (
        unnest(list_filter(string_split_regex(trim(text), '\s+'),
                           x -> x <> '')) AS u(x)),
 counts AS (SELECT token, count(*) AS n_occ FROM toks GROUP BY token),
-total AS (SELECT count(*) AS total_occ FROM toks),
+total AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total_occ FROM counts),
 top AS (SELECT token, n_occ FROM counts ORDER BY n_occ DESC, token LIMIT {VOCAB_K})
 SELECT token,
        n_occ,
@@ -905,9 +907,11 @@ FROM top
 #: GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (the
 #: DuckDB oracle's engine) and Java regex agree on: letter runs, digit
 #: runs, single non-alnum glyphs.  No lookahead (RE2 has none), no
-#: \p{L} classes (ASCII corpus convention) — both engines match
-#: leftmost-first, so counts agree exactly.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: \p{L} classes (ASCII corpus convention), and no \s — Java's \s
+#: includes vertical tab where RE2's does not, so the whitespace
+#: exclusion is spelled as an explicit character set.  Both engines
+#: match leftmost-first, so counts agree exactly.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
 
 def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,7 +941,7 @@ WITH t AS (
   SELECT doc_id,
          len(list_filter(string_split_regex(trim(text), '\s+'),
                          x -> x <> '')) AS n_ws_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]'))
            AS n_bpe_pieces
   FROM documents)
 SELECT doc_id, n_ws_tokens, n_bpe_pieces,
@@ -969,7 +973,8 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.transform(tokens("text"), F.lower)).alias("token")
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
-    total = tok.agg(F.count(F.lit(1)).alias("_tot"))
+    # sum the vocabulary frame, don't re-explode the corpus
+    total = vocab.agg(F.sum("n_occ").alias("_tot"))
     per_doc = (
         tok.join(vocab, "token")
         .join(F.broadcast(total))
@@ -994,7 +999,7 @@ WITH toks AS (
        unnest(list_filter(string_split_regex(trim(text), '\s+'),
                           x -> x <> '')) AS u(x)),
 vocab AS (SELECT token, count(*) AS n_occ FROM toks GROUP BY token),
-total AS (SELECT count(*) AS tot FROM toks)
+total AS (SELECT CAST(sum(n_occ) AS BIGINT) AS tot FROM vocab)
 SELECT doc_id,
        count(*) AS n_tokens,
        CAST(sum(tot // n_occ) AS BIGINT) AS rarity_sum,

@@ -372,7 +372,11 @@ FROM assigned s
 """
 
 
-GRAM_DIMS = 8
+# 24 dims = 300 moment cells; wide enough to include coordinates whose
+# float32 .5-boundary rounding diverged between engines before the
+# CAST-to-DOUBLE fix (e.g. sf0.1 vec 1879 dim 17), so the oracle
+# certifies the quantization contract, not just a lucky prefix
+GRAM_DIMS = 24
 
 
 def embedding_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +405,10 @@ EMBEDDING_GRAM_MOMENTS_SQL = f"""
 WITH q AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS i,
-         CAST(round(unnest(embedding) * {DEFAULT_SCALE}) AS BIGINT) AS qi
+         -- cast to DOUBLE BEFORE scaling: DuckDB would otherwise
+         -- multiply in FLOAT and round differently at .5 boundaries
+         -- than Spark's double path (e.g. 0.3195f*1000)
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {DEFAULT_SCALE}) AS BIGINT) AS qi
   FROM embeddings)
 SELECT CAST(a.i AS BIGINT) AS i,
        CAST(b.i AS BIGINT) AS j,
