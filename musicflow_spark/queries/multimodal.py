@@ -18,6 +18,7 @@ from musicflow_spark.operators.multimodal import (
     fake_media_from_documents,
     sample_frames,
 )
+from musicflow_spark.queries.portable import pround
 from musicflow_spark.queries.registry import Query
 from musicflow_spark.sources.catalog import read_table
 
@@ -42,11 +43,62 @@ FROM documents
 ORDER BY doc_id
 """
 
+FEATURE_DIM = 4
+
+
+def media_feature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level check of the Arrow decode path (ext): the
+    FakeCodec's feature vector is a seeded sha256 expansion of the
+    payload bytes, which DuckDB can replay (`sha256` + hex-slice +
+    the same exact power-of-two float arithmetic) — so the oracle
+    hash-checks the ACTUAL floats coming back through mapInPandas,
+    not just frame counts and byte lengths.  Certifies Arrow binary
+    round-tripping, batch iteration, and the codec seam end to end;
+    swap FakeCodec for a real library and this query (not its oracle)
+    still runs unchanged."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = fake_media_from_documents(docs, "image")
+    feats = extract_features(media, FakeCodec(), dim=FEATURE_DIM)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        *[
+            pround(F.col("feature")[i].cast("double"), 6).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
+
+
+def _media_feature_values_oracle_sql() -> str:
+    # the engine stores features as float32 (FEATURE_SCHEMA): replay
+    # that quantization with a REAL round-trip BEFORE the portable
+    # round, or .5-boundary values diverge (same contract as the
+    # gram-moments oracle)
+    cols = ",\n       ".join(
+        "round(CAST(CAST((('0x' || substr(hx, {o}, 8))::BIGINT / 4294967296.0)"
+        " * 2.0 - 1.0 AS REAL) AS DOUBLE)"
+        " * 1000000.0) / 1000000.0 AS f{i}".format(o=1 + 8 * i, i=i)
+        for i in range(FEATURE_DIM)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, sha256('0:image' || text) AS hx FROM documents)
+SELECT doc_id,
+       {cols}
+FROM h
+"""
+
+
 QUERIES = [
     Query(
         "media_frame_stats",
         "ext: multimodal binary columns (frame fan-out + Arrow decode)",
         media_frame_stats,
         MEDIA_FRAME_STATS_SQL,
+    ),
+    Query(
+        "media_feature_values",
+        "ext: multimodal decode value-level certification (sha256-replayable codec)",
+        media_feature_values,
+        _media_feature_values_oracle_sql(),
     ),
 ]

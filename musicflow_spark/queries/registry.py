@@ -67,6 +67,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "doc_bpe_token_stats",
     "embedding_gram_moments",
     "embedding_semantic_dedup",
+    "media_feature_values",
+    "regional_supplier_volume",
+    "forecast_revenue_delta",
+    "returned_item_customers",
 )
 
 

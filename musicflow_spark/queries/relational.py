@@ -1226,6 +1226,158 @@ GROUP BY o.o_orderpriority
 """
 
 
+# ------------------------------------------------------ Q5/Q6/Q10 shapes
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: revenue per nation for orders whose customer
+    and lineitem supplier sit in the SAME nation of one region — the
+    same-nation equality is a second join predicate across two
+    dimension chains, the shape that forces join-order planning.
+
+    Scale shape: region->nation collapses to a broadcast list; the
+    customer chain carries its nation key to the orders join; the
+    only big shuffles are orders⋈customer (custkey) and
+    lineitem⋈orders (orderkey); the same-nation constraint applies at
+    the supplier broadcast probe, never as a post-join filter over a
+    fact x fact blow-up."""
+    li, orders, cust, supp, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    asia = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    c = cust.join(
+        F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("cn"), "n_name")
+    o = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cn", "n_name")
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("s_nationkey") == F.col("cn")),
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("long")
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+REGIONAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: the pure scan-filter-aggregate — what a year
+    of revenue would change if small-quantity discounts in a band
+    were dropped.  The date and quantity predicates push to the
+    parquet scan; the discount band compares on exact integer basis
+    points (raw double-literal comparison is an engine-parity trap).
+    Zero joins, one map-side-combined scalar aggregate."""
+    li = _t(spark, sf_dir, "lineitem")[0]
+    disc_bp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & disc_bp.between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return j.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long") * disc_bp
+        ).alias("delta_centibp"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+FORECAST_REVENUE_DELTA_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS delta_centibp,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: customers who returned the most revenue in a
+    quarter — selective order window, returnflag filter on the fact,
+    wide customer payload carried through the aggregation, global
+    top-20 with a unique tiebreak (TakeOrderedAndProject, no full
+    sort).  Customer/nation ride broadcasts; the orderkey shuffle is
+    the only big exchange."""
+    li, orders, cust, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                .cast("long")
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = [
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
@@ -1254,4 +1406,7 @@ QUERIES = [
     Query("sole_late_shippers", "ext: EXISTS+NOT-EXISTS self-correlation (Q21 shape)", sole_late_shippers, SOLE_LATE_SHIPPERS_SQL, bench=True),
     Query("nullaware_segment_anti", "ext: NOT IN three-valued logic / null-aware anti join; SQL front end", nullaware_segment_anti, NULLAWARE_SEGMENT_ANTI_SQL),
     Query("late_order_priority_counts", "ext: EXISTS via explicit LEFT SEMI join (Q4 shape)", late_order_priority_counts, LATE_ORDER_PRIORITY_COUNTS_SQL),
+    Query("regional_supplier_volume", "ext: same-nation dual-chain join (Q5 shape)", regional_supplier_volume, REGIONAL_SUPPLIER_VOLUME_SQL),
+    Query("forecast_revenue_delta", "ext: pure scan-filter-aggregate (Q6 shape)", forecast_revenue_delta, FORECAST_REVENUE_DELTA_SQL),
+    Query("returned_item_customers", "ext: wide-payload group + global top-k (Q10 shape)", returned_item_customers, RETURNED_ITEM_CUSTOMERS_SQL),
 ]

@@ -68,6 +68,7 @@ SINGLE_OK = {
     "hll_mergeable_daily",     # two global scalar aggregates (1 row each by construction)
     "corpus_vocab_topk",       # global top-k limit + cum-window on the k-row survivor frame
     "doc_rarity_score",        # scalar total-occurrence aggregate (1 row by construction)
+    "forecast_revenue_delta",  # final global scalar aggregate (1 row by construction)
 }
 
 
