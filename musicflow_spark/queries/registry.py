@@ -71,6 +71,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "regional_supplier_volume",
     "forecast_revenue_delta",
     "returned_item_customers",
+    "embedding_pca_scores",
 )
 
 

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from musicflow_spark.operators.embeddings import DEFAULT_SCALE, gram_moments_exact
+from musicflow_spark.operators.embeddings import (
+    DEFAULT_SCALE,
+    gram_moments_exact,
+    pca_project,
+)
 from musicflow_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
@@ -372,6 +376,26 @@ FROM assigned s
 """
 
 
+PCA_K = 4
+
+
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection (ext): centered scores on the 4 leading
+    principal axes of the corpus covariance.  Not SQL-expressible
+    (the eigendecomposition has no DuckDB twin), so this registers
+    with the driver's rows-only check; value-level certification
+    lives in tests/test_embeddings.py (eigenvalue/eigenvector match
+    vs numpy, centered-score variance == eigenvalues) and the exact
+    integer moment inputs are hash-certified by
+    ``embedding_gram_moments``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "embedding", PCA_K)
+    return out.select(
+        "vec_id",
+        *[pround(F.col("pca")[i], 6).alias(f"pc{i}") for i in range(PCA_K)],
+    )
+
+
 # 24 dims = 300 moment cells; wide enough to include coordinates whose
 # float32 .5-boundary rounding diverged between engines before the
 # CAST-to-DOUBLE fix (e.g. sf0.1 vec 1879 dim 17), so the oracle
@@ -431,4 +455,5 @@ QUERIES = [
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL),
     Query("embedding_semantic_dedup", "ext: SemDeDup-style cluster-blocked semantic dedup", embedding_semantic_dedup, _embedding_semantic_dedup_oracle_sql()),
+    Query("embedding_pca_scores", "ext: PCA projection (driver rows-only; numpy-certified in tests)", embedding_pca_scores, None),
 ]
