@@ -403,6 +403,50 @@ def test_overlap_join_stream_stream_converges_to_batch(spark, stream_dir, tmp_pa
     assert len(want) > 0
 
 
+def test_overlap_join_stream_state_is_evicted(spark, stream_dir, tmp_path):
+    # the max_len time-range bound must actually evict join state:
+    # after draining a month of data, buffered state must be far
+    # smaller than the total rows that flowed through the join
+    from musicflow_spark.streaming import overlap_join_stream
+
+    def shape(df, tag):
+        side = 0 if tag == "l" else 1
+        return (
+            df.filter(F.col("user_id") != SENTINEL_USER)
+            .filter(F.col("event_id") % 2 == side)
+            .select(
+                F.col("event_id").alias(f"{tag}_id"),
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("ts").alias(f"{tag}_lo"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{tag}_hi"),
+            )
+        )
+
+    out = overlap_join_stream(
+        shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "l"),
+        shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "r"),
+        "l_user", "r_user", "l_lo", "l_hi", "r_lo", "r_hi",
+        max_len="1 hour", watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("overlap_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_overlap_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = q.lastProgress["stateOperators"][0]
+    n_input = (
+        spark.read.parquet(stream_dir)
+        .filter(F.col("user_id") != SENTINEL_USER)
+        .count()
+    )
+    assert state["numRowsRemoved"] > 0          # eviction actually ran
+    assert state["numRowsTotal"] < n_input / 2  # horizon << month of data
+
+
 def test_overlap_join_stream_rejects_column_clash(spark, stream_dir):
     from musicflow_spark.streaming import overlap_join_stream
 
