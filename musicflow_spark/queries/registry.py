@@ -72,6 +72,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "forecast_revenue_delta",
     "returned_item_customers",
     "embedding_pca_scores",
+    "customer_profile",
 )
 
 

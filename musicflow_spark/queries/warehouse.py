@@ -617,6 +617,29 @@ FROM daily
 """
 
 
+# ------------------------------------------------------- table profile
+PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (ext: deequ/dbt-profiler shape): per
+    column of the customer table, row count, non-null count, exact
+    distinct count (operators/profile.py::profile_exact — the k-way
+    EXPAND certification tier; the approx tier is pinned to this one
+    in tests and runs with no expand at scale)."""
+    from musicflow_spark.operators.profile import profile_exact
+
+    return profile_exact(read_table(spark, sf_dir, "customer"), PROFILE_COLS)
+
+
+CUSTOMER_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct
+FROM customer"""
+    for c in PROFILE_COLS
+)
+
+
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
@@ -631,4 +654,5 @@ QUERIES = [
     Query("nation_metrics_unpivot", "ext: unpivot/melt wide-to-long reshape", nation_metrics_unpivot, NATION_METRICS_UNPIVOT_SQL),
     Query("customer_snapshot_diff", "ext: FULL OUTER snapshot reconciliation (added/removed/changed)", customer_snapshot_diff, CUSTOMER_SNAPSHOT_DIFF_SQL),
     Query("order_revenue_range_window", "ext: RANGE-framed trailing-interval window", order_revenue_range_window, ORDER_REVENUE_RANGE_WINDOW_SQL),
+    Query("customer_profile", "ext: one-pass table profile (completeness + cardinality)", customer_profile, CUSTOMER_PROFILE_SQL),
 ]

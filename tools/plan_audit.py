@@ -69,6 +69,7 @@ SINGLE_OK = {
     "corpus_vocab_topk",       # global top-k limit + cum-window on the k-row survivor frame
     "doc_rarity_score",        # scalar total-occurrence aggregate (1 row by construction)
     "forecast_revenue_delta",  # final global scalar aggregate (1 row by construction)
+    "customer_profile",        # global scalar profile aggregate (1 wide row by construction)
 }
 
 
