@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _long_format(df: DataFrame, wide, cols: list[str]) -> DataFrame:
+def _profile(df: DataFrame, cols: list[str] | None, distinct_agg) -> DataFrame:
+    cols = list(cols) if cols is not None else df.columns
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(distinct_agg(c).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
     entries = [
         F.struct(
             F.lit(c).alias("column"),
@@ -40,14 +48,7 @@ def _long_format(df: DataFrame, wide, cols: list[str]) -> DataFrame:
 def profile_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Exact profile: (column, n_rows, n_nonnull, n_distinct) per
     column, one aggregation job (k-way EXPAND under the hood)."""
-    cols = list(cols) if cols is not None else df.columns
-    if not cols:
-        raise ValueError("cols must be non-empty")
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
-    return _long_format(df, df.agg(*aggs), cols)
+    return _profile(df, cols, lambda c: F.countDistinct(F.col(c)))
 
 
 def profile_approx(
@@ -55,11 +56,4 @@ def profile_approx(
 ) -> DataFrame:
     """Sketch profile: identical schema, ``approx_count_distinct``
     cardinalities — single pass, no expand; the 100 TB tier."""
-    cols = list(cols) if cols is not None else df.columns
-    if not cols:
-        raise ValueError("cols must be non-empty")
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(F.approx_count_distinct(F.col(c), rsd=rsd).alias(f"_nd_{c}"))
-    return _long_format(df, df.agg(*aggs), cols)
+    return _profile(df, cols, lambda c: F.approx_count_distinct(F.col(c), rsd=rsd))

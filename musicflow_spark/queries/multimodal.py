@@ -81,7 +81,8 @@ def _media_feature_values_oracle_sql() -> str:
     )
     return f"""
 WITH h AS (
-  SELECT doc_id, sha256('0:image' || text) AS hx FROM documents)
+  -- COALESCE matches extract_features' `payload or b''` on NULL text
+  SELECT doc_id, sha256('0:image' || COALESCE(text, '')) AS hx FROM documents)
 SELECT doc_id,
        {cols}
 FROM h

@@ -56,10 +56,10 @@ def test_approx_profile_single_job_no_expand(frame):
     assert "Expand" not in plan  # the whole point of the approx tier
 
 
-def test_approx_within_rsd_on_real_table(spark):
+def test_approx_within_rsd_on_real_table(spark, sf_dir):
     from musicflow_spark.sources.catalog import read_table
 
-    df = read_table(spark, "/root/testdata/sf0.01", "orders")
+    df = read_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
     exact = _m(profile_exact(df, cols))
     approx = _m(profile_approx(df, cols, rsd=0.02))

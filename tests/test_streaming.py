@@ -361,32 +361,39 @@ def test_range_join_stream_converges_to_batch(spark, stream_dir, tmp_path):
     assert len(want) > 0
 
 
-def test_overlap_join_stream_stream_converges_to_batch(spark, stream_dir, tmp_path):
-    from musicflow_spark.operators.timejoin import overlap_join_bucketed
+# interval streams carved from the event files: even event_ids on the
+# left, odd on the right, each a 30-minute activity span keyed by user
+# — shared by the convergence and state-eviction tests so both always
+# exercise the SAME join
+def _overlap_shape(df, tag):
+    side = 0 if tag == "l" else 1
+    return (
+        df.filter(F.col("user_id") != SENTINEL_USER)
+        .filter(F.col("event_id") % 2 == side)
+        .select(
+            F.col("event_id").alias(f"{tag}_id"),
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("ts").alias(f"{tag}_lo"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{tag}_hi"),
+        )
+    )
+
+
+def _overlap_joined_stream(spark, stream_dir):
     from musicflow_spark.streaming import overlap_join_stream
 
-    # two unbounded interval streams carved from the same event files:
-    # even event_ids on the left, odd on the right, each a 30-minute
-    # activity span keyed by user — overlap pairs are co-active spans
-    def shape(df, tag):
-        side = 0 if tag == "l" else 1
-        return (
-            df.filter(F.col("user_id") != SENTINEL_USER)
-            .filter(F.col("event_id") % 2 == side)
-            .select(
-                F.col("event_id").alias(f"{tag}_id"),
-                F.col("user_id").alias(f"{tag}_user"),
-                F.col("ts").alias(f"{tag}_lo"),
-                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{tag}_hi"),
-            )
-        )
-
-    out = overlap_join_stream(
-        shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "l"),
-        shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "r"),
+    return overlap_join_stream(
+        _overlap_shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "l"),
+        _overlap_shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "r"),
         "l_user", "r_user", "l_lo", "l_hi", "r_lo", "r_hi",
         max_len="1 hour", watermark="1 hour",
     )
+
+
+def test_overlap_join_stream_stream_converges_to_batch(spark, stream_dir, tmp_path):
+    from musicflow_spark.operators.timejoin import overlap_join_bucketed
+
+    out = _overlap_joined_stream(spark, stream_dir)
     got = {
         (r["l_id"], r["r_id"])
         for r in _run_to_memory(out, "overlap_stream", tmp_path, "append").collect()
@@ -395,7 +402,7 @@ def test_overlap_join_stream_stream_converges_to_batch(spark, stream_dir, tmp_pa
     want = {
         (r["l_id"], r["r_id"])
         for r in overlap_join_bucketed(
-            shape(batch, "l"), shape(batch, "r"),
+            _overlap_shape(batch, "l"), _overlap_shape(batch, "r"),
             "l_user", "r_user", "l_lo", "l_hi", "r_lo", "r_hi",
         ).collect()
     }
@@ -407,27 +414,7 @@ def test_overlap_join_stream_state_is_evicted(spark, stream_dir, tmp_path):
     # the max_len time-range bound must actually evict join state:
     # after draining a month of data, buffered state must be far
     # smaller than the total rows that flowed through the join
-    from musicflow_spark.streaming import overlap_join_stream
-
-    def shape(df, tag):
-        side = 0 if tag == "l" else 1
-        return (
-            df.filter(F.col("user_id") != SENTINEL_USER)
-            .filter(F.col("event_id") % 2 == side)
-            .select(
-                F.col("event_id").alias(f"{tag}_id"),
-                F.col("user_id").alias(f"{tag}_user"),
-                F.col("ts").alias(f"{tag}_lo"),
-                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{tag}_hi"),
-            )
-        )
-
-    out = overlap_join_stream(
-        shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "l"),
-        shape(event_stream(spark, stream_dir, max_files_per_trigger=1), "r"),
-        "l_user", "r_user", "l_lo", "l_hi", "r_lo", "r_hi",
-        max_len="1 hour", watermark="1 hour",
-    )
+    out = _overlap_joined_stream(spark, stream_dir)
     q = (
         out.writeStream.format("memory")
         .queryName("overlap_state")
@@ -436,15 +423,22 @@ def test_overlap_join_stream_state_is_evicted(spark, stream_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    state = q.lastProgress["stateOperators"][0]
+    assert q.awaitTermination(300)  # drained, not a mid-run snapshot
+    # numRowsRemoved is per-micro-batch: sum across the run, don't
+    # read only the final batch's progress
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    final_total = q.lastProgress["stateOperators"][0]["numRowsTotal"]
     n_input = (
         spark.read.parquet(stream_dir)
         .filter(F.col("user_id") != SENTINEL_USER)
         .count()
     )
-    assert state["numRowsRemoved"] > 0          # eviction actually ran
-    assert state["numRowsTotal"] < n_input / 2  # horizon << month of data
+    assert removed > 0                   # eviction actually ran
+    assert final_total < n_input / 2     # horizon << month of data
 
 
 def test_overlap_join_stream_rejects_column_clash(spark, stream_dir):
