@@ -73,6 +73,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "returned_item_customers",
     "embedding_pca_scores",
     "customer_profile",
+    "orders_with_customer_version",
 )
 
 

@@ -617,6 +617,47 @@ FROM daily
 """
 
 
+# ------------------------------------- fact -> SCD2 version lookup
+def orders_with_customer_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-version lookup (ext): every order joined to the SCD2
+    customer version valid at its transaction time — THE consumption
+    pattern a Type-2 dimension exists for.  Transaction time is a
+    deterministic batch id (hash of the order key, 0 or 1) against
+    the two-batch history of ``scd2_customer_history``.
+
+    Scale shape: a plain custkey equi-join with the validity
+    predicate as a post-filter — versions per key are bounded (one
+    row per change batch), so the fan-out before the filter is the
+    version count, never fact x fact; no window, no as-of machinery
+    needed when validity is already materialized as [from, to)."""
+    hist = scd2_customer_history(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    t = (portable_hash60(F.col("o_orderkey").cast("string")) % 2).alias("txn_batch")
+    o = orders.select("o_orderkey", "o_custkey", t)
+    j = o.join(hist, o["o_custkey"] == hist["c_custkey"]).filter(
+        (F.col("valid_from") <= F.col("txn_batch"))
+        & (F.col("valid_to").isNull() | (F.col("txn_batch") < F.col("valid_to")))
+    )
+    return j.select(
+        "o_orderkey", "txn_batch", "bal_cents", "c_mktsegment"
+    )
+
+
+def _orders_with_customer_version_oracle_sql() -> str:
+    return f"""
+SELECT o.o_orderkey,
+       ('0x' || substr(md5(cast(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2
+         AS txn_batch,
+       h.bal_cents, h.c_mktsegment
+FROM orders o
+JOIN ({SCD2_CUSTOMER_HISTORY_SQL}) h
+  ON o.o_custkey = h.c_custkey
+WHERE h.valid_from <= ('0x' || substr(md5(cast(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2
+  AND (h.valid_to IS NULL
+       OR ('0x' || substr(md5(cast(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2 < h.valid_to)
+"""
+
+
 # ------------------------------------------------------- table profile
 PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
@@ -655,4 +696,5 @@ QUERIES = [
     Query("customer_snapshot_diff", "ext: FULL OUTER snapshot reconciliation (added/removed/changed)", customer_snapshot_diff, CUSTOMER_SNAPSHOT_DIFF_SQL),
     Query("order_revenue_range_window", "ext: RANGE-framed trailing-interval window", order_revenue_range_window, ORDER_REVENUE_RANGE_WINDOW_SQL),
     Query("customer_profile", "ext: one-pass table profile (completeness + cardinality)", customer_profile, CUSTOMER_PROFILE_SQL),
+    Query("orders_with_customer_version", "ext: fact -> SCD2 dimension-version lookup", orders_with_customer_version, _orders_with_customer_version_oracle_sql()),
 ]
