@@ -1,0 +1,46 @@
+"""Registry invariants: the driver correctness window (first 50
+entries) must contain only never-driver-proven queries, and the tier
+lists must stay consistent with the registered names — a typo in
+either list silently mis-slots queries across rounds."""
+
+from __future__ import annotations
+
+from musicflow_spark.queries.registry import (
+    _DRIVER_PROVEN,
+    _NEW_THIS_ROUND,
+    get_queries,
+)
+
+DRIVER_WINDOW = 50
+
+
+def test_tier_lists_reference_real_queries():
+    names = {q.name for q in get_queries()}
+    assert set(_DRIVER_PROVEN) <= names, set(_DRIVER_PROVEN) - names
+    assert set(_NEW_THIS_ROUND) <= names, set(_NEW_THIS_ROUND) - names
+    assert not set(_DRIVER_PROVEN) & set(_NEW_THIS_ROUND)
+
+
+def test_names_unique_and_window_is_tier0():
+    qs = get_queries()
+    names = [q.name for q in qs]
+    assert len(names) == len(set(names))
+    proven, fresh = set(_DRIVER_PROVEN), set(_NEW_THIS_ROUND)
+    window = names[:DRIVER_WINDOW]
+    offenders = [n for n in window if n in proven or n in fresh]
+    assert not offenders, offenders
+    # and tiers are contiguous: tier-0, then tier-1, then proven
+    tiers = [2 if n in proven else (1 if n in fresh else 0) for n in names]
+    assert tiers == sorted(tiers)
+
+
+def test_oracles_present_or_documented_rows_only():
+    # rows-only queries are the documented exceptions; anything else
+    # losing its oracle is a regression in driver evidence
+    rows_only = {q.name for q in get_queries() if q.oracle is None}
+    assert rows_only == {"embedding_pca_scores"}, rows_only
+
+
+def test_bench_flags_point_at_registered_queries():
+    bench = [q for q in get_queries() if q.bench]
+    assert len(bench) == 15  # BASELINE.md's headline set; update together
