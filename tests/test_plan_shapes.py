@@ -105,3 +105,74 @@ def test_unpivot_expands_in_place(spark):
 
     plan = _executed(nation_metrics_unpivot(spark, SF_DIR))
     assert "Expand" in plan
+
+
+def test_runtime_bloom_filter_join_injectable(spark):
+    # 100 TB surface: a selective dimension filter can inject a bloom
+    # filter on the fact side's join key (row-level runtime filtering),
+    # cutting shuffle input before the join.  Local thresholds are far
+    # above sf0.001 sizes, so lower them to prove the engine's plans
+    # are bloom-compatible (no conf in our read path blocks injection).
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.sources.catalog import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1000MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_DIR, "lineitem")
+        orders = read_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _executed(j)
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_write(spark, tmp_path):
+    # 100 TB surface: a fact table written partitionBy(key) must let a
+    # selective dim filter prune partitions AT RUNTIME (DPP subquery in
+    # the scan), not scan everything.  Uses our own write path.
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.sources.catalog import read_table, write_table
+
+    orders = read_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_table(orders, path, partition_by=["o_year"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1996, "pick")], "d_year int, tag string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        j = fact.join(
+            dim.filter(F.col("tag") == "pick"),
+            fact["o_year"] == dim["d_year"],
+        ).groupBy("d_year").count()
+        plan = _executed(j)
+        # the scan must carry dynamicpruningexpression(o_year IN ...)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        rows = j.collect()
+        assert rows and rows[0]["count"] > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
