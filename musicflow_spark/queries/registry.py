@@ -74,6 +74,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "embedding_pca_scores",
     "customer_profile",
     "orders_with_customer_version",
+    "doc_canonical_selection",
 )
 
 

@@ -606,6 +606,42 @@ GROUP BY id
 """
 
 
+def doc_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection (ext): after dedup clustering,
+    keep the LONGEST member of each near-dup cluster (doc_id
+    tiebreak) — the standard "which copy survives" policy when
+    near-dups differ in truncation, distinct from dedup_clusters'
+    min-id keeper.  One keyed window over the cluster assignment;
+    cluster sizes are near-dup group sizes (tiny), so the window
+    never sees skew.  Composes jaccard_pairs -> dedup_clusters ->
+    quality-ranked keep flag."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2, max_df=20)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id"
+    )
+    scored = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+    )
+
+
+def _doc_canonical_selection_oracle_sql() -> str:
+    clusters = DOC_DEDUP_CLUSTERS_SQL.strip().rstrip()
+    return f"""
+SELECT c.doc_id, c.cluster_id,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY d.n_chars DESC, c.doc_id) = 1 AS is_canonical,
+       CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+FROM ({clusters}) c JOIN documents d ON c.doc_id = d.doc_id
+"""
+
+
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 SIMHASH_MAX_HAMMING = 20
@@ -1031,4 +1067,5 @@ QUERIES = [
     Query("corpus_vocab_topk", "ext: vocabulary coverage curve (top-k unigrams + cum share)", corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
     Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),
+    Query("doc_canonical_selection", "ext: longest-member canonical doc per dedup cluster", doc_canonical_selection, _doc_canonical_selection_oracle_sql()),
 ]
