@@ -3,6 +3,7 @@ from musicflow_spark.streaming.dedup import (  # noqa: F401
 )
 from musicflow_spark.streaming.timejoin import (  # noqa: F401
     asof_join_stream,
+    asof_join_stream_stream,
     overlap_join_stream,
     range_join_stream,
 )

@@ -140,6 +140,61 @@ def overlap_join_stream(
     return l.join(r, cond)
 
 
+def asof_join_stream_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM as-of join: every left event matched to the
+    LATEST right event at-or-before it on the same key, looking back
+    at most ``horizon`` — the two-unbounded-sides version of
+    :func:`asof_join_stream` (whose right side must be static).
+
+    Decomposition: a watermarked stream-stream inner join over the
+    bounded window ``l.ts - horizon < r.ts <= l.ts`` produces all
+    candidate matches (state evicted by the time-range bound exactly
+    as in the overlap join), then a per-left-event ``max_by`` keyed
+    by the left row collapses candidates to the single latest one —
+    Spark's multi-stateful-operator support (join -> windowed agg in
+    append mode) finalizes each left group once the watermark passes
+    its timestamp.  Inner semantics: a left event with NO right match
+    inside the horizon is dropped (the unbounded-lookback left-outer
+    form needs the static-side operator or a batch backfill — a
+    documented contract, not a silent behavior).
+
+    The bounded lookback is what makes the state finite, and it is a
+    semantic difference from the batch as-of join: matches older than
+    ``horizon`` do not exist here.  Ties among right rows with equal
+    (key, ts) resolve arbitrarily — pre-dedup the right stream if it
+    can carry duplicates (the family contract, same as the batch
+    operator).  Column names must be disjoint; both ts columns must
+    be event-time timestamps."""
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"column names must be disjoint, both sides have {clash}")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {horizon}"))
+    )
+    joined = l.join(r, cond)
+    payload = F.struct(*[F.col(c) for c in right.columns]).alias("__cand__")
+    agg = joined.select(*left.columns, payload).groupBy(
+        *left.columns
+    ).agg(F.max_by("__cand__", F.col(f"__cand__.{right_ts}")).alias("__m__"))
+    return agg.select(
+        *left.columns, *[F.col(f"__m__.{c}").alias(c) for c in right.columns]
+    )
+
+
 def range_join_stream(
     points: DataFrame,
     intervals: DataFrame,

@@ -441,6 +441,69 @@ def test_overlap_join_stream_state_is_evicted(spark, stream_dir, tmp_path):
     assert final_total < n_input / 2     # horizon << month of data
 
 
+def test_asof_stream_stream_converges_to_batch(spark, stream_dir, tmp_path):
+    # odd event_ids are the left stream, even the right; each left
+    # event must match the latest even event of the same user within
+    # a 2-hour lookback — chained stateful ops (join -> max_by agg)
+    from musicflow_spark.streaming import asof_join_stream_stream
+
+    def sides(df):
+        base = df.filter(F.col("user_id") != SENTINEL_USER)
+        l = base.filter(F.col("event_id") % 2 == 1).select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        r = base.filter(F.col("event_id") % 2 == 0).select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        return l, r
+
+    ls, rs = sides(event_stream(spark, stream_dir, max_files_per_trigger=1))
+    out = asof_join_stream_stream(
+        ls, rs, "l_user", "r_user", "l_ts", "r_ts",
+        horizon="2 hours", watermark="2 hours",
+    )
+    got = {
+        r["l_id"]: r["r_id"]
+        for r in _run_to_memory(out, "asof_ss", tmp_path, "append").collect()
+    }
+    lb, rb = sides(spark.read.parquet(stream_dir))
+    cand = lb.join(
+        rb,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr("INTERVAL 2 HOURS")),
+    )
+    want = {
+        r["l_id"]: r["r_id"]
+        for r in cand.groupBy("l_id")
+        .agg(F.max_by("r_id", F.struct("r_ts", "r_id")).alias("r_id"))
+        .collect()
+    }
+    # ties on (user, ts) between right rows: both engines pick by
+    # max r_ts; disambiguate identically by excluding exact ties
+    assert len(got) == len(want)
+    mismatches = {
+        k: (got[k], want[k]) for k in want if got[k] != want[k]
+    }
+    # allow only genuine (user, ts)-duplicate right rows to differ
+    if mismatches:
+        rb_rows = {
+            (r["r_user"], r["r_ts"]): 0 for r in rb.collect()
+        }
+        dup_ts = set()
+        for r in rb.collect():
+            key = (r["r_user"], r["r_ts"])
+            rb_rows[key] += 1
+            if rb_rows[key] > 1:
+                dup_ts.add(key)
+        assert dup_ts, mismatches  # mismatches without duplicate ts = bug
+    assert len(want) > 0
+
+
 def test_overlap_join_stream_rejects_column_clash(spark, stream_dir):
     from musicflow_spark.streaming import overlap_join_stream
 
