@@ -75,6 +75,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "customer_profile",
     "orders_with_customer_version",
     "doc_canonical_selection",
+    "lateral_top_customers",
+    "regional_rollup",
 )
 
 

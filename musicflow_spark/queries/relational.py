@@ -1226,6 +1226,80 @@ GROUP BY o.o_orderpriority
 """
 
 
+LATERAL_TOP_CUSTOMERS_SQL = """
+SELECT n.n_name, t.c_custkey, t.bal_cents
+FROM nation n,
+LATERAL (SELECT c_custkey,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY bal_cents DESC, c_custkey
+         LIMIT 3) t
+"""
+
+
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL front end (ext):
+    the 3 richest customers per nation as a per-row dependent
+    subquery — the SQL surface (correlated LATERAL + per-group LIMIT)
+    distinct from the window-function top-k the registry already
+    plans (`top_orders_per_nation`).  Identical SQL text runs on
+    DuckDB, so the hash match certifies Spark's lateral decorrelation
+    against an engine that executes it natively.  Catalyst
+    decorrelates to a ranked window under the hood — per-key work,
+    no per-row re-scan at scale."""
+    cust, nation = _t(spark, sf_dir, "customer", "nation")
+    cust.createOrReplaceTempView("lat_customer")
+    nation.createOrReplaceTempView("lat_nation")
+    return spark.sql(
+        LATERAL_TOP_CUSTOMERS_SQL.replace("FROM customer", "FROM lat_customer")
+        .replace("FROM nation", "FROM lat_nation")
+    )
+
+
+REGIONAL_ROLLUP_SQL = """
+SELECT r.r_name,
+       n.n_name,
+       CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS BIGINT) AS gid,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+def regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (ext): customer balances at nation,
+    region, and grand-total grain in ONE aggregation pass — the
+    drill-down complement of the registry's CUBE query
+    (`order_status_cube` plans every combination; ROLLUP prunes to
+    the prefix hierarchy, 25+5+1 rows instead of the cube's cross).
+    Spark compiles it to a single Expand + hash aggregate; the
+    grouping-bit column disambiguates real NULLs from subtotal rows
+    on both engines."""
+    cust, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    j = (
+        cust.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("long")
+            .alias("gid"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+                "bal_cents"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select("r_name", "n_name", "gid", "bal_cents", "n_customers")
+    )
+
+
 # ------------------------------------------------------ Q5/Q6/Q10 shapes
 def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped: revenue per nation for orders whose customer
@@ -1409,4 +1483,6 @@ QUERIES = [
     Query("regional_supplier_volume", "ext: same-nation dual-chain join (Q5 shape)", regional_supplier_volume, REGIONAL_SUPPLIER_VOLUME_SQL),
     Query("forecast_revenue_delta", "ext: pure scan-filter-aggregate (Q6 shape)", forecast_revenue_delta, FORECAST_REVENUE_DELTA_SQL),
     Query("returned_item_customers", "ext: wide-payload group + global top-k (Q10 shape)", returned_item_customers, RETURNED_ITEM_CUSTOMERS_SQL),
+    Query("lateral_top_customers", "ext: LATERAL correlated subquery (SQL front end)", lateral_top_customers, LATERAL_TOP_CUSTOMERS_SQL),
+    Query("regional_rollup", "ext: ROLLUP prefix-hierarchy totals (grouping bits)", regional_rollup, REGIONAL_ROLLUP_SQL),
 ]
