@@ -150,6 +150,7 @@ def asof_join_stream_stream(
     *,
     horizon: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM as-of join: every left event matched to the
     LATEST right event at-or-before it on the same key, looking back
@@ -163,18 +164,22 @@ def asof_join_stream_stream(
     by the left row collapses candidates to the single latest one —
     Spark's multi-stateful-operator support (join -> windowed agg in
     append mode) finalizes each left group once the watermark passes
-    its timestamp.  Inner semantics: a left event with NO right match
-    inside the horizon is dropped (the unbounded-lookback left-outer
-    form needs the static-side operator or a batch backfill — a
-    documented contract, not a silent behavior).
+    its timestamp.  ``how='inner'`` drops a left event with NO right
+    match inside the horizon; ``how='left'`` keeps it null-padded
+    (the join emits the padded row once the watermark proves no match
+    can still arrive, and the null candidate flows through ``max_by``
+    untouched).  Either way, matches older than ``horizon`` do not
+    exist — the unbounded-lookback form needs the static-side
+    operator or a batch backfill (a documented contract, not a
+    silent behavior).
 
-    The bounded lookback is what makes the state finite, and it is a
-    semantic difference from the batch as-of join: matches older than
-    ``horizon`` do not exist here.  Ties among right rows with equal
-    (key, ts) resolve arbitrarily — pre-dedup the right stream if it
-    can carry duplicates (the family contract, same as the batch
-    operator).  Column names must be disjoint; both ts columns must
-    be event-time timestamps."""
+    The bounded lookback is what makes the state finite.  Ties among
+    right rows with equal (key, ts) resolve arbitrarily — pre-dedup
+    the right stream if it can carry duplicates (the family contract,
+    same as the batch operator).  Column names must be disjoint; both
+    ts columns must be event-time timestamps."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     clash = set(left.columns) & set(right.columns)
     if clash:
         raise ValueError(f"column names must be disjoint, both sides have {clash}")
@@ -185,7 +190,7 @@ def asof_join_stream_stream(
         & (F.col(right_ts) <= F.col(left_ts))
         & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {horizon}"))
     )
-    joined = l.join(r, cond)
+    joined = l.join(r, cond, "left_outer" if how == "left" else "inner")
     payload = F.struct(*[F.col(c) for c in right.columns]).alias("__cand__")
     agg = joined.select(*left.columns, payload).groupBy(
         *left.columns

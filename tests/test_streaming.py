@@ -447,14 +447,20 @@ def test_asof_stream_stream_converges_to_batch(spark, stream_dir, tmp_path):
     # a 2-hour lookback — chained stateful ops (join -> max_by agg)
     from musicflow_spark.streaming import asof_join_stream_stream
 
+    # the sentinel flows through both sides so each stream's watermark
+    # advances past all real data (it self-matches on user -1 and is
+    # dropped from the comparison)
     def sides(df):
-        base = df.filter(F.col("user_id") != SENTINEL_USER)
-        l = base.filter(F.col("event_id") % 2 == 1).select(
+        l = df.filter(
+            (F.col("event_id") % 2 == 1) | (F.col("user_id") == SENTINEL_USER)
+        ).select(
             F.col("event_id").alias("l_id"),
             F.col("user_id").alias("l_user"),
             F.col("ts").alias("l_ts"),
         )
-        r = base.filter(F.col("event_id") % 2 == 0).select(
+        r = df.filter(
+            (F.col("event_id") % 2 == 0) | (F.col("user_id") == SENTINEL_USER)
+        ).select(
             F.col("event_id").alias("r_id"),
             F.col("user_id").alias("r_user"),
             F.col("ts").alias("r_ts"),
@@ -469,8 +475,11 @@ def test_asof_stream_stream_converges_to_batch(spark, stream_dir, tmp_path):
     got = {
         r["l_id"]: r["r_id"]
         for r in _run_to_memory(out, "asof_ss", tmp_path, "append").collect()
+        if r["l_user"] != SENTINEL_USER
     }
     lb, rb = sides(spark.read.parquet(stream_dir))
+    lb = lb.filter(F.col("l_user") != SENTINEL_USER)
+    rb = rb.filter(F.col("r_user") != SENTINEL_USER)
     cand = lb.join(
         rb,
         (F.col("l_user") == F.col("r_user"))
@@ -502,6 +511,63 @@ def test_asof_stream_stream_converges_to_batch(spark, stream_dir, tmp_path):
                 dup_ts.add(key)
         assert dup_ts, mismatches  # mismatches without duplicate ts = bug
     assert len(want) > 0
+
+
+def test_asof_stream_stream_left_outer_pads_unmatched(spark, stream_dir, tmp_path):
+    # right stream restricted to a third of the users: lefts of the
+    # excluded users must still emit, null-padded, once the watermark
+    # proves no match can arrive
+    from musicflow_spark.streaming import asof_join_stream_stream
+
+    # the far-future sentinel flows through BOTH sides (its user id
+    # matches no real key) so each stream's watermark advances past
+    # all real data and every outer group can close; its rows are
+    # excluded from the comparison below
+    def left_side(df):
+        return df.filter(
+            (F.col("event_id") % 2 == 1) | (F.col("user_id") == SENTINEL_USER)
+        ).select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+
+    def right_side(df):
+        return df.filter(
+            ((F.col("event_id") % 2 == 0) & (F.col("user_id") % 3 == 0))
+            | (F.col("user_id") == SENTINEL_USER)
+        ).select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+
+    out = asof_join_stream_stream(
+        left_side(event_stream(spark, stream_dir, max_files_per_trigger=1)),
+        right_side(event_stream(spark, stream_dir, max_files_per_trigger=1)),
+        "l_user", "r_user", "l_ts", "r_ts",
+        horizon="2 hours", watermark="2 hours", how="left",
+    )
+    rows = [
+        r
+        for r in _run_to_memory(out, "asof_ss_left", tmp_path, "append").collect()
+        if r["l_user"] != SENTINEL_USER
+    ]
+    got_ids = {r["l_id"] for r in rows}
+    batch = spark.read.parquet(stream_dir)
+    all_left = {
+        r["l_id"]
+        for r in left_side(batch).collect()
+        if r["l_user"] != SENTINEL_USER
+    }
+    assert got_ids == all_left          # every left event emitted exactly...
+    assert len(rows) == len(all_left)   # ...once
+    padded = [r for r in rows if r["r_id"] is None]
+    matched = [r for r in rows if r["r_id"] is not None]
+    assert padded and matched
+    # no padded row belongs to a user the right stream covers with an
+    # in-horizon match candidate; spot check: all matched users % 3 == 0
+    assert all(r["l_user"] % 3 == 0 for r in matched)
 
 
 def test_overlap_join_stream_rejects_column_clash(spark, stream_dir):
