@@ -77,6 +77,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "doc_canonical_selection",
     "lateral_top_customers",
     "regional_rollup",
+    "customer_order_gaps",
 )
 
 

@@ -1226,6 +1226,68 @@ GROUP BY o.o_orderpriority
 """
 
 
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics (ext): per customer, the
+    lag/lead/first-value window family over the order sequence —
+    days since the previous order, days until the next, and days
+    since the customer's first order, plus a per-customer mean gap.
+    The one window surface the registry did not yet exercise
+    end-to-end (lag + lead + first_value in a single pass over one
+    keyed sort).  Exact integer day arithmetic on epoch micros keeps
+    every column hash-portable.  One shuffle on custkey; the window
+    and the final aggregate reuse the same partitioning."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    # o_orderdate loads as TIMESTAMP_NTZ; route through the
+    # flavor-safe converter used by the temporal-join family
+    from musicflow_spark.operators.timejoin import US_PER_DAY, micros
+
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        micros(orders, "o_orderdate").alias("ts_us"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ts_us", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "o_orderkey",
+        ((F.col("ts_us") - F.lag("ts_us").over(w)) / US_PER_DAY)
+        .cast("long")
+        .alias("days_since_prev"),
+        ((F.lead("ts_us").over(w) - F.col("ts_us")) / US_PER_DAY)
+        .cast("long")
+        .alias("days_until_next"),
+        ((F.col("ts_us") - F.first("ts_us").over(w)) / US_PER_DAY)
+        .cast("long")
+        .alias("days_since_first"),
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("days_since_prev").alias("total_gap_days"),
+        F.max("days_since_first").alias("span_days"),
+        F.sum((F.col("days_until_next").isNull()).cast("long")).alias("n_last"),
+    )
+
+
+CUSTOMER_ORDER_GAPS_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS ts_us FROM orders),
+g AS (
+  SELECT o_custkey, o_orderkey,
+         CAST((ts_us - lag(ts_us) OVER w) // 86400000000 AS BIGINT) AS days_since_prev,
+         CAST((lead(ts_us) OVER w - ts_us) // 86400000000 AS BIGINT) AS days_until_next,
+         CAST((ts_us - first_value(ts_us) OVER w) // 86400000000 AS BIGINT) AS days_since_first
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey))
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(days_since_prev) AS BIGINT) AS total_gap_days,
+       CAST(max(days_since_first) AS BIGINT) AS span_days,
+       CAST(sum(CASE WHEN days_until_next IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+FROM g
+GROUP BY o_custkey
+"""
+
+
 LATERAL_TOP_CUSTOMERS_SQL = """
 SELECT n.n_name, t.c_custkey, t.bal_cents
 FROM nation n,
@@ -1483,6 +1545,7 @@ QUERIES = [
     Query("regional_supplier_volume", "ext: same-nation dual-chain join (Q5 shape)", regional_supplier_volume, REGIONAL_SUPPLIER_VOLUME_SQL),
     Query("forecast_revenue_delta", "ext: pure scan-filter-aggregate (Q6 shape)", forecast_revenue_delta, FORECAST_REVENUE_DELTA_SQL),
     Query("returned_item_customers", "ext: wide-payload group + global top-k (Q10 shape)", returned_item_customers, RETURNED_ITEM_CUSTOMERS_SQL),
+    Query("customer_order_gaps", "ext: lag/lead/first_value inter-order gap stats", customer_order_gaps, CUSTOMER_ORDER_GAPS_SQL),
     Query("lateral_top_customers", "ext: LATERAL correlated subquery (SQL front end)", lateral_top_customers, LATERAL_TOP_CUSTOMERS_SQL),
     Query("regional_rollup", "ext: ROLLUP prefix-hierarchy totals (grouping bits)", regional_rollup, REGIONAL_ROLLUP_SQL),
 ]
