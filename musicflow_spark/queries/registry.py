@@ -78,6 +78,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "lateral_top_customers",
     "regional_rollup",
     "customer_order_gaps",
+    "customer_profile_sketch",
 )
 
 

@@ -681,6 +681,41 @@ FROM customer"""
 )
 
 
+def customer_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier profile (ext): the SAME per-column profile through
+    ``profile_approx`` — single no-expand pass of HLL cardinality
+    sketches, the tier a wide 100 TB table runs.  Soundness-oracle
+    pattern: exact columns recomputed by DuckDB, the sketch estimate
+    gated on Spark at 5% relative (+10 absolute for tiny columns)
+    against the exact distinct count."""
+    from musicflow_spark.operators.profile import profile_approx, profile_exact
+
+    cust = read_table(spark, sf_dir, "customer")
+    approx = profile_approx(cust, PROFILE_COLS).select(
+        "column", F.col("n_distinct").alias("_nd_approx")
+    )
+    exact = profile_exact(cust, PROFILE_COLS)
+    return exact.join(approx, "column").select(
+        "column",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        (
+            F.abs(F.col("_nd_approx") - F.col("n_distinct"))
+            <= F.col("n_distinct") * 0.05 + F.lit(10)
+        ).alias("sketch_ok"),
+    )
+
+
+CUSTOMER_PROFILE_SKETCH_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct,
+       TRUE AS sketch_ok
+FROM customer"""
+    for c in PROFILE_COLS
+)
+
+
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
@@ -697,4 +732,5 @@ QUERIES = [
     Query("order_revenue_range_window", "ext: RANGE-framed trailing-interval window", order_revenue_range_window, ORDER_REVENUE_RANGE_WINDOW_SQL),
     Query("customer_profile", "ext: one-pass table profile (completeness + cardinality)", customer_profile, CUSTOMER_PROFILE_SQL),
     Query("orders_with_customer_version", "ext: fact -> SCD2 dimension-version lookup", orders_with_customer_version, _orders_with_customer_version_oracle_sql()),
+    Query("customer_profile_sketch", "ext: sketch-tier profile (no-expand HLL pass, exact-gated)", customer_profile_sketch, CUSTOMER_PROFILE_SKETCH_SQL),
 ]

@@ -92,10 +92,13 @@ def overlap_join_stream(
     *,
     max_len: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM interval overlap join: pairs from two unbounded
     interval streams with equal keys and intersecting half-open spans
-    (``l.lo < r.hi AND r.lo < l.hi``).
+    (``l.lo < r.hi AND r.lo < l.hi``).  ``how='left'`` keeps left
+    intervals with no overlap partner, null-padded once the watermark
+    proves none can still arrive.
 
     Unlike the batch twin (operators/timejoin.py::
     overlap_join_bucketed) there is no bucket explode — a stream-stream
@@ -119,6 +122,8 @@ def overlap_join_stream(
     the exact-micros LONG form the batch operator accepts cannot
     carry a watermark.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     clash = set(left.columns) & set(right.columns)
     if clash:
         raise ValueError(f"column names must be disjoint, both sides have {clash}")
@@ -137,7 +142,7 @@ def overlap_join_stream(
         & (F.col(right_lo) > F.col(left_lo) - F.expr(f"INTERVAL {max_len}"))
         & (F.col(right_lo) < F.col(left_lo) + F.expr(f"INTERVAL {max_len}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, "left_outer" if how == "left" else "inner")
 
 
 def asof_join_stream_stream(

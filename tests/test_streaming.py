@@ -570,6 +570,54 @@ def test_asof_stream_stream_left_outer_pads_unmatched(spark, stream_dir, tmp_pat
     assert all(r["l_user"] % 3 == 0 for r in matched)
 
 
+def test_overlap_join_stream_left_outer_pads(spark, stream_dir, tmp_path):
+    from musicflow_spark.streaming import overlap_join_stream
+
+    # right stream restricted to a third of the users; sentinel flows
+    # through BOTH sides so every outer group can close
+    def keep(df, side_cond):
+        return df.filter(side_cond | (F.col("user_id") == SENTINEL_USER))
+
+    l = keep(
+        event_stream(spark, stream_dir, max_files_per_trigger=1),
+        F.col("event_id") % 2 == 0,
+    ).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("l_hi"),
+    )
+    r = keep(
+        event_stream(spark, stream_dir, max_files_per_trigger=1),
+        (F.col("event_id") % 2 == 1) & (F.col("user_id") % 3 == 0),
+    ).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("r_hi"),
+    )
+    out = overlap_join_stream(
+        l, r, "l_user", "r_user", "l_lo", "l_hi", "r_lo", "r_hi",
+        max_len="1 hour", watermark="1 hour", how="left",
+    )
+    rows = [
+        x
+        for x in _run_to_memory(out, "overlap_left", tmp_path, "append").collect()
+        if x["l_user"] != SENTINEL_USER
+    ]
+    all_left = {
+        x["event_id"]
+        for x in spark.read.parquet(stream_dir)
+        .filter((F.col("event_id") % 2 == 0) & (F.col("user_id") != SENTINEL_USER))
+        .collect()
+    }
+    assert {x["l_id"] for x in rows} == all_left  # no left interval lost
+    padded = [x for x in rows if x["r_id"] is None]
+    matched = [x for x in rows if x["r_id"] is not None]
+    assert padded and matched
+    assert all(x["l_user"] % 3 == 0 for x in matched)
+
+
 def test_overlap_join_stream_rejects_column_clash(spark, stream_dir):
     from musicflow_spark.streaming import overlap_join_stream
 

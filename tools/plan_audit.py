@@ -70,6 +70,7 @@ SINGLE_OK = {
     "doc_rarity_score",        # scalar total-occurrence aggregate (1 row by construction)
     "forecast_revenue_delta",  # final global scalar aggregate (1 row by construction)
     "customer_profile",        # global scalar profile aggregate (1 wide row by construction)
+    "customer_profile_sketch", # two global scalar profile aggregates (1 wide row each)
 }
 
 
