@@ -79,6 +79,13 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "regional_rollup",
     "customer_order_gaps",
     "customer_profile_sketch",
+    "best_supplier_per_part",
+    "nation_profit_by_year",
+    "ship_latency_priority_counts",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "part_supplier_variety",
+    "excess_inventory_suppliers",
 )
 
 
@@ -86,6 +93,7 @@ def get_queries() -> list[Query]:
     """All registered queries, never-driver-proven first (see
     ``_DRIVER_PROVEN``); module order is stable within each tier."""
     from musicflow_spark.queries import approx as _approx
+    from musicflow_spark.queries import classic as _classic
     from musicflow_spark.queries import cleanse as _cleanse
     from musicflow_spark.queries import events as _events
     from musicflow_spark.queries import multimodal as _multimodal
@@ -99,6 +107,7 @@ def get_queries() -> list[Query]:
     out: list[Query] = []
     for mod in (
         _relational,
+        _classic,
         _events,
         _timeseries,
         _textops,

@@ -33,6 +33,15 @@ CASES = [
     ("warehouse", "nation_value_percentiles", 3, True),
     ("warehouse", "nation_metrics_unpivot", 3, True),
     ("warehouse", "segment_customer_overlap", 9, True),
+    # classic Q-shape additions (bounds = measured executed plan + 1
+    # slack; the AQE plan string repeats initial+final subtrees, so
+    # these run higher than tools/plan_audit.py's pre-execution counts)
+    ("classic", "best_supplier_per_part", 10, True),
+    ("classic", "nation_profit_by_year", 2, True),
+    ("classic", "ship_latency_priority_counts", 2, False),
+    ("classic", "top_supplier_revenue", 5, True),
+    ("classic", "part_supplier_variety", 7, True),
+    ("classic", "excess_inventory_suppliers", 6, True),
 ]
 
 

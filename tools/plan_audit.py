@@ -71,6 +71,8 @@ SINGLE_OK = {
     "forecast_revenue_delta",  # final global scalar aggregate (1 row by construction)
     "customer_profile",        # global scalar profile aggregate (1 wide row by construction)
     "customer_profile_sketch", # two global scalar profile aggregates (1 wide row each)
+    "promo_revenue_share",     # final global scalar aggregate (1 row by construction)
+    "top_supplier_revenue",    # global-max scalar broadcast back (1 row by construction)
 }
 
 
