@@ -250,6 +250,116 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters, exact-gated
+# ---------------------------------------------------------------------------
+
+CMS_TOPK = 30
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency tier (ext) for the exact
+    heavy-hitter miner (``doc_frequent_ngrams``): sketch every token
+    occurrence in the corpus into a fixed 4×2048 counter grid
+    (operators/cms.py), then certify it against the exact counts of
+    the top-30 tokens.
+
+    Soundness contract (HLL-family oracle pattern): the sketch values
+    never leave Spark; the query emits the exact recomputable columns
+    plus three gates computed ON Spark —
+
+    * ``lower_ok``: estimate ≥ exact count (the CMS guarantee —
+      collisions only ever ADD; a false here is an implementation
+      bug, not sketch noise),
+    * ``eps_ok``: estimate ≤ exact + 8·N/width + 8 (collision mass
+      bound; deterministic for the fixed corpus),
+    * ``merge_ok``: the union of two half-corpus partial sketches is
+      counter-for-counter IDENTICAL to the one-pass sketch (CMS
+      merge is exact integer addition, so this is equality, not a
+      tolerance — the mergeability that makes the sketch the
+      incremental/streaming scale path).
+
+    The DuckDB oracle recomputes the exact columns and emits literal
+    TRUE gates.  Scale shape: the grid is ≤ 8192 rows no matter the
+    corpus size, so every sketch-side join is a broadcast; the only
+    data-scaled shuffles are the token explode's groupBys."""
+    from musicflow_spark.operators.cms import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from musicflow_spark.operators.textstats import tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+
+    sketch = cms_build(toks, "token")
+    half_a = cms_build(toks.filter(F.col("doc_id") % 2 == 0), "token")
+    half_b = cms_build(toks.filter(F.col("doc_id") % 2 == 1), "token")
+    merged = cms_merge(half_a, half_b)
+
+    # counter-exact merge proof: full outer on the grid coordinates,
+    # every counter equal (both grids are <= 8192 rows, broadcastable)
+    merge_ok = (
+        sketch.withColumnRenamed("cnt", "cnt_direct")
+        .join(
+            # no broadcast hint: Spark can't broadcast-build a full
+            # outer join; both grids are <= depth*width rows anyway
+            merged.withColumnRenamed("cnt", "cnt_merged"),
+            ["row", "bucket"],
+            "full_outer",
+        )
+        .agg(
+            F.min(
+                F.coalesce(F.col("cnt_direct"), F.lit(-1))
+                == F.coalesce(F.col("cnt_merged"), F.lit(-2))
+            ).alias("merge_ok")
+        )
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(CMS_TOPK)
+    )
+    est = cms_estimate(top, sketch, "token")
+    # 1-row scalar frames: trivial broadcasts (plan-audit allowlisted)
+    return (
+        est.join(F.broadcast(total))
+        .join(F.broadcast(merge_ok))
+        .select(
+            "token",
+            "exact_cnt",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("lower_ok"),
+            (
+                F.col("cms_est")
+                <= F.col("exact_cnt") + F.lit(8.0) * F.col("n_tokens") / CMS_WIDTH + 8
+            ).alias("eps_ok"),
+            "merge_ok",
+        )
+    )
+
+
+CMS_TOKEN_COUNTS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+           AS token
+  FROM documents
+)
+SELECT token, count(*) AS exact_cnt,
+       TRUE AS lower_ok, TRUE AS eps_ok, TRUE AS merge_ok
+FROM toks
+GROUP BY token
+ORDER BY exact_cnt DESC, token
+LIMIT {CMS_TOPK}
+"""
+
+
 QUERIES = [
     Query(
         "hll_distinct_users",
@@ -274,6 +384,12 @@ QUERIES = [
         "ext: ES weighted sampling, portable-hash deterministic",
         weighted_sample_orders,
         WEIGHTED_SAMPLE_ORDERS_SQL,
+    ),
+    Query(
+        "cms_token_counts",
+        "ext: count-min sketch frequency tier, merge- and bound-gated",
+        cms_token_counts,
+        CMS_TOKEN_COUNTS_SQL,
     ),
     Query(
         "fuzzy_customer_pairs",

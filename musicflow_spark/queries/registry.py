@@ -86,6 +86,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "top_supplier_revenue",
     "part_supplier_variety",
     "excess_inventory_suppliers",
+    "user_activity_streaks",
+    "cms_token_counts",
 )
 
 

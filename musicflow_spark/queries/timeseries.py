@@ -201,7 +201,66 @@ FROM t a JOIN t b
 """
 
 
+# ------------------------------------------------- gaps and islands
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (ext): per user, the longest run of
+    consecutive active days, the number of distinct runs, and total
+    active days — the classic ``day - row_number() days`` anchor
+    trick, which turns each consecutive island into one constant
+    group key with no self-join and no iteration.
+
+    Scale shape: two user-keyed exchanges total — the (user, day)
+    dedup aggregate, then the user-partitioned window (whose
+    partitioning the two downstream group-bys reuse); no global
+    window, no gap cross-join.  Active-day dedup happens FIRST, so
+    the window sees at most one row per (user, day)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("run_len").alias("active_days"),
+    )
+
+
+USER_ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               * INTERVAL 1 DAY AS anchor
+  FROM days
+),
+runs AS (
+  SELECT user_id, anchor, count(*) AS run_len
+  FROM islands GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(max(run_len) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks,
+       CAST(sum(run_len) AS BIGINT) AS active_days
+FROM runs GROUP BY user_id
+"""
+
+
 QUERIES = [
+    Query(
+        "user_activity_streaks",
+        "ext: gaps-and-islands consecutive-day streaks (anchor-date window)",
+        user_activity_streaks,
+        USER_ACTIVITY_STREAKS_SQL,
+    ),
     Query(
         "events_asof_order",
         "ext: as-of join (union-merge window)",

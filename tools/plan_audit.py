@@ -44,6 +44,7 @@ CARTESIAN_OK = {
     "hll_mergeable_daily",     # 1-row x 1-row scalar join (merged vs direct sketch)
     "corpus_vocab_topk",       # 1-row total-occurrence broadcast (coverage denominator)
     "doc_rarity_score",        # same 1-row total-occurrence broadcast (rarity numerator)
+    "cms_token_counts",        # 1-row token-total + merge-proof scalar broadcasts
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -73,6 +74,7 @@ SINGLE_OK = {
     "customer_profile_sketch", # two global scalar profile aggregates (1 wide row each)
     "promo_revenue_share",     # final global scalar aggregate (1 row by construction)
     "top_supplier_revenue",    # global-max scalar broadcast back (1 row by construction)
+    "cms_token_counts",        # scalar token-total + merge-proof aggregates (1 row each)
 }
 
 
