@@ -44,8 +44,19 @@ def _bucket(key: Column, row: int, width: int) -> Column:
     ).cast("int")
 
 
-def _pairs(df: DataFrame, key_col: str, depth: int, width: int) -> DataFrame:
-    """One (row, bucket) record per hash row per input record."""
+def cms_pairs(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """One (row, bucket) record per hash row per input record — the
+    pre-aggregation stream shape.  Works on streaming DataFrames too:
+    feed ``cms_pairs(stream, k).withColumn("cnt", F.lit(1L))`` into
+    ``streaming.foreach_batch_rollup_merge(path, ["row", "bucket"])``
+    and the materialized table IS the corpus CMS, maintained
+    incrementally with no state store (counter merge is exact integer
+    addition — see tests/test_streaming.py)."""
     key = F.col(key_col).cast("string")
     return df.select(
         F.explode(
@@ -74,7 +85,7 @@ def cms_build(
     if depth < 1 or width < 1:
         raise ValueError(f"need depth, width >= 1, got {depth}/{width}")
     return (
-        _pairs(df, key_col, depth, width)
+        cms_pairs(df, key_col, depth, width)
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -709,3 +709,43 @@ def test_running_user_stats_converges(spark, stream_dir, tmp_path, variant):
         .collect()
     }
     assert final == want
+
+
+def test_cms_stream_merge_converges_to_batch_sketch(spark, stream_dir, tmp_path):
+    """Streaming CMS maintenance: per-batch (row, bucket) counter
+    partials merged through the no-state-store rollup sink must equal
+    the one-pass batch sketch COUNTER-FOR-COUNTER (CMS merge is exact
+    integer addition, so this is equality, not a tolerance)."""
+    from musicflow_spark.operators.cms import cms_build, cms_pairs
+    from musicflow_spark.streaming import foreach_batch_rollup_merge
+
+    depth, width = 4, 256
+    out = str(tmp_path / "cms_grid")
+    shaped = cms_pairs(
+        event_stream(spark, stream_dir, max_files_per_trigger=1).select("user_id"),
+        "user_id",
+        depth,
+        width,
+    ).withColumn("cnt", F.lit(1).cast("long"))
+    q = (
+        shaped.writeStream.foreachBatch(
+            foreach_batch_rollup_merge(out, ["row", "bucket"])
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["row"], r["bucket"]): r["cnt"] for r in spark.read.parquet(out).collect()
+    }
+    # batch twin over the SAME stream files (sentinel included: the
+    # sketch counts every record it saw, sentinel or not)
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            spark.read.parquet(stream_dir).select("user_id"), "user_id", depth, width
+        ).collect()
+    }
+    assert got == want
