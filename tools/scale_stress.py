@@ -1,0 +1,154 @@
+"""Scaling-exponent stress harness: measure t(N x sf0.1) / t(sf0.1).
+
+The local bench at sf0.1 proves speed at one size; this harness
+checks the SHAPE of the cost curve — a 100 TB design must scale
+near-linearly on replicated data.  It materializes an N-fold scaled
+copy of the tables a target query reads, replica-shifting keys and
+content so that:
+
+* join fan-out stays constant (every replica's keys are disjoint:
+  ``key + i * 10**9``) — a correct plan does N x the work;
+* similarity outputs stay linear (each document replica's tokens get
+  a per-replica prefix, so shingle/minhash buckets never cross
+  replicas; customer-name replicas are tagged with a repeated-digit
+  prefix, keeping cross-replica edit distance >= 2 > the join's
+  threshold of 1) — a pairwise blow-up would show as t growing ~N^2.
+
+Dimensions (nation/region) are NOT scaled — at 100 TB facts grow and
+dimensions don't, and scaling them would turn broadcast sides into
+fact-sized frames the real workload never has.
+
+Usage: python tools/scale_stress.py [N] [query ...]
+Writes scaled parquet under /tmp/scale_stress/x{N}/ (rebuilt if
+missing), times each query on sf0.1 and on the scaled dir (2 runs
+each, best-of), prints one ratio line per query.  A ratio well below
+N means sub-linear (broadcast reuse / fixed overhead amortizing);
+near N is linear; well above N flags a super-linear stage.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+KEY_STRIDE = 10**9
+
+#: per-query table requirements: (scaled fact tables w/ key columns
+#: to shift, text/name transforms), dims copied verbatim
+SCALED_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
+}
+DIMS = ["nation", "region"]
+
+QUERY_TABLES = {
+    "doc_minhash_dedup": ["documents"],
+    "doc_jaccard_pairs": ["documents"],
+    "fuzzy_customer_pairs": ["customer"],
+    "snowflake_flatten": ["lineitem", "orders", "customer", "supplier"],
+    "user_sessions": ["events"],
+    "pricing_summary": ["lineitem"],
+}
+DEFAULT_QUERIES = list(QUERY_TABLES)
+
+
+def _replica(df, table: str, i: int):
+    out = df
+    for k in SCALED_KEYS[table]:
+        out = out.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
+    if table == "documents":
+        # prefix every token with r{i} -> shingles disjoint across
+        # replicas: near-dup structure is exactly N copies of sf0.1's
+        out = out.withColumn(
+            "text", F.regexp_replace("text", r"(^|\s)", f"$1r{i}")
+        )
+    if table == "customer":
+        # repeated-digit tag keeps cross-replica edit distance >= 2
+        out = out.withColumn(
+            "c_name", F.concat(F.lit(str(i % 10) * 2), F.col("c_name"))
+        )
+    return out
+
+
+def build_scaled(spark, n: int, tables: set[str]) -> str:
+    root = f"/tmp/scale_stress/x{n}"
+    os.makedirs(root, exist_ok=True)
+    for t in sorted(tables):
+        dest = f"{root}/{t}.parquet"
+        if os.path.exists(dest):
+            continue
+        base = spark.read.parquet(f"{BASE}/{t}.parquet")
+        scaled = _replica(base, t, 0)
+        for i in range(1, n):
+            scaled = scaled.unionByName(_replica(base, t, i))
+        tmp = dest + ".__tmp__"
+        scaled.repartition(32).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, dest)
+    for t in DIMS:
+        dest = f"{root}/{t}.parquet"
+        src = f"{BASE}/{t}.parquet"
+        if not os.path.exists(dest):
+            # driver testdata are single parquet files; be robust to
+            # directory-style tables too
+            if os.path.isdir(src):
+                shutil.copytree(src, dest)
+            else:
+                shutil.copyfile(src, dest)
+    return root
+
+
+def _time(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    bad = [q for q in names if q not in QUERY_TABLES]
+    if bad:
+        raise SystemExit(f"no table map for {bad}; add to QUERY_TABLES")
+
+    from musicflow_spark.queries import get_queries
+    from musicflow_spark.session import get_spark
+
+    spark = get_spark("scale_stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    fns = {q.name: q.spark for q in get_queries()}
+
+    need = set()
+    for q in names:
+        need |= set(QUERY_TABLES[q])
+    scaled_dir = build_scaled(spark, n, need)
+
+    print(f"{'query':26s} {'t(sf0.1)':>9s} {'t(x%d)' % n:>9s} {'ratio':>6s}  verdict")
+    worst = 0.0
+    for q in names:
+        t1 = _time(fns[q], spark, BASE)
+        tn = _time(fns[q], spark, scaled_dir)
+        r = tn / t1
+        worst = max(worst, r)
+        verdict = "sub-linear" if r < 0.8 * n else ("~linear" if r <= 1.5 * n else "SUPER-LINEAR!")
+        print(f"{q:26s} {t1:9.2f} {tn:9.2f} {r:6.2f}  {verdict}")
+    print(f"SCALE STRESS: {'OK' if worst <= 1.5 * n else 'SUPER-LINEAR STAGE FOUND'}")
+    return 0 if worst <= 1.5 * n else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
