@@ -88,6 +88,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "excess_inventory_suppliers",
     "user_activity_streaks",
     "cms_token_counts",
+    "event_props_variant_stats",
 )
 
 

@@ -1,0 +1,117 @@
+"""Spark 4 Python Data Source: the offset-paginated REST connector as
+a first-class ``spark.read.format(...)`` source.
+
+``sources/rest.py`` exposes the same capability as composition
+helpers (parallelize offsets → mapPartitions fetch); this module
+lifts it into the engine-native connector contract
+(`pyspark.sql.datasource.DataSource`), so a user reads an API the
+same way they read parquet:
+
+    spark.dataSource.register(OffsetRestDataSource)
+    df = (spark.read.format("musicflow_rest")
+          .schema("id LONG, name STRING")
+          .option("url", "http://host/items")   # GET ?offset=&limit=
+          .option("total", 100_000)
+          .option("page_size", 50)
+          .option("num_partitions", 8)
+          .load())
+
+Scale shape: offsets are random-access, so ``partitions()`` splits
+the offset range into ``num_partitions`` input partitions and each
+executor worker walks its slice with ONE sequential HTTP client —
+``num_partitions`` IS the API-concurrency bound, exactly like the
+reference's sequential page loops fanned N-wide
+(/root/reference/dags/scripts/spotify_elt.py:417-424,610-621).
+Catalyst sees a normal scan; column pruning applies downstream.
+
+Transport is stdlib urllib (no client dependency); transient HTTP
+codes retry with capped exponential backoff per request.  Auth
+composes the same way as the functional connectors — callers who
+need bearer tokens put them in ``extra_headers`` (static) or front
+the endpoint with the ``sources/auth.py`` retry wrapper in a custom
+subclass overriding ``_get``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+_RETRYABLE = {429, 500, 502, 503, 504}
+
+
+class OffsetSlice(InputPartition):
+    """One task's offset list (picklable plan-time value)."""
+
+    def __init__(self, offsets: Sequence[int]):
+        self.offsets = list(offsets)
+
+
+class OffsetRestDataSource(DataSource):
+    """Register with ``spark.dataSource.register(OffsetRestDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "musicflow_rest"
+
+    def schema(self) -> str:
+        # caller normally passes .schema(...); this default matches
+        # the item shape used across the REST test surface
+        return "id LONG, name STRING"
+
+    def reader(self, schema: StructType) -> "OffsetRestReader":
+        return OffsetRestReader(schema, self.options)
+
+
+class OffsetRestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        if "url" not in options or "total" not in options:
+            raise ValueError("musicflow_rest requires 'url' and 'total' options")
+        self.fields = [f.name for f in schema.fields]
+        self.url = options["url"]
+        self.total = int(options["total"])
+        self.page_size = int(options.get("page_size", 50))
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.items_key = options.get("items_key", "items")
+        self.max_retries = int(options.get("max_retries", 3))
+        self.headers = json.loads(options.get("extra_headers", "{}"))
+        if self.total < 0 or self.page_size < 1 or self.num_partitions < 1:
+            raise ValueError(
+                f"need total >= 0, page_size/num_partitions >= 1, got "
+                f"{self.total}/{self.page_size}/{self.num_partitions}"
+            )
+
+    def partitions(self) -> list[OffsetSlice]:
+        offsets = list(range(0, self.total, self.page_size))
+        n = min(self.num_partitions, max(len(offsets), 1))
+        # round-robin keeps slices balanced when pages vary in cost
+        return [OffsetSlice(offsets[i::n]) for i in range(n)]
+
+    def _get(self, url: str) -> dict:
+        delay = 0.2
+        for attempt in range(self.max_retries + 1):
+            try:
+                req = urllib.request.Request(url, headers=self.headers)
+                with urllib.request.urlopen(req) as r:
+                    return json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                if e.code not in _RETRYABLE or attempt == self.max_retries:
+                    raise
+                ra = e.headers.get("Retry-After")
+                time.sleep(float(ra) if ra else delay)
+                delay = min(delay * 2, 5.0)
+        raise RuntimeError("unreachable")
+
+    def read(self, partition: OffsetSlice) -> Iterator[tuple]:
+        for off in partition.offsets:
+            q = urllib.parse.urlencode({"offset": off, "limit": self.page_size})
+            payload = self._get(f"{self.url}?{q}")
+            for row in payload.get(self.items_key, []):
+                yield tuple(row.get(f) for f in self.fields)
