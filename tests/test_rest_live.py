@@ -53,6 +53,7 @@ class _State:
         self.offsets_served: list[int] = []
         self.lookup_batch_sizes: list[int] = []
         self.search_429s_left: dict[str, int] = {}
+        self.stream_total = 0  # mutable: tests grow it between batches
 
 
 def _make_handler(state: _State):
@@ -89,6 +90,9 @@ def _make_handler(state: _State):
                 token = q.get("page_token", [None])[0]
                 rows, nxt = PAGES[token]
                 return self._json(200, {"items": rows, "next": nxt})
+            if url.path == "/total":
+                with state.lock:
+                    return self._json(200, {"total": state.stream_total})
             if url.path == "/offset":
                 off = int(q["offset"][0])
                 lim = int(q["limit"][0])
@@ -374,3 +378,51 @@ def test_python_datasource_retries_transient_errors(spark, rest_server):
     assert len(payload["items"]) == 3
     with pytest.raises(urllib.error.HTTPError):
         rd._get(f"{base}/nope")
+
+
+def test_python_datasource_streams_incrementally(spark, rest_server, tmp_path):
+    """Streaming Data Source: first availableNow run consumes rows
+    [0, 13); the server then grows; a SECOND run on the SAME
+    checkpoint must emit exactly the new rows [13, 23) — offset
+    tracking through the checkpoint gives exactly-once per row with
+    no dedup pass."""
+    base, state = rest_server
+    from musicflow_spark.sources.datasource import OffsetRestDataSource
+
+    spark.dataSource.register(OffsetRestDataSource)
+    ckpt = str(tmp_path / "ckpt_rest_stream")
+    got: list[int] = []
+
+    def run_once():
+        batch_rows: list[int] = []
+
+        def absorb(batch, _bid):
+            batch_rows.extend(r["id"] for r in batch.collect())
+
+        q = (
+            spark.readStream.format("musicflow_rest")
+            .schema(ITEM_SCHEMA)
+            .option("url", f"{base}/offset")
+            .option("total_url", f"{base}/total")
+            .option("page_size", 5)
+            .option("num_partitions", 2)
+            .load()
+            .writeStream.foreachBatch(absorb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return batch_rows
+
+    with state.lock:
+        state.stream_total = 13
+    first = run_once()
+    assert sorted(first) == list(range(13))
+    got.extend(first)
+
+    with state.lock:
+        state.stream_total = OFFSET_TOTAL  # grows to 23
+    second = run_once()
+    assert sorted(second) == list(range(13, OFFSET_TOTAL))
+    assert sorted(got + second) == list(range(OFFSET_TOTAL))
