@@ -52,7 +52,7 @@ def cms_pairs(
 ) -> DataFrame:
     """One (row, bucket) record per hash row per input record — the
     pre-aggregation stream shape.  Works on streaming DataFrames too:
-    feed ``cms_pairs(stream, k).withColumn("cnt", F.lit(1L))`` into
+    feed ``cms_pairs(stream, k).withColumn("cnt", lit(1).cast("long"))`` into
     ``streaming.foreach_batch_rollup_merge(path, ["row", "bucket"])``
     and the materialized table IS the corpus CMS, maintained
     incrementally with no state store (counter merge is exact integer
@@ -117,7 +117,12 @@ def cms_estimate(
 
     Returns ``keys`` with ``out_col`` appended.  Keys absent from the
     sketched stream get the collision mass of their buckets (CMS
-    semantics: estimates are never below the true count, which is 0)."""
+    semantics: estimates are never below the true count, which is 0).
+    ``keys`` rows must be distinct (they become the output grain) and
+    must not already contain the grid's working columns."""
+    clash = {"row", "bucket", "cnt", out_col} & set(keys.columns)
+    if clash - {out_col} or out_col in keys.columns:
+        raise ValueError(f"keys dataframe column clash: {sorted(clash)}")
     key = F.col(key_col).cast("string")
     probed = keys.select(
         "*",

@@ -76,3 +76,10 @@ def test_parameter_validation(keyed):
         cms_build(keyed, "key", 0, WIDTH)
     with pytest.raises(ValueError):
         cms_merge()
+
+
+def test_estimate_rejects_clashing_key_columns(spark, keyed):
+    sk = cms_build(keyed, "key", DEPTH, WIDTH)
+    bad = keyed.withColumn("cnt", F.lit(1))
+    with pytest.raises(ValueError, match="clash"):
+        cms_estimate(bad, sk, "key", DEPTH, WIDTH)
