@@ -109,3 +109,20 @@ def test_library_codec_is_a_marked_stub(media):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_extract_features_arrow_equals_pandas_tier(media):
+    """The mapInArrow tier must reproduce the mapInPandas tier
+    row-for-row (same codec, same batches' worth of rows)."""
+    from musicflow_spark.operators.multimodal import extract_features_arrow
+
+    codec = FakeCodec(seed=7)
+    want = {
+        r["media_id"]: (r["n_bytes"], r["digest"], r["feature"])
+        for r in extract_features(media, codec, dim=6).collect()
+    }
+    got = {
+        r["media_id"]: (r["n_bytes"], r["digest"], r["feature"])
+        for r in extract_features_arrow(media, codec, dim=6).collect()
+    }
+    assert got == want
