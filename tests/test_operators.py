@@ -316,3 +316,37 @@ def test_shared_span_stats_repeated_gram_positions(spark):
     # chains two of them consecutively
     assert out["n_shared_grams"] == 4
     assert out["max_run_tokens"] == 3
+
+
+def test_brute_force_vectorized_equals_native(spark):
+    """The BLAS mapInArrow tier must reproduce the native-fold tier's
+    neighbor sets and ranks; scores agree to 1e-9 (different float64
+    summation orders)."""
+    from musicflow_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk_vectorized(emb, queries, k=10).collect()
+    }
+    assert set(got) == set(want)
+    for key, (nid, sim) in want.items():
+        gnid, gsim = got[key]
+        assert gnid == nid, (key, nid, gnid)
+        assert abs(gsim - sim) < 1e-9
+
+
+def test_brute_force_vectorized_rejects_empty_queries(spark):
+    from musicflow_spark.operators.similarity import brute_force_topk_vectorized
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="empty"):
+        brute_force_topk_vectorized(emb, emb.filter(F.lit(False)))
