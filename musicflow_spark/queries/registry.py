@@ -89,6 +89,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "user_activity_streaks",
     "cms_token_counts",
     "event_props_variant_stats",
+    "daily_value_interpolated",
 )
 
 

@@ -22,6 +22,7 @@ from musicflow_spark.operators.timejoin import (
     overlap_join_bucketed,
     range_join_bucketed,
 )
+from musicflow_spark.queries.portable import pround
 from musicflow_spark.queries.registry import Query
 from musicflow_spark.sources.catalog import read_table
 
@@ -254,7 +255,114 @@ FROM runs GROUP BY user_id
 """
 
 
+# ------------------------------------- forward fill / interpolation
+def daily_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series repair (ext): calendar spine + LOCF forward fill +
+    linear interpolation across observation gaps — the
+    ``last_value/first_value ... IGNORE NULLS`` window surface the
+    warehouse queries had not yet exercised.
+
+    Days whose day-of-month is divisible by 3 are masked to simulate
+    sensor dropout (deterministic on both engines, guarantees real
+    gaps at every SF); interpolation reconstructs them from the
+    nearest observed neighbors, LOCF carries the last value, and
+    edge days fall back to the nearest existing side.
+
+    Scale shape: everything beyond the one events groupBy runs on the
+    day-grain frame (years -> thousands of rows), so the global
+    windows are the same documented dimension-sized single-partition
+    pattern as ``daily_moving_stats`` (plan-audit allowlisted); at a
+    100 TB grain you would partition these windows by series id."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    obs = F.when(F.dayofmonth("day") % 3 != 0, F.col("cents"))
+    j = spine.join(daily, "day", "left").select("day", obs.alias("obs_cents"))
+
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("obs_cents", ignorenulls=True).over(w_prev)
+    next_v = F.first("obs_cents", ignorenulls=True).over(w_next)
+    obs_day = F.when(F.col("obs_cents").isNotNull(), F.col("day"))
+    filled = j.select(
+        "day",
+        "obs_cents",
+        prev_v.alias("ffill_cents"),
+        next_v.alias("_nv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("_pd"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("_nd"),
+    )
+    gap = F.datediff("_nd", "_pd")
+    frac = F.datediff("day", "_pd") / gap
+    interp = (
+        F.when(F.col("obs_cents").isNotNull(), F.col("obs_cents").cast("double"))
+        .when(
+            F.col("ffill_cents").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("ffill_cents") + (F.col("_nv") - F.col("ffill_cents")) * frac,
+        )
+        .otherwise(F.coalesce("ffill_cents", "_nv").cast("double"))
+    )
+    return filled.select(
+        "day", "obs_cents", "ffill_cents", pround(interp, 4).alias("interp_cents")
+    )
+
+
+DAILY_VALUE_INTERPOLATED_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+),
+j AS (
+  SELECT s.day,
+         CASE WHEN day(s.day) % 3 <> 0 THEN d.cents END AS obs_cents
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+),
+filled AS (
+  SELECT day, obs_cents,
+         last_value(obs_cents IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ffill_cents,
+         first_value(obs_cents IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS nv,
+         last_value(CASE WHEN obs_cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pd,
+         first_value(CASE WHEN obs_cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS nd
+  FROM j
+)
+SELECT day, obs_cents, ffill_cents,
+       round((CASE
+         WHEN obs_cents IS NOT NULL THEN CAST(obs_cents AS DOUBLE)
+         WHEN ffill_cents IS NOT NULL AND nv IS NOT NULL
+           THEN ffill_cents + (nv - ffill_cents)
+                * (date_diff('day', pd, day) * 1.0 / date_diff('day', pd, nd))
+         ELSE CAST(coalesce(ffill_cents, nv) AS DOUBLE)
+       END) * 10000) / 10000 AS interp_cents
+FROM filled
+"""
+
+
 QUERIES = [
+    Query(
+        "daily_value_interpolated",
+        "ext: calendar gap repair — LOCF + linear interp (IGNORE NULLS windows)",
+        daily_value_interpolated,
+        DAILY_VALUE_INTERPOLATED_SQL,
+    ),
     Query(
         "user_activity_streaks",
         "ext: gaps-and-islands consecutive-day streaks (anchor-date window)",

@@ -75,6 +75,7 @@ SINGLE_OK = {
     "promo_revenue_share",     # final global scalar aggregate (1 row by construction)
     "top_supplier_revenue",    # global-max scalar broadcast back (1 row by construction)
     "cms_token_counts",        # scalar token-total + merge-proof aggregates (1 row each)
+    "daily_value_interpolated", # day-grain global fill windows (dozens of rows; see daily_moving_stats)
 }
 
 
