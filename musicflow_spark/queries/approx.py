@@ -360,6 +360,59 @@ LIMIT {CMS_TOPK}
 """
 
 
+APPROX_TOP_EMIT = 10
+APPROX_TOP_TRACK = 50
+
+
+def approx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Datasketches frequent-items) gated against
+    the exact heavy hitters: the engine-native sibling of the
+    hand-built CMS tier (``cms_token_counts``).
+
+    The sketch tracks up to 10 000 items, far above the corpus vocab,
+    so every tracked count is exact; asking it for the top
+    ``APPROX_TOP_TRACK`` while emitting only the exact top
+    ``APPROX_TOP_EMIT`` keeps rank-boundary ties away from the
+    comparison.  Gate (computed ON Spark): each exact top-10 token
+    appears in the sketch output with exactly its exact count.  The
+    oracle recomputes the exact columns and emits TRUE."""
+    from musicflow_spark.operators.textstats import tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sketch = toks.agg(
+        F.map_from_entries(
+            F.expr(f"approx_top_k(token, {APPROX_TOP_TRACK})")
+        ).alias("mp")
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(APPROX_TOP_EMIT)
+    )
+    # 1-row sketch frame: trivial broadcast (plan-audit allowlisted)
+    return top.join(F.broadcast(sketch)).select(
+        "token",
+        "exact_cnt",
+        (F.col("mp")[F.col("token")] == F.col("exact_cnt")).alias("sketch_ok"),
+    )
+
+
+APPROX_TOP_TOKENS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+           AS token
+  FROM documents
+)
+SELECT token, count(*) AS exact_cnt, TRUE AS sketch_ok
+FROM toks
+GROUP BY token
+ORDER BY exact_cnt DESC, token
+LIMIT {APPROX_TOP_EMIT}
+"""
+
+
 QUERIES = [
     Query(
         "hll_distinct_users",
@@ -384,6 +437,12 @@ QUERIES = [
         "ext: ES weighted sampling, portable-hash deterministic",
         weighted_sample_orders,
         WEIGHTED_SAMPLE_ORDERS_SQL,
+    ),
+    Query(
+        "approx_top_tokens",
+        "ext: approx_top_k frequent-items sketch, exact-gated",
+        approx_top_tokens,
+        APPROX_TOP_TOKENS_SQL,
     ),
     Query(
         "cms_token_counts",

@@ -90,6 +90,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "cms_token_counts",
     "event_props_variant_stats",
     "daily_value_interpolated",
+    "knn_bruteforce_blas",
+    "approx_top_tokens",
 )
 
 

@@ -45,6 +45,7 @@ CARTESIAN_OK = {
     "corpus_vocab_topk",       # 1-row total-occurrence broadcast (coverage denominator)
     "doc_rarity_score",        # same 1-row total-occurrence broadcast (rarity numerator)
     "cms_token_counts",        # 1-row token-total + merge-proof scalar broadcasts
+    "approx_top_tokens",       # 1-row sketch-map broadcast into the exact top-k
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -76,6 +77,7 @@ SINGLE_OK = {
     "top_supplier_revenue",    # global-max scalar broadcast back (1 row by construction)
     "cms_token_counts",        # scalar token-total + merge-proof aggregates (1 row each)
     "daily_value_interpolated", # day-grain global fill windows (dozens of rows; see daily_moving_stats)
+    "approx_top_tokens",       # 1-row frequent-items sketch aggregate
 }
 
 
