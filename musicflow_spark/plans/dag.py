@@ -22,7 +22,8 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -44,6 +45,10 @@ class Pipeline:
     spark: SparkSession
     warehouse_dir: str | None = None
     tasks: list[Task] = field(default_factory=list)
+    #: per-table-model run metrics (rows written), populated by run():
+    #: collected with df.observe on the write action itself — dbt-style
+    #: "N rows affected" logging with ZERO extra scans or actions
+    metrics: dict[str, dict] = field(default_factory=dict)
 
     def add(self, task: Task) -> "Pipeline":
         self.tasks.append(task)
@@ -70,7 +75,11 @@ class Pipeline:
             if not self.warehouse_dir:
                 raise ValueError(f"table materialization for {model} needs warehouse_dir")
             path = os.path.join(self.warehouse_dir, model)
-            df.write.mode("overwrite").parquet(path)
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(path)
+            self.metrics[model] = obs.get
             return self.spark.read.parquet(path)
         raise ValueError(f"unknown materialization {how!r} for {model}")
 

@@ -219,3 +219,20 @@ def test_pipeline_dag_spec_executes_end_to_end(spark, musicflow_sources, tmp_pat
     assert ctx["spotify_log"].count() > 0
     total = ctx["src__youtube_library"].count()
     assert total == ctx["int_join_spotify_uris"].count() + ctx["log_not_found_videos"].count()
+
+
+def test_table_materialization_observes_row_metrics(spark, tmp_path):
+    """Table-materialized models must report their written row count
+    through Pipeline.metrics — collected via df.observe ON the write
+    action, so no second scan happens."""
+    from musicflow_spark.plans.dag import Pipeline, Task
+
+    def make(ctx):
+        return {"m": spark.range(37).withColumnRenamed("id", "k")}
+
+    pipe = Pipeline(spark, warehouse_dir=str(tmp_path)).add(
+        Task("build", make, materialize={"m": "table"})
+    )
+    ctx = pipe.run()
+    assert ctx["m"].count() == 37
+    assert pipe.metrics["m"]["rows"] == 37
