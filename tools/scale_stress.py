@@ -60,6 +60,11 @@ QUERY_TABLES = {
     "snowflake_flatten": ["lineitem", "orders", "customer", "supplier"],
     "user_sessions": ["events"],
     "pricing_summary": ["lineitem"],
+    "best_supplier_per_part": ["lineitem", "part", "supplier"],
+    "excess_inventory_suppliers": ["lineitem", "part", "supplier"],
+    "user_activity_streaks": ["events"],
+    "cms_token_counts": ["documents"],
+    "daily_value_interpolated": ["events"],
 }
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
