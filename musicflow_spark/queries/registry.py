@@ -92,6 +92,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "daily_value_interpolated",
     "knn_bruteforce_blas",
     "approx_top_tokens",
+    "user_value_locf",
 )
 
 

@@ -356,7 +356,58 @@ FROM filled
 """
 
 
+def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITIONED form of the fill-window family — what
+    ``daily_value_interpolated``'s scale note says you run at 100 TB:
+    per-user last-observation-carried-forward over each user's own
+    day sequence, so every window is keyed by series id and no global
+    sort exists anywhere.
+
+    Same deterministic dropout mask (day-of-month % 3) as the global
+    twin; output keeps the masked observation and its LOCF repair
+    side by side.  Scale shape: one (user, day) aggregate shuffle,
+    then a user-partitioned window that AQE co-partitions with it —
+    the operator is embarrassingly parallel across series."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    obs = F.when(F.dayofmonth("day") % 3 != 0, F.col("cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        obs.alias("obs_cents"),
+        F.last(obs, ignorenulls=True).over(w).alias("locf_cents"),
+    )
+
+
+USER_VALUE_LOCF_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day,
+       CASE WHEN day(day) % 3 <> 0 THEN cents END AS obs_cents,
+       last_value(CASE WHEN day(day) % 3 <> 0 THEN cents END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
+FROM daily
+"""
+
+
 QUERIES = [
+    Query(
+        "user_value_locf",
+        "ext: per-series LOCF fill (partitioned IGNORE-NULLS window)",
+        user_value_locf,
+        USER_VALUE_LOCF_SQL,
+    ),
     Query(
         "daily_value_interpolated",
         "ext: calendar gap repair — LOCF + linear interp (IGNORE NULLS windows)",

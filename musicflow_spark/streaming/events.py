@@ -29,7 +29,7 @@ import shutil
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -239,8 +239,14 @@ def foreach_batch_rollup_merge(path: str, keys: list[str]):
     with ``+=`` set clauses."""
     from musicflow_spark.operators.scd import merge_partial_rollups
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
+    metrics: list[dict] = []
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # dbt-style per-batch row accounting, observed on the merge
+        # action itself (no extra scan) — mirrors Pipeline.metrics
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("rows_in"))
         val_cols = [c for c in batch.columns if c not in keys]
         partial = batch.groupBy(*keys).agg(
             *[F.sum(c).alias(c) for c in val_cols]
@@ -249,10 +255,12 @@ def foreach_batch_rollup_merge(path: str, keys: list[str]):
         if os.path.exists(path):
             parts.append(spark.read.parquet(path))
         merged = merge_partial_rollups(parts, keys).localCheckpoint(eager=True)
+        metrics.append({"batch_id": batch_id, **obs.get})
         tmp = f"{path}.__tmp__"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmp, path)
 
+    sink.metrics = metrics
     return sink

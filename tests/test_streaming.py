@@ -640,14 +640,18 @@ def test_rollup_merge_sink_converges_to_batch(spark, stream_dir, tmp_path):
         F.lit(1).cast("long").alias("n_events"),
         F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
     )
+    sink = foreach_batch_rollup_merge(out, ["user_id"])
     q = (
-        shaped.writeStream.foreachBatch(foreach_batch_rollup_merge(out, ["user_id"]))
+        shaped.writeStream.foreachBatch(sink)
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+    # observed per-batch row accounting sums to every input row
+    n_input = spark.read.parquet(stream_dir).count()
+    assert sum(m["rows_in"] for m in sink.metrics) == n_input
     got = {
         r["user_id"]: (r["n_events"], r["value_cents"])
         for r in spark.read.parquet(out).collect()
