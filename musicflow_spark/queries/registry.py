@@ -93,6 +93,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "knn_bruteforce_blas",
     "approx_top_tokens",
     "user_value_locf",
+    "recursive_yearly_revenue",
+    "pipe_return_status_stats",
 )
 
 

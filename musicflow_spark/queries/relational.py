@@ -1183,6 +1183,52 @@ GROUP BY c_mktsegment
 """
 
 
+PIPE_RETURN_STATUS_STATS_SQL_SPARK = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+|> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+     AS rev_cents
+|> AGGREGATE count(*) AS n_items,
+             CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+     GROUP BY l_returnflag, l_linestatus
+|> WHERE n_items > 0
+"""
+
+# DuckDB has no pipe syntax: the oracle states the identical query in
+# classic form, certifying the pipe front end against an independent
+# engine rather than a same-engine rewrite
+PIPE_RETURN_STATUS_STATS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 0
+"""
+
+
+def pipe_return_status_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (ext, Spark 4.0 ``|>`` operators): the
+    filter→extend→aggregate→having chain written as sequential pipe
+    stages — the form incremental query builders and migration
+    tooling emit.  Runs through the SQL front end on a temp view; the
+    oracle is the equivalent classic SQL on DuckDB, so the pipe
+    parser's semantics (EXTEND column scoping, AGGREGATE ... GROUP
+    BY, post-aggregation WHERE = HAVING) are value-certified, not
+    just parsed.
+
+    Scale shape: identical plan to the classic form — Catalyst
+    normalizes pipes before optimization, so pushdown/pruning are
+    unchanged (one scan, one map-combined aggregate)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        PIPE_RETURN_STATUS_STATS_SQL_SPARK.replace("FROM lineitem", "FROM pipe_lineitem")
+    )
+
+
 def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4-shaped: count orders per priority having AT LEAST ONE
     lineitem shipped >90 days after the order date — the EXISTS
@@ -1542,6 +1588,7 @@ QUERIES = [
     Query("sole_late_shippers", "ext: EXISTS+NOT-EXISTS self-correlation (Q21 shape)", sole_late_shippers, SOLE_LATE_SHIPPERS_SQL, bench=True),
     Query("nullaware_segment_anti", "ext: NOT IN three-valued logic / null-aware anti join; SQL front end", nullaware_segment_anti, NULLAWARE_SEGMENT_ANTI_SQL),
     Query("late_order_priority_counts", "ext: EXISTS via explicit LEFT SEMI join (Q4 shape)", late_order_priority_counts, LATE_ORDER_PRIORITY_COUNTS_SQL),
+    Query("pipe_return_status_stats", "ext: SQL pipe-syntax front end (|> chain), classic-SQL oracle", pipe_return_status_stats, PIPE_RETURN_STATUS_STATS_SQL),
     Query("regional_supplier_volume", "ext: same-nation dual-chain join (Q5 shape)", regional_supplier_volume, REGIONAL_SUPPLIER_VOLUME_SQL),
     Query("forecast_revenue_delta", "ext: pure scan-filter-aggregate (Q6 shape)", forecast_revenue_delta, FORECAST_REVENUE_DELTA_SQL),
     Query("returned_item_customers", "ext: wide-payload group + global top-k (Q10 shape)", returned_item_customers, RETURNED_ITEM_CUSTOMERS_SQL),
