@@ -95,6 +95,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "user_value_locf",
     "recursive_yearly_revenue",
     "pipe_return_status_stats",
+    "doc_bigram_condprob",
 )
 
 

@@ -1046,7 +1046,94 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------- bigram LM quality signal
+def doc_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (ext): the tier above unigram rarity
+    (``doc_rarity_score``) on the LM-free perplexity ladder — for
+    every bigram occurrence, the corpus MLE conditional probability
+    P(w2 | w1) = C(w1 w2)/C(w1) in integer basis points, summed per
+    document.  Low scores mark documents whose word SEQUENCES are
+    improbable even when the words themselves are common — the
+    perplexity-filter signal pipelines compute with a KenLM model,
+    expressed engine-portably.
+
+    Integer-exact by construction: ``(c2 * 10000) div c1`` instead of
+    ``ln`` ratios, because libm log implementations differ in the
+    last ulp across engines and a hash-compared score must not
+    depend on them.
+
+    Scale shape: both count tables shuffle once on their key (vocab-
+    and bigram-vocab-sized — orders below corpus size); the
+    per-occurrence joins are plain equi-joins Spark broadcasts while
+    the vocabulary fits and shuffles when it does not.  No windows,
+    no driver-side state."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = docs.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, pairs["w1"] == uni["w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("(c2 * 10000) div c1")).alias("sum_cond_bp"),
+        )
+    )
+
+
+DOC_BIGRAM_CONDPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+    FROM toks
+  )
+),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w
+),
+big AS (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+)
+SELECT p.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(b.c2 * 10000 // u.c1) AS BIGINT) AS sum_cond_bp
+FROM pairs p
+JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+JOIN uni u ON p.w1 = u.w
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = [
+    Query(
+        "doc_bigram_condprob",
+        "ext: bigram-LM conditional-probability quality signal (integer bp)",
+        doc_bigram_condprob,
+        DOC_BIGRAM_CONDPROB_SQL,
+    ),
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
     Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),
     Query("doc_token_stats", "ext: token counting", doc_token_stats, DOC_TOKEN_STATS_SQL),
