@@ -165,3 +165,36 @@ def test_fuzzy_pairs_dist1_matches_quadratic(strings):
         if i < j and _lev(a, b) <= 1
     }
     assert got == want
+
+
+@SET
+@given(
+    st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=2),
+)
+def test_cms_merge_split_invariance(keys, n_cuts):
+    """For ANY key multiset and ANY split into up to 3 parts, the
+    merged partial sketches equal the one-pass sketch counter for
+    counter — the algebraic property incremental/streaming CMS
+    maintenance rests on."""
+    from musicflow_spark.operators.cms import cms_build, cms_merge
+
+    spark = _get_spark()
+    depth, width = 3, 32
+    full = spark.createDataFrame([(k,) for k in keys], "key string")
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(full, "key", depth, width).collect()
+    }
+    cuts = sorted({0, len(keys), *(len(keys) * (i + 1) // (n_cuts + 1) for i in range(n_cuts))})
+    parts = [
+        spark.createDataFrame([(k,) for k in keys[a:b]] or [("__e__",)], "key string")
+        .limit(0 if not keys[a:b] else len(keys[a:b]))
+        for a, b in zip(cuts, cuts[1:])
+    ]
+    sketches = [cms_build(p, "key", depth, width) for p in parts]
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_merge(*sketches).collect()
+    }
+    assert merged == direct
