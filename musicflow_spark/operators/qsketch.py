@@ -1,0 +1,187 @@
+"""Mergeable quantile sketch: fixed-bin integer histograms as native
+DataFrame compositions.
+
+The sketch is a ``n_bins``-bucket equi-width histogram over an
+integer value domain: bin(v) = (v - lo) div w with
+w = (hi - lo) div n_bins + 1, so every value lands in [0, n_bins)
+with no clamping branch.  A quantile q is answered from the merged
+histogram by cumulative rank: the smallest bin whose running count
+reaches ceil(q·N), reported as that bin's inclusive upper edge —
+an overestimate of the true discrete quantile by strictly less than
+one bin width, the classic equi-width histogram bound.
+
+Spark-first shape: a partial sketch is ONE map-side-combined groupBy
+producing ≤ n_bins counter rows per grouping (day, source,
+partition); partials merge by summing counters — a second tiny
+groupBy — so 1000 executors (or 1000 days) sketch independently and
+combine without rescanning raw data.  Merge is exact integer
+addition: merged-from-partials equals built-directly bit for bit,
+which is what lets the registered query build per-day partials while
+its DuckDB oracle bins the whole table in one pass and still
+hash-match.  Quantile extraction runs on the ≤ n_bins-row sketch
+(window cumsum over a broadcastable frame), never on raw data.
+
+Completes the mergeable-sketch family beside HLL (distinct counts,
+queries/approx.py::hll_mergeable_daily) and CMS / approx_top_k
+(frequencies, operators/cms.py): distincts, frequencies, quantiles.
+Beyond-reference extension — the reference's aggregation surface is
+exact GROUP BYs (e.g. /root/reference/dbt/analyses/
+most_saved_channels.sql); at 100 TB the sketch is the only way to
+keep per-day quantile state small enough to re-merge per query.
+
+Everything is integer arithmetic on BIGINT cents — no floats, no
+RNG — so an ANSI-SQL oracle replays the whole path exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HIST_BINS = 256
+
+
+def hist_bounds(df: DataFrame, val_col: str) -> DataFrame:
+    """1-row (lo, hi, n) frame over the non-null values — the only
+    full-data pass besides the binning groupBy itself.  Kept as a
+    DataFrame (broadcast into the plan), never collected."""
+    v = F.col(val_col)
+    return df.filter(v.isNotNull()).agg(
+        F.min(v).cast("long").alias("lo"),
+        F.max(v).cast("long").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _bin_expr(val_col: str) -> F.Column:
+    """Bin index under the (lo, w) columns joined in from bounds.
+    Integer ``div`` — the double-division path would go inexact past
+    2^53.  ``val_col`` must be a plain SQL identifier."""
+    return F.expr(f"({val_col} - lo) div w").cast("long")
+
+
+def _with_width(bounds: DataFrame, n_bins: int) -> DataFrame:
+    """bounds + integer bin width w = (hi-lo) div n_bins + 1, which
+    guarantees lo + n_bins·w > hi (every value fits unclamped)."""
+    return bounds.withColumn(
+        "w", (F.floor((F.col("hi") - F.col("lo")) / F.lit(n_bins)) + F.lit(1)).cast("long")
+    )
+
+
+def hist_partials(
+    df: DataFrame,
+    val_col: str,
+    bounds: DataFrame,
+    n_bins: int = HIST_BINS,
+    part_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Partial sketches: (part_cols..., bin, cnt), ≤ n_bins counter
+    rows per partial regardless of input size.  One shuffle whose
+    map-side partial aggregate already collapses each task to the
+    counter grid; ``bounds`` is a 1-row broadcast."""
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    keys = [*part_cols, "bin"]
+    return (
+        df.filter(F.col(val_col).isNotNull())
+        .join(F.broadcast(_with_width(bounds, n_bins)))
+        .select(*part_cols, _bin_expr(val_col).alias("bin"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge partials by summing counters — exact integer addition,
+    so any split of the input yields the identical merged sketch."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0].select("bin", "cnt")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select("bin", "cnt"))
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    bounds: DataFrame,
+    qs_bp: Sequence[int],
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Answer quantiles from the merged sketch: for each q (basis
+    points), target rank ceil(q·N / 10000), estimate = inclusive
+    upper edge lo + (bin+1)·w - 1 of the smallest bin whose running
+    count reaches the target.  The true discrete quantile lies in
+    that bin, so ``est - w < true ≤ est``.
+
+    Runs entirely on the ≤ n_bins-row sketch: a window cumsum ordered
+    by bin (single tiny partition — the sketch, not the data), then a
+    per-q min over qualifying bins.  Output: (q_bp, target_rank,
+    est, w), one row per quantile — w rides along so the rank-gate
+    pass can bound the error without recomputing the width."""
+    if not qs_bp:
+        raise ValueError("need at least one quantile")
+    bad = [q for q in qs_bp if not 0 < q <= 10000]
+    if bad:
+        raise ValueError(f"quantile basis points must be in (0, 10000]: {bad}")
+    cum = sketch.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    qf = F.explode(
+        F.array(*[F.lit(int(q)) for q in qs_bp])
+    ).alias("q_bp")
+    return (
+        cum.join(F.broadcast(_with_width(bounds, n_bins)))
+        .select("bin", "cum", "lo", "w", "n", qf)
+        .withColumn(
+            # ceil(q·N / 10000) in pure integer arithmetic: the double
+            # path loses exactness once q_bp·N tops 2^53 (N ≈ 1e12 —
+            # squarely in 100 TB territory).
+            "target_rank",
+            F.expr("(q_bp * n + 9999) div 10000").cast("long"),
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_bp", "target_rank")
+        .agg(F.min("bin").alias("bin"), F.first("lo").alias("lo"), F.first("w").alias("w"))
+        .select(
+            "q_bp",
+            "target_rank",
+            (F.col("lo") + (F.col("bin") + 1) * F.col("w") - 1).alias("est"),
+            "w",
+        )
+    )
+
+
+def hist_rank_gates(
+    df: DataFrame,
+    val_col: str,
+    quantiles: DataFrame,
+) -> DataFrame:
+    """Exact soundness gates recomputed from the RAW data: for each
+    quantile row, ``rank_ok`` asserts count(v ≤ est) ≥ target (the
+    estimate does not undershoot) and ``bin_ok`` asserts
+    count(v ≤ est - w) < target (the true quantile sits inside the
+    reported bin, i.e. the error is < one bin width).  One
+    conditional-aggregation pass over the data — the certification
+    tier; the sketch itself never needs it.
+
+    ``quantiles`` is the hist_quantiles output (carries w)."""
+    v = F.col(val_col)
+    gates = (
+        df.filter(v.isNotNull())
+        .join(F.broadcast(quantiles))
+        .groupBy("q_bp", "target_rank", "est", "w")
+        .agg(
+            F.sum(F.when(v <= F.col("est"), 1).otherwise(0)).alias("n_le_est"),
+            F.sum(F.when(v <= F.col("est") - F.col("w"), 1).otherwise(0)).alias("n_le_prev"),
+        )
+    )
+    return gates.select(
+        "q_bp",
+        "target_rank",
+        "est",
+        (F.col("n_le_est") >= F.col("target_rank")).alias("rank_ok"),
+        (F.col("n_le_prev") < F.col("target_rank")).alias("bin_ok"),
+    )

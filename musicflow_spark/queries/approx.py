@@ -413,6 +413,96 @@ LIMIT {APPROX_TOP_EMIT}
 """
 
 
+QSKETCH_QS_BP = (2500, 5000, 7500, 9000, 9900)
+
+
+def quantile_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (ext): per-day fixed-bin integer
+    histograms of event value cents, merged into the full-range
+    sketch by exact counter addition, quantiles answered from the
+    merged grid (operators/qsketch.py) — the third leg of the
+    mergeable-sketch family beside HLL distincts
+    (``hll_mergeable_daily``) and CMS frequencies
+    (``cms_token_counts``).  At 100 TB the per-day partials are
+    ≤ 256 counter rows each: quantile queries re-merge tiny state
+    instead of rescanning raw events, and the build is one
+    map-side-combined groupBy.
+
+    Strongest oracle form in the family: the whole path is integer
+    arithmetic (bounds, width, binning, cumulative rank, upper-edge
+    estimate), so the DuckDB oracle REPLAYS it — binning the whole
+    table directly, which hash-matches the Spark merge-of-daily-
+    partials only because histogram merge is exact.  The two
+    soundness gates (estimate does not undershoot the target rank;
+    true quantile inside the reported bin, error < one bin width) are
+    recomputed from raw data on BOTH engines — no literal-TRUE
+    shortcut."""
+    from musicflow_spark.operators.qsketch import (
+        HIST_BINS,
+        hist_bounds,
+        hist_merge,
+        hist_partials,
+        hist_quantiles,
+        hist_rank_gates,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("cents").isNotNull())
+    )
+    bounds = hist_bounds(ev, "cents")
+    daily = hist_partials(ev, "cents", bounds, HIST_BINS, part_cols=("day",))
+    merged = hist_merge(daily)
+    qs = hist_quantiles(merged, bounds, QSKETCH_QS_BP, HIST_BINS)
+    return hist_rank_gates(ev, "cents", qs)
+
+
+QUANTILE_SKETCH_DAILY_SQL = f"""
+WITH vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+bw AS (
+  SELECT lo, hi, n, (hi - lo) // 256 + 1 AS w
+  FROM (SELECT min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM vals)
+),
+hist AS (
+  SELECT (v.cents - bw.lo) // bw.w AS bin, count(*) AS cnt
+  FROM vals v, bw GROUP BY 1
+),
+cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist
+),
+tgt AS (
+  SELECT q.q_bp,
+         (q.q_bp * bw.n + 9999) // 10000 AS target_rank,
+         bw.lo, bw.w
+  FROM (SELECT unnest({list(QSKETCH_QS_BP)}) AS q_bp) q, bw
+),
+est AS (
+  SELECT t.q_bp,
+         CAST(t.target_rank AS BIGINT) AS target_rank,
+         CAST(t.lo + (min(c.bin) + 1) * t.w - 1 AS BIGINT) AS est,
+         t.w
+  FROM tgt t JOIN cum c ON c.cum >= t.target_rank
+  GROUP BY t.q_bp, t.target_rank, t.lo, t.w
+)
+SELECT e.q_bp,
+       e.target_rank,
+       e.est,
+       sum(CASE WHEN v.cents <= e.est THEN 1 ELSE 0 END) >= e.target_rank
+         AS rank_ok,
+       sum(CASE WHEN v.cents <= e.est - e.w THEN 1 ELSE 0 END) < e.target_rank
+         AS bin_ok
+FROM est e, vals v
+GROUP BY e.q_bp, e.target_rank, e.est, e.w
+"""
+
+
 QUERIES = [
     Query(
         "hll_distinct_users",
@@ -449,6 +539,12 @@ QUERIES = [
         "ext: count-min sketch frequency tier, merge- and bound-gated",
         cms_token_counts,
         CMS_TOKEN_COUNTS_SQL,
+    ),
+    Query(
+        "quantile_sketch_daily",
+        "ext: mergeable fixed-bin quantile histogram, oracle-replayed",
+        quantile_sketch_daily,
+        QUANTILE_SKETCH_DAILY_SQL,
     ),
     Query(
         "fuzzy_customer_pairs",

@@ -96,6 +96,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "recursive_yearly_revenue",
     "pipe_return_status_stats",
     "doc_bigram_condprob",
+    "quantile_sketch_daily",
 )
 
 

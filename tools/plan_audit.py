@@ -46,6 +46,7 @@ CARTESIAN_OK = {
     "doc_rarity_score",        # same 1-row total-occurrence broadcast (rarity numerator)
     "cms_token_counts",        # 1-row token-total + merge-proof scalar broadcasts
     "approx_top_tokens",       # 1-row sketch-map broadcast into the exact top-k
+    "quantile_sketch_daily",   # 1-row bounds + ≤5-row quantile-frame broadcasts
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -78,6 +79,7 @@ SINGLE_OK = {
     "cms_token_counts",        # scalar token-total + merge-proof aggregates (1 row each)
     "daily_value_interpolated", # day-grain global fill windows (dozens of rows; see daily_moving_stats)
     "approx_top_tokens",       # 1-row frequent-items sketch aggregate
+    "quantile_sketch_daily",   # scalar bounds aggregate + ≤256-row sketch cumsum window
 }
 
 
