@@ -93,6 +93,60 @@ def hist_partials(
     )
 
 
+def hist_pairs_fixed(
+    df: DataFrame,
+    val_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Streaming-shaped variant: bin under a FIXED domain [lo, hi]
+    given as literals — a stream cannot make the data-dependent
+    bounds pre-pass, so the caller pins the domain up front (the
+    standard fixed-domain histogram contract; out-of-domain values
+    clamp to the edge bins rather than being dropped).  Map-only
+    (bin, cnt=1) pairs: feed
+    ``hist_pairs_fixed(stream, c, lo, hi)`` into
+    ``streaming.foreach_batch_rollup_merge(path, ["bin"])`` and the
+    materialized table IS the corpus histogram, maintained
+    incrementally with no state store — counter merge is exact
+    integer addition, so the streamed grid equals the one-pass batch
+    build counter-for-counter (see tests/test_qsketch.py)."""
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    if hi < lo:
+        raise ValueError(f"need lo <= hi, got [{lo}, {hi}]")
+    w = (hi - lo) // n_bins + 1
+    # integer div end-to-end (same 2^53 rationale as _bin_expr)
+    bin_sql = (
+        f"(least(greatest(cast({val_col} as bigint), cast({lo} as bigint)),"
+        f" cast({hi} as bigint)) - cast({lo} as bigint)) div cast({w} as bigint)"
+    )
+    return (
+        df.filter(F.col(val_col).isNotNull())
+        .select(
+            F.expr(bin_sql).cast("long").alias("bin"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
+
+
+def hist_build_fixed(
+    df: DataFrame,
+    val_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Batch twin of the fixed-domain form: the streamed rollup-merge
+    of ``hist_pairs_fixed`` converges to exactly this."""
+    return (
+        hist_pairs_fixed(df, val_col, lo, hi, n_bins)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def hist_merge(*sketches: DataFrame) -> DataFrame:
     """Merge partials by summing counters — exact integer addition,
     so any split of the input yields the identical merged sketch."""

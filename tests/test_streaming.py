@@ -753,3 +753,51 @@ def test_cms_stream_merge_converges_to_batch_sketch(spark, stream_dir, tmp_path)
         ).collect()
     }
     assert got == want
+
+
+def test_hist_stream_merge_converges_to_batch_sketch(spark, stream_dir, tmp_path):
+    """Streaming quantile-histogram maintenance: per-batch (bin, cnt)
+    partials merged through the no-state-store rollup sink must equal
+    the one-pass batch fixed-domain build COUNTER-FOR-COUNTER
+    (histogram merge is exact integer addition — equality, not a
+    tolerance).  The domain is pinned up front, the fixed-domain
+    streaming contract (a stream cannot run the bounds pre-pass)."""
+    from musicflow_spark.operators.qsketch import (
+        hist_build_fixed,
+        hist_pairs_fixed,
+    )
+    from musicflow_spark.streaming import foreach_batch_rollup_merge
+
+    lo, hi, n_bins = 0, 60_000, 64
+    out = str(tmp_path / "hist_grid")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    shaped = hist_pairs_fixed(
+        event_stream(spark, stream_dir, max_files_per_trigger=1)
+        .select(cents.alias("cents")),
+        "cents",
+        lo,
+        hi,
+        n_bins,
+    )
+    q = (
+        shaped.writeStream.foreachBatch(
+            foreach_batch_rollup_merge(out, ["bin"])
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["bin"]: r["cnt"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["bin"]: r["cnt"]
+        for r in hist_build_fixed(
+            spark.read.parquet(stream_dir).select(cents.alias("cents")),
+            "cents",
+            lo,
+            hi,
+            n_bins,
+        ).collect()
+    }
+    assert got == want
