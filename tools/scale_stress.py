@@ -65,6 +65,7 @@ QUERY_TABLES = {
     "user_activity_streaks": ["events"],
     "cms_token_counts": ["documents"],
     "daily_value_interpolated": ["events"],
+    "quantile_sketch_daily": ["events"],
 }
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
