@@ -310,8 +310,10 @@ def minhash_table(
     k: int = 64,
     n: int = 3,
     sets: DataFrame | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, sig: array<bigint>) k-permutation MinHash signatures.
+    """(doc_id, extra_cols..., sig: array<bigint>) k-permutation
+    MinHash signatures.
 
     Two-level hashing: each shingle reduces to one 8-byte base value
     (already free when the sets are hash-shingled —
@@ -346,7 +348,43 @@ def minhash_table(
             lambda a, b: F.least(a, b),
         ),
     )
-    return sets.select("doc_id", sig.alias("sig"))
+    return sets.select("doc_id", *extra_cols, sig.alias("sig"))
+
+
+def minhash_band_table(
+    sets: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, extra_cols..., band, bucket) — the LSH banding of a
+    kept-shingle frame, factored out so self-join dedup
+    (minhash_lsh_candidates) and delta-vs-corpus incremental dedup
+    (minhash_dedup_incremental) share one banding definition.  Band
+    inside ONE transform lambda so the k-hash signature fold appears
+    exactly once in the plan — a previous formulation built a literal
+    array of per-band structs each slicing ``sig``, and projection
+    collapse inlined the whole fold per band (16x the hashing work,
+    ~5x wall-clock measured on the sf0.1 corpus).  xxhash64 hashes
+    the sliced array directly."""
+    rows_per_band = k // bands
+    sig = minhash_table(None, k=k, sets=sets, extra_cols=extra_cols)
+    return sig.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> struct(b AS band,"
+                f" xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        *extra_cols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -367,24 +405,9 @@ def minhash_lsh_candidates(
     candidates never materialize across buckets, which is what makes
     this the 100 TB path.
     """
-    rows_per_band = k // bands
-    sig = minhash_table(df, text_col, id_col, k, n, sets=sets)
-    # Band inside ONE transform lambda so the (k-hash fold) signature
-    # expression appears exactly once in the plan.  The previous
-    # formulation built a literal array of per-band structs, each
-    # slicing `sig` — projection collapse inlined the whole signature
-    # fold per band (16x the hashing work; measured ~5x wall-clock on
-    # the sf0.1 corpus).  xxhash64 hashes the sliced array directly.
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> struct(b AS band,"
-                f" xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})) AS bucket))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if sets is None:
+        sets = with_shingles(df, text_col, id_col, n)
+    banded = minhash_band_table(sets, k, bands)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -455,6 +478,92 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter_cnt", "jaccard", "n_bands_hit")
+    )
+
+
+def minhash_dedup_incremental(
+    df: DataFrame,
+    is_delta: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 20,
+    hashed: bool = True,
+) -> DataFrame:
+    """Delta-vs-corpus incremental near-dup detection: the daily-
+    ingest dedup shape.  ``is_delta`` marks the new batch; output is
+    every verified near-dup pair TOUCHING the delta — (doc_a: delta
+    doc, doc_b: its match, inter_cnt, jaccard, partner_in_delta) —
+    i.e. the full-corpus ``minhash_dedup_pairs`` result restricted to
+    pairs with a delta member, oriented delta-first (delta-delta
+    pairs keep doc_a < doc_b).
+
+    Scale shape — why this exists next to the full-corpus form: the
+    candidate join is (delta bands) ⋈ (corpus bands), so the
+    base×base pairing that dominates a full re-run never happens;
+    per-ingest cost is O(|delta| · collision rate), not O(corpus).
+    At 100 TB the base side's banded table (doc_id, band, bucket) is
+    precomputed once and persisted bucketed on (band, bucket) — each
+    day's ingest shingles only the delta, probes the persisted
+    banding shuffle-free, and appends its own bands.  Shingle
+    document frequencies (``max_df``) are computed over the UNION so
+    the kept-shingle sets match a full-corpus run exactly — the
+    restriction-of-full-run semantics an oracle can state in SQL.
+    """
+    sets = (
+        kept_shingle_sets(df, text_col, id_col, n, max_df=max_df, hashed=hashed)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    flags = df.select(F.col(id_col).alias("doc_id"), is_delta.alias("is_delta"))
+    banded = minhash_band_table(
+        sets.join(flags, "doc_id"), k, bands, extra_cols=("is_delta",)
+    )
+    d = banded.filter(F.col("is_delta")).select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    c = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "bucket",
+        F.col("is_delta").alias("partner_in_delta"),
+    )
+    cands = (
+        d.join(c, ["band", "bucket"])
+        .filter(
+            F.when(
+                F.col("partner_in_delta"), F.col("doc_a") < F.col("doc_b")
+            ).otherwise(F.lit(True))
+        )
+        .groupBy("doc_a", "doc_b", "partner_in_delta")
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_cnt", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b", "inter_cnt", "jaccard", "n_bands_hit", "partner_in_delta"
+        )
     )
 
 

@@ -97,6 +97,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "pipe_return_status_stats",
     "doc_bigram_condprob",
     "quantile_sketch_daily",
+    "doc_incremental_dedup",
 )
 
 

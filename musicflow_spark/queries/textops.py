@@ -17,6 +17,7 @@ from musicflow_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
     jaccard_pairs,
+    minhash_dedup_incremental,
     minhash_dedup_pairs,
     positional_shingle_table,
     shared_span_stats,
@@ -298,6 +299,69 @@ def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", "inter_cnt", pround(F.col("jaccard"), 6).alias("jaccard")
     )
+
+
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental delta-vs-corpus dedup (ext): the daily-ingest
+    shape — near-dup pairs touching the new batch (here every 5th
+    doc_id stands in for "today's ingest"), found WITHOUT the
+    base×base pairing a full re-run pays
+    (operators/dedup.py::minhash_dedup_incremental; same
+    k=32/bands=16/threshold/max_df envelope as ``doc_minhash_dedup``,
+    so its 100%-recall argument carries over unchanged).
+
+    Oracle: the exact-Jaccard pair SQL restricted to pairs with a
+    delta member, oriented delta-first — stating the operator's
+    contract (restriction of the full-corpus result) directly in
+    ANSI SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_incremental(
+        docs,
+        (F.col("doc_id") % 5) == 0,
+        k=32,
+        bands=16,
+        threshold=0.2,
+        max_df=20,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter_cnt",
+        pround(F.col("jaccard"), 6).alias("jaccard"),
+        "partner_in_delta",
+    )
+
+
+DOC_INCREMENTAL_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv1 AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS sh_df FROM inv0),
+inv AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM inv1 WHERE sh_df <= 20),
+pairs AS (
+  SELECT a.doc_id AS x, b.doc_id AS y,
+         count(*) AS inter_cnt,
+         round(count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) * 1000000.0) / 1000000.0 AS jaccard
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+  HAVING count(*) / cast(a.n_sh + b.n_sh - count(*) AS double) >= 0.2)
+SELECT CASE WHEN x % 5 = 0 THEN x ELSE y END AS doc_a,
+       CASE WHEN x % 5 = 0 THEN y ELSE x END AS doc_b,
+       inter_cnt,
+       jaccard,
+       (x % 5 = 0 AND y % 5 = 0) AS partner_in_delta
+FROM pairs
+WHERE x % 5 = 0 OR y % 5 = 0
+"""
 
 
 CLEAN_MIN_TOKENS = 20
@@ -1147,6 +1211,7 @@ QUERIES = [
     Query("corpus_clean", "ext: full cleaning pipeline (lang+quality+dedup+clustering)", corpus_clean, _corpus_clean_oracle_sql()),
     Query("doc_text_knn", "ext: text->embedding->ANN composite", doc_text_knn, _doc_text_knn_oracle_sql()),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
+    Query("doc_incremental_dedup", "ext: delta-vs-corpus incremental dedup (no base-x-base pairing)", doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
     Query("doc_tfidf_topk", "ext: tf-idf keyword extraction", doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
     Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),

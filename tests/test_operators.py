@@ -350,3 +350,63 @@ def test_brute_force_vectorized_rejects_empty_queries(spark):
     emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="empty"):
         brute_force_topk_vectorized(emb, emb.filter(F.lit(False)))
+
+
+def test_incremental_dedup_is_restriction_of_full_run(docs):
+    """minhash_dedup_incremental == minhash_dedup_pairs restricted to
+    pairs touching the delta, oriented delta-first — the contract the
+    registered oracle states in SQL."""
+    from musicflow_spark.operators.dedup import minhash_dedup_incremental
+
+    is_delta = (F.col("doc_id") % 5) == 0
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["inter_cnt"], round(r["jaccard"], 9))
+        for r in minhash_dedup_pairs(docs, threshold=0.2, max_df=20).collect()
+    }
+    inc = minhash_dedup_incremental(
+        docs, is_delta, threshold=0.2, max_df=20
+    ).collect()
+    got = {}
+    for r in inc:
+        a, b = r["doc_a"], r["doc_b"]
+        assert a % 5 == 0  # doc_a is always a delta doc
+        assert r["partner_in_delta"] == (b % 5 == 0)
+        if r["partner_in_delta"]:
+            assert a < b
+        key = (a, b) if a < b else (b, a)
+        got[key] = (r["inter_cnt"], round(r["jaccard"], 9))
+    want = {
+        (a, b): v
+        for (a, b), v in full.items()
+        if a % 5 == 0 or b % 5 == 0
+    }
+    assert got == want
+    # and the restriction is proper: full-run pairs exist outside it
+    assert len(full) > len(want) > 0
+
+
+def test_incremental_dedup_planted_pairs(spark):
+    """Tiny corpus with a known delta-base dup, delta-delta dup, and
+    base-base dup: only the delta-touching two surface, oriented
+    delta-first, flagged correctly."""
+    from musicflow_spark.operators.dedup import minhash_dedup_incremental
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven twelve"
+    t3 = "red orange yellow green blue indigo violet cyan magenta white"
+    rows = [
+        (10, t1),   # delta
+        (3, t1),    # base dup of 10  -> (10, 3) pair, partner not delta
+        (20, t2),   # delta
+        (25, t2),   # delta dup of 20 -> (20, 25), partner in delta
+        (7, t3),    # base
+        (8, t3),    # base dup of 7   -> must NOT appear
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["partner_in_delta"]
+        for r in minhash_dedup_incremental(
+            df, (F.col("doc_id") % 5) == 0, threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert out == {(10, 3): False, (20, 25): True}
