@@ -142,6 +142,62 @@ def positional_shingle_table(
     return base.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): slide a ``w``-gram window over
+    the positional n-gram hashes and keep each window's minimum
+    (ties to the smallest position via lexicographic (hash, pos)
+    struct-min, a deterministic variant of the paper's rightmost
+    rule); the distinct selected (pos, hash) set is the fingerprint.
+
+    Guarantee: two documents sharing a token run of at least
+    ``w + n - 1`` share at least one fingerprint (every length-w gram
+    window inside the run is common to both), while expected density
+    is only ~2/(w+1) of the grams — the principled sparsification of
+    the full shingle inverted index: build the same bucket-join dedup
+    on ~20% of the rows with a hard substring-match guarantee rather
+    than probabilistic MinHash recall.  Documents with fewer than
+    ``w`` grams fingerprint their global minimum (the one partial
+    window), so no non-empty document is invisible.
+
+    Scale: the window partitions by doc_id — per-document sequential
+    scan, embarrassingly parallel across documents, ONE shuffle on
+    doc_id (and none at all when the corpus is already laid out
+    doc-partitioned).  Hashes are the engine-portable 60-bit md5 form
+    so an oracle replays selection exactly; swap portable_hash60 for
+    xxhash64 when replayability is not needed.
+    """
+    if w < 1:
+        raise ValueError(f"need w >= 1, got {w}")
+    grams = positional_shingle_table(df, text_col, id_col, n)
+    hashed = grams.select(
+        "doc_id", "pos", portable_hash60(F.col("gram")).alias("h")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        hashed.withColumn("m", F.count(F.lit(1)).over(wdoc))
+        .withColumn("sel", F.min(F.struct("h", "pos")).over(wsel))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("sel.pos").cast("long").alias("fp_pos"),
+            F.col("sel.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
 def shared_span_stats(
     pairs: DataFrame,
     grams: DataFrame,

@@ -98,6 +98,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "doc_bigram_condprob",
     "quantile_sketch_daily",
     "doc_incremental_dedup",
+    "doc_winnow_fingerprints",
 )
 
 

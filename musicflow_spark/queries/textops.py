@@ -19,6 +19,7 @@ from musicflow_spark.operators.dedup import (
     jaccard_pairs,
     minhash_dedup_incremental,
     minhash_dedup_pairs,
+    winnow_fingerprints,
     positional_shingle_table,
     shared_span_stats,
     simhash_near_pairs,
@@ -299,6 +300,51 @@ def doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", "inter_cnt", pround(F.col("jaccard"), 6).alias("jaccard")
     )
+
+
+WINNOW_W = 8
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (ext): the MOSS selection over 3-gram
+    portable hashes with window w=8
+    (operators/dedup.py::winnow_fingerprints) — ~2/(w+1) of the
+    shingle rows with a hard guarantee that any shared token run of
+    w+n-1 = 10 surfaces a shared fingerprint.  The oracle replays
+    hash, windowing, struct-min tie-break, and partial-window rule
+    exactly (all-integer path)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, n=3, w=WINNOW_W)
+
+
+DOC_WINNOW_FINGERPRINTS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+pg0 AS (
+  SELECT doc_id, unnest(range(1, greatest(len(t) - 1, 1))) AS i, t
+  FROM toks),
+pgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT AS h
+  FROM pg0),
+counted AS (
+  SELECT doc_id, pos, h, count(*) OVER (PARTITION BY doc_id) AS m
+  FROM pgrams),
+sel AS (
+  SELECT doc_id, m, pos,
+         min(struct_pack(h := h, pos := pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS s
+  FROM counted)
+SELECT DISTINCT doc_id,
+       CAST(s.pos AS BIGINT) AS fp_pos,
+       s.h AS fp_hash
+FROM sel
+WHERE pos <= greatest(m - {WINNOW_W}, 0)
+"""
 
 
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,6 +1258,7 @@ QUERIES = [
     Query("doc_text_knn", "ext: text->embedding->ANN composite", doc_text_knn, _doc_text_knn_oracle_sql()),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_incremental_dedup", "ext: delta-vs-corpus incremental dedup (no base-x-base pairing)", doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),
+    Query("doc_winnow_fingerprints", "ext: winnowing (MOSS) fingerprint selection, oracle-replayed", doc_winnow_fingerprints, DOC_WINNOW_FINGERPRINTS_SQL),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
     Query("doc_tfidf_topk", "ext: tf-idf keyword extraction", doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
     Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),

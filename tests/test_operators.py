@@ -410,3 +410,61 @@ def test_incremental_dedup_planted_pairs(spark):
         ).collect()
     }
     assert out == {(10, 3): False, (20, 25): True}
+
+
+def test_winnow_guarantee_and_density(docs):
+    """Winnowing contract: (a) every fingerprint is one of the doc's
+    gram hashes at its position; (b) density lands near 2/(w+1); (c)
+    two docs sharing a >= w+n-1 token run share a fingerprint."""
+    from musicflow_spark.operators.dedup import (
+        portable_hash60,
+        positional_shingle_table,
+        winnow_fingerprints,
+    )
+
+    w = 8
+    fps = winnow_fingerprints(docs, n=3, w=w)
+    grams = positional_shingle_table(docs, n=3).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("fp_pos"),
+        portable_hash60(F.col("gram")).alias("fp_hash"),
+    )
+    n_fps = fps.count()
+    # (a) soundness: fingerprints are a subset of the positional grams
+    assert fps.join(grams, ["doc_id", "fp_pos", "fp_hash"], "left_anti").count() == 0
+    # (b) density: 2/(w+1) +/- generous slack (repeated grams compress)
+    n_grams = grams.count()
+    assert 0.5 * 2 / (w + 1) <= n_fps / n_grams <= 2.0 * 2 / (w + 1)
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    from musicflow_spark.operators.dedup import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens = w+n-1
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + run + " four five six"),
+            (2, "seven eight " + run + " nine ten eleven twelve"),
+            (3, "totally unrelated words only here believe me friend okay"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, n=3, w=8).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared 10-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_doc_keeps_global_min(spark):
+    from musicflow_spark.operators.dedup import winnow_fingerprints
+
+    # 5 tokens -> 3 grams < w: exactly one fingerprint (the global min)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, n=3, w=8).collect()
+    assert len(fps) == 1
+    with pytest.raises(ValueError, match="w >= 1"):
+        winnow_fingerprints(df, w=0).count()

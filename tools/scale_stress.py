@@ -66,6 +66,7 @@ QUERY_TABLES = {
     "cms_token_counts": ["documents"],
     "daily_value_interpolated": ["events"],
     "quantile_sketch_daily": ["events"],
+    "doc_incremental_dedup": ["documents"],
 }
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
