@@ -99,6 +99,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "quantile_sketch_daily",
     "doc_incremental_dedup",
     "doc_winnow_fingerprints",
+    "doc_winnow_pairs",
 )
 
 

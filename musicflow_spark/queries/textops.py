@@ -347,6 +347,76 @@ WHERE pos <= greatest(m - {WINNOW_W}, 0)
 """
 
 
+WINNOW_MIN_SHARED = 2
+
+
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-join near-dup pairs (ext): the winnowing tier of
+    the dedup ladder — bucket-join documents on shared fingerprints
+    and keep pairs sharing >= 2.  Complements the other tiers with a
+    different guarantee: MinHash recall is probabilistic in the
+    Jaccard, the fingerprint join is DETERMINISTIC in shared-run
+    length (two docs sharing two runs of w+n-1 tokens ALWAYS pair),
+    at ~2/(w+1) of the inverted-index rows the exact Jaccard tier
+    scans.  Scale shape identical to the shingle bucket join —
+    fingerprint equi-join, no pairwise stage — with the index ~4.5x
+    smaller for w=8, and the same df<=20 hot-bucket cap the shingle
+    tiers use (a viral paragraph selected into millions of docs'
+    fingerprints must not become a quadratic bucket)."""
+    docs = read_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, n=3, w=WINNOW_W).select("doc_id", "fp_hash").distinct()
+    fps = fps.withColumn(
+        "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+    ).filter(F.col("fp_df") <= 20)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("fp_hash").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+DOC_WINNOW_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+pg0 AS (
+  SELECT doc_id, unnest(range(1, greatest(len(t) - 1, 1))) AS i, t
+  FROM toks),
+pgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT AS h
+  FROM pg0),
+counted AS (
+  SELECT doc_id, pos, h, count(*) OVER (PARTITION BY doc_id) AS m
+  FROM pgrams),
+sel AS (
+  SELECT doc_id, m, pos,
+         min(struct_pack(h := h, pos := pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS s
+  FROM counted),
+fps0 AS (
+  SELECT DISTINCT doc_id, s.h AS fp_hash
+  FROM sel
+  WHERE pos <= greatest(m - {WINNOW_W}, 0)),
+fps AS (
+  SELECT doc_id, fp_hash
+  FROM (SELECT *, count(*) OVER (PARTITION BY fp_hash) AS fp_df FROM fps0)
+  WHERE fp_df <= 20)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(DISTINCT a.fp_hash) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(DISTINCT a.fp_hash) >= {WINNOW_MIN_SHARED}
+"""
+
+
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental delta-vs-corpus dedup (ext): the daily-ingest
     shape — near-dup pairs touching the new batch (here every 5th
@@ -1259,6 +1329,7 @@ QUERIES = [
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_incremental_dedup", "ext: delta-vs-corpus incremental dedup (no base-x-base pairing)", doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),
     Query("doc_winnow_fingerprints", "ext: winnowing (MOSS) fingerprint selection, oracle-replayed", doc_winnow_fingerprints, DOC_WINNOW_FINGERPRINTS_SQL),
+    Query("doc_winnow_pairs", "ext: fingerprint-join dedup tier (deterministic shared-run guarantee)", doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
     Query("doc_tfidf_topk", "ext: tf-idf keyword extraction", doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
     Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),
