@@ -163,6 +163,7 @@ def hist_quantiles(
     bounds: DataFrame,
     qs_bp: Sequence[int],
     n_bins: int = HIST_BINS,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Answer quantiles from the merged sketch: for each q (basis
     points), target rank ceil(q·N / 10000), estimate = inclusive
@@ -170,36 +171,49 @@ def hist_quantiles(
     count reaches the target.  The true discrete quantile lies in
     that bin, so ``est - w < true ≤ est``.
 
-    Runs entirely on the ≤ n_bins-row sketch: a window cumsum ordered
-    by bin (single tiny partition — the sketch, not the data), then a
-    per-q min over qualifying bins.  Output: (q_bp, target_rank,
-    est, w), one row per quantile — w rides along so the rank-gate
-    pass can bound the error without recomputing the width."""
+    With ``group_cols`` the sketch must carry those columns (built
+    via ``hist_partials(part_cols=group_cols)``) and quantiles are
+    answered per group over the SHARED global grid — the scale idiom:
+    one (lo, w) definition means per-group, per-day, per-source
+    partials all merge and compare on the same bins.  N is taken from
+    the sketch itself (per-group counter sum), so the bounds frame
+    contributes only the grid.
+
+    Runs entirely on the ≤ n_bins-row-per-group sketch: a window
+    cumsum ordered by bin (partitioned by group — tiny partitions of
+    the sketch, never the data), then a per-(group, q) min over
+    qualifying bins.  Output: (group_cols..., q_bp, target_rank,
+    est, w) — w rides along so the rank-gate pass can bound the
+    error without recomputing the width."""
     if not qs_bp:
         raise ValueError("need at least one quantile")
     bad = [q for q in qs_bp if not 0 < q <= 10000]
     if bad:
         raise ValueError(f"quantile basis points must be in (0, 10000]: {bad}")
+    gcols = list(group_cols)
+    wgrp = Window.partitionBy(*gcols)
     cum = sketch.withColumn(
-        "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
-    )
+        "cum",
+        F.sum("cnt").over(wgrp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("n_grp", F.sum("cnt").over(wgrp))
     qf = F.explode(
         F.array(*[F.lit(int(q)) for q in qs_bp])
     ).alias("q_bp")
     return (
-        cum.join(F.broadcast(_with_width(bounds, n_bins)))
-        .select("bin", "cum", "lo", "w", "n", qf)
+        cum.join(F.broadcast(_with_width(bounds, n_bins).select("lo", "w")))
+        .select(*gcols, "bin", "cum", "lo", "w", "n_grp", qf)
         .withColumn(
             # ceil(q·N / 10000) in pure integer arithmetic: the double
             # path loses exactness once q_bp·N tops 2^53 (N ≈ 1e12 —
             # squarely in 100 TB territory).
             "target_rank",
-            F.expr("(q_bp * n + 9999) div 10000").cast("long"),
+            F.expr("(q_bp * n_grp + 9999) div 10000").cast("long"),
         )
         .filter(F.col("cum") >= F.col("target_rank"))
-        .groupBy("q_bp", "target_rank")
+        .groupBy(*gcols, "q_bp", "target_rank")
         .agg(F.min("bin").alias("bin"), F.first("lo").alias("lo"), F.first("w").alias("w"))
         .select(
+            *gcols,
             "q_bp",
             "target_rank",
             (F.col("lo") + (F.col("bin") + 1) * F.col("w") - 1).alias("est"),
@@ -212,6 +226,7 @@ def hist_rank_gates(
     df: DataFrame,
     val_col: str,
     quantiles: DataFrame,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact soundness gates recomputed from the RAW data: for each
     quantile row, ``rank_ok`` asserts count(v ≤ est) ≥ target (the
@@ -221,18 +236,20 @@ def hist_rank_gates(
     conditional-aggregation pass over the data — the certification
     tier; the sketch itself never needs it.
 
-    ``quantiles`` is the hist_quantiles output (carries w)."""
+    ``quantiles`` is the hist_quantiles output (carries w; for the
+    grouped form pass the same ``group_cols`` so each row gates
+    against its own group's values)."""
     v = F.col(val_col)
-    gates = (
-        df.filter(v.isNotNull())
-        .join(F.broadcast(quantiles))
-        .groupBy("q_bp", "target_rank", "est", "w")
-        .agg(
-            F.sum(F.when(v <= F.col("est"), 1).otherwise(0)).alias("n_le_est"),
-            F.sum(F.when(v <= F.col("est") - F.col("w"), 1).otherwise(0)).alias("n_le_prev"),
-        )
+    gcols = list(group_cols)
+    joined = df.filter(v.isNotNull()).join(
+        F.broadcast(quantiles), gcols if gcols else None
+    )
+    gates = joined.groupBy(*gcols, "q_bp", "target_rank", "est", "w").agg(
+        F.sum(F.when(v <= F.col("est"), 1).otherwise(0)).alias("n_le_est"),
+        F.sum(F.when(v <= F.col("est") - F.col("w"), 1).otherwise(0)).alias("n_le_prev"),
     )
     return gates.select(
+        *gcols,
         "q_bp",
         "target_rank",
         "est",

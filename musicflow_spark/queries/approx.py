@@ -503,6 +503,86 @@ GROUP BY e.q_bp, e.target_rank, e.est, e.w
 """
 
 
+def event_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile sketch (ext): per-event-type quantiles over
+    the SHARED global grid — one (lo, w) definition so per-group,
+    per-day, per-source partials all merge and compare on the same
+    bins, the design that lets a 100 TB warehouse keep one histogram
+    layout across every slice.  Same all-integer oracle-replay
+    contract as ``quantile_sketch_daily``, with per-group target
+    ranks taken from the sketch's own counter sums and both
+    soundness gates recomputed per group from raw data on both
+    engines."""
+    from musicflow_spark.operators.qsketch import (
+        HIST_BINS,
+        hist_bounds,
+        hist_partials,
+        hist_quantiles,
+        hist_rank_gates,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("cents").isNotNull() & F.col("event_type").isNotNull())
+    )
+    bounds = hist_bounds(ev, "cents")
+    sk = hist_partials(ev, "cents", bounds, HIST_BINS, part_cols=("event_type",))
+    qs = hist_quantiles(
+        sk, bounds, (5000, 9000), HIST_BINS, group_cols=("event_type",)
+    )
+    return hist_rank_gates(ev, "cents", qs, group_cols=("event_type",))
+
+
+EVENT_TYPE_QUANTILES_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+bw AS (
+  SELECT lo, hi, (hi - lo) // 256 + 1 AS w
+  FROM (SELECT min(cents) AS lo, max(cents) AS hi FROM vals)
+),
+hist AS (
+  SELECT event_type, (v.cents - bw.lo) // bw.w AS bin, count(*) AS cnt
+  FROM vals v, bw GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n_grp
+  FROM hist
+),
+tgt AS (
+  SELECT c.event_type, q.q_bp,
+         (q.q_bp * c.n_grp + 9999) // 10000 AS target_rank,
+         bw.lo, bw.w, c.bin, c.cum
+  FROM cum c, (SELECT unnest([5000, 9000]) AS q_bp) q, bw
+),
+est AS (
+  SELECT event_type, q_bp,
+         CAST(target_rank AS BIGINT) AS target_rank,
+         CAST(lo + (min(CASE WHEN cum >= target_rank THEN bin END) + 1) * w - 1
+              AS BIGINT) AS est,
+         w
+  FROM tgt GROUP BY event_type, q_bp, target_rank, lo, w
+)
+SELECT e.event_type,
+       e.q_bp,
+       e.target_rank,
+       e.est,
+       sum(CASE WHEN v.cents <= e.est THEN 1 ELSE 0 END) >= e.target_rank
+         AS rank_ok,
+       sum(CASE WHEN v.cents <= e.est - e.w THEN 1 ELSE 0 END) < e.target_rank
+         AS bin_ok
+FROM est e JOIN vals v ON v.event_type = e.event_type
+GROUP BY e.event_type, e.q_bp, e.target_rank, e.est, e.w
+"""
+
+
 QUERIES = [
     Query(
         "hll_distinct_users",
@@ -545,6 +625,12 @@ QUERIES = [
         "ext: mergeable fixed-bin quantile histogram, oracle-replayed",
         quantile_sketch_daily,
         QUANTILE_SKETCH_DAILY_SQL,
+    ),
+    Query(
+        "event_type_quantiles",
+        "ext: grouped quantile sketch on a shared global grid",
+        event_type_quantiles,
+        EVENT_TYPE_QUANTILES_SQL,
     ),
     Query(
         "fuzzy_customer_pairs",

@@ -100,6 +100,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "doc_incremental_dedup",
     "doc_winnow_fingerprints",
     "doc_winnow_pairs",
+    "event_type_quantiles",
 )
 
 

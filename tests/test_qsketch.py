@@ -134,3 +134,26 @@ def test_validation(spark):
         hist_quantiles(hist_partials(df, "v", bounds, 4), bounds, (10001,))
     with pytest.raises(ValueError, match="at least one sketch"):
         hist_merge()
+
+
+def test_grouped_quantiles_match_per_group_reference(valdf):
+    """The grouped form on a shared global grid must equal running
+    the global form separately on each group's rows (same bounds
+    frame), and gates hold per group."""
+    bounds = hist_bounds(valdf, "v")
+    sk = hist_partials(valdf, "v", bounds, N_BINS, part_cols=("grp",))
+    qs = hist_quantiles(sk, bounds, (2500, 7500), N_BINS, group_cols=("grp",))
+    got = {
+        (r["grp"], r["q_bp"]): (r["target_rank"], r["est"], r["w"])
+        for r in qs.collect()
+    }
+    for g in range(7):
+        sub = valdf.filter(F.col("grp") == g)
+        ref = hist_quantiles(
+            hist_partials(sub, "v", bounds, N_BINS), bounds, (2500, 7500), N_BINS
+        ).collect()
+        for r in ref:
+            assert got[(g, r["q_bp"])] == (r["target_rank"], r["est"], r["w"])
+    gates = hist_rank_gates(valdf, "v", qs, group_cols=("grp",)).collect()
+    assert len(gates) == 14
+    assert all(r["rank_ok"] and r["bin_ok"] for r in gates)

@@ -47,6 +47,7 @@ CARTESIAN_OK = {
     "cms_token_counts",        # 1-row token-total + merge-proof scalar broadcasts
     "approx_top_tokens",       # 1-row sketch-map broadcast into the exact top-k
     "quantile_sketch_daily",   # 1-row bounds + ≤5-row quantile-frame broadcasts
+    "event_type_quantiles",    # same 1-row bounds broadcast (grouped form)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -80,6 +81,7 @@ SINGLE_OK = {
     "daily_value_interpolated", # day-grain global fill windows (dozens of rows; see daily_moving_stats)
     "approx_top_tokens",       # 1-row frequent-items sketch aggregate
     "quantile_sketch_daily",   # scalar bounds aggregate + ≤256-row sketch cumsum window
+    "event_type_quantiles",    # scalar bounds aggregate (grouped cumsum partitions by type)
 }
 
 

@@ -67,6 +67,7 @@ QUERY_TABLES = {
     "daily_value_interpolated": ["events"],
     "quantile_sketch_daily": ["events"],
     "doc_incremental_dedup": ["documents"],
+    "doc_winnow_pairs": ["documents"],
 }
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
