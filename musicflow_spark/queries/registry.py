@@ -30,9 +30,13 @@ class Query:
 # Queries with a green driver row in a past CORRECTNESS_r{N}.json.  The
 # driver correctness-checks only the FIRST 50 registry entries per round,
 # so already-proven queries rotate to the tail and every never-proven
-# query (round-2's 11 HUGEINT reds, the 4 round-1 reds, and the
-# never-checked sampling/warehouse/vectors/cleanse/approx families) sits
-# inside the window.  Update after each round from CORRECTNESS_r{N}.json.
+# query sits inside the window.  Round-4 rotation: the 50 round-3 greens
+# rolled in from CORRECTNESS_r03.json, leaving the 41 never-checked
+# round-3 additions (winnow/incremental dedup, SemDeDup, Gram/PCA,
+# CMS/qsketch/mergeable-HLL, VARIANT, recursive/pipe SQL, classic
+# shapes, LOCF/interpolation, overlap join, profile, BLAS knn) as
+# tier 0 plus up to 9 round-4 additions to fill the window.  Update
+# after each round from CORRECTNESS_r{N}.json.
 _DRIVER_PROVEN: tuple[str, ...] = (
     # green in CORRECTNESS_r02.json
     "pricing_summary", "iso_duration_parse", "snowflake_flatten",
@@ -52,56 +56,32 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     # green in CORRECTNESS_r01.json only
     "knn_bruteforce", "embedding_label_stats", "embedding_neardup_pairs",
     "media_frame_stats",
+    # green in CORRECTNESS_r03.json
+    "dormant_rich_customers", "promo_revenue_brackets",
+    "nation_pair_trade_volume", "market_share_by_year", "important_parts",
+    "large_volume_orders", "user_sessions", "user_event_pivot",
+    "daily_event_spine", "event_value_histogram", "first_week_event_window",
+    "doc_length_profile", "corpus_clean", "doc_text_knn",
+    "doc_minhash_dedup", "doc_simhash_pairs", "doc_tfidf_topk",
+    "doc_frequent_ngrams", "doc_dup_spans", "doc_split_assign",
+    "doc_stratified_sample", "doc_pack_sequences", "doc_chunks",
+    "doc_split_contamination", "doc_bernoulli_sample", "doc_global_sample",
+    "doc_mixture_schedule", "customer_pii_redact", "doc_repetition_stats",
+    "user_erasure_audit", "knn_lsh", "knn_ivf", "embedding_lsh_neardup",
+    "skew_salted_agg", "skew_salted_join", "order_status_cube",
+    "daily_moving_stats", "scd2_customer_history", "incremental_user_rollup",
+    "zorder_key_preview", "incremental_value_moments",
+    "nation_value_percentiles", "segment_customer_overlap",
+    "nation_metrics_unpivot", "customer_snapshot_diff",
+    "order_revenue_range_window", "hll_distinct_users",
+    "approx_median_prices", "weighted_sample_orders", "fuzzy_customer_pairs",
 )
 
-# Queries added AFTER the round-3 window was frozen.  They sort after
-# the 50 never-driver-proven entries (which exactly fill this round's
-# window — every one must get its driver row) but before the proven
-# tail, so they enter the window automatically next round when this
-# round's greens move to _DRIVER_PROVEN.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "shipment_overlap_pairs",
-    "hll_mergeable_daily",
-    "corpus_vocab_topk",
-    "doc_rarity_score",
-    "doc_bpe_token_stats",
-    "embedding_gram_moments",
-    "embedding_semantic_dedup",
-    "media_feature_values",
-    "regional_supplier_volume",
-    "forecast_revenue_delta",
-    "returned_item_customers",
-    "embedding_pca_scores",
-    "customer_profile",
-    "orders_with_customer_version",
-    "doc_canonical_selection",
-    "lateral_top_customers",
-    "regional_rollup",
-    "customer_order_gaps",
-    "customer_profile_sketch",
-    "best_supplier_per_part",
-    "nation_profit_by_year",
-    "ship_latency_priority_counts",
-    "promo_revenue_share",
-    "top_supplier_revenue",
-    "part_supplier_variety",
-    "excess_inventory_suppliers",
-    "user_activity_streaks",
-    "cms_token_counts",
-    "event_props_variant_stats",
-    "daily_value_interpolated",
-    "knn_bruteforce_blas",
-    "approx_top_tokens",
-    "user_value_locf",
-    "recursive_yearly_revenue",
-    "pipe_return_status_stats",
-    "doc_bigram_condprob",
-    "quantile_sketch_daily",
-    "doc_incremental_dedup",
-    "doc_winnow_fingerprints",
-    "doc_winnow_pairs",
-    "event_type_quantiles",
-)
+# Queries added AFTER the round-4 window was frozen (41 never-proven +
+# 9 round-4 additions fill it exactly).  They sort after the window but
+# before the proven tail, so they enter the window automatically next
+# round when this round's greens move to _DRIVER_PROVEN.
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def get_queries() -> list[Query]:

@@ -26,9 +26,16 @@ def test_names_unique_and_window_is_tier0():
     names = [q.name for q in qs]
     assert len(names) == len(set(names))
     proven, fresh = set(_DRIVER_PROVEN), set(_NEW_THIS_ROUND)
-    window = names[:DRIVER_WINDOW]
-    offenders = [n for n in window if n in proven or n in fresh]
-    assert not offenders, offenders
+    # every never-driver-proven query must sit inside the driver window;
+    # tier-1 (post-freeze additions) must never displace one
+    tier0 = [n for n in names if n not in proven and n not in fresh]
+    assert len(tier0) <= DRIVER_WINDOW, (
+        f"{len(tier0)} never-proven queries exceed the {DRIVER_WINDOW}-query "
+        "driver window; move this round's additions to _NEW_THIS_ROUND"
+    )
+    window = set(names[:DRIVER_WINDOW])
+    missing = [n for n in tier0 if n not in window]
+    assert not missing, missing
     # and tiers are contiguous: tier-0, then tier-1, then proven
     tiers = [2 if n in proven else (1 if n in fresh else 0) for n in names]
     assert tiers == sorted(tiers)
