@@ -559,15 +559,31 @@ def minhash_dedup_incremental(
 
     Scale shape — why this exists next to the full-corpus form: the
     candidate join is (delta bands) ⋈ (corpus bands), so the
-    base×base pairing that dominates a full re-run never happens;
-    per-ingest cost is O(|delta| · collision rate), not O(corpus).
-    At 100 TB the base side's banded table (doc_id, band, bucket) is
-    precomputed once and persisted bucketed on (band, bucket) — each
-    day's ingest shingles only the delta, probes the persisted
-    banding shuffle-free, and appends its own bands.  Shingle
-    document frequencies (``max_df``) are computed over the UNION so
-    the kept-shingle sets match a full-corpus run exactly — the
-    restriction-of-full-run semantics an oracle can state in SQL.
+    base×base pairing that dominates a full re-run never happens.
+
+    Cost caveat (this function vs the deployable ingest form): THIS
+    form re-shingles and re-bands the whole union on every call,
+    because its oracle-stated semantics — shingle document
+    frequencies (``max_df``) computed over the UNION so kept-shingle
+    sets match a full-corpus run exactly — require touching the
+    corpus by definition.  That is the restriction-of-full-run
+    contract an ANSI-SQL oracle can state; it is NOT the O(|delta|)
+    daily-ingest deployment.  For that, precompute and persist the
+    corpus' kept-shingle sets once and call
+    ``minhash_dedup_ingest(delta_sets, base_sets, ...)`` below: each
+    day shingles only the delta and probes the persisted banding
+    (frozen-vocabulary max_df semantics, the standard production
+    trade-off).  With ``max_df=None`` the two forms emit identical
+    pairs (no df coupling across docs — proven in
+    tests/test_dedup.py).
+
+    Recall caveat (inherited by ``doc_incremental_dedup``'s exact-
+    Jaccard oracle): LSH banding at k=32, 2 rows/band has ~48%
+    recall at j=0.2 in general; hash-equality with the exact oracle
+    relies on the documents corpus' bimodal Jaccard distribution
+    (near-dups far above the banding knee) giving 100% recall —
+    same argument as ``minhash_dedup_pairs``, restated here because
+    the incremental query cites this function.
     """
     sets = (
         kept_shingle_sets(df, text_col, id_col, n, max_df=max_df, hashed=hashed)
@@ -575,9 +591,46 @@ def minhash_dedup_incremental(
         .localCheckpoint(eager=True)
     )
     flags = df.select(F.col(id_col).alias("doc_id"), is_delta.alias("is_delta"))
-    banded = minhash_band_table(
-        sets.join(flags, "doc_id"), k, bands, extra_cols=("is_delta",)
+    return _delta_pairs_from_flagged_sets(sets.join(flags, "doc_id"), k, bands, threshold)
+
+
+def minhash_dedup_ingest(
+    delta_sets: DataFrame,
+    base_sets: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Daily-ingest near-dup detection with PRECOMPUTED shingle sets —
+    the O(|delta|)-per-ingest deployment of
+    ``minhash_dedup_incremental`` (see its cost caveat).  Both inputs
+    are ``kept_shingle_sets`` outputs (doc_id, sh, n_shingles):
+    ``base_sets`` persisted from prior ingests (at 100 TB: Parquet
+    bucketed by doc_id, its banded (doc_id, band, bucket) table
+    persisted bucketed on (band, bucket) so the probe is
+    shuffle-free), ``delta_sets`` built from today's batch only.
+    Ids must be disjoint; df-based filtering (``max_df``) is whatever
+    the caller applied when the sets were built — frozen-vocabulary
+    semantics, the standard production trade-off vs the incremental
+    form's union-df contract.  Output schema matches
+    ``minhash_dedup_incremental``."""
+    flagged = delta_sets.select(
+        "doc_id", "sh", "n_shingles", F.lit(True).alias("is_delta")
+    ).unionByName(
+        base_sets.select("doc_id", "sh", "n_shingles", F.lit(False).alias("is_delta"))
     )
+    return _delta_pairs_from_flagged_sets(
+        flagged.filter(F.size("sh") > 0), k, bands, threshold
+    )
+
+
+def _delta_pairs_from_flagged_sets(
+    sets: DataFrame, k: int, bands: int, threshold: float
+) -> DataFrame:
+    """Shared delta-probe tail: band the flagged sets, join delta
+    bands against all bands (base×base never pairs), verify with
+    exact Jaccard on the kept-shingle arrays."""
+    banded = minhash_band_table(sets, k, bands, extra_cols=("is_delta",))
     d = banded.filter(F.col("is_delta")).select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
     )

@@ -35,12 +35,24 @@ RNG — so an ANSI-SQL oracle replays the whole path exactly.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HIST_BINS = 256
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_identifier(val_col: str) -> str:
+    """Both binning forms interpolate ``val_col`` into raw SQL; only a
+    plain identifier is safe there (backtick-needing names would
+    mis-parse, arbitrary strings would inject)."""
+    if not _IDENT_RE.match(val_col):
+        raise ValueError(f"val_col must be a plain SQL identifier, got {val_col!r}")
+    return val_col
 
 
 def hist_bounds(df: DataFrame, val_col: str) -> DataFrame:
@@ -59,14 +71,17 @@ def _bin_expr(val_col: str) -> F.Column:
     """Bin index under the (lo, w) columns joined in from bounds.
     Integer ``div`` — the double-division path would go inexact past
     2^53.  ``val_col`` must be a plain SQL identifier."""
-    return F.expr(f"({val_col} - lo) div w").cast("long")
+    return F.expr(f"({_check_identifier(val_col)} - lo) div w").cast("long")
 
 
 def _with_width(bounds: DataFrame, n_bins: int) -> DataFrame:
     """bounds + integer bin width w = (hi-lo) div n_bins + 1, which
-    guarantees lo + n_bins·w > hi (every value fits unclamped)."""
+    guarantees lo + n_bins·w > hi (every value fits unclamped).
+    Integer ``div`` like everything else in the module: the floored
+    double quotient diverges from the oracle's ``//`` once hi-lo
+    approaches 2^53."""
     return bounds.withColumn(
-        "w", (F.floor((F.col("hi") - F.col("lo")) / F.lit(n_bins)) + F.lit(1)).cast("long")
+        "w", (F.expr(f"(hi - lo) div cast({int(n_bins)} as bigint)") + F.lit(1)).cast("long")
     )
 
 
@@ -104,7 +119,11 @@ def hist_pairs_fixed(
     given as literals — a stream cannot make the data-dependent
     bounds pre-pass, so the caller pins the domain up front (the
     standard fixed-domain histogram contract; out-of-domain values
-    clamp to the edge bins rather than being dropped).  Map-only
+    clamp to the edge bins rather than being dropped).  ``val_col``
+    must be a plain SQL identifier — like ``_bin_expr`` it is
+    interpolated into a SQL expression, so a name needing backtick
+    quoting is rejected up front rather than silently mis-parsed.
+    Map-only
     (bin, cnt=1) pairs: feed
     ``hist_pairs_fixed(stream, c, lo, hi)`` into
     ``streaming.foreach_batch_rollup_merge(path, ["bin"])`` and the
@@ -116,6 +135,7 @@ def hist_pairs_fixed(
         raise ValueError(f"need n_bins >= 1, got {n_bins}")
     if hi < lo:
         raise ValueError(f"need lo <= hi, got [{lo}, {hi}]")
+    _check_identifier(val_col)
     w = (hi - lo) // n_bins + 1
     # integer div end-to-end (same 2^53 rationale as _bin_expr)
     bin_sql = (

@@ -423,13 +423,23 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id stands in for "today's ingest"), found WITHOUT the
     base×base pairing a full re-run pays
     (operators/dedup.py::minhash_dedup_incremental; same
-    k=32/bands=16/threshold/max_df envelope as ``doc_minhash_dedup``,
-    so its 100%-recall argument carries over unchanged).
+    k=32/bands=16/threshold/max_df envelope as ``doc_minhash_dedup``).
 
     Oracle: the exact-Jaccard pair SQL restricted to pairs with a
     delta member, oriented delta-first — stating the operator's
     contract (restriction of the full-corpus result) directly in
-    ANSI SQL."""
+    ANSI SQL.
+
+    Recall caveat, restated from ``doc_minhash_dedup`` because the
+    hash match depends on it: the oracle is EXACT Jaccard, so
+    equality holds only where LSH recall is 100%.  In general k=32
+    with 2 rows/band gives ~48% recall at j=0.2; on this corpus the
+    Jaccard distribution is bimodal (true near-dups sit far above
+    the banding knee, everything else far below), which is what
+    makes the sketch tier lossless here — verified green at
+    sf0.001/0.01/0.1.  On a corpus with mass near the threshold the
+    sketch tier would (by design) trade that recall for the banded
+    join's scalability."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_incremental(
         docs,

@@ -412,6 +412,41 @@ def test_incremental_dedup_planted_pairs(spark):
     assert out == {(10, 3): False, (20, 25): True}
 
 
+def test_ingest_form_matches_incremental_with_frozen_vocab(docs):
+    """minhash_dedup_ingest over PRECOMPUTED per-side shingle sets ==
+    minhash_dedup_incremental over the union, when max_df=None (no df
+    coupling across docs, so per-side set building is lossless) — the
+    O(|delta|) deployment produces the same pairs without re-shingling
+    the corpus."""
+    from musicflow_spark.operators.dedup import (
+        kept_shingle_sets,
+        minhash_dedup_incremental,
+        minhash_dedup_ingest,
+    )
+
+    is_delta = (F.col("doc_id") % 5) == 0
+    # hashed=True matches minhash_dedup_incremental's internal sets, so
+    # signatures and banding agree bit-for-bit across the two forms
+    delta_sets = kept_shingle_sets(
+        docs.filter(is_delta), "text", "doc_id", max_df=None, hashed=True
+    )
+    base_sets = kept_shingle_sets(
+        docs.filter(~is_delta), "text", "doc_id", max_df=None, hashed=True
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    want = {
+        key(r): (r["inter_cnt"], round(r["jaccard"], 9), r["partner_in_delta"])
+        for r in minhash_dedup_incremental(
+            docs, is_delta, threshold=0.2, max_df=None
+        ).collect()
+    }
+    got = {
+        key(r): (r["inter_cnt"], round(r["jaccard"], 9), r["partner_in_delta"])
+        for r in minhash_dedup_ingest(delta_sets, base_sets, threshold=0.2).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_winnow_guarantee_and_density(docs):
     """Winnowing contract: (a) every fingerprint is one of the doc's
     gram hashes at its position; (b) density lands near 2/(w+1); (c)
