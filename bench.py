@@ -2,8 +2,8 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Each query executes three times: one warm-up (JIT, code-gen, file
-listing) and two timed runs, recording the MINIMUM — the standard
+Each query executes four times: one warm-up (JIT, code-gen, file
+listing) and three timed runs, recording the MINIMUM — the standard
 noise-floor protocol; single-run local[32] numbers swing ~15% on
 scheduler jitter, and the min is the reproducible cost of the plan.
 """
@@ -31,7 +31,7 @@ def main() -> None:
         # warm-up: build + run the plan once (not timed)
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

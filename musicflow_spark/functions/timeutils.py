@@ -28,7 +28,12 @@ def ms_to_clock(ms: Column | str) -> Column:
     h = F.floor(total_s / 3600).cast("long")
     m = F.floor((total_s % 3600) / 60).cast("long")
     s = (total_s % 60).cast("long")
-    return F.format_string("%02d:%02d:%02d", h, m, s)
+    # format_string renders null args as the literal string 'null'
+    # ('null:null:null'); BigQuery's time() and DuckDB's printf
+    # propagate NULL — guard explicitly for parity.
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.format_string("%02d:%02d:%02d", h, m, s)
+    )
 
 
 def iso8601_duration_to_ms(duration: Column | str) -> Column:

@@ -110,21 +110,51 @@ class FakeCodec(Codec):
 
 @dataclass(frozen=True)
 class LibraryCodec(Codec):
-    """The production shape: import the codec lib lazily on the
-    executor; absent in this container, so calls raise
-    NotImplementedError (clearly-marked stub per the build brief)."""
+    """The production tier: REAL decode.  Pillow when importable
+    (any format PIL reads — lazily imported on the executor), else
+    the pure-stdlib PNG decoder (operators/pngcodec.py) for PNG
+    payloads.  Both routes share one pixel-feature spec
+    (pngcodec.band_features), so the output is decoder-independent —
+    asserted by the Pillow-vs-stdlib parity test.  Only a non-PNG
+    payload with no library present raises NotImplementedError
+    (e.g. JPEG without Pillow: no stdlib JPEG decoder exists)."""
+
+    def _pixels(self, payload: bytes):
+        from musicflow_spark.operators import pngcodec
+
+        try:
+            import io
+
+            import numpy as np
+            import PIL.Image
+        except ImportError:
+            if payload.startswith(pngcodec.PNG_SIG):
+                return pngcodec.decode_png(payload)
+            raise NotImplementedError(
+                "non-PNG payload and Pillow is not installed; install "
+                "Pillow/ffmpeg for JPEG/audio/video decode"
+            ) from None
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("RGB") if img.mode == "P" else img)
 
     def features(self, payload: bytes, media_type: str, dim: int) -> list[float]:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "image/audio codec libraries are not installed in this "
-                "environment; inject FakeCodec or install Pillow/ffmpeg"
-            ) from e
-        raise NotImplementedError("real decode path not implemented here")
+        from musicflow_spark.operators.pngcodec import band_features
 
-    resize = features  # same gating
+        return band_features(self._pixels(payload), dim)
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        from musicflow_spark.operators import pngcodec
+
+        try:
+            import io
+
+            import PIL.Image
+        except ImportError:
+            return pngcodec.PngCodec().resize(payload, width, height)
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            out = io.BytesIO()
+            img.resize((width, height), PIL.Image.NEAREST).save(out, format="PNG")
+            return out.getvalue()
 
 
 def fake_media_from_documents(docs: DataFrame, media_type: str = "image") -> DataFrame:

@@ -1,0 +1,178 @@
+"""Real image decode for the multimodal pipeline — no stub.
+
+Two tiers behind the same feature spec:
+
+- :class:`PngCodec`: a pure-stdlib PNG decoder/encoder (zlib +
+  hand-rolled chunk parsing and filter reconstruction, PNG spec
+  RFC 2083 §6).  Handles 8-bit greyscale / RGB / RGBA, all five scan
+  filters (None/Sub/Up/Average/Paeth), non-interlaced.  Exists so
+  the decode path is REAL in environments without Pillow (this
+  container): actual encoded bytes in, actual pixels out, verified
+  against known images in tests.
+- ``LibraryCodec`` (operators/multimodal.py) prefers Pillow when
+  importable — any format PIL reads — and falls back to this decoder
+  for PNG payloads, raising NotImplementedError only for non-PNG
+  payloads with no library present.
+
+Feature spec (shared by both tiers, pixel-derived and
+resolution-portable): decode to H x W x C, average channels to a
+luminance plane, split rows into ``dim`` horizontal bands
+(numpy.array_split semantics), emit each band's mean / 255.  Empty
+bands (H < dim) emit 0.0.  Identical pixels => identical features
+regardless of decoder, which is what the Pillow-vs-stdlib parity
+test asserts.
+
+Scale note: the per-row filter reconstruction is a Python loop —
+fine for the bounded fixture images the tests feed it; production
+100 TB decode runs the Pillow/ffmpeg tier inside the same
+Arrow-batched ``mapInPandas``/``mapInArrow`` stages
+(operators/multimodal.py), where the library does the pixel work in
+C and this module is never on the hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel (8-bit only)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array of shape (H, W, C).
+
+    Supports bit depth 8, color types greyscale(0)/RGB(2)/RGBA(6),
+    compression 0, filter method 0, non-interlaced — the shapes the
+    fixture generator and common ML thumbnail pipelines emit."""
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(PNG_SIG)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape: depth={bit_depth} color={color_type} "
+            f"interlace={interlace} (8-bit grey/RGB/RGBA, non-interlaced only)"
+        )
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out.reshape(height, width, ch)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 (H, W) or (H, W, C in {1,3,4}) -> PNG bytes (filter 0
+    scanlines, one zlib stream) — the encoder tests and resize use."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def band_features(pixels: np.ndarray, dim: int) -> list[float]:
+    """The shared pixel-feature spec: luminance band means / 255
+    (module docstring).  Pillow and stdlib tiers both route here so
+    identical pixels give identical features."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    lum = arr.mean(axis=2)
+    out: list[float] = []
+    for band in np.array_split(lum, dim, axis=0):
+        out.append(float(band.mean()) / 255.0 if band.size else 0.0)
+    return out
+
+
+def _nearest_resize(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    h, w = pixels.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return pixels[rows][:, cols]
+
+
+@dataclass(frozen=True)
+class PngCodec:
+    """Codec implementation (operators/multimodal.py contract) backed
+    by the stdlib decoder: real bytes -> real pixels -> pixel-derived
+    features; resize is nearest-neighbour + re-encode."""
+
+    def features(self, payload: bytes, media_type: str, dim: int) -> list[float]:
+        return band_features(decode_png(payload), dim)
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        return encode_png(_nearest_resize(decode_png(payload), width, height))

@@ -1,0 +1,661 @@
+"""Driver-facing oracle queries for the marts pipeline and the match
+cascade — the reference's heart, previously pytest-only.
+
+Round-3 verdict item 2: the wide-collapse marts (A4/A6/U1 —
+reference dbt/models/marts/log_found_videos.sql:77-108), the tableau
+mart (W1/F15/F18 — log_for_tableau.sql:87-110), and the matcher's
+strategy cascade with skip statuses (O3/J9/W2 — reference
+dags/scripts/spotify_elt.py:214-246,311-336) get CORRECTNESS rows by
+deriving a music-schema fixture DETERMINISTICALLY from the driver's
+TPC-H-ish parquet inside both engines: the Spark side builds the
+source tables with column expressions and runs the REAL production
+code (plans/staging.py -> plans/intermediate.py -> plans/marts.py,
+and matching/engine.py + matching/candidates.py); the DuckDB oracle
+derives the identical fixture in CTEs and states the mart / cascade
+semantics in ANSI SQL.  A hash match therefore certifies the actual
+pipeline code paths, not a re-implementation.
+
+Scale note: the fixture is order/part-sized (grows with SF), and the
+code under test is the production path whose plan shapes are already
+audited (broadcast dims, one fact shuffle, banded candidate join via
+the first-token inverted index) — nothing here is fixture-only
+plumbing except the deterministic value formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from musicflow_spark.config import PipelineConfig
+from musicflow_spark.matching.candidates import CatalogCandidateSource
+from musicflow_spark.matching.engine import MatchEngine
+from musicflow_spark.plans.intermediate import int_join_spotify_uris
+from musicflow_spark.plans.marts import log_for_tableau, log_found_videos
+from musicflow_spark.plans.staging import stage
+from musicflow_spark.queries.registry import Query
+from musicflow_spark.sources.catalog import read_table
+
+
+def _s(col: F.Column) -> F.Column:
+    return col.cast("string")
+
+
+def _mart_stage(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The 10 music-schema source tables derived deterministically
+    from orders/customer/nation (exact formulas mirrored in the
+    oracle CTEs below), run through the real staging layer.
+
+    Shape choices that exercise the mart semantics: playlists map to
+    nations (even nations own a spotify playlist -> current-user
+    branch; odd ones don't -> other-users branch), album/playlist log
+    rows share all search metadata per CUSTOMER so the other-branch
+    wide GROUP BY genuinely collapses multi-video groups, track rows
+    are per-order (group size 1), and every third order is absent
+    from the log (not-found rows for the left joins)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "inner").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    nat = nation.select(F.col("n_nationkey").cast("long").alias("nk"), "n_name")
+
+    yp = nat.select(
+        F.concat(F.lit("YP"), _s(F.col("nk"))).alias("youtube_playlist_id"),
+        F.when(F.col("nk") % 3 == 0, "Playlist")
+        .when(F.col("nk") % 3 == 1, "Album")
+        .otherwise("EP")
+        .alias("type"),
+        F.concat(F.lit("list "), F.col("n_name")).alias("title"),
+        F.when(F.col("nk") % 4 == 0, "your_channel")
+        .when(F.col("nk") % 4 == 1, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("user_"), _s(F.col("nk"))))
+        .alias("author"),
+        (F.lit(2000) + F.col("nk")).cast("long").alias("year"),
+    )
+    yv = oc.select(
+        F.concat(F.lit("V"), _s(F.col("ok"))).alias("video_id"),
+        F.when(F.col("ok") % 4 == 0, "Music video")
+        .when(F.col("ok") % 4 == 1, "Lyric video")
+        .when(F.col("ok") % 4 == 2, "Art track")
+        .otherwise("Official video")
+        .alias("type"),
+        F.concat(F.lit("vid "), _s(F.col("ok"))).alias("title"),
+        F.concat(F.lit("chan "), _s(F.col("ck") % 30)).alias("author"),
+        F.concat(F.lit("desc "), _s(F.col("ok"))).alias("description"),
+        (F.lit(100000) + (F.col("ok") % 90) * 1000).cast("long").alias("duration_ms"),
+    )
+    yl = oc.select(
+        F.col("ok").alias("id"),
+        F.concat(F.lit("YP"), _s(F.col("nk"))).alias("youtube_playlist_id"),
+        F.concat(F.lit("V"), _s(F.col("ok"))).alias("video_id"),
+    )
+    pids = nat.filter(F.col("nk") % 2 == 0).select(
+        F.col("nk").alias("id"),
+        F.concat(F.lit("YP"), _s(F.col("nk"))).alias("youtube_playlist_id"),
+        F.concat(F.lit("SP"), _s(F.col("nk"))).alias("spotify_playlist_id"),
+    )
+    sp = nat.select(
+        F.concat(F.lit("SP"), _s(F.col("nk"))).alias("spotify_playlist_id"),
+        F.concat(F.lit("sp "), F.col("n_name")).alias("title"),
+    )
+    sty = spark.range(1, 8).select(
+        F.col("id").alias("search_type_id"),
+        F.concat(F.lit("st_"), _s(F.col("id"))).alias("search_type_name"),
+    )
+    sa = spark.range(0, 50).select(
+        F.concat(F.lit("spotify:album:A"), _s(F.col("id"))).alias("album_uri"),
+        F.concat(F.lit("album "), _s(F.col("id"))).alias("album_title"),
+        F.concat(
+            F.lit("artist "), _s(F.col("id") % 20), F.lit("; x "), _s(F.col("id"))
+        ).alias("album_artists"),
+        (F.lit(200000) + F.col("id") * 1000).cast("long").alias("duration_ms"),
+        (F.col("id") % 5 + 5).cast("long").alias("total_tracks"),
+    )
+    spo = spark.range(0, 50).select(
+        F.concat(F.lit("spotify:playlist:P"), _s(F.col("id"))).alias("playlist_uri"),
+        F.concat(F.lit("plist "), _s(F.col("id"))).alias("playlist_title"),
+        F.concat(F.lit("owner "), _s(F.col("id") % 10)).alias("playlist_owner"),
+        (F.lit(300000) + F.col("id") * 2000).cast("long").alias("duration_ms"),
+        (F.col("id") % 6 + 4).cast("long").alias("total_tracks"),
+    )
+    st = oc.select(
+        F.concat(F.lit("spotify:track:T"), _s(F.col("ok"))).alias("track_uri"),
+        F.lit(None).cast("string").alias("album_uri"),
+        F.lit(None).cast("string").alias("playlist_uri"),
+        F.concat(F.lit("track "), _s(F.col("ok"))).alias("track_title"),
+        F.concat(F.lit("ta "), _s(F.col("ok") % 25)).alias("track_artists"),
+        (F.lit(180000) + (F.col("ok") % 120) * 500).cast("long").alias("duration_ms"),
+    )
+    kind = F.col("ok") % 10
+    meta = F.when(kind <= 2, F.col("ck")).otherwise(F.col("ok"))
+    sl = oc.filter(F.col("ok") % 3 != 0).select(
+        F.col("ok").alias("log_id"),
+        F.when(
+            kind <= 1, F.concat(F.lit("spotify:album:A"), _s(F.col("ck") % 50))
+        ).alias("album_uri"),
+        F.when(
+            kind == 2, F.concat(F.lit("spotify:playlist:P"), _s(F.col("ck") % 50))
+        ).alias("playlist_uri"),
+        F.when(kind >= 3, F.concat(F.lit("spotify:track:T"), _s(F.col("ok")))).alias(
+            "track_uri"
+        ),
+        (meta % 3 + 1).cast("long").alias("found_on_try"),
+        F.when(kind <= 2, (F.col("ck") % 7) * 500)
+        .otherwise((F.col("ok") % 11) * 300)
+        .cast("long")
+        .alias("difference_ms"),
+        F.when(kind <= 2, F.col("ck") % 5).otherwise(F.lit(1)).cast("long").alias(
+            "track_match"
+        ),
+        F.when(kind <= 2, F.col("ck") % 5 + 5)
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("total_tracks"),
+        F.when(kind <= 2, F.concat(F.lit("q "), _s(F.col("ck") % 50)))
+        .otherwise(F.concat(F.lit("q "), _s(F.col("ok"))))
+        .alias("q"),
+        (meta % 7 + 1).cast("long").alias("search_type_id"),
+        F.when(meta % 3 == 0, "saved")
+        .when(meta % 3 == 1, "skipped (saved before the run)")
+        .otherwise("skipped (saved during the run)")
+        .alias("status"),
+    )
+    return stage(
+        {
+            "youtube_playlists": yp,
+            "youtube_videos": yv,
+            "youtube_library": yl,
+            "search_types": sty,
+            "spotify_albums": sa,
+            "spotify_playlists_others": spo,
+            "spotify_tracks": st,
+            "spotify_playlists": sp,
+            "playlist_ids": pids,
+            "spotify_log": sl,
+        }
+    )
+
+
+#: shared oracle prelude: the fixture tables + the int_join replay
+#: (reference: dbt/models/intermediate/int_join_spotify_uris.sql:5-135)
+_MART_PRELUDE = """
+WITH oc AS (
+  SELECT o.o_orderkey AS ok, o.o_custkey AS ck, CAST(c.c_nationkey AS BIGINT) AS nk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+nat AS (SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation),
+yp AS (
+  SELECT 'YP' || nk AS youtube_playlist_id,
+         CASE CAST(nk % 3 AS INT) WHEN 0 THEN 'Playlist' WHEN 1 THEN 'Album' ELSE 'EP' END AS type,
+         'list ' || n_name AS title,
+         CASE WHEN nk % 4 = 0 THEN 'your_channel'
+              WHEN nk % 4 = 1 THEN NULL
+              ELSE 'user_' || nk END AS author,
+         CAST(2000 + nk AS BIGINT) AS year
+  FROM nat),
+yv AS (
+  SELECT 'V' || ok AS video_id,
+         CASE CAST(ok % 4 AS INT) WHEN 0 THEN 'Music video' WHEN 1 THEN 'Lyric video'
+              WHEN 2 THEN 'Art track' ELSE 'Official video' END AS type,
+         'vid ' || ok AS title,
+         'chan ' || (ck % 30) AS author,
+         'desc ' || ok AS description,
+         CAST(100000 + (ok % 90) * 1000 AS BIGINT) AS duration_ms
+  FROM oc),
+yl AS (SELECT ok AS id, 'YP' || nk AS youtube_playlist_id, 'V' || ok AS video_id FROM oc),
+pids AS (SELECT nk AS id, 'YP' || nk AS youtube_playlist_id, 'SP' || nk AS spotify_playlist_id
+         FROM nat WHERE nk % 2 = 0),
+sp AS (SELECT 'SP' || nk AS spotify_playlist_id, 'sp ' || n_name AS title FROM nat),
+sty AS (SELECT CAST(i AS BIGINT) AS search_type_id, 'st_' || i AS search_type_name
+        FROM range(1, 8) t(i)),
+sa AS (SELECT 'spotify:album:A' || k AS album_uri, 'album ' || k AS album_title,
+              'artist ' || (k % 20) || '; x ' || k AS album_artists,
+              CAST(200000 + k * 1000 AS BIGINT) AS duration_ms
+       FROM range(0, 50) t(k)),
+spo AS (SELECT 'spotify:playlist:P' || k AS playlist_uri, 'plist ' || k AS playlist_title,
+               'owner ' || (k % 10) AS playlist_owner,
+               CAST(300000 + k * 2000 AS BIGINT) AS duration_ms
+        FROM range(0, 50) t(k)),
+strk AS (SELECT 'spotify:track:T' || ok AS track_uri, 'track ' || ok AS track_title,
+                'ta ' || (ok % 25) AS track_artists,
+                CAST(180000 + (ok % 120) * 500 AS BIGINT) AS duration_ms
+         FROM oc),
+sl AS (
+  SELECT ok AS log_id,
+         CASE WHEN ok % 10 <= 1 THEN 'spotify:album:A' || (ck % 50) END AS album_uri,
+         CASE WHEN ok % 10 = 2 THEN 'spotify:playlist:P' || (ck % 50) END AS playlist_uri,
+         CASE WHEN ok % 10 >= 3 THEN 'spotify:track:T' || ok END AS track_uri,
+         CAST((CASE WHEN ok % 10 <= 2 THEN ck ELSE ok END) % 3 + 1 AS BIGINT) AS found_on_try,
+         CAST(CASE WHEN ok % 10 <= 2 THEN (ck % 7) * 500 ELSE (ok % 11) * 300 END AS BIGINT) AS difference_ms,
+         CAST(CASE WHEN ok % 10 <= 2 THEN ck % 5 ELSE 1 END AS BIGINT) AS track_match,
+         CAST(CASE WHEN ok % 10 <= 2 THEN ck % 5 + 5 ELSE 1 END AS BIGINT) AS total_tracks,
+         CASE WHEN ok % 10 <= 2 THEN 'q ' || (ck % 50) ELSE 'q ' || ok END AS q,
+         CAST((CASE WHEN ok % 10 <= 2 THEN ck ELSE ok END) % 7 + 1 AS BIGINT) AS search_type_id,
+         CASE CAST((CASE WHEN ok % 10 <= 2 THEN ck ELSE ok END) % 3 AS INT)
+              WHEN 0 THEN 'saved' WHEN 1 THEN 'skipped (saved before the run)'
+              ELSE 'skipped (saved during the run)' END AS status
+  FROM oc WHERE ok % 3 <> 0)
+"""
+
+_CLOCK = (
+    "printf('%02d:%02d:%02d', ({ms} // 1000) // 3600,"
+    " (({ms} // 1000) % 3600) // 60, ({ms} // 1000) % 60)"
+)
+
+
+def log_found_videos_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6/U1 + J1-J4/F10/F16/F17/A10 end to end: the REAL
+    int_join_spotify_uris -> log_found_videos code over the derived
+    fixture (reference: log_found_videos.sql:77-108 wide collapse,
+    sorted string_agg(DISTINCT), summed durations; current-user
+    branch keeps the reference's video_title-as-youtube_author
+    copy-paste bug)."""
+    return log_found_videos(int_join_spotify_uris(_mart_stage(spark, sf_dir)))
+
+
+LOG_FOUND_VIDEOS_MART_SQL = (
+    _MART_PRELUDE
+    + """,
+ij AS (
+  SELECT sl.log_id, yl.youtube_playlist_id, pids.spotify_playlist_id,
+         sp.title AS user_playlist, sl.found_on_try, sl.q,
+         sl.search_type_id, sl.status, yp.title AS title,
+         yv.video_id, yv.title AS video_title, yv.author AS video_author,
+         yv.description, yv.duration_ms AS video_duration,
+         sty.search_type_name,
+         CASE WHEN sl.album_uri IS NOT NULL THEN 'Album'
+              WHEN sl.playlist_uri IS NOT NULL THEN 'Playlist'
+              WHEN sl.track_uri IS NOT NULL THEN 'Track' END AS spotify_type,
+         coalesce(sl.album_uri, sl.playlist_uri, sl.track_uri) AS spotify_uri,
+         coalesce(sa.album_title, spo.playlist_title, strk.track_title) AS spotify_title,
+         coalesce(sa.album_artists, spo.playlist_owner, strk.track_artists) AS spotify_author,
+         coalesce(sa.duration_ms, spo.duration_ms, strk.duration_ms) AS spotify_duration,
+         sl.track_match, sl.total_tracks,
+         round((CAST(sl.track_match AS DOUBLE) / sl.total_tracks) * 100 * 10.0) / 10.0 AS percentage_in_desc,
+         """
+    + _CLOCK.format(ms="yv.duration_ms")
+    + """ AS youtube_duration_timestamp,
+         """
+    + _CLOCK.format(ms="coalesce(sa.duration_ms, spo.duration_ms, strk.duration_ms)")
+    + """ AS spotify_duration_timestamp,
+         round((sl.difference_ms / 1000.0) * 10.0) / 10.0 AS difference_sec
+  FROM sl
+  JOIN yl   ON sl.log_id = yl.id
+  JOIN yp   ON yl.youtube_playlist_id = yp.youtube_playlist_id
+  LEFT JOIN pids ON yp.youtube_playlist_id = pids.youtube_playlist_id
+  JOIN yv   ON yl.video_id = yv.video_id
+  LEFT JOIN sp   ON pids.spotify_playlist_id = sp.spotify_playlist_id
+  JOIN sty  ON sl.search_type_id = sty.search_type_id
+  LEFT JOIN sa   ON sl.album_uri = sa.album_uri
+  LEFT JOIN spo  ON sl.playlist_uri = spo.playlist_uri
+  LEFT JOIN strk ON sl.track_uri = strk.track_uri)
+SELECT video_id, spotify_playlist_id, user_playlist, youtube_playlist_id,
+       spotify_uri, spotify_type AS found, video_title AS youtube_title,
+       spotify_title, video_title AS youtube_author, spotify_author,
+       description, q, search_type_name AS found_by, found_on_try, status,
+       track_match, total_tracks, percentage_in_desc,
+       youtube_duration_timestamp, spotify_duration_timestamp, difference_sec
+FROM ij WHERE spotify_playlist_id IS NOT NULL
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS video_id, spotify_playlist_id, user_playlist,
+       youtube_playlist_id, spotify_uri, spotify_type AS found,
+       title AS youtube_title, spotify_title,
+       array_to_string(list_sort(list_distinct(list(video_author))), '; ') AS youtube_author,
+       spotify_author, CAST(NULL AS VARCHAR) AS description, q,
+       search_type_name AS found_by, found_on_try, status, track_match,
+       total_tracks, percentage_in_desc,
+       printf('%02d:%02d:%02d',
+              (CAST(sum(video_duration) AS BIGINT) // 1000) // 3600,
+              ((CAST(sum(video_duration) AS BIGINT) // 1000) % 3600) // 60,
+              (CAST(sum(video_duration) AS BIGINT) // 1000) % 60) AS youtube_duration_timestamp,
+       spotify_duration_timestamp, difference_sec
+FROM ij WHERE spotify_playlist_id IS NULL
+GROUP BY youtube_playlist_id, spotify_playlist_id, user_playlist, spotify_uri,
+         spotify_type, title, spotify_title, spotify_author, q,
+         search_type_name, found_on_try, status, track_match, total_tracks,
+         percentage_in_desc, spotify_duration_timestamp, difference_sec
+"""
+)
+
+
+def log_for_tableau_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/F15/F18 + P2/U1 end to end: the REAL log_for_tableau over
+    the derived fixture (reference: log_for_tableau.sql:87-110 —
+    ownership routing, other-users DISTINCT, union, global surrogate
+    row_number, log-scale zero fix).  deterministic_ids=True extends
+    the W1 tie order to a full output-column chain so the id
+    assignment is replayable (documented admissible refinement)."""
+    cfg = PipelineConfig(threshold_ms=150_000, your_channel_name="your_channel")
+    return log_for_tableau(_mart_stage(spark, sf_dir), cfg, deterministic_ids=True)
+
+
+LOG_FOR_TABLEAU_MART_SQL = (
+    _MART_PRELUDE
+    + """,
+base AS (
+  SELECT yl.id, yp.youtube_playlist_id, yp.author AS yp_author, yp.type AS yp_type,
+         yv.video_id, yv.type AS music_type, yv.duration_ms AS video_duration,
+         sl.log_id, sl.album_uri, sl.playlist_uri, sl.track_uri,
+         sl.found_on_try, sl.search_type_id, sl.difference_ms,
+         sl.track_match, sl.total_tracks
+  FROM yl
+  JOIN yp ON yl.youtube_playlist_id = yp.youtube_playlist_id
+  JOIN yv ON yl.video_id = yv.video_id
+  LEFT JOIN sl ON yl.id = sl.log_id),
+cur AS (
+  SELECT log_id, video_id,
+         CASE WHEN video_duration < 150000 THEN 'Track'
+              WHEN video_duration >= 150000 THEN 'Album/Playlist' END AS youtube_type,
+         music_type,
+         CASE WHEN album_uri IS NOT NULL THEN 'Album'
+              WHEN playlist_uri IS NOT NULL THEN 'Playlist'
+              WHEN track_uri IS NOT NULL THEN 'Track' END AS spotify_type,
+         found_on_try, search_type_id, difference_ms,
+         track_match, total_tracks
+  FROM base WHERE yp_author = 'your_channel' OR yp_author IS NULL),
+oth0 AS (
+  SELECT DISTINCT youtube_playlist_id, yp_type AS youtube_type,
+         album_uri, playlist_uri, track_uri, found_on_try, search_type_id,
+         difference_ms, track_match, total_tracks
+  FROM base WHERE yp_author <> 'your_channel' AND yp_author IS NOT NULL),
+oth AS (
+  SELECT CAST(NULL AS BIGINT) AS log_id, CAST(NULL AS VARCHAR) AS video_id,
+         youtube_type, CAST(NULL AS VARCHAR) AS music_type,
+         CASE WHEN album_uri IS NOT NULL THEN 'Album'
+              WHEN playlist_uri IS NOT NULL THEN 'Playlist'
+              WHEN track_uri IS NOT NULL THEN 'Track' END AS spotify_type,
+         found_on_try, search_type_id, difference_ms, track_match, total_tracks
+  FROM oth0),
+unioned AS (SELECT * FROM cur UNION ALL SELECT * FROM oth),
+derived AS (
+  SELECT *,
+         round((difference_ms / 1000.0) * 10.0) / 10.0 AS difference_sec,
+         round((difference_ms / 60000.0) * 100.0) / 100.0 AS difference_m,
+         """
+    + _CLOCK.format(ms="difference_ms")
+    + """ AS difference_timestamp,
+         round((CAST(track_match AS DOUBLE) / total_tracks) * 100 * 10.0) / 10.0 AS percentage_in_desc
+  FROM unioned)
+SELECT row_number() OVER (ORDER BY search_type_id ASC NULLS LAST,
+                          log_id ASC NULLS LAST, video_id ASC NULLS LAST,
+                          youtube_type ASC NULLS LAST, music_type ASC NULLS LAST,
+                          spotify_type ASC NULLS LAST, found_on_try ASC NULLS LAST,
+                          difference_ms ASC NULLS LAST, track_match ASC NULLS LAST,
+                          total_tracks ASC NULLS LAST) AS id,
+       log_id, video_id, youtube_type, music_type, spotify_type, found_on_try,
+       search_type_id, difference_ms,
+       CASE WHEN difference_sec = 0 THEN 0.1 ELSE difference_sec END AS difference_sec,
+       difference_m, difference_timestamp, track_match, total_tracks,
+       percentage_in_desc
+FROM derived
+"""
+)
+
+
+# ------------------------------------------------------- match cascade
+def _cascade_fixture(spark: SparkSession, sf_dir: str):
+    """Videos + deterministic track catalog derived from ``part``.
+
+    Design (formulas mirrored in the oracle):
+    - every part is a video; each odd key reuses its even partner's
+      base title, so duplicate matches exist (during-run statuses);
+      pk % 4 == 1 rows get a ' (live)' bracket suffix the fix_title
+      chain strips (exercising the raw-title strategies 4/5);
+    - the catalog holds one track per even part; pk % 10 == 0 rows
+      are 'xtr'-titled with alien artists (duration-only accept
+      path, some rejected at |delta| 6000 > 5000); pk % 15 == 0 rows
+      add a zero-duration artist-matched decoy that outranks the
+      real item ONLY when the query carries an artist term, pushing
+      the win to strategy priority 1 (found_on_try == 2 — the O3
+      cascade actually cascading);
+    - 'p<k>' selectivity token leads every title so the first-token
+      inverted index stays ~uniform at any SF;
+    - every 12th catalog track is pre-liked (J9 'saved before');
+      playlist_map routes two playlists to user playlists, the rest
+      to LM.
+    """
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_name"
+    )
+    even = part.filter(F.col("pk") % 2 == 0).select(
+        F.col("pk").alias("pk2"),
+        F.concat(
+            F.lit("p"), _s(F.col("pk") % 250), F.lit(" "), F.col("p_name")
+        ).alias("base"),
+    )
+    videos = (
+        part.withColumn("pk2", F.col("pk") - F.col("pk") % 2)
+        .join(even, "pk2")
+        .select(
+            F.col("pk").alias("log_id"),
+            F.concat(F.lit("YP"), _s(F.col("pk") % 5)).alias("youtube_playlist_id"),
+            F.concat(F.lit("V"), _s(F.col("pk"))).alias("video_id"),
+            F.when(
+                F.col("pk") % 4 == 1, F.concat(F.col("base"), F.lit(" (live)"))
+            )
+            .otherwise(F.col("base"))
+            .alias("title"),
+            F.concat(
+                F.lit("ch"),
+                _s(F.col("pk2") % 40),
+                F.when(F.col("pk") % 3 == 0, " - Topic").otherwise(""),
+            ).alias("author"),
+            F.lit("").alias("description"),
+            (F.lit(120000) + (F.col("pk") % 23) * 1000).cast("long").alias("duration_ms"),
+        )
+    )
+    primary = even.select(
+        F.concat(F.lit("spotify:track:"), _s(F.col("pk2"))).alias("track_uri"),
+        F.concat(F.lit("spotify:album:"), _s(F.col("pk2") % 97)).alias("album_uri"),
+        F.when(F.col("pk2") % 15 == 0, F.col("base"))
+        .when(F.col("pk2") % 10 == 0, F.concat(F.col("base"), F.lit(" xtr")))
+        .otherwise(F.col("base"))
+        .alias("track_title"),
+        F.when(F.col("pk2") % 15 == 0, "zz")
+        .when(F.col("pk2") % 10 == 0, "zz")
+        .otherwise(F.concat(F.lit("ch"), _s(F.col("pk2") % 40)))
+        .alias("track_artists"),
+        (
+            F.lit(120000)
+            + (F.col("pk2") % 23) * 1000
+            + F.when(F.col("pk2") % 15 == 0, 0).otherwise(
+                (F.col("pk2") % 7) * 2000 - 6000
+            )
+        )
+        .cast("long")
+        .alias("duration_ms"),
+    )
+    decoys = even.filter(F.col("pk2") % 15 == 0).select(
+        F.concat(F.lit("spotify:track:z"), _s(F.col("pk2"))).alias("track_uri"),
+        F.concat(F.lit("spotify:album:"), _s(F.col("pk2") % 97)).alias("album_uri"),
+        F.col("base").alias("track_title"),
+        F.concat(F.lit("ch"), _s(F.col("pk2") % 40)).alias("track_artists"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )
+    catalog = primary.unionByName(decoys)
+    liked = even.filter(F.col("pk2") % 12 == 0).select(
+        F.concat(F.lit("spotify:track:"), _s(F.col("pk2"))).alias("uri")
+    )
+    playlist_map = spark.createDataFrame(
+        [("YP0", "UP0"), ("YP1", "UP1")],
+        "youtube_playlist_id string, user_playlist_id string",
+    )
+    return videos, catalog, liked, playlist_map
+
+
+def match_cascade_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/J9/W2 + F1-F4/J8 end to end through the REAL engine: the
+    6-strategy track cascade (reference find_track
+    spotify_elt.py:214-246), CatalogCandidateSource's deterministic
+    inverted-index search + ranking, the qsearch_track accept
+    predicate (:262-309), first-hit-wins with found_on_try (:255-257
+    step_num), and the collect_track skip statuses (:311-336) —
+    returning the engine's spotify_log frame.  The oracle replays
+    every stage (query grammar, token probe, score/artist-hit
+    ranking, accept theta, cascade fold, status windows) in ANSI SQL
+    over the identical derived fixture."""
+    videos, catalog, liked, playlist_map = _cascade_fixture(spark, sf_dir)
+    cfg = PipelineConfig(threshold_ms=None)
+    engine = MatchEngine(cfg, CatalogCandidateSource(catalog))
+    result = engine.match(videos, playlist_map, liked_tracks=liked)
+    return result.log
+
+
+MATCH_CASCADE_CATALOG_SQL = r"""
+WITH even AS (
+  SELECT p_partkey AS pk2,
+         'p' || (p_partkey % 250) || ' ' || p_name AS base
+  FROM part WHERE p_partkey % 2 = 0),
+videos AS (
+  SELECT p.p_partkey AS log_id,
+         'YP' || (p.p_partkey % 5) AS youtube_playlist_id,
+         CASE WHEN p.p_partkey % 4 = 1 THEN e.base || ' (live)' ELSE e.base END AS title,
+         CASE WHEN p.p_partkey % 4 = 1 THEN e.base || ' ' ELSE e.base END AS fixed_title,
+         'ch' || (e.pk2 % 40) ||
+           CASE WHEN p.p_partkey % 3 = 0 THEN ' - Topic' ELSE '' END AS author,
+         'ch' || (e.pk2 % 40) AS artist,
+         CAST(120000 + (p.p_partkey % 23) * 1000 AS BIGINT) AS duration_ms,
+         CASE WHEN p.p_partkey % 5 = 0 THEN 'UP0'
+              WHEN p.p_partkey % 5 = 1 THEN 'UP1'
+              ELSE 'LM' END AS user_playlist_id
+  FROM part p JOIN even e ON p.p_partkey - (p.p_partkey % 2) = e.pk2),
+catalog AS (
+  SELECT 'spotify:track:' || pk2 AS track_uri,
+         'spotify:album:' || (pk2 % 97) AS album_uri,
+         CASE WHEN pk2 % 15 = 0 THEN base
+              WHEN pk2 % 10 = 0 THEN base || ' xtr'
+              ELSE base END AS track_title,
+         CASE WHEN pk2 % 15 = 0 THEN 'zz'
+              WHEN pk2 % 10 = 0 THEN 'zz'
+              ELSE 'ch' || (pk2 % 40) END AS track_artists,
+         CAST(120000 + (pk2 % 23) * 1000 +
+              CASE WHEN pk2 % 15 = 0 THEN 0 ELSE (pk2 % 7) * 2000 - 6000 END
+              AS BIGINT) AS duration_ms
+  FROM even
+  UNION ALL
+  SELECT 'spotify:track:z' || pk2, 'spotify:album:' || (pk2 % 97), base,
+         'ch' || (pk2 % 40), CAST(0 AS BIGINT)
+  FROM even WHERE pk2 % 15 = 0),
+liked AS (SELECT 'spotify:track:' || pk2 AS uri FROM even WHERE pk2 % 12 = 0),
+-- strategy fan-out (find_track's 6 ordered query shapes; raw-title
+-- strategies only when the fixed title differs)
+strat AS (
+  SELECT v.*, s.priority, CAST(s.search_type_id AS BIGINT) AS search_type_id,
+         CASE s.priority
+           WHEN 0 THEN 'track:' || v.fixed_title || ' artist:' || v.artist
+           WHEN 1 THEN v.fixed_title
+           WHEN 2 THEN 'track "' || v.fixed_title || '"'
+           WHEN 3 THEN v.artist || ' ' || v.fixed_title
+           WHEN 4 THEN 'track "' || v.title || '"'
+           WHEN 5 THEN v.title END AS q,
+         v.log_id * 6 + s.priority AS qid
+  FROM videos v
+  CROSS JOIN (VALUES (0, 0), (1, 2), (2, 4), (3, 6), (4, 5), (5, 3))
+             s(priority, search_type_id)
+  WHERE s.priority <= 3 OR v.fixed_title <> v.title),
+-- the search grammar (_parse_q) + first-token probe
+qparsed AS (
+  SELECT *,
+         lower(trim(CASE
+           WHEN q LIKE 'track "%' THEN regexp_extract(q, '^track "(.*)"$', 1)
+           WHEN q LIKE 'track:%' THEN regexp_extract(q, '^track:(.*?)( artist:.*)?$', 1)
+           ELSE q END)) AS qtitle,
+         lower(coalesce(CASE WHEN contains(q, ' artist:')
+                             THEN regexp_extract(q, ' artist:(.*)$', 1) END, '')) AS qartist
+  FROM strat),
+qtok AS (
+  SELECT *, list_filter(string_split_regex(qtitle, '\s+'), x -> x <> '')[1] AS tok
+  FROM qparsed),
+itok AS (
+  SELECT c.*, u.tok
+  FROM catalog c,
+       UNNEST(list_distinct(list_filter(
+         string_split_regex(lower(trim(c.track_title)), '\s+'), x -> x <> ''))) u(tok)),
+scored0 AS (
+  SELECT q.qid, q.qtitle, q.qartist, i.track_uri, i.album_uri, i.track_title,
+         i.track_artists, i.duration_ms AS item_duration_ms,
+         CASE WHEN lower(i.track_title) = q.qtitle THEN 3
+              WHEN contains(q.qtitle, lower(i.track_title)) THEN 2
+              WHEN contains(lower(i.track_title), q.qtitle) THEN 1
+              ELSE 0 END AS score
+  FROM qtok q JOIN itok i ON q.tok = i.tok
+  WHERE q.tok IS NOT NULL),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY score DESC,
+             (CASE WHEN qartist <> '' AND len(list_filter(
+                     string_split(track_artists, '; '),
+                     a -> contains(qartist, lower(a)))) > 0
+                   THEN 1 ELSE 0 END) DESC,
+             track_uri ASC) AS result_rank
+  FROM scored0 WHERE score > 0),
+-- rank-1 per search, scored with the qsearch_track accept predicate
+joined AS (
+  SELECT s.log_id, s.user_playlist_id, s.priority, s.search_type_id, s.q,
+         s.title, s.author, s.duration_ms AS video_duration_ms,
+         r.track_uri, r.track_artists, r.track_title, r.item_duration_ms,
+         abs(r.item_duration_ms - s.duration_ms) AS difference_ms,
+         (r.item_duration_ms IS NOT NULL AND r.item_duration_ms <> 0)
+           AND ((contains(lower(s.title), lower(r.track_title))
+                 AND (regexp_matches(s.title, '\bOST\b')
+                      OR len(list_filter(string_split(r.track_artists, '; '),
+                             a -> contains(lower(s.title), lower(a)))) > 0
+                      OR len(list_filter(string_split(r.track_artists, '; '),
+                             a -> contains(lower(s.author), lower(a)))) > 0))
+                OR abs(r.item_duration_ms - s.duration_ms) <= 5000) AS accepted
+  FROM strat s JOIN ranked r ON s.qid = r.qid AND r.result_rank = 1),
+-- first-hit-wins cascade fold + step_num (found_on_try)
+folded AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY log_id
+                            ORDER BY (CASE WHEN accepted THEN 0 ELSE 1 END), priority) AS rn,
+         CAST(count(*) OVER (PARTITION BY log_id ORDER BY priority
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS found_on_try
+  FROM joined),
+winners AS (SELECT * FROM folded WHERE rn = 1 AND accepted),
+-- J9 statuses: liked-set probe, then during-run membership window
+with_status AS (
+  SELECT w.*,
+         (l.uri IS NOT NULL) AS is_liked,
+         row_number() OVER (PARTITION BY w.track_uri, w.user_playlist_id
+                            ORDER BY w.log_id) AS occ
+  FROM winners w LEFT JOIN liked l ON w.track_uri = l.uri)
+SELECT log_id,
+       CAST(NULL AS VARCHAR) AS album_uri,
+       CAST(NULL AS VARCHAR) AS playlist_uri,
+       track_uri, found_on_try, difference_ms,
+       CAST(1 AS BIGINT) AS track_match, CAST(1 AS BIGINT) AS total_tracks,
+       q, search_type_id,
+       CASE WHEN is_liked AND user_playlist_id = 'LM'
+              THEN 'skipped (saved before the run)'
+            WHEN occ > 1 THEN 'skipped (saved during the run)'
+            ELSE 'saved' END AS status
+FROM with_status
+"""
+
+
+QUERIES: list[Query] = [
+    Query(
+        "log_found_videos_mart",
+        "A4,A6,U1,J1-J4,F10,F16,F17,A10 (marts pipeline end-to-end)",
+        log_found_videos_mart,
+        LOG_FOUND_VIDEOS_MART_SQL,
+    ),
+    Query(
+        "log_for_tableau_mart",
+        "W1,F15,F18,P2,U1 (tableau mart end-to-end)",
+        log_for_tableau_mart,
+        LOG_FOR_TABLEAU_MART_SQL,
+    ),
+    Query(
+        "match_cascade_catalog",
+        "O3,J9,W2,J8,F1-F4 (match engine end-to-end)",
+        match_cascade_catalog,
+        MATCH_CASCADE_CATALOG_SQL,
+    ),
+]

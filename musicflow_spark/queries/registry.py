@@ -91,6 +91,7 @@ def get_queries() -> list[Query]:
     from musicflow_spark.queries import classic as _classic
     from musicflow_spark.queries import cleanse as _cleanse
     from musicflow_spark.queries import events as _events
+    from musicflow_spark.queries import matchflow as _matchflow
     from musicflow_spark.queries import multimodal as _multimodal
     from musicflow_spark.queries import relational as _relational
     from musicflow_spark.queries import sampling as _sampling
@@ -102,6 +103,7 @@ def get_queries() -> list[Query]:
     out: list[Query] = []
     for mod in (
         _relational,
+        _matchflow,
         _classic,
         _events,
         _timeseries,

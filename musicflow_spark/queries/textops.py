@@ -1337,9 +1337,9 @@ QUERIES = [
     Query("corpus_clean", "ext: full cleaning pipeline (lang+quality+dedup+clustering)", corpus_clean, _corpus_clean_oracle_sql()),
     Query("doc_text_knn", "ext: text->embedding->ANN composite", doc_text_knn, _doc_text_knn_oracle_sql()),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
-    Query("doc_incremental_dedup", "ext: delta-vs-corpus incremental dedup (no base-x-base pairing)", doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL),
+    Query("doc_incremental_dedup", "ext: delta-vs-corpus incremental dedup (no base-x-base pairing)", doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL, bench=True),
     Query("doc_winnow_fingerprints", "ext: winnowing (MOSS) fingerprint selection, oracle-replayed", doc_winnow_fingerprints, DOC_WINNOW_FINGERPRINTS_SQL),
-    Query("doc_winnow_pairs", "ext: fingerprint-join dedup tier (deterministic shared-run guarantee)", doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL),
+    Query("doc_winnow_pairs", "ext: fingerprint-join dedup tier (deterministic shared-run guarantee)", doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL, bench=True),
     Query("doc_simhash_pairs", "ext: simhash dedup", doc_simhash_pairs, _simhash_oracle_sql()),
     Query("doc_tfidf_topk", "ext: tf-idf keyword extraction", doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
     Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),

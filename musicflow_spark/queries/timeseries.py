@@ -529,5 +529,6 @@ QUERIES = [
         "ext: interval-overlap join, exactly-once bucket emission",
         shipment_overlap_pairs,
         SHIPMENT_OVERLAP_PAIRS_SQL,
+        bench=True,
     ),
 ]

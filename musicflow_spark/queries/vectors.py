@@ -473,7 +473,7 @@ QUERIES = [
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
-    Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL),
+    Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),
     Query("embedding_semantic_dedup", "ext: SemDeDup-style cluster-blocked semantic dedup", embedding_semantic_dedup, _embedding_semantic_dedup_oracle_sql()),
     Query("embedding_pca_scores", "ext: PCA projection (driver rows-only; numpy-certified in tests)", embedding_pca_scores, None),
 ]

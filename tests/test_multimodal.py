@@ -103,11 +103,163 @@ def test_media_repartition_bounds_partition_bytes(media):
     assert out.rdd.getNumPartitions() == total // 10_000 + 1
 
 
-def test_library_codec_is_a_marked_stub(media):
+def test_library_codec_rejects_only_undecodable_payloads(media):
+    """The fake media table carries utf-8 text payloads — not a PNG,
+    and without Pillow no stdlib decoder exists for arbitrary bytes.
+    LibraryCodec must fail loudly there (never silently fake), while
+    REAL encoded images decode fine (tests below)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: arbitrary payloads raise inside PIL instead")
+    except ImportError:
+        pass
     with pytest.raises(Exception) as ei:
         extract_features(media.limit(1), LibraryCodec(), dim=4).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
+    )
+
+
+# ------------------------------------------------- real decode path
+def _gradient(h, w, ch):
+    import numpy as np
+
+    base = np.arange(h * w, dtype=np.uint64).reshape(h, w) * 255 // max(h * w - 1, 1)
+    return np.stack([(base + 7 * c) % 256 for c in range(ch)], axis=2).astype("uint8")
+
+
+def _filtered_png(pixels, filter_type):
+    """Hand-assemble a PNG using one specific scan filter everywhere —
+    exercises the decoder's reconstruction paths the filter-0 encoder
+    never emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import PNG_SIG, _chunk
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y in range(h):
+        line = arr[y].tobytes()
+        out = bytearray()
+        for i in range(len(line)):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((line[i] - pred) & 0xFF)
+        raw.append(filter_type)
+        raw.extend(out)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_shapes():
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import decode_png, encode_png
+
+    for h, w, ch in [(1, 1, 1), (5, 3, 1), (4, 4, 3), (7, 2, 4)]:
+        px = _gradient(h, w, ch)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_decoder_reconstructs_every_filter():
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import decode_png
+
+    px = _gradient(6, 5, 3)
+    for f in range(5):
+        got = decode_png(_filtered_png(px, f))
+        assert np.array_equal(got, px), f"filter {f}"
+
+
+def test_band_features_known_values():
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import PngCodec, encode_png
+
+    # 4 rows of constant luminance 0 / 51 / 102 / 255, 2 bands ->
+    # means (25.5, 178.5) / 255
+    px = np.array([[v] * 3 for v in (0, 51, 102, 255)], dtype=np.uint8)
+    feats = PngCodec().features(encode_png(px), "image", 2)
+    assert feats == pytest.approx([25.5 / 255.0, 178.5 / 255.0])
+    # more bands than rows: trailing empty bands are 0.0 by spec
+    feats5 = PngCodec().features(encode_png(px), "image", 5)
+    assert feats5[-1] == 0.0 and feats5[0] == pytest.approx(0.0)
+
+
+def test_png_resize_nearest_known_pixels():
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import PngCodec, decode_png
+
+    px = _gradient(4, 4, 3)
+    out = PngCodec().resize(
+        __import__("musicflow_spark.operators.pngcodec", fromlist=["encode_png"]).encode_png(px),
+        2,
+        2,
+    )
+    got = decode_png(out)
+    assert np.array_equal(got, px[::2, ::2])
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    """REAL encoded PNG bytes through the Spark mapInPandas stage via
+    LibraryCodec (Pillow if present, stdlib PNG tier otherwise): the
+    verdict-4 closure — no NotImplementedError, features are the
+    documented pixel band means."""
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import band_features, encode_png
+
+    imgs = {i: _gradient(4 + i, 3 + i, 3) for i in range(6)}
+    rows = [
+        (i, "image", bytearray(encode_png(px)), None) for i, px in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, LibraryCodec(), dim=3).collect()
+    }
+    assert set(got) == set(imgs)
+    for i, px in imgs.items():
+        assert got[i] == pytest.approx(band_features(px, 3), abs=1e-6)
+
+
+def test_library_codec_matches_stdlib_tier_when_pillow_present():
+    """Decoder-parity: Pillow and the stdlib PNG decoder must produce
+    identical pixels, hence identical features (shared band spec)."""
+    pytest.importorskip("PIL")
+    from musicflow_spark.operators.pngcodec import PngCodec, encode_png
+
+    px = _gradient(8, 5, 3)
+    payload = encode_png(px)
+    assert LibraryCodec().features(payload, "image", 4) == pytest.approx(
+        PngCodec().features(payload, "image", 4)
     )
 
 

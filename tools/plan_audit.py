@@ -27,11 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: baselines (oracle anchors), plus broadcast-planes crossJoins that
 #: are 1-row frames
 CARTESIAN_OK = {
-    "knn_bruteforce",          # exact baseline (broadcast query side)
-    "doc_text_knn",            # same exact-rerank shape over doc embeddings
-    "embedding_neardup_pairs", # exact all-pairs oracle anchor
-    "knn_lsh", "knn_ivf", "embedding_lsh_neardup",  # 1-row planes/centroid broadcasts
-    "embedding_semantic_dedup",  # centroid-table broadcast (dimension-sized by contract)
+    "knn_bruteforce",          # exact baseline; broadcast side = query set, 8 rows by contract
+    "doc_text_knn",            # same exact-rerank shape; broadcast side ≤ 8 query docs
+    "embedding_neardup_pairs", # exact all-pairs oracle anchor: n² bounded to the embeddings
+                               # table (500 rows at the sf0.01 certification SF; the LSH tier
+                               # is the scale path)
+    "knn_lsh", "knn_ivf", "embedding_lsh_neardup",  # 1-row planes/centroid-seed broadcasts
+    "embedding_semantic_dedup",  # centroid-table broadcast: ≤ n_clusters rows (8 by default)
     "doc_jaccard_pairs", "doc_minhash_dedup",       # 1-row common-shingle broadcast
     "conservation_counts",     # three 1-row scalar aggregates cross-joined
     "doc_tfidf_topk",          # 1-row corpus-count broadcast (idf denominator)
@@ -53,10 +55,12 @@ CARTESIAN_OK = {
 #: queries allowed SinglePartition exchanges: global scalar aggregates
 #: or dimension-sized global windows (documented W1 form)
 SINGLE_OK = {
-    "conservation_counts", "nation_surrogate_ids",
-    "doc_jaccard_pairs", "doc_minhash_dedup",  # common-shingle collect (tiny by construction)
-    "doc_simhash_pairs",
-    "top_revenue_orders",  # global top-k limit
+    "conservation_counts",     # three scalar aggregates, 1 row each by construction
+    "nation_surrogate_ids",    # W1 global window on the nation dim (25 rows)
+    "doc_jaccard_pairs", "doc_minhash_dedup",  # common-shingle collect: ≤ max_df-filtered
+                               # shingle vocabulary (≤20 docs/shingle by the df cap)
+    "doc_simhash_pairs",       # 1-row global token-idf bounds aggregate
+    "top_revenue_orders",  # global top-k limit (10 rows by the LIMIT literal)
     "doc_tfidf_topk",          # scalar corpus count (1 row by construction)
     "doc_split_contamination", # scalar common-shingle collect (tiny by construction)
     "doc_dup_spans",           # scalar common-shingle collect (tiny by construction)
@@ -82,6 +86,9 @@ SINGLE_OK = {
     "approx_top_tokens",       # 1-row frequent-items sketch aggregate
     "quantile_sketch_daily",   # scalar bounds aggregate + ≤256-row sketch cumsum window
     "event_type_quantiles",    # scalar bounds aggregate (grouped cumsum partitions by type)
+    "log_for_tableau_mart",    # W1 global row_number — the reference's own single-partition
+                               # surrogate-id window (log_for_tableau.sql:98), mart-sized by
+                               # contract; at fact scale use operators/ids.py::surrogate_ids
 }
 
 
