@@ -30,8 +30,15 @@ from pyspark.sql import functions as F
 from musicflow_spark.config import PipelineConfig
 from musicflow_spark.matching.candidates import CatalogCandidateSource
 from musicflow_spark.matching.engine import MatchEngine
-from musicflow_spark.plans.intermediate import int_join_spotify_uris
-from musicflow_spark.plans.marts import log_for_tableau, log_found_videos
+from musicflow_spark.plans.intermediate import (
+    int_join_spotify_uris,
+    int_useful_youtube_library,
+)
+from musicflow_spark.plans.marts import (
+    log_for_tableau,
+    log_found_videos,
+    log_not_found_videos,
+)
 from musicflow_spark.plans.staging import stage
 from musicflow_spark.queries.registry import Query
 from musicflow_spark.sources.catalog import read_table
@@ -395,6 +402,38 @@ FROM derived
 )
 
 
+def log_not_found_videos_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/P7 end to end: the REAL int_useful_youtube_library
+    (library triple join + duration-threshold routing, reference
+    int_useful_youtube_library.sql:5-31) -> log_not_found_videos
+    left-anti mart (reference log_not_found_videos.sql:10-13 does
+    left join + where null; Spark has the operator natively).  Every
+    third order is absent from the fixture log, so the anti join has
+    real misses."""
+    stg = _mart_stage(spark, sf_dir)
+    cfg = PipelineConfig(threshold_ms=150_000, your_channel_name="your_channel")
+    return log_not_found_videos(
+        int_useful_youtube_library(stg, cfg), stg["spotify_log"]
+    )
+
+
+LOG_NOT_FOUND_VIDEOS_MART_SQL = (
+    _MART_PRELUDE
+    + """
+SELECT yl.id, yp.youtube_playlist_id,
+       yp.title AS playlist_name, yp.author AS playlist_author,
+       yv.video_id, yv.type, yv.title, yv.author, yv.description,
+       yv.duration_ms,
+       CASE WHEN yv.duration_ms < 150000 THEN 'Track'
+            WHEN yv.duration_ms >= 150000 THEN 'Album/Playlist' END AS estimated_type
+FROM yl
+JOIN yp ON yl.youtube_playlist_id = yp.youtube_playlist_id
+JOIN yv ON yl.video_id = yv.video_id
+WHERE NOT EXISTS (SELECT 1 FROM sl WHERE sl.log_id = yl.id)
+"""
+)
+
+
 # ------------------------------------------------------- match cascade
 def _cascade_fixture(spark: SparkSession, sf_dir: str):
     """Videos + deterministic track catalog derived from ``part``.
@@ -651,6 +690,12 @@ QUERIES: list[Query] = [
         "W1,F15,F18,P2,U1 (tableau mart end-to-end)",
         log_for_tableau_mart,
         LOG_FOR_TABLEAU_MART_SQL,
+    ),
+    Query(
+        "log_not_found_videos_mart",
+        "J6,P7,J5 (anti-join mart end-to-end)",
+        log_not_found_videos_mart,
+        LOG_NOT_FOUND_VIDEOS_MART_SQL,
     ),
     Query(
         "match_cascade_catalog",

@@ -72,3 +72,66 @@ def stream_log_to_marts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_library_to_marts(
+    spark: SparkSession,
+    library_stream_dir: str,
+    sources: dict[str, DataFrame],
+    cfg: PipelineConfig,
+    candidate_source,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+    cache_path: str | None = None,
+    max_files_per_trigger: int | None = 1,
+):
+    """The FULL-DAG streaming twin: the reference's "just restart the
+    flow" incremental rerun (reproduce.md; Redis memoization,
+    spotify_elt.py:772-797) as one continuous query.  New
+    ``youtube_library`` saves arrive as a parquet file stream; each
+    micro-batch upserts them into the warehouse library table and
+    re-runs the COMPLETE musicflow_pipeline — extract-normalize,
+    cache-aware match cascade (both passes), entity loads, staged
+    models, intermediates, marts — over the accumulated library.
+
+    Cost contract at scale: the pipeline re-run is cheap everywhere
+    except candidate search, and the match cache makes search
+    O(new videos) per batch — every already-matched video (and every
+    already-matched other-user playlist group) replays from the
+    cache with ZERO candidate-source calls, exactly the reference's
+    Redis semantics.  The mart rebuild per batch is the documented
+    correctness-first strategy of ``stream_log_to_marts``; on a
+    lakehouse format the materializations become MERGE-based
+    incremental models.
+
+    Returns the availableNow StreamingQuery (caller awaits)."""
+    from musicflow_spark.plans.dag import musicflow_pipeline
+
+    schema = MUSICFLOW_SCHEMAS["youtube_library"]
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(library_stream_dir)
+
+    lib_path = os.path.join(warehouse_dir, "youtube_library_accum")
+    upsert_lib = foreach_batch_upsert(lib_path, ["id"])
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        upsert_lib(batch, batch_id)
+        srcs = dict(sources)
+        srcs["youtube_library"] = batch.sparkSession.read.parquet(lib_path)
+        musicflow_pipeline(
+            batch.sparkSession,
+            srcs,
+            cfg,
+            candidate_source,
+            warehouse_dir,
+            cache_path=cache_path,
+        ).run()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -191,6 +191,85 @@ def test_streaming_marts_converge_to_batch(spark, musicflow_sources, tmp_path):
     assert spark.read.parquet(f"{wh}/spotify_log").count() == log.count()
 
 
+def test_full_dag_streaming_twin_converges_and_leaves_cache_warm(
+    spark, musicflow_sources, tmp_path
+):
+    """VERDICT r03 stretch: the COMPLETE pipeline (extract -> match
+    cascade with cache -> models -> marts) driven by a library file
+    stream.  Library saves arrive in two playlist-aligned chunks;
+    after the stream drains, (a) every mart equals the one-shot batch
+    build, and (b) the cache is complete: a fully-warm re-run with a
+    poison candidate source (raises on ANY search) succeeds — the
+    streamed run cached every video and every other-user group."""
+    from musicflow_spark.config import PipelineConfig
+    from musicflow_spark.matching import CatalogCandidateSource
+    from musicflow_spark.plans.dag import musicflow_pipeline
+    from musicflow_spark.plans.pipeline import build_all
+    from musicflow_spark.streaming.pipeline import MARTS, stream_library_to_marts
+    from tests.test_matching_cache import PoisonSource
+
+    cfg = PipelineConfig()
+    lib = musicflow_sources["youtube_library"]
+    src = CatalogCandidateSource(
+        musicflow_sources["spotify_tracks"],
+        musicflow_sources["spotify_albums"],
+        musicflow_sources["spotify_playlists_others"],
+    )
+    # playlist-aligned chunks: other-user groups stay whole per batch,
+    # so the group-grain cache entries are stable across batches
+    chunk1_pls = ("LM", "PL_rock", "PL_other1")
+    stream_dir = str(tmp_path / "lib_stream")
+    lib.filter(F.col("youtube_playlist_id").isin(*chunk1_pls)).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    lib.filter(~F.col("youtube_playlist_id").isin(*chunk1_pls)).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+
+    wh = str(tmp_path / "wh_dag")
+    cache = str(tmp_path / "cache")
+    q = stream_library_to_marts(
+        spark, stream_dir, musicflow_sources, cfg, src, wh,
+        str(tmp_path / "ckpt_dag"), cache_path=cache,
+    )
+    q.awaitTermination(600)
+
+    # (a) convergence: streamed marts == one-shot batch marts
+    batch_models = build_all(
+        dict(
+            musicflow_sources,
+            **{
+                t: spark.read.parquet(f"{wh}/{t}")
+                for t in ("spotify_log", "spotify_tracks", "spotify_albums",
+                          "spotify_playlists_others")
+            },
+        ),
+        cfg,
+    )
+    batch_wh = str(tmp_path / "wh_batch")
+    batch_ctx = musicflow_pipeline(
+        spark, musicflow_sources, cfg, src, batch_wh
+    ).run()
+    for mart in MARTS:
+        got = spark.read.parquet(f"{wh}/{mart}")
+        want = batch_ctx[mart]
+        cols = sorted(set(got.columns) - {"id"})  # W1 ids are order-dependent
+        key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+        g = sorted((tuple(r) for r in got.select(*cols).collect()), key=key)
+        w = sorted((tuple(r) for r in want.select(*cols).collect()), key=key)
+        assert g == w, mart
+    del batch_models  # convergence is against the independent batch run
+
+    # (b) the stream left a COMPLETE cache: fully-warm rerun with a
+    # poison source (raises on any search) must succeed
+    warm = musicflow_pipeline(
+        spark, musicflow_sources, cfg, PoisonSource(), str(tmp_path / "wh_warm"),
+        cache_path=cache,
+    )
+    warm_ctx = warm.run()
+    assert warm_ctx["spotify_log"].count() == spark.read.parquet(f"{wh}/spotify_log").count()
+
+
 @pytest.fixture(scope="module")
 def replayed_stream_dir(spark, tmp_path_factory):
     """The same events written TWICE as separate chunk files (an

@@ -50,6 +50,7 @@ SCALED_KEYS = {
     "part": ["p_partkey"],
     "documents": ["doc_id"],
     "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
 }
 DIMS = ["nation", "region"]
 
@@ -68,6 +69,16 @@ QUERY_TABLES = {
     "quantile_sketch_daily": ["events"],
     "doc_incremental_dedup": ["documents"],
     "doc_winnow_pairs": ["documents"],
+    # interval-overlap self-join: replica-shifted l_suppkey keeps the
+    # bucket join's key space disjoint, so output is exactly N x base
+    "shipment_overlap_pairs": ["lineitem"],
+    # map-agg moment passes: replicated vectors are fine (no pairing)
+    "embedding_gram_moments": ["embeddings"],
+    "embedding_pca_scores": ["embeddings"],
+    # match_cascade_catalog is deliberately absent: its synthetic
+    # first-token vocabulary (pk % 250, and 250 divides the replica
+    # stride) would make replicas share index buckets — the measured
+    # curve would be a fixture artifact, not the operator's shape.
 }
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
