@@ -263,9 +263,11 @@ def log_found_videos_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log_found_videos(int_join_spotify_uris(_mart_stage(spark, sf_dir)))
 
 
-LOG_FOUND_VIDEOS_MART_SQL = (
-    _MART_PRELUDE
-    + """,
+#: the int_join_spotify_uris replay, shared by every oracle that
+#: consumes the wide intermediate (reference:
+#: dbt/models/intermediate/int_join_spotify_uris.sql:5-135)
+_IJ_CTE = (
+    """,
 ij AS (
   SELECT sl.log_id, yl.youtube_playlist_id, pids.spotify_playlist_id,
          sp.title AS user_playlist, sl.found_on_try, sl.q,
@@ -299,6 +301,13 @@ ij AS (
   LEFT JOIN sa   ON sl.album_uri = sa.album_uri
   LEFT JOIN spo  ON sl.playlist_uri = spo.playlist_uri
   LEFT JOIN strk ON sl.track_uri = strk.track_uri)
+"""
+)
+
+LOG_FOUND_VIDEOS_MART_SQL = (
+    _MART_PRELUDE
+    + _IJ_CTE
+    + """
 SELECT video_id, spotify_playlist_id, user_playlist, youtube_playlist_id,
        spotify_uri, spotify_type AS found, video_title AS youtube_title,
        spotify_title, video_title AS youtube_author, spotify_author,
@@ -678,6 +687,88 @@ FROM with_status
 """
 
 
+# ------------------------------------------------------- analyses
+def skipped_during_run_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ordered string_agg + A5 HAVING>1 through the REAL analysis
+    code (plans/analyses.py::skipped_during_the_run; reference:
+    dbt/analyses/spotify/skipped_during_the_run.sql): per
+    (uri, playlist) groups with >1 video, newline-joined links and
+    '<log_id> <status>' lines in log-id order.  Album log rows share
+    all metadata per customer in the fixture, so multi-video groups
+    genuinely occur."""
+    from musicflow_spark.plans.analyses import skipped_during_the_run
+
+    return skipped_during_the_run(int_join_spotify_uris(_mart_stage(spark, sf_dir)))
+
+
+SKIPPED_DURING_RUN_ANALYSIS_SQL = (
+    _MART_PRELUDE
+    + _IJ_CTE
+    + """
+SELECT spotify_uri, spotify_playlist_id, user_playlist, spotify_title,
+       spotify_author,
+       CAST(count(video_id) AS BIGINT) AS video_cnt,
+       string_agg('https://www.youtube.com/watch?v=' || video_id, chr(10)
+                  ORDER BY log_id) AS links_to_videos,
+       string_agg(log_id || ' ' || status, chr(10) ORDER BY log_id) AS statuses
+FROM ij
+WHERE spotify_playlist_id IS NOT NULL
+GROUP BY spotify_uri, spotify_playlist_id, user_playlist, spotify_type,
+         spotify_title, spotify_author, spotify_duration, total_tracks
+HAVING count(video_id) > 1
+"""
+)
+
+
+def found_ratio_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 + A10 through the REAL analysis code
+    (plans/analyses.py::ratio_of_found_by_playlists; reference:
+    dbt/analyses/spotify/ratio_of_found_by_playlists.sql): left join
+    to the log, null-skipping count(log_id) vs count(id), rounded
+    percentage.  Every third order is absent from the fixture log, so
+    ratios are strictly between 0 and 100."""
+    from musicflow_spark.plans.analyses import ratio_of_found_by_playlists
+
+    return ratio_of_found_by_playlists(_mart_stage(spark, sf_dir))
+
+
+FOUND_RATIO_ANALYSIS_SQL = (
+    _MART_PRELUDE
+    + """
+SELECT yp.youtube_playlist_id, yp.type, yp.title, yp.author,
+       CAST(count(sl.log_id) AS BIGINT) AS found_tracks,
+       CAST(count(yl.id) AS BIGINT) AS total_tracks,
+       round((count(sl.log_id) * 100 / CAST(count(yl.id) AS DOUBLE)) * 100.0) / 100.0
+         AS percentage_found
+FROM yp
+JOIN yl ON yp.youtube_playlist_id = yl.youtube_playlist_id
+LEFT JOIN sl ON yl.id = sl.log_id
+GROUP BY yp.youtube_playlist_id, yp.type, yp.title, yp.author
+"""
+)
+
+
+def found_by_stats_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 null-skipping count through the REAL analysis code
+    (plans/analyses.py::found_by_statistics; reference:
+    dbt/analyses/spotify/found_by_statistics.sql)."""
+    from musicflow_spark.plans.analyses import found_by_statistics
+
+    return found_by_statistics(int_join_spotify_uris(_mart_stage(spark, sf_dir)))
+
+
+FOUND_BY_STATS_ANALYSIS_SQL = (
+    _MART_PRELUDE
+    + _IJ_CTE
+    + """
+SELECT search_type_name AS found_by,
+       CAST(count(spotify_uri) AS BIGINT) AS records_found
+FROM ij
+GROUP BY search_type_id, search_type_name
+"""
+)
+
+
 QUERIES: list[Query] = [
     Query(
         "log_found_videos_mart",
@@ -702,5 +793,23 @@ QUERIES: list[Query] = [
         "O3,J9,W2,J8,F1-F4 (match engine end-to-end)",
         match_cascade_catalog,
         MATCH_CASCADE_CATALOG_SQL,
+    ),
+    Query(
+        "skipped_during_run_analysis",
+        "A4 (ordered string_agg),A5,F6 (analysis end-to-end)",
+        skipped_during_run_analysis,
+        SKIPPED_DURING_RUN_ANALYSIS_SQL,
+    ),
+    Query(
+        "found_ratio_analysis",
+        "J7,A10,A1 (analysis end-to-end)",
+        found_ratio_analysis,
+        FOUND_RATIO_ANALYSIS_SQL,
+    ),
+    Query(
+        "found_by_stats_analysis",
+        "A1 (null-skipping count; analysis end-to-end)",
+        found_by_stats_analysis,
+        FOUND_BY_STATS_ANALYSIS_SQL,
     ),
 ]
