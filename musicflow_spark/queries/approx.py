@@ -583,6 +583,135 @@ GROUP BY e.event_type, e.q_bp, e.target_rank, e.est, e.w
 """
 
 
+# ---------------------------------------------------------------------------
+# Theta set-operation sketch + KLL quantile sketch (Spark 4 Datasketches)
+# ---------------------------------------------------------------------------
+
+def theta_year_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (ext): the sketch family's missing
+    operation.  HLL answers |A| and |A ∪ B| but CANNOT intersect or
+    subtract; the theta sketch keeps a hash sample per set, so
+    |A ∩ B| and |A \\ B| come from the SKETCHES — at 100 TB that
+    means per-cohort sketches built once, then arbitrary audience
+    overlap/churn questions answered sketch-side with no re-scan.
+
+    A = custkeys ordering in 1994, B = in 1995 (genuinely
+    overlapping sets).  One pass builds both sketches
+    (conditional ``theta_sketch_agg``); union/intersection/
+    difference estimates gate against the exact counts computed in
+    the same query (est within 5% + 10 absolute — intersections
+    amplify relative error, and below ~4k entries the sketch is in
+    exact mode anyway).  Oracle: exact columns + literal-TRUE gates,
+    the HLL-mergeable pattern."""
+    yr = F.year("o_orderdate")
+    ords = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", yr.alias("yr")
+    ).filter(F.col("yr").isin(1994, 1995))
+    sk = ords.agg(
+        F.theta_sketch_agg(F.when(F.col("yr") == 1994, F.col("o_custkey"))).alias("ska"),
+        F.theta_sketch_agg(F.when(F.col("yr") == 1995, F.col("o_custkey"))).alias("skb"),
+    )
+    ests = sk.select(
+        F.theta_sketch_estimate(F.theta_union(F.col("ska"), F.col("skb"))).alias("union_est"),
+        F.theta_sketch_estimate(F.theta_intersection(F.col("ska"), F.col("skb"))).alias("inter_est"),
+        F.theta_sketch_estimate(F.theta_difference(F.col("ska"), F.col("skb"))).alias("diff_est"),
+    )
+    per_cust = ords.groupBy("o_custkey").agg(
+        F.max(F.col("yr") == 1994).alias("in_a"),
+        F.max(F.col("yr") == 1995).alias("in_b"),
+    )
+    exact = per_cust.agg(
+        F.count(F.lit(1)).alias("union_n"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("inter_n"),
+        F.sum((F.col("in_a") & ~F.col("in_b")).cast("long")).alias("diff_n"),
+    )
+
+    def gate(est: str, n: str) -> F.Column:
+        return F.abs(F.col(est) - F.col(n)) <= F.col(n) * 0.05 + F.lit(10)
+
+    # 1-row x 1-row scalar join (broadcast by construction)
+    return ests.join(exact).select(
+        "union_n",
+        "inter_n",
+        "diff_n",
+        gate("union_est", "union_n").alias("union_ok"),
+        gate("inter_est", "inter_n").alias("inter_ok"),
+        gate("diff_est", "diff_n").alias("diff_ok"),
+    )
+
+
+THETA_YEAR_OVERLAP_SQL = """
+WITH pc AS (
+  SELECT o_custkey,
+         max(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END) = 1 AS in_a,
+         max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) = 1 AS in_b
+  FROM orders
+  WHERE year(o_orderdate) IN (1994, 1995)
+  GROUP BY o_custkey)
+SELECT count(*) AS union_n,
+       CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS inter_n,
+       CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS diff_n,
+       TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+FROM pc
+"""
+
+
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch (ext): the library tier beside the
+    hand-built fixed-bin histogram (operators/qsketch.py) — KLL has
+    provable NORMALIZED-RANK error (~1.65% two-sided at the default
+    k=200) independent of the value domain, where the histogram's
+    error is one bin width.  Same deployment shape: per-day
+    ``kll_sketch_agg_bigint`` partials over event-value cents, one
+    ``kll_merge_agg_bigint`` re-merge, quantiles read from the
+    merged sketch.
+
+    Soundness gates recomputed from raw data per quantile q (the
+    hist_rank_gates pattern, two-sided and tie-safe): count(v < est)
+    must not exceed (q + eps)·N and count(v <= est) must reach
+    (q - eps)·N, eps = 2%.  Oracle: exact counts + literal-TRUE
+    gates."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        # cast-to-long truncates toward zero, matching DuckDB trunc()
+        (F.col("value") * 1000).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.kll_sketch_agg_bigint("cents").alias("sk"))
+    merged = daily.agg(F.kll_merge_agg_bigint("sk").alias("sk"))
+    qs = merged.select(
+        F.expr(
+            "stack(3, 5000, kll_sketch_get_quantile_bigint(sk, 0.50),"
+            " 9000, kll_sketch_get_quantile_bigint(sk, 0.90),"
+            " 9900, kll_sketch_get_quantile_bigint(sk, 0.99)) as (q_bp, est)"
+        )
+    )
+    v = F.col("cents")
+    gates = ev.join(F.broadcast(qs)).groupBy("q_bp").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((v < F.col("est")).cast("long")).alias("n_lt"),
+        F.sum((v <= F.col("est")).cast("long")).alias("n_le"),
+    )
+    # n_lt/n_le are measured against the SKETCH's estimate, so they
+    # are not oracle-portable (the exact engine has no KLL); only the
+    # exact row count and the rank gates leave the query
+    eps_bp = 200  # 2% in basis points
+    return gates.select(
+        "q_bp",
+        "n_events",
+        (
+            (F.col("n_le") * 10000 >= F.col("n_events") * (F.col("q_bp") - F.lit(eps_bp)))
+            & (F.col("n_lt") * 10000 <= F.col("n_events") * (F.col("q_bp") + F.lit(eps_bp)))
+        ).alias("rank_ok"),
+    )
+
+
+KLL_VALUE_QUANTILES_SQL = """
+SELECT q_bp, count(*) AS n_events, TRUE AS rank_ok
+FROM events, (SELECT unnest([5000, 9000, 9900]) AS q_bp) qs
+GROUP BY q_bp
+"""
+
+
 QUERIES = [
     Query(
         "hll_distinct_users",
@@ -631,6 +760,18 @@ QUERIES = [
         "ext: grouped quantile sketch on a shared global grid",
         event_type_quantiles,
         EVENT_TYPE_QUANTILES_SQL,
+    ),
+    Query(
+        "theta_year_overlap",
+        "ext: theta-sketch set algebra (union/intersection/difference), exact-gated",
+        theta_year_overlap,
+        THETA_YEAR_OVERLAP_SQL,
+    ),
+    Query(
+        "kll_value_quantiles",
+        "ext: KLL quantile sketch (daily partials + merge), rank-gated",
+        kll_value_quantiles,
+        KLL_VALUE_QUANTILES_SQL,
     ),
     Query(
         "fuzzy_customer_pairs",

@@ -50,6 +50,8 @@ CARTESIAN_OK = {
     "approx_top_tokens",       # 1-row sketch-map broadcast into the exact top-k
     "quantile_sketch_daily",   # 1-row bounds + ≤5-row quantile-frame broadcasts
     "event_type_quantiles",    # same 1-row bounds broadcast (grouped form)
+    "theta_year_overlap",      # 1-row x 1-row scalar join (sketch ests vs exact counts)
+    "kll_value_quantiles",     # 3-row quantile-frame broadcast into the rank-gate scan
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -89,6 +91,8 @@ SINGLE_OK = {
     "log_for_tableau_mart",    # W1 global row_number — the reference's own single-partition
                                # surrogate-id window (log_for_tableau.sql:98), mart-sized by
                                # contract; at fact scale use operators/ids.py::surrogate_ids
+    "theta_year_overlap",      # two global sketch/exact aggregates (1 row each by construction)
+    "kll_value_quantiles",     # global KLL merge aggregate (1 sketch row by construction)
 }
 
 
