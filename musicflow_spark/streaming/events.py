@@ -264,3 +264,55 @@ def foreach_batch_rollup_merge(path: str, keys: list[str]):
 
     sink.metrics = metrics
     return sink
+
+
+def foreach_batch_sketch_merge(
+    path: str,
+    keys: list[str],
+    build_aggs: dict,
+    merge_aggs: dict,
+):
+    """Streaming maintenance for MERGEABLE SKETCH columns (HLL /
+    KLL / theta binary partials) with no state store — the sketch
+    sibling of ``foreach_batch_rollup_merge`` (whose measures must be
+    sum-mergeable; sketches merge by union instead).
+
+    ``build_aggs``: output column -> aggregate Column over RAW batch
+    rows (e.g. ``F.hll_sketch_agg("user_id")``).  ``merge_aggs``:
+    same output column -> aggregate Column over PARTIAL rows that
+    unions already-built sketches (e.g. ``F.hll_union_agg(col)``).
+    Each micro-batch builds per-key partials, unions them with the
+    materialized table, and atomically swaps — correct for
+    append-mode streams because sketch union is associative and
+    commutative, so any arrival chunking yields a valid sketch of
+    ALL arrivals (HLL register-max and theta min-hash unions are
+    order-insensitive bit-for-bit; KLL's randomized compaction makes
+    the BYTES order-dependent but preserves the rank-error
+    guarantee, which is the sketch's contract — gate estimates, not
+    bytes; see tests/test_streaming.py).
+
+    At 100 TB this is the pattern that replaces update-mode
+    aggregation state: per-(day, key) sketch rows are the state,
+    restart reads them from the table, and a year of quantile /
+    distinct / set-overlap questions re-merges kilobyte partials
+    instead of rescanning events."""
+    import shutil as _shutil
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = batch.groupBy(*keys).agg(
+            *[a.alias(c) for c, a in build_aggs.items()]
+        )
+        if os.path.exists(path):
+            prev = spark.read.parquet(path)
+            partial = partial.unionByName(prev).groupBy(*keys).agg(
+                *[a.alias(c) for c, a in merge_aggs.items()]
+            )
+        merged = partial.localCheckpoint(eager=True)
+        tmp = f"{path}.__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            _shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return sink

@@ -880,3 +880,65 @@ def test_hist_stream_merge_converges_to_batch_sketch(spark, stream_dir, tmp_path
         ).collect()
     }
     assert got == want
+
+
+def test_sketch_merge_sink_maintains_hll_kll_theta(spark, stream_dir, tmp_path):
+    """Streaming Datasketches maintenance through the union-merge
+    sink (no state store): per-day HLL / KLL / theta partials built
+    incrementally over 4 micro-batches must, when re-merged across
+    days, answer (a) distinct users within HLL accuracy of exact,
+    (b) quantiles within KLL's rank-error bound (bytes are
+    order-dependent under randomized compaction — the RANK guarantee
+    is the contract), (c) theta union estimate within accuracy of
+    exact — the restart-from-table streaming tier of the sketch
+    family."""
+    from musicflow_spark.streaming.events import foreach_batch_sketch_merge
+
+    out = str(tmp_path / "sketch_partials")
+    cents = (F.col("value") * 1000).cast("long")
+    shaped = event_stream(spark, stream_dir, max_files_per_trigger=1).select(
+        F.to_date("ts").alias("day"), "user_id", cents.alias("cents")
+    )
+    sink = foreach_batch_sketch_merge(
+        out,
+        ["day"],
+        build_aggs={
+            "hll": F.hll_sketch_agg("user_id", F.lit(12)),
+            "kll": F.kll_sketch_agg_bigint("cents"),
+            "theta": F.theta_sketch_agg("user_id"),
+        },
+        merge_aggs={
+            "hll": F.hll_union_agg("hll"),
+            "kll": F.kll_merge_agg_bigint("kll"),
+            "theta": F.theta_union_agg("theta"),
+        },
+    )
+    q = (
+        shaped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sketch"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    partials = spark.read.parquet(out)
+    raw = spark.read.parquet(stream_dir)
+    assert partials.count() == raw.select(F.to_date("ts")).distinct().count()
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("users_est"),
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_merge_agg_bigint("kll"), F.lit(0.5)
+        ).alias("p50_est"),
+        F.theta_sketch_estimate(F.theta_union_agg("theta")).alias("theta_est"),
+    ).collect()[0]
+    exact = raw.agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert abs(merged["users_est"] - exact["users"]) <= exact["users"] * 0.05 + 2
+    assert abs(merged["theta_est"] - exact["users"]) <= exact["users"] * 0.05 + 2
+    # KLL rank gate at p50, eps = 2% (k=200 default ~1.65%)
+    n_le = raw.filter(cents <= merged["p50_est"]).count()
+    n_lt = raw.filter(cents < merged["p50_est"]).count()
+    assert n_le >= exact["n"] * 0.48 and n_lt <= exact["n"] * 0.52
