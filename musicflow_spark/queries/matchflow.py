@@ -687,6 +687,320 @@ FROM with_status
 """
 
 
+def _collection_fixture(spark: SparkSession, sf_dir: str):
+    """Videos + album/playlist catalog (with child tracks) derived
+    from ``part`` for the COLLECTION branch of the cascade — the
+    album/playlist counterpart of ``_cascade_fixture``.
+
+    Design (formulas mirrored in the oracle):
+    - every part is a video sized near its partner album's child sum
+      (delta swept over [-40000, 40000] so the <40s duration rule
+      accepts, rejects at the closed edge, and routes some videos
+      below the 150000 threshold into the track branch, which finds
+      nothing — the catalog's track titles never share the 'p<k>'
+      first token);
+    - each even part is an album with 5 child tracks; descriptions
+      embed the first (pk % 7) child titles so the 60%-overlap rule
+      (total_tracks >= 4) fires at pk % 7 >= 3;
+    - albums at pk2 % 8 == 0 share the video's case-sensitive
+      author, exercising the album-only title/artist accept clause;
+    - every 5th even part is ALSO a playlist (distinct children,
+      child sum ~25000 ABOVE the album's: the only album-miss family
+      surviving the threshold sits at delta = +40000, so the playlist
+      lands 15000 away and its <40s rule accepts) — the
+      find_album -> find_other_playlist fallback;
+    - every 12th album is pre-liked ('saved before'); odd/even
+      partners share winners ('saved during')."""
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_name"
+    )
+    even = part.filter(F.col("pk") % 2 == 0).select(
+        F.col("pk").alias("pk2"),
+        F.concat(
+            F.lit("p"), _s(F.col("pk") % 250), F.lit(" "), F.col("p_name")
+        ).alias("base"),
+    )
+    c = F.explode(F.sequence(F.lit(0), F.lit(4))).alias("c")
+    alb_children = even.select("pk2", "base", c).select(
+        F.concat(F.lit("spotify:track:"), _s(F.col("pk2")), F.lit("c"), _s(F.col("c"))).alias(
+            "track_uri"
+        ),
+        F.concat(F.lit("spotify:album:"), _s(F.col("pk2"))).alias("album_uri"),
+        F.lit(None).cast("string").alias("playlist_uri"),
+        F.concat(F.lit("song "), _s(F.col("pk2")), F.lit(" "), _s(F.col("c"))).alias(
+            "track_title"
+        ),
+        F.concat(F.lit("ch"), _s(F.col("pk2") % 40)).alias("track_artists"),
+        (F.lit(30000) + ((F.col("pk2") + F.col("c")) % 7) * 1000)
+        .cast("long")
+        .alias("duration_ms"),
+    )
+    pl_children = (
+        even.filter(F.col("pk2") % 5 == 0)
+        .select("pk2", "base", c)
+        .filter(F.col("c") < 4)
+        .select(
+            F.concat(
+                F.lit("spotify:track:p"), _s(F.col("pk2")), F.lit("c"), _s(F.col("c"))
+            ).alias("track_uri"),
+            F.lit(None).cast("string").alias("album_uri"),
+            F.concat(F.lit("spotify:playlist:"), _s(F.col("pk2"))).alias("playlist_uri"),
+            F.concat(F.lit("ptrack "), _s(F.col("pk2")), F.lit(" "), _s(F.col("c"))).alias(
+                "track_title"
+            ),
+            F.concat(F.lit("ch"), _s(F.col("pk2") % 40)).alias("track_artists"),
+            # album child sum plus 25000, spread over 4 children
+            (
+                (
+                    F.lit(150000)
+                    + F.expr(
+                        "aggregate(sequence(0,4), 0L, (a, x) -> a + (pk2 + x) % 7 * 1000)"
+                    )
+                    + F.lit(25000)
+                )
+                / 4
+            )
+            .cast("long")
+            .alias("duration_ms"),
+        )
+    )
+    tracks = alb_children.unionByName(pl_children)
+    albums = even.select(
+        F.concat(F.lit("spotify:album:"), _s(F.col("pk2"))).alias("album_uri"),
+        F.col("base").alias("album_title"),
+        F.when(
+            F.col("pk2") % 8 == 0, F.concat(F.lit("ch"), _s(F.col("pk2") % 40))
+        )
+        .otherwise(F.concat(F.lit("AC"), _s(F.col("pk2") % 40)))
+        .alias("album_artists"),
+        F.lit(0).cast("long").alias("duration_ms"),  # scoring uses child sum
+        F.lit(5).cast("long").alias("total_tracks"),
+    )
+    playlists = even.filter(F.col("pk2") % 5 == 0).select(
+        F.concat(F.lit("spotify:playlist:"), _s(F.col("pk2"))).alias("playlist_uri"),
+        F.col("base").alias("playlist_title"),
+        F.concat(F.lit("own"), _s(F.col("pk2") % 9)).alias("playlist_owner"),
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.lit(4).cast("long").alias("total_tracks"),
+    )
+    alb_sum = F.expr("aggregate(sequence(0,4), 0L, (a, x) -> a + (pk2 + x) % 7 * 1000)") + F.lit(
+        150000
+    )
+    desc_n = F.col("pk") % 7  # first n child titles into the description
+    videos = (
+        part.withColumn("pk2", F.col("pk") - F.col("pk") % 2)
+        .join(even, "pk2")
+        .select(
+            F.col("pk").alias("log_id"),
+            F.concat(F.lit("YP"), _s(F.col("pk") % 5)).alias("youtube_playlist_id"),
+            F.concat(F.lit("V"), _s(F.col("pk"))).alias("video_id"),
+            F.when(F.col("pk") % 4 == 1, F.concat(F.col("base"), F.lit(" (live)")))
+            .otherwise(F.col("base"))
+            .alias("title"),
+            F.concat(
+                F.lit("ch"),
+                _s(F.col("pk2") % 40),
+                F.when(F.col("pk") % 3 == 0, " - Topic").otherwise(""),
+            ).alias("author"),
+            # sequence(0, -1) DESCENDS in Spark, so the n == 0 case
+            # must produce the empty description explicitly
+            F.when(desc_n == 0, F.lit(""))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), desc_n - 1),
+                        lambda i: F.concat(
+                            F.lit("song "), _s(F.col("pk2")), F.lit(" "), _s(i)
+                        ),
+                    ),
+                    "; ",
+                )
+            )
+            .alias("description"),
+            (alb_sum + (F.col("pk") % 9) * 10000 - F.lit(40000)).cast("long").alias(
+                "duration_ms"
+            ),
+        )
+    )
+    liked_albums = even.filter(F.col("pk2") % 12 == 0).select(
+        F.concat(F.lit("spotify:album:"), _s(F.col("pk2"))).alias("uri")
+    )
+    playlist_map = spark.createDataFrame(
+        [("YP0", "UP0"), ("YP1", "UP1")],
+        "youtube_playlist_id string, user_playlist_id string",
+    )
+    return videos, tracks, albums, playlists, liked_albums, playlist_map
+
+
+def collection_cascade_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COLLECTION branch of the match engine end to end: P7
+    threshold routing, the find_album 2-strategy cascade
+    (spotify_elt.py:372-394), child-track fan-in scoring — duration
+    delta vs the children SUM, title-in-description overlap counting,
+    the <40s / >=60%-of->=4-tracks / case-SENSITIVE title+artist
+    accept rules (qsearch_album :399-516) — the find_other_playlist
+    fallback for album misses (:565-690, playlists drop the
+    title/artist clause), and J9 statuses over both kinds.  The
+    oracle replays routing, search ranking, child aggregation,
+    accept logic, the miss-driven playlist fallback, and the status
+    windows in ANSI SQL.  Videos routed below the threshold hit the
+    track pass, whose catalog shares no first token — zero rows, as
+    the oracle's WHERE states."""
+    videos, tracks, albums, playlists, liked_albums, playlist_map = _collection_fixture(
+        spark, sf_dir
+    )
+    cfg = PipelineConfig(threshold_ms=150_000)
+    engine = MatchEngine(cfg, CatalogCandidateSource(tracks, albums, playlists))
+    result = engine.match(videos, playlist_map, liked_albums=liked_albums)
+    return result.log
+
+
+MATCH_COLLECTION_CASCADE_SQL = r"""
+WITH even AS (
+  SELECT p_partkey AS pk2,
+         'p' || (p_partkey % 250) || ' ' || p_name AS base,
+         CAST(150000 + ((p_partkey + 0) % 7 + (p_partkey + 1) % 7 + (p_partkey + 2) % 7
+              + (p_partkey + 3) % 7 + (p_partkey + 4) % 7) * 1000 AS BIGINT) AS alb_sum
+  FROM part WHERE p_partkey % 2 = 0),
+videos AS (
+  SELECT p.p_partkey AS pk, e.pk2, e.base, e.alb_sum,
+         p.p_partkey AS log_id,
+         CASE WHEN p.p_partkey % 4 = 1 THEN e.base || ' (live)' ELSE e.base END AS title,
+         CASE WHEN p.p_partkey % 4 = 1 THEN e.base || ' ' ELSE e.base END AS fixed_title,
+         'ch' || (e.pk2 % 40) ||
+           CASE WHEN p.p_partkey % 3 = 0 THEN ' - Topic' ELSE '' END AS author,
+         CASE WHEN p.p_partkey % 7 = 0 THEN ''
+              ELSE array_to_string(list_transform(range(0, CAST(p.p_partkey % 7 AS INT)),
+                                   i -> 'song ' || e.pk2 || ' ' || i), '; ') END AS description,
+         e.alb_sum + (p.p_partkey % 9) * 10000 - 40000 AS duration_ms,
+         CASE WHEN p.p_partkey % 5 = 0 THEN 'UP0'
+              WHEN p.p_partkey % 5 = 1 THEN 'UP1'
+              ELSE 'LM' END AS user_playlist_id
+  FROM part p JOIN even e ON p.p_partkey - (p.p_partkey % 2) = e.pk2
+  -- threshold routing: below 150000 the video takes the TRACK branch,
+  -- where the catalog's song/ptrack titles never contain the query's
+  -- 'p<k>' first token -> zero candidates, zero log rows
+  WHERE e.alb_sum + (p.p_partkey % 9) * 10000 - 40000 >= 150000),
+albums AS (
+  SELECT pk2, 'spotify:album:' || pk2 AS item_uri, base AS item_title,
+         CASE WHEN pk2 % 8 = 0 THEN 'ch' || (pk2 % 40)
+              ELSE 'AC' || (pk2 % 40) END AS artist1,
+         alb_sum AS child_sum, 5 AS n_children
+  FROM even),
+playlists AS (
+  SELECT pk2, 'spotify:playlist:' || pk2 AS item_uri, base AS item_title,
+         'own' || (pk2 % 9) AS artist1,
+         alb_sum + 25000 AS raw_sum
+  FROM even WHERE pk2 % 5 = 0),
+-- playlist child durations are integer-divided across 4 children, so
+-- the effective sum is 4 * ((alb_sum - 15000) / 4) (floor division)
+pl AS (SELECT pk2, item_uri, item_title, artist1,
+              CAST(4 * ((raw_sum) // 4) AS BIGINT) AS child_sum, 4 AS n_children
+       FROM playlists),
+strat AS (
+  SELECT v.*, s.priority, CAST(s.search_type_id AS BIGINT) AS search_type_id,
+         CASE s.priority WHEN 0 THEN v.fixed_title ELSE v.title END AS q,
+         v.log_id * 2 + s.priority AS qid
+  FROM videos v
+  CROSS JOIN (VALUES (0, 2), (1, 3)) s(priority, search_type_id)
+  WHERE s.priority = 0 OR v.fixed_title <> v.title),
+qtok AS (
+  SELECT *, lower(trim(q)) AS qtitle,
+         list_filter(string_split_regex(lower(trim(q)), '\s+'), x -> x <> '')[1] AS tok
+  FROM strat),
+-- ranking over a catalog: score on lowered titles, no artist term in
+-- either collection strategy, ties by uri
+rank1 AS (
+  SELECT qid, kind, item_uri, item_title, artist1, child_sum, n_children, pk2 AS cat_pk2
+  FROM (
+    SELECT q.qid, i.kind, i.item_uri, i.item_title, i.artist1, i.child_sum,
+           i.n_children, i.pk2,
+           row_number() OVER (
+             PARTITION BY q.qid, i.kind
+             ORDER BY (CASE WHEN lower(i.item_title) = q.qtitle THEN 3
+                            WHEN contains(q.qtitle, lower(i.item_title)) THEN 2
+                            WHEN contains(lower(i.item_title), q.qtitle) THEN 1
+                            ELSE 0 END) DESC,
+                      i.item_uri ASC) AS rn,
+           CASE WHEN lower(i.item_title) = q.qtitle THEN 3
+                WHEN contains(q.qtitle, lower(i.item_title)) THEN 2
+                WHEN contains(lower(i.item_title), q.qtitle) THEN 1
+                ELSE 0 END AS score
+    FROM qtok q
+    JOIN (SELECT pk2, item_uri, item_title, artist1, child_sum, n_children,
+                 'album' AS kind FROM albums
+          UNION ALL
+          SELECT pk2, item_uri, item_title, artist1, child_sum, n_children,
+                 'playlist' AS kind FROM pl) i
+      ON q.tok IS NOT NULL
+     AND list_contains(list_distinct(list_filter(
+           string_split_regex(lower(trim(i.item_title)), '\s+'), x -> x <> '')), q.tok)
+  ) WHERE rn = 1 AND score > 0),
+-- album scoring: children sum/overlap + the three accept rules
+alb_scored AS (
+  SELECT s.log_id, s.user_playlist_id, s.priority, s.search_type_id, s.q,
+         r.item_uri, r.item_title, r.child_sum,
+         abs(r.child_sum - s.duration_ms) AS difference_ms,
+         -- overlap: album children are 'song <cat_pk2> <c>', the
+         -- description holds the first (pk % 7) titles of the VIDEO's
+         -- partner album -> count children contained in description
+         CAST((SELECT count(*) FROM range(0, 5) t(cc)
+               WHERE contains(lower(s.description),
+                              'song ' || r.cat_pk2 || ' ' || cc)) AS BIGINT) AS track_match,
+         CAST(5 AS BIGINT) AS total_tracks,
+         ((s.title LIKE '%' || r.item_title || '%') AND (s.author LIKE '%' || r.artist1 || '%'))
+           OR abs(r.child_sum - s.duration_ms) < 40000
+           OR (SELECT count(*) FROM range(0, 5) t(cc)
+               WHERE contains(lower(s.description),
+                              'song ' || r.cat_pk2 || ' ' || cc)) * 100 >= 60 * 5
+           AS accepted
+  FROM strat s JOIN rank1 r ON s.qid = r.qid AND r.kind = 'album'),
+alb_folded AS (
+  SELECT *, row_number() OVER (PARTITION BY log_id
+             ORDER BY (CASE WHEN accepted THEN 0 ELSE 1 END), priority) AS rn,
+         CAST(count(*) OVER (PARTITION BY log_id ORDER BY priority
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS found_on_try
+  FROM alb_scored),
+alb_win AS (SELECT *, 'album' AS kind FROM alb_folded WHERE rn = 1 AND accepted),
+-- playlist pass only for videos the album pass missed
+pl_scored AS (
+  SELECT s.log_id, s.user_playlist_id, s.priority, s.search_type_id, s.q,
+         r.item_uri, r.item_title, r.child_sum,
+         abs(r.child_sum - s.duration_ms) AS difference_ms,
+         -- ptrack titles never appear in descriptions -> overlap 0
+         CAST(0 AS BIGINT) AS track_match,
+         CAST(4 AS BIGINT) AS total_tracks,
+         abs(r.child_sum - s.duration_ms) < 40000 AS accepted
+  FROM strat s JOIN rank1 r ON s.qid = r.qid AND r.kind = 'playlist'
+  WHERE NOT EXISTS (SELECT 1 FROM alb_win w WHERE w.log_id = s.log_id)),
+pl_folded AS (
+  SELECT *, row_number() OVER (PARTITION BY log_id
+             ORDER BY (CASE WHEN accepted THEN 0 ELSE 1 END), priority) AS rn,
+         CAST(count(*) OVER (PARTITION BY log_id ORDER BY priority
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS found_on_try
+  FROM pl_scored),
+pl_win AS (SELECT *, 'playlist' AS kind FROM pl_folded WHERE rn = 1 AND accepted),
+winners AS (SELECT * FROM alb_win UNION ALL SELECT * FROM pl_win),
+liked AS (SELECT 'spotify:album:' || pk2 AS uri FROM even WHERE pk2 % 12 = 0),
+with_status AS (
+  SELECT w.*, (l.uri IS NOT NULL AND w.kind = 'album') AS is_liked,
+         row_number() OVER (PARTITION BY w.item_uri, w.user_playlist_id
+                            ORDER BY w.log_id) AS occ
+  FROM winners w LEFT JOIN liked l ON w.item_uri = l.uri)
+SELECT log_id,
+       CASE WHEN kind = 'album' THEN item_uri END AS album_uri,
+       CASE WHEN kind = 'playlist' THEN item_uri END AS playlist_uri,
+       CAST(NULL AS VARCHAR) AS track_uri,
+       found_on_try, difference_ms, track_match, total_tracks, q,
+       search_type_id,
+       CASE WHEN is_liked AND user_playlist_id = 'LM'
+              THEN 'skipped (saved before the run)'
+            WHEN occ > 1 THEN 'skipped (saved during the run)'
+            ELSE 'saved' END AS status
+FROM with_status
+"""
+
+
 # ------------------------------------------------------- analyses
 def skipped_during_run_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 ordered string_agg + A5 HAVING>1 through the REAL analysis
@@ -793,6 +1107,12 @@ QUERIES: list[Query] = [
         "O3,J9,W2,J8,F1-F4 (match engine end-to-end)",
         match_cascade_catalog,
         MATCH_CASCADE_CATALOG_SQL,
+    ),
+    Query(
+        "collection_cascade_catalog",
+        "P7,O3,J8,J9,A10 (album/playlist cascade end-to-end)",
+        collection_cascade_catalog,
+        MATCH_COLLECTION_CASCADE_SQL,
     ),
     Query(
         "skipped_during_run_analysis",

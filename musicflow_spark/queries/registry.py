@@ -81,7 +81,9 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 # 9 round-4 additions fill it exactly).  They sort after the window but
 # before the proven tail, so they enter the window automatically next
 # round when this round's greens move to _DRIVER_PROVEN.
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "collection_cascade_catalog",
+)
 
 
 def get_queries() -> list[Query]:
