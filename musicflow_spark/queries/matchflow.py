@@ -1001,6 +1001,224 @@ FROM with_status
 """
 
 
+def others_cascade_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND match pass end to end — other users' playlists
+    matched as whole collections (reference prepare_playlists_others,
+    spotify_elt.py:859-923, driven at :1141-1143): group-grain
+    matching with the OTHERS strategy set (fixed, raw-if-different,
+    and the '{author} {fixed}' search_type-6 extension — whose
+    author-led first token finds nothing in this catalog, exercising
+    the returned-no-result leg), GROUPED scoring (children counted
+    against the group's video-title ARRAY, total_tracks = the
+    group's library row count), and assemble's per-log_id fan-out:
+    every member of a matched playlist gets a log row carrying the
+    GROUP's status (:886-889,914-916).
+
+    Fixture (mirrored in the oracle): one group per even part —
+    4..6 member videos titled after the partner album's child tracks
+    (so grouped overlap accepts), every 11th group 'tune'-titled and
+    duration-shifted so it misses (and, where a playlist exists,
+    still misses — the fallback runs and rejects), every 4th group
+    '(live)'-decorated so the raw strategy fires, every 12th album
+    pre-liked ('saved before' at group grain => on EVERY member
+    row)."""
+    _, tracks, albums, playlists, liked_albums, playlist_map = _collection_fixture(
+        spark, sf_dir
+    )
+    even = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("ck"),
+        F.concat(
+            F.lit("p"), _s(F.col("p_partkey") % 250), F.lit(" "), F.col("p_name")
+        ).alias("base"),
+    )
+    n = (F.col("ck") % 3 + 4).cast("int")
+    is_off = F.col("ck") % 11 == 0  # 'tune' groups: overlap 0, duration off
+    member_title = lambda i: F.concat(  # noqa: E731
+        F.when(is_off, "tune ").otherwise("song "),
+        _s(F.col("ck")),
+        F.lit(" "),
+        _s(i),
+    )
+    member_dur = lambda i: (  # noqa: E731
+        F.lit(30000)
+        + ((F.col("ck") + i) % 7) * 1000
+        + F.when(is_off, 25000).otherwise(0)
+    ).cast("long")
+    idx = F.sequence(F.lit(0), n - 1)
+    grouped = even.select(
+        F.concat(F.lit("OP"), _s(F.col("ck"))).alias("youtube_playlist_id"),
+        F.when(F.col("ck") % 4 == 2, F.concat(F.col("base"), F.lit(" (live)")))
+        .otherwise(F.col("base"))
+        .alias("title"),
+        F.concat(F.lit("user"), _s(F.col("ck") % 20)).alias("author"),
+        n.cast("long").alias("total_tracks"),
+        F.transform(idx, lambda i: F.lower(member_title(i))).alias("track_titles"),
+        F.transform(idx, lambda i: (F.col("ck") * 10 + i).cast("long")).alias("log_ids"),
+        F.aggregate(
+            F.transform(idx, member_dur),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        ).alias("duration_ms"),
+    )
+    cfg = PipelineConfig(threshold_ms=150_000)
+    engine = MatchEngine(cfg, CatalogCandidateSource(tracks, albums, playlists))
+    empty_videos = grouped.sparkSession.createDataFrame(
+        [],
+        "log_id bigint, youtube_playlist_id string, video_id string, "
+        "title string, author string, description string, duration_ms bigint",
+    )
+    result = engine.match(
+        empty_videos, playlist_map, liked_albums=liked_albums, grouped_others=grouped
+    )
+    return result.log
+
+
+OTHERS_CASCADE_CATALOG_SQL = r"""
+WITH even AS (
+  SELECT p_partkey AS ck,
+         'p' || (p_partkey % 250) || ' ' || p_name AS base,
+         CAST(150000 + ((p_partkey + 0) % 7 + (p_partkey + 1) % 7 + (p_partkey + 2) % 7
+              + (p_partkey + 3) % 7 + (p_partkey + 4) % 7) * 1000 AS BIGINT) AS alb_sum,
+         CAST(p_partkey % 3 + 4 AS INT) AS n,
+         p_partkey % 11 = 0 AS is_off
+  FROM part WHERE p_partkey % 2 = 0),
+grp AS (
+  SELECT ck, base, alb_sum, n, is_off,
+         CASE WHEN ck % 4 = 2 THEN base || ' (live)' ELSE base END AS title,
+         CASE WHEN ck % 4 = 2 THEN base || ' ' ELSE base END AS fixed_title,
+         'user' || (ck % 20) AS author,
+         ck * 10 AS log_id,   -- element_at(log_ids, 1)
+         CAST((SELECT sum(CASE WHEN t.i < n
+                               THEN 30000 + (ck + t.i) % 7 * 1000
+                                    + CASE WHEN is_off THEN 25000 ELSE 0 END
+                               ELSE 0 END)
+               FROM (SELECT unnest([0, 1, 2, 3, 4, 5]) AS i) t) AS BIGINT) AS duration_ms
+  FROM even),
+albums AS (
+  SELECT pk2, 'spotify:album:' || pk2 AS item_uri, base AS item_title,
+         CASE WHEN pk2 % 8 = 0 THEN 'ch' || (pk2 % 40)
+              ELSE 'AC' || (pk2 % 40) END AS artist1,
+         alb_sum AS child_sum
+  FROM (SELECT ck AS pk2, base, alb_sum FROM even)),
+pl AS (
+  SELECT ck AS pk2, 'spotify:playlist:' || ck AS item_uri, base AS item_title,
+         'own' || (ck % 9) AS artist1,
+         CAST(4 * ((alb_sum + 25000) // 4) AS BIGINT) AS child_sum
+  FROM even WHERE ck % 5 = 0),
+-- OTHERS strategy set: fixed (st 2), raw when different (st 3),
+-- '{author} {fixed}' extension (st 6) — the author-led first token
+-- never indexes, so st 6 searches return nothing
+strat AS (
+  SELECT g.*, s.priority, CAST(s.search_type_id AS BIGINT) AS search_type_id,
+         CASE s.priority WHEN 0 THEN g.fixed_title
+                         WHEN 1 THEN g.title
+                         ELSE g.author || ' ' || g.fixed_title END AS q,
+         g.log_id * 3 + s.priority AS qid
+  FROM grp g
+  CROSS JOIN (VALUES (0, 2), (1, 3), (2, 6)) s(priority, search_type_id)
+  WHERE s.priority <> 1 OR g.fixed_title <> g.title),
+qtok AS (
+  SELECT *, lower(trim(q)) AS qtitle,
+         list_filter(string_split_regex(lower(trim(q)), '\s+'), x -> x <> '')[1] AS tok
+  FROM strat),
+rank1 AS (
+  SELECT qid, kind, item_uri, item_title, artist1, child_sum, cat_pk2
+  FROM (
+    SELECT q.qid, i.kind, i.item_uri, i.item_title, i.artist1, i.child_sum,
+           i.pk2 AS cat_pk2,
+           row_number() OVER (
+             PARTITION BY q.qid, i.kind
+             ORDER BY (CASE WHEN lower(i.item_title) = q.qtitle THEN 3
+                            WHEN contains(q.qtitle, lower(i.item_title)) THEN 2
+                            WHEN contains(lower(i.item_title), q.qtitle) THEN 1
+                            ELSE 0 END) DESC,
+                      i.item_uri ASC) AS rn,
+           CASE WHEN lower(i.item_title) = q.qtitle THEN 3
+                WHEN contains(q.qtitle, lower(i.item_title)) THEN 2
+                WHEN contains(lower(i.item_title), q.qtitle) THEN 1
+                ELSE 0 END AS score
+    FROM qtok q
+    JOIN (SELECT pk2, item_uri, item_title, artist1, child_sum, 'album' AS kind
+          FROM albums
+          UNION ALL
+          SELECT pk2, item_uri, item_title, artist1, child_sum, 'playlist' AS kind
+          FROM pl) i
+      ON q.tok IS NOT NULL
+     AND list_contains(list_distinct(list_filter(
+           string_split_regex(lower(trim(i.item_title)), '\s+'), x -> x <> '')), q.tok)
+  ) WHERE rn = 1 AND score > 0),
+-- grouped scoring: children counted against the group's TITLE ARRAY,
+-- total_tracks = group size; albums keep the case-sensitive
+-- title/artist clause, playlists drop it
+alb_scored AS (
+  SELECT s.log_id, s.priority, s.search_type_id, s.q,
+         r.item_uri, abs(r.child_sum - s.duration_ms) AS difference_ms,
+         -- member titles are exactly 'song <ck> <c>' (or 'tune ...')
+         -- for c < n, so child 'song <cat_pk2> <cc>' is contained in
+         -- one iff cat_pk2 = ck, not off, and cc < n
+         CAST((SELECT count(*) FROM range(0, 5) t(cc)
+               WHERE r.cat_pk2 = s.ck AND NOT s.is_off AND cc < s.n) AS BIGINT)
+           AS track_match,
+         CAST(s.n AS BIGINT) AS total_tracks,
+         ((s.title LIKE '%' || r.item_title || '%') AND (s.author LIKE '%' || r.artist1 || '%'))
+           OR abs(r.child_sum - s.duration_ms) < 40000
+           OR ((s.n >= 4) AND
+               (SELECT count(*) FROM range(0, 5) t(cc)
+                WHERE r.cat_pk2 = s.ck AND NOT s.is_off AND cc < s.n) * 100
+               >= 60 * s.n)
+           AS accepted
+  FROM strat s JOIN rank1 r ON s.qid = r.qid AND r.kind = 'album'),
+alb_folded AS (
+  SELECT *, row_number() OVER (PARTITION BY log_id
+             ORDER BY (CASE WHEN accepted THEN 0 ELSE 1 END), priority) AS rn,
+         CAST(count(*) OVER (PARTITION BY log_id ORDER BY priority
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS found_on_try
+  FROM alb_scored),
+alb_win AS (SELECT *, 'album' AS kind FROM alb_folded WHERE rn = 1 AND accepted),
+pl_scored AS (
+  SELECT s.log_id, s.priority, s.search_type_id, s.q,
+         r.item_uri, abs(r.child_sum - s.duration_ms) AS difference_ms,
+         -- ptrack child titles never appear among member titles
+         CAST(0 AS BIGINT) AS track_match,
+         CAST(s.n AS BIGINT) AS total_tracks,
+         abs(r.child_sum - s.duration_ms) < 40000
+           OR ((s.n >= 4) AND 0 >= 60 * s.n)
+           AS accepted
+  FROM strat s JOIN rank1 r ON s.qid = r.qid AND r.kind = 'playlist'
+  WHERE NOT EXISTS (SELECT 1 FROM alb_win w WHERE w.log_id = s.log_id)),
+pl_folded AS (
+  SELECT *, row_number() OVER (PARTITION BY log_id
+             ORDER BY (CASE WHEN accepted THEN 0 ELSE 1 END), priority) AS rn,
+         CAST(count(*) OVER (PARTITION BY log_id ORDER BY priority
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS found_on_try
+  FROM pl_scored),
+pl_win AS (SELECT *, 'playlist' AS kind FROM pl_folded WHERE rn = 1 AND accepted),
+winners AS (SELECT * FROM alb_win UNION ALL SELECT * FROM pl_win),
+liked AS (SELECT 'spotify:album:' || ck AS uri FROM even WHERE ck % 12 = 0),
+with_status AS (
+  SELECT w.*, (l.uri IS NOT NULL AND w.kind = 'album') AS is_liked,
+         row_number() OVER (PARTITION BY w.item_uri ORDER BY w.log_id) AS occ
+  FROM winners w LEFT JOIN liked l ON w.item_uri = l.uri)
+-- assemble's per-log_id fan-out: one row per group member, all
+-- carrying the group's match and status (user_playlist_id = 'LM')
+SELECT g.log_id + m.i AS log_id,
+       CASE WHEN s.kind = 'album' THEN s.item_uri END AS album_uri,
+       CASE WHEN s.kind = 'playlist' THEN s.item_uri END AS playlist_uri,
+       CAST(NULL AS VARCHAR) AS track_uri,
+       s.found_on_try, s.difference_ms, s.track_match, s.total_tracks, s.q,
+       s.search_type_id,
+       CASE WHEN s.is_liked THEN 'skipped (saved before the run)'
+            WHEN s.occ > 1 THEN 'skipped (saved during the run)'
+            ELSE 'saved' END AS status
+FROM with_status s
+JOIN grp g ON s.log_id = g.log_id
+JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS i) m ON m.i < g.n
+"""
+
+
+# ------------------------------------------------------- analyses
+
+
 # ------------------------------------------------------- analyses
 def skipped_during_run_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 ordered string_agg + A5 HAVING>1 through the REAL analysis
@@ -1113,6 +1331,12 @@ QUERIES: list[Query] = [
         "P7,O3,J8,J9,A10 (album/playlist cascade end-to-end)",
         collection_cascade_catalog,
         MATCH_COLLECTION_CASCADE_SQL,
+    ),
+    Query(
+        "others_cascade_catalog",
+        "O3 (st-6 extension),J8 (grouped overlap),J9,U2 (others pass end-to-end)",
+        others_cascade_catalog,
+        OTHERS_CASCADE_CATALOG_SQL,
     ),
     Query(
         "skipped_during_run_analysis",

@@ -83,6 +83,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 # round when this round's greens move to _DRIVER_PROVEN.
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "collection_cascade_catalog",
+    "others_cascade_catalog",
 )
 
 
