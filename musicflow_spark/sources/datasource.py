@@ -41,11 +41,15 @@ import urllib.parse
 import urllib.request
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -76,6 +80,9 @@ class OffsetRestDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "OffsetRestStreamReader":
         return OffsetRestStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "BatchRestWriter":
+        return BatchRestWriter(schema, self.options)
 
 
 class OffsetRestReader(DataSourceReader):
@@ -123,6 +130,103 @@ class OffsetRestReader(DataSourceReader):
             payload = self._get(f"{self.url}?{q}")
             for row in payload.get(self.items_key, []):
                 yield tuple(row.get(f) for f in self.fields)
+
+
+@dataclass
+class RestCommit(WriterCommitMessage):
+    """Per-task commit message: what the task durably POSTed."""
+
+    rows: int
+    batches: int
+
+
+class BatchRestWriter(DataSourceWriter):
+    """S11 (write-back sink, chunks of 50) as the engine-native
+    ``df.write.format("musicflow_rest")`` path — the DataSource V2
+    writer contract instead of the ``apply_side_effects``
+    foreachPartition helper (reference: like/add POST loops,
+    dags/scripts/spotify_elt.py:922-979).
+
+    Each task POSTs its partition's rows as JSON arrays of
+    ``batch_size`` (default 50, the reference's API constant) to
+    ``url``; transient HTTP codes retry with the reader's backoff.
+    Two-phase shape: tasks return (rows, batches) commit messages
+    and the DRIVER posts one commit marker to ``commit_url`` (if
+    configured) only after every task succeeded — Spark re-runs
+    failed tasks, so the marker is the all-or-nothing signal a
+    downstream consumer keys on; ``abort()`` posts to ``abort_url``
+    so staged rows can be discarded.  At scale the task count is
+    the API-concurrency bound, same knob as the reader."""
+
+    def __init__(self, schema: StructType, options: dict):
+        if "url" not in options:
+            raise ValueError("musicflow_rest writer requires the 'url' option")
+        self.fields = [f.name for f in schema.fields]
+        self.url = options["url"]
+        self.batch_size = int(options.get("batch_size", 50))
+        self.max_retries = int(options.get("max_retries", 3))
+        self.headers = json.loads(options.get("extra_headers", "{}"))
+        self.items_key = options.get("items_key", "items")
+        self.commit_url = options.get("commit_url")
+        self.abort_url = options.get("abort_url")
+        if self.batch_size < 1:
+            raise ValueError(f"need batch_size >= 1, got {self.batch_size}")
+
+    def _post(self, url: str, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        delay = 0.2
+        for attempt in range(self.max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    url,
+                    data=body,
+                    headers={"Content-Type": "application/json", **self.headers},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req):
+                    return
+            except urllib.error.HTTPError as e:
+                if e.code not in _RETRYABLE or attempt == self.max_retries:
+                    raise
+                ra = e.headers.get("Retry-After")
+                time.sleep(float(ra) if ra else delay)
+                delay = min(delay * 2, 5.0)
+        raise RuntimeError("unreachable")
+
+    def write(self, iterator: Iterator) -> RestCommit:
+        rows = batches = 0
+        chunk: list[dict] = []
+
+        def flush() -> None:
+            nonlocal batches
+            if chunk:
+                self._post(self.url, {self.items_key: chunk})
+                batches += 1
+                chunk.clear()
+
+        for row in iterator:
+            chunk.append({f: row[i] for i, f in enumerate(self.fields)})
+            rows += 1
+            if len(chunk) >= self.batch_size:
+                flush()
+        flush()
+        return RestCommit(rows=rows, batches=batches)
+
+    def commit(self, messages) -> None:
+        if self.commit_url:
+            msgs = list(messages)
+            self._post(
+                self.commit_url,
+                {
+                    "rows": sum(m.rows for m in msgs),
+                    "batches": sum(m.batches for m in msgs),
+                    "tasks": len(msgs),
+                },
+            )
+
+    def abort(self, messages) -> None:
+        if self.abort_url:
+            self._post(self.abort_url, {"aborted": True})
 
 
 class OffsetRestStreamReader(DataSourceStreamReader):

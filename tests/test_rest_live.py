@@ -54,6 +54,8 @@ class _State:
         self.lookup_batch_sizes: list[int] = []
         self.search_429s_left: dict[str, int] = {}
         self.stream_total = 0  # mutable: tests grow it between batches
+        self.sink_events: list = []  # ordered ("data", items) / ("commit", body)
+        self.sink_429s_left = 0
 
 
 def _make_handler(state: _State):
@@ -134,6 +136,29 @@ def _make_handler(state: _State):
                     for r in (1, 2)
                 ]
                 return self._json(200, {"items": items})
+            return self._json(404, {"error": "no route"})
+
+        def do_POST(self):  # noqa: N802 (BaseHTTPRequestHandler API)
+            url = urllib.parse.urlparse(self.path)
+            body = json.loads(
+                self.rfile.read(int(self.headers.get("Content-Length", "0")) or 0)
+                or b"{}"
+            )
+            if url.path == "/sink":
+                with state.lock:
+                    if state.sink_429s_left > 0:
+                        state.sink_429s_left -= 1
+                        rate_limited = True
+                    else:
+                        rate_limited = False
+                        state.sink_events.append(("data", body.get("items", [])))
+                if rate_limited:
+                    return self._json(429, {"error": "slow down"}, {"Retry-After": "0"})
+                return self._json(200, {"ok": True})
+            if url.path == "/sink/commit":
+                with state.lock:
+                    state.sink_events.append(("commit", body))
+                return self._json(200, {"ok": True})
             return self._json(404, {"error": "no route"})
 
     return Handler
@@ -426,3 +451,43 @@ def test_python_datasource_streams_incrementally(spark, rest_server, tmp_path):
     second = run_once()
     assert sorted(second) == list(range(13, OFFSET_TOTAL))
     assert sorted(got + second) == list(range(OFFSET_TOTAL))
+
+
+def test_python_datasource_writer_posts_batches_then_commit(spark, rest_server):
+    """df.write.format('musicflow_rest'): the Data Source V2 WRITE
+    path (S11 as an engine-native sink).  137 rows over 4 partitions
+    must arrive exactly once in POST batches of <= 50, absorbing a
+    real 429+Retry-After, with the driver's commit marker arriving
+    strictly AFTER every data batch and carrying the global counts —
+    the two-phase contract a downstream consumer keys on."""
+    base, state = rest_server
+    from musicflow_spark.sources.datasource import OffsetRestDataSource
+
+    try:
+        spark.dataSource.register(OffsetRestDataSource)
+    except Exception:
+        pass  # already registered by an earlier test in this session
+    with state.lock:
+        state.sink_events.clear()
+        state.sink_429s_left = 1
+    n = 137
+    df = spark.range(n).selectExpr("id", "concat('nm', id) AS name").repartition(4)
+    (
+        df.write.format("musicflow_rest")
+        .option("url", f"{base}/sink")
+        .option("commit_url", f"{base}/sink/commit")
+        .option("batch_size", 50)
+        .mode("append")
+        .save()
+    )
+    with state.lock:
+        events = list(state.sink_events)
+    kinds = [k for k, _ in events]
+    assert kinds.count("commit") == 1 and kinds[-1] == "commit"
+    data = [items for k, items in events if k == "data"]
+    assert all(1 <= len(b) <= 50 for b in data)
+    seen = sorted(r["id"] for b in data for r in b)
+    assert seen == list(range(n))  # exactly once, 429 retry absorbed
+    commit = events[-1][1]
+    assert commit["rows"] == n and commit["batches"] == len(data)
+    assert commit["tasks"] == 4
