@@ -198,3 +198,49 @@ def test_cms_merge_split_invariance(keys, n_cuts):
         for r in cms_merge(*sketches).collect()
     }
     assert merged == direct
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+@SET
+def test_png_roundtrip_any_pixels(h, w, ch, data):
+    """decode(encode(pixels)) == pixels for ANY uint8 image in the
+    supported shapes — the stdlib codec is lossless, no Spark needed
+    (pure executor-side code)."""
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import decode_png, encode_png
+
+    flat = data.draw(
+        st.lists(st.integers(0, 255), min_size=h * w * ch, max_size=h * w * ch)
+    )
+    px = np.array(flat, dtype=np.uint8).reshape(h, w, ch)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    f=st.integers(0, 4),
+    data=st.data(),
+)
+@SET
+def test_png_decoder_inverts_any_filtered_stream(h, w, f, data):
+    """The decoder reconstructs ANY image through each of the five
+    PNG scan filters (the encoder only emits filter 0, so this drives
+    the Sub/Up/Average/Paeth reconstruction paths on arbitrary
+    pixels, not just gradients)."""
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import decode_png
+    from tests.test_multimodal import _filtered_png
+
+    flat = data.draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    px = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(decode_png(_filtered_png(px, f)), px)
