@@ -84,6 +84,7 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "collection_cascade_catalog",
     "others_cascade_catalog",
+    "bloom_filtered_revenue",
 )
 
 

@@ -716,6 +716,52 @@ FROM customer"""
 )
 
 
+# ------------------------------------------------- bloom runtime filter
+def bloom_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled runtime filter (operators/bloomfilter.py): orders
+    are bloom-pruned on o_custkey against the BUILDING-segment key set
+    BEFORE the exact semi join, so at 100 TB the fact side sheds
+    ~4/5 of its rows map-side (segment selectivity) before any
+    join exchange.  Bloom admits no false negatives, so the exact
+    verify join makes the pipeline value-identical to the direct
+    semi join — which is therefore the oracle (same pattern as the
+    salted rewrites: a green row certifies the REWRITE).  False
+    positives only cost verify work; the FP rate at these sizes is
+    asserted ~0 in tests.
+
+    Reference analogue: the in-memory liked/cached-id membership
+    probes of ``dags/spotify_elt.py:311-336``, re-expressed as a
+    broadcastable fixed-size bitmap instead of a shipped key list."""
+    from musicflow_spark.operators.bloomfilter import bloom_build, bloom_probe
+
+    cust = read_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", _cents("o_totalprice").alias("total_cents")
+    )
+    bloom = bloom_build(keys, "k", m_bits=1 << 20, n_hashes=7)
+    pruned = bloom_probe(orders, "o_custkey", bloom, m_bits=1 << 20, n_hashes=7)
+    verified = pruned.join(
+        F.broadcast(keys), pruned["o_custkey"] == keys["k"], "left_semi"
+    )
+    return verified.groupBy("o_orderpriority").agg(
+        F.sum("total_cents").alias("sum_total_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+BLOOM_FILTERED_REVENUE_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
@@ -733,4 +779,5 @@ QUERIES = [
     Query("customer_profile", "ext: one-pass table profile (completeness + cardinality)", customer_profile, CUSTOMER_PROFILE_SQL),
     Query("orders_with_customer_version", "ext: fact -> SCD2 dimension-version lookup", orders_with_customer_version, _orders_with_customer_version_oracle_sql()),
     Query("customer_profile_sketch", "ext: sketch-tier profile (no-expand HLL pass, exact-gated)", customer_profile_sketch, CUSTOMER_PROFILE_SKETCH_SQL),
+    Query("bloom_filtered_revenue", "ext: bloom runtime-filter semi-join reduction == direct semi join", bloom_filtered_revenue, BLOOM_FILTERED_REVENUE_SQL),
 ]

@@ -1,0 +1,96 @@
+"""Bloom-filter runtime-filter operator (operators/bloomfilter.py).
+
+Covers the three contract points: no false negatives (the correctness
+load-bearing half), a bounded false-positive rate at the documented
+sizing, and the plan shape — the probe filter must run map-side at the
+scan (no shuffle on the probe side; the bitmap arrives as a 1-row
+broadcast)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.bloomfilter import (
+    bloom_build,
+    bloom_positions,
+    bloom_probe,
+)
+
+M_BITS = 1 << 16
+N_HASHES = 7
+
+
+def _frames(spark):
+    keys = spark.range(0, 500).select((F.col("id") * 13 + 1).alias("k"))
+    probe = spark.range(0, 30000).select(
+        (F.col("id") % 9973).alias("k"), F.lit(1).alias("v")
+    )
+    return keys, probe
+
+
+def test_no_false_negatives(spark):
+    keys, probe = _frames(spark)
+    bloom = bloom_build(keys, "k", m_bits=M_BITS, n_hashes=N_HASHES)
+    passed = bloom_probe(probe, "k", bloom, m_bits=M_BITS, n_hashes=N_HASHES)
+    exact = probe.join(keys.distinct(), "k", "left_semi")
+    # every exact member must survive the bloom prefilter
+    dropped = exact.join(
+        passed.select("k").distinct(), "k", "left_anti"
+    ).count()
+    assert dropped == 0
+
+
+def test_false_positive_rate_bounded(spark):
+    keys, probe = _frames(spark)
+    bloom = bloom_build(keys, "k", m_bits=M_BITS, n_hashes=N_HASHES)
+    passed_keys = {
+        r.k
+        for r in bloom_probe(
+            probe.select("k").distinct(), "k", bloom,
+            m_bits=M_BITS, n_hashes=N_HASHES,
+        ).collect()
+    }
+    true_keys = {r.k for r in keys.collect()} & {
+        r.k for r in probe.select("k").distinct().collect()
+    }
+    n_candidates = probe.select("k").distinct().count()
+    fps = len(passed_keys - true_keys)
+    # n=500 keys in m=2^16 bits with k=7: theoretical FP ~1e-6; allow
+    # three orders of magnitude of slack and it still proves pruning
+    assert fps / n_candidates < 0.005, fps
+
+
+def test_word_map_bounded(spark):
+    keys, _ = _frames(spark)
+    row = bloom_build(keys, "k", m_bits=M_BITS, n_hashes=N_HASHES).collect()
+    assert len(row) == 1
+    words = row[0]["__bloom__"]
+    assert len(words) <= M_BITS // 64
+    assert all(0 <= w < M_BITS // 64 for w in words)
+
+
+def test_positions_in_range_and_stable(spark):
+    df = spark.range(0, 200).select(
+        bloom_positions(F.col("id"), M_BITS, N_HASHES).alias("pos")
+    )
+    rows = df.collect()
+    assert all(0 <= p < M_BITS for r in rows for p in r.pos)
+    assert rows == df.collect()  # deterministic
+
+
+def test_probe_side_has_no_shuffle(spark):
+    keys, probe = _frames(spark)
+    bloom = bloom_build(keys, "k", m_bits=M_BITS, n_hashes=N_HASHES)
+    passed = bloom_probe(probe, "k", bloom, m_bits=M_BITS, n_hashes=N_HASHES)
+    passed.collect()
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    # the bitmap side aggregates (1 hash exchange: the bit_or groupBy,
+    # counted twice because the AQE plan string repeats initial+final
+    # subtrees); the PROBE side must contribute none — the only join
+    # is the 1-row broadcast nested loop carrying the bitmap
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # the filter must sit above the probe scan, not after a shuffle:
+    # no SortMergeJoin / ShuffledHashJoin anywhere
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -52,6 +52,7 @@ CARTESIAN_OK = {
     "event_type_quantiles",    # same 1-row bounds broadcast (grouped form)
     "theta_year_overlap",      # 1-row x 1-row scalar join (sketch ests vs exact counts)
     "kll_value_quantiles",     # 3-row quantile-frame broadcast into the rank-gate scan
+    "bloom_filtered_revenue",  # 1-row bitmap broadcast (map<long,long>, ≤ m_bits/64 entries)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -93,6 +94,8 @@ SINGLE_OK = {
                                # contract; at fact scale use operators/ids.py::surrogate_ids
     "theta_year_overlap",      # two global sketch/exact aggregates (1 row each by construction)
     "kll_value_quantiles",     # global KLL merge aggregate (1 sketch row by construction)
+    "bloom_filtered_revenue",  # 1-row bitmap fold: ≤ m_bits/64 = 16384 word rows in,
+                               # exactly 1 map row out by construction
 }
 
 
