@@ -85,6 +85,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "collection_cascade_catalog",
     "others_cascade_catalog",
     "bloom_filtered_revenue",
+    "customer_merge_upsert",
 )
 
 

@@ -716,6 +716,86 @@ FROM customer"""
 )
 
 
+# ------------------------------------------------- MERGE INTO upsert
+def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (operators/mergeinto.py) exercising all four
+    branches in one pass: customers with >= $2M of 1997+ order volume
+    are deleted (matched-delete), other customers with recent orders
+    get their balance incremented (matched-update), supplier-derived
+    rows keyed 1_000_000 + s_suppkey insert as new accounts
+    (not-matched-insert), and customers with no recent orders carry
+    unchanged (not-matched-by-source).  One full-outer join = one
+    shuffle; the oracle replays the same CASE branches in ANSI SQL."""
+    from musicflow_spark.operators.mergeinto import merge_into
+
+    base = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        _cents("c_acctbal").alias("acctbal_cents"),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    upd_orders = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(_cents("o_totalprice")).alias("delta_cents"))
+        .select(
+            "custkey", "delta_cents",
+            F.lit(None).cast("string").alias("new_name"),
+            F.lit(None).cast("string").alias("new_seg"),
+        )
+    )
+    upd_suppliers = read_table(spark, sf_dir, "supplier").select(
+        (F.lit(1_000_000) + F.col("s_suppkey")).alias("custkey"),
+        _cents("s_acctbal").alias("delta_cents"),
+        F.col("s_name").alias("new_name"),
+        F.lit("NEW").alias("new_seg"),
+    )
+    updates = upd_orders.unionByName(upd_suppliers)
+    merged = merge_into(
+        base,
+        updates,
+        on=["custkey"],
+        update_set={
+            "acctbal_cents": F.col("acctbal_cents") + F.col("delta_cents")
+        },
+        delete_when=F.col("delta_cents") > 200_000_000,
+        insert_set={
+            "name": F.col("new_name"),
+            "mktsegment": F.col("new_seg"),
+            "acctbal_cents": F.col("delta_cents"),
+        },
+    )
+    return merged
+
+
+CUSTOMER_MERGE_UPSERT_SQL = """
+WITH upd AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS delta_cents,
+         CAST(NULL AS VARCHAR) AS new_name, CAST(NULL AS VARCHAR) AS new_seg
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_custkey
+  UNION ALL
+  SELECT 1000000 + s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT), s_name, 'NEW'
+  FROM supplier
+),
+base AS (
+  SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+)
+SELECT b.custkey, b.name, b.mktsegment,
+       CASE WHEN u.custkey IS NULL THEN b.acctbal_cents
+            ELSE b.acctbal_cents + u.delta_cents END AS acctbal_cents
+FROM base b LEFT JOIN upd u ON b.custkey = u.custkey
+WHERE u.custkey IS NULL OR u.delta_cents <= 200000000
+UNION ALL
+SELECT u.custkey, u.new_name, u.new_seg, u.delta_cents
+FROM upd u LEFT JOIN base b ON u.custkey = b.custkey
+WHERE b.custkey IS NULL
+"""
+
+
 # ------------------------------------------------- bloom runtime filter
 def bloom_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-rolled runtime filter (operators/bloomfilter.py): orders
@@ -780,4 +860,5 @@ QUERIES = [
     Query("orders_with_customer_version", "ext: fact -> SCD2 dimension-version lookup", orders_with_customer_version, _orders_with_customer_version_oracle_sql()),
     Query("customer_profile_sketch", "ext: sketch-tier profile (no-expand HLL pass, exact-gated)", customer_profile_sketch, CUSTOMER_PROFILE_SKETCH_SQL),
     Query("bloom_filtered_revenue", "ext: bloom runtime-filter semi-join reduction == direct semi join", bloom_filtered_revenue, BLOOM_FILTERED_REVENUE_SQL),
+    Query("customer_merge_upsert", "ext: MERGE INTO upsert-with-delete (single full-outer join)", customer_merge_upsert, CUSTOMER_MERGE_UPSERT_SQL),
 ]
