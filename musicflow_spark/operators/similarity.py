@@ -575,3 +575,161 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# --------------------------------------------------------------- PQ (ADC)
+def _fixed_point(vec: Column, scale: int) -> Column:
+    """Fixed-point quantization: array<float> -> array<long> at
+    ``round(x * scale)``.  All PQ distances run on this integer grid,
+    which makes argmin/ADC sums order-insensitive-exact across
+    engines (no float summation-order hazard) — and mirrors what a
+    production deployment ships to int8/int16 SIMD kernels."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+
+
+def _sub_d2_int(a: Column, b: Column, m: Column, sub_dim: int) -> Column:
+    """Integer squared L2 between subvectors ``m`` (0-based) of two
+    fixed-point vectors: sum over j of (a[m*sub+j] - b[m*sub+j])^2."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(sub_dim)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + (F.element_at(a, m * sub_dim + j) - F.element_at(b, m * sub_dim + j))
+        * (F.element_at(a, m * sub_dim + j) - F.element_at(b, m * sub_dim + j)),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    seeds: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_candidates: int = 40,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the memory-compression ANN
+    tier: each corpus vector is encoded once into ``n_sub`` centroid
+    ids (8 bytes/vector at 256 centroids vs ~256 bytes of floats), the
+    query scan touches ONLY those codes via a precomputed per-query
+    distance table (asymmetric distance computation), and exact cosine
+    reranks the ``n_candidates`` ADC survivors fetched by a join-back.
+
+    ``seeds`` supplies the codebook vectors (``id_col``, ``vec_col``);
+    centroid id = rank of the seed's id ascending, so a deterministic
+    seed set (e.g. a corpus stride) makes the WHOLE pipeline
+    SQL-replicable.  Distances run on a fixed-point integer grid
+    (``scale``), so cross-engine argmin/ADC ties cannot flip.
+
+    Scale notes (100 TB): encode is one map pass against a broadcast
+    codebook (1 row); the ADC scan is map-only over codes with the
+    8-query distance-table frame broadcast; the per-partition top-C
+    window shuffles candidate rows only; the rerank join-back
+    broadcasts C*Q ids into the corpus scan.  The raw vectors are
+    touched exactly twice: encode and rerank-fetch.
+    """
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    codebook = (
+        seeds.select(
+            F.struct(
+                F.col(id_col).alias("sid"),
+                _fixed_point(F.col(vec_col), scale).alias("iv"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("s"))
+        .select(F.transform("s", lambda s: s["iv"]).alias("__seeds__"))
+    )
+
+    def with_iv(df: DataFrame, idname: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname}_vec"),
+            _fixed_point(F.col(vec_col), scale).alias("iv"),
+        ).crossJoin(F.broadcast(codebook))
+
+    def argmin_code(m: Column, iv: Column, sds: Column) -> Column:
+        return F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(sds) - 1),
+                    lambda c: F.struct(
+                        _sub_d2_int(
+                            iv, F.element_at(sds, c + 1), m, sub_dim
+                        ).alias("d"),
+                        c.alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )["cid"]
+
+    encoded = with_iv(corpus, "neighbor_id").select(
+        "neighbor_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda m: argmin_code(m, F.col("iv"), F.col("__seeds__")),
+        ).alias("codes"),
+    )
+    dtabbed = with_iv(queries, "query_id").select(
+        "query_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda m: F.transform(
+                F.sequence(F.lit(0), F.size(F.col("__seeds__")) - 1),
+                lambda c: _sub_d2_int(
+                    F.col("iv"), F.element_at(F.col("__seeds__"), c + 1), m, sub_dim
+                ),
+            ),
+        ).alias("dtab"),
+    )
+
+    adc = (
+        encoded.crossJoin(F.broadcast(dtabbed))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc
+                + F.element_at(
+                    F.element_at(F.col("dtab"), m + 1),
+                    F.element_at(F.col("codes"), m + 1).cast("int") + 1,
+                ),
+            ).alias("adc"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cands = adc.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= n_candidates
+    ).select("query_id", "neighbor_id")
+
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        c_vecs.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

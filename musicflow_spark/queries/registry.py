@@ -86,6 +86,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "others_cascade_catalog",
     "bloom_filtered_revenue",
     "customer_merge_upsert",
+    "knn_pq",
 )
 
 

@@ -25,6 +25,7 @@ from musicflow_spark.operators.similarity import (
     ivf_topk,
     lsh_neardup_pairs,
     lsh_topk,
+    pq_topk,
     norm,
     random_hyperplanes,
     semantic_dedup_flags,
@@ -262,6 +263,92 @@ WHERE rank <= {TOP_K}
 """
 
 
+PQ_SUB, PQ_DIM, PQ_SCALE, PQ_CAND = 8, 64, 1000, 64
+PQ_CENT_MOD, PQ_CENT_REM = 31, 3
+
+
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (ext: the third ANN path — the
+    memory-compression tier: 8-byte codes instead of 256-byte float
+    vectors in the scan, operators/similarity.py::pq_topk).  The
+    codebook seeds from a deterministic corpus stride (vec_id % 31 ==
+    3 -> 17 centroids x 8 subspaces) and every distance runs on a
+    fixed-point integer grid, so argmin/ADC ties cannot flip across
+    engines — the oracle replays encode, distance tables, the ADC
+    candidate scan, and the exact-cosine rerank end to end.  Recall
+    vs brute force is additionally asserted in tests."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    seeds = emb.filter(F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_REM)
+    topk = pq_topk(
+        emb, queries, seeds, k=TOP_K, dim=PQ_DIM, n_sub=PQ_SUB,
+        n_candidates=PQ_CAND, scale=PQ_SCALE,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
+def _knn_pq_oracle_sql() -> str:
+    """DuckDB replica of pq_topk: fixed-point vectors, stride-seeded
+    codebook (cid = rank of seed vec_id), integer subspace argmin
+    encode, per-query integer distance tables, ADC sum via the
+    (m, cid) join, top-C by (adc, neighbor_id), exact cosine rerank.
+    All ranking keys are integers -> bit-portable."""
+    sub = PQ_DIM // PQ_SUB
+    sub_d2 = f"""list_sum(list_transform(range(1, {sub + 1}),
+             j -> (i.iv[m.m * {sub} + j] - s.sv[m.m * {sub} + j])
+                * (i.iv[m.m * {sub} + j] - s.sv[m.m * {sub} + j])))"""
+    return f"""
+WITH iv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(cast(x AS double) * {PQ_SCALE}) AS BIGINT)) AS iv
+  FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, iv AS sv
+  FROM iv WHERE vec_id % {PQ_CENT_MOD} = {PQ_CENT_REM}),
+m AS (SELECT unnest(range({PQ_SUB})) AS m),
+codes AS (
+  SELECT vec_id AS neighbor_id, m, cid FROM (
+    SELECT i.vec_id, m.m, s.cid,
+           row_number() OVER (PARTITION BY i.vec_id, m.m
+                              ORDER BY {sub_d2}, s.cid) AS rn
+    FROM iv i, seeds s, m)
+  WHERE rn = 1),
+dtab AS (
+  SELECT i.vec_id AS query_id, m.m, s.cid, {sub_d2} AS d
+  FROM iv i, seeds s, m WHERE i.vec_id < {N_QUERY_VECS}),
+adc AS (
+  SELECT d.query_id, c.neighbor_id, CAST(sum(d.d) AS BIGINT) AS adc
+  FROM codes c JOIN dtab d ON c.m = d.m AND c.cid = d.cid
+  WHERE c.neighbor_id <> d.query_id
+  GROUP BY d.query_id, c.neighbor_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS crank
+    FROM adc)
+  WHERE crank <= {PQ_CAND}),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> cast(q.embedding[i] AS double) * cast(n.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(n.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 NEARDUP_THRESHOLD = 0.4
 
 
@@ -471,6 +558,7 @@ QUERIES = [
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
     Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, _knn_lsh_oracle_sql()),
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
+    Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql()),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),

@@ -53,6 +53,8 @@ CARTESIAN_OK = {
     "theta_year_overlap",      # 1-row x 1-row scalar join (sketch ests vs exact counts)
     "kll_value_quantiles",     # 3-row quantile-frame broadcast into the rank-gate scan
     "bloom_filtered_revenue",  # 1-row bitmap broadcast (map<long,long>, ≤ m_bits/64 entries)
+    "knn_pq",                  # 1-row codebook broadcast (17 seed vectors) + 8-row
+                               # query distance-table broadcast (the ADC scan pairing)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -96,6 +98,8 @@ SINGLE_OK = {
     "kll_value_quantiles",     # global KLL merge aggregate (1 sketch row by construction)
     "bloom_filtered_revenue",  # 1-row bitmap fold: ≤ m_bits/64 = 16384 word rows in,
                                # exactly 1 map row out by construction
+    "knn_pq",                  # 1-row codebook fold (17 seed rows in, 1 array row out)
+                               # + the bounded query-set (8 rows) distance-table agg
 }
 
 
