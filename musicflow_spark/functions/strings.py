@@ -100,3 +100,26 @@ def contains_ci(haystack: Column, needle: Column) -> Column:
     artist-in-title / track-in-title predicate (reference:
     spotify_elt.py:276-281,429-436,628-636)."""
     return F.instr(F.lower(haystack), F.lower(needle)) > 0
+
+
+def url_host(url: Column | str) -> Column:
+    """Canonical host of a URL: parsed HOST, lowercased, leading
+    ``www.`` stripped.  parse_url runs JVM-side (no UDF)."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form for dedup/grouping: lowercase scheme + canonical
+    host + path verbatim; query string and fragment dropped (the
+    standard web-corpus URL key — tracking params and anchors never
+    distinguish documents)."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.concat(
+        F.lower(F.parse_url(url, F.lit("PROTOCOL"))),
+        F.lit("://"),
+        url_host(url),
+        F.parse_url(url, F.lit("PATH")),
+    )

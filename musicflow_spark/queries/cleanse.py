@@ -180,6 +180,67 @@ GROUP BY event_type
 """
 
 
+def doc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus grouping (ext: the dedup
+    key every crawl pipeline derives before anything else).  URLs are
+    synthesized deterministically from the documents table (mixed-case
+    scheme/host, www. prefix, tracking query, fragment — the real-world
+    mess), then canonicalized via native ``parse_url`` (JVM-side, no
+    UDF): lowercase scheme, lowercase host minus ``www.``, path kept,
+    query+fragment dropped.  Grouped per host with language breadth
+    and a deterministic example URL; the oracle rebuilds and
+    canonicalizes the same URLs with RE2 extracts.  Map-only + one
+    keyed aggregation — scales."""
+    from musicflow_spark.functions.strings import canonical_url, url_host
+
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#sec-"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    with_url = docs.select(
+        "doc_id", "lang",
+        url_host(url).alias("host"),
+        canonical_url(url).alias("canon"),
+    )
+    return with_url.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("canon").alias("first_url"),
+    )
+
+
+DOC_URL_CANONICAL_SQL = r"""
+WITH u AS (
+  SELECT doc_id, lang,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM/docs/' || lang || '/'
+           || cast(doc_id AS varchar)
+           || '?utm_source=feed&ref=' || cast(doc_id % 7 AS varchar)
+           || '#sec-' || cast(doc_id % 5 AS varchar) AS url
+  FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        '^www\.', '') AS host,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+           || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                             '^www\.', '')
+           || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS canon
+  FROM u)
+SELECT host, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       min(canon) AS first_url
+FROM c GROUP BY host
+"""
+
+
 QUERIES = [
     Query(
         "customer_pii_redact",
@@ -198,5 +259,11 @@ QUERIES = [
         "ext: right-to-erasure propagation (anti-join + audit)",
         user_erasure_audit,
         USER_ERASURE_AUDIT_SQL,
+    ),
+    Query(
+        "doc_url_canonical",
+        "ext: URL canonicalization (parse_url host/path key, per-host rollup)",
+        doc_url_canonical,
+        DOC_URL_CANONICAL_SQL,
     ),
 ]

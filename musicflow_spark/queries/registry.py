@@ -87,6 +87,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "bloom_filtered_revenue",
     "customer_merge_upsert",
     "knn_pq",
+    "doc_url_canonical",
 )
 
 

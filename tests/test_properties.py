@@ -244,3 +244,29 @@ def test_png_decoder_inverts_any_filtered_stream(h, w, f, data):
     )
     px = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
     assert np.array_equal(decode_png(_filtered_png(px, f)), px)
+
+
+def test_canonical_url_drops_tracking_and_case(spark):
+    from musicflow_spark.functions.strings import canonical_url, url_host
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://WWW.News.Example.COM/a/B?utm=1#frag",),
+            ("http://example.org/path/x?q=2",),
+            ("https://wwwx.example.net/y",),  # wwwx is NOT a www. prefix
+            ("https://example.com/",),
+        ],
+        "url string",
+    )
+    rows = df.select(
+        url_host("url").alias("h"), canonical_url("url").alias("c")
+    ).collect()
+    assert [r.h for r in rows] == [
+        "news.example.com", "example.org", "wwwx.example.net", "example.com",
+    ]
+    assert [r.c for r in rows] == [
+        "https://news.example.com/a/B",   # path case preserved, query+frag dropped
+        "http://example.org/path/x",
+        "https://wwwx.example.net/y",
+        "https://example.com/",
+    ]
