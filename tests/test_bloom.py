@@ -60,13 +60,16 @@ def test_false_positive_rate_bounded(spark):
     assert fps / n_candidates < 0.005, fps
 
 
-def test_word_map_bounded(spark):
+def test_dense_bitmap_shape(spark):
     keys, _ = _frames(spark)
     row = bloom_build(keys, "k", m_bits=M_BITS, n_hashes=N_HASHES).collect()
     assert len(row) == 1
     words = row[0]["__bloom__"]
-    assert len(words) <= M_BITS // 64
-    assert all(0 <= w < M_BITS // 64 for w in words)
+    # dense: exactly m/64 words, fixed size regardless of key count
+    assert len(words) == M_BITS // 64
+    # 500 keys x 7 hashes set <= 3500 bits; the bitmap is mostly zero
+    set_bits = sum(bin(w & (2**64 - 1)).count("1") for w in words)
+    assert 0 < set_bits <= 500 * N_HASHES
 
 
 def test_positions_in_range_and_stable(spark):

@@ -75,10 +75,22 @@ QUERY_TABLES = {
     # map-agg moment passes: replicated vectors are fine (no pairing)
     "embedding_gram_moments": ["embeddings"],
     "embedding_pca_scores": ["embeddings"],
+    # bloom build scales with keys, probe with facts; bitmap stays
+    # m_bits/64 words regardless of N
+    "bloom_filtered_revenue": ["orders", "customer"],
+    # one full-outer join on the merge key; replicas' keys disjoint
+    "customer_merge_upsert": ["customer", "orders", "supplier"],
+    # map + one keyed agg over hosts
+    "doc_url_canonical": ["documents"],
     # match_cascade_catalog is deliberately absent: its synthetic
     # first-token vocabulary (pk % 250, and 250 divides the replica
     # stride) would make replicas share index buckets — the measured
     # curve would be a fixture artifact, not the operator's shape.
+    # knn_pq is absent for the same fixture-artifact reason: its
+    # codebook seeds by corpus stride, so replicating the corpus
+    # grows K (encode cost per row) with N — at real scale K is FIXED
+    # while the corpus grows, and the ADC scan is linear by
+    # construction (one code lookup row per corpus vector).
 }
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
