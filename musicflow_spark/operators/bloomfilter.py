@@ -116,3 +116,80 @@ def bloom_probe(
             f" & shiftleft(1L, cast({pos} % 64 AS int))) != 0L"
         )
     return probed.filter(F.expr(" AND ".join(conds))).drop("__bloom__")
+
+
+def bloom_word_rows(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    m_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Per-group position-expanded rows ``(group..., word_idx, mask)``
+    ready for a ``bit_or`` aggregation — the mergeable/streaming build
+    form.  ``bit_or`` partials are associative, commutative, and
+    idempotent, so any micro-batch chunking (or replay) bit_or-merges
+    to EXACTLY the batch-built bitmap — the streaming maintenance tier
+    needs no state store (see streaming/events.py::
+    foreach_batch_sketch_merge with bit_or build/merge aggs)."""
+    return df.select(
+        *group_cols,
+        F.explode(bloom_positions(F.col(key_col), m_bits, n_hashes)).alias("pos"),
+    ).select(
+        *group_cols,
+        F.shiftrightunsigned(F.col("pos"), 6).alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("mask"),
+    )
+
+
+def bloom_from_words(
+    words: DataFrame,
+    group_cols: list[str],
+    m_bits: int = 1 << 20,
+    word_col: str = "word",
+) -> DataFrame:
+    """Fold aggregated ``(group..., word_idx, word)`` rows into
+    per-group dense bitmaps ``(group..., __bloom__: array<long>)`` —
+    the probe-ready form of the mergeable tier.  Densifies against a
+    group x range grid (groups * m_bits/64 rows, executor-side)."""
+    n_words = m_bits // 64
+    grid = words.select(*group_cols).distinct().crossJoin(
+        F.broadcast(
+            words.sparkSession.range(n_words).select(
+                F.col("id").alias("word_idx")
+            )
+        )
+    )
+    dense = grid.join(words, [*group_cols, "word_idx"], "left").select(
+        *group_cols,
+        "word_idx",
+        F.coalesce(word_col, F.lit(0).cast("long")).alias("word"),
+    )
+    return dense.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("word_idx", "word"))).alias("s")
+    ).select(
+        *group_cols, F.transform("s", lambda s: s["word"]).alias("__bloom__")
+    )
+
+
+def bloom_probe_grouped(
+    df: DataFrame,
+    key_col: str,
+    blooms: DataFrame,
+    group_cols: list[str],
+    m_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Probe rows against their own group's bitmap (e.g. events vs the
+    per-day bloom): broadcast the bitmap table, join on the group
+    columns, run the same unrolled bit tests.  ``key_col`` must be a
+    plain SQL identifier (interpolated predicate)."""
+    probed = df.join(F.broadcast(blooms), group_cols)
+    conds = []
+    for i in range(n_hashes):
+        pos = f"pmod(xxhash64({key_col}, {i}), {m_bits})"
+        conds.append(
+            f"(element_at(__bloom__, cast(shiftrightunsigned({pos}, 6) AS int) + 1)"
+            f" & shiftleft(1L, cast({pos} % 64 AS int))) != 0L"
+        )
+    return probed.filter(F.expr(" AND ".join(conds))).drop("__bloom__")

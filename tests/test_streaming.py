@@ -942,3 +942,67 @@ def test_sketch_merge_sink_maintains_hll_kll_theta(spark, stream_dir, tmp_path):
     n_le = raw.filter(cents <= merged["p50_est"]).count()
     n_lt = raw.filter(cents < merged["p50_est"]).count()
     assert n_le >= exact["n"] * 0.48 and n_lt <= exact["n"] * 0.52
+
+
+def test_bloom_merge_sink_bit_exact_convergence(spark, stream_dir, tmp_path):
+    """Streaming per-day bloom maintenance through the generic
+    sketch-merge sink (bit_or build/merge aggs over word rows): the
+    materialized word table must be BIT-EXACT equal to the batch-built
+    words (bit_or is associative+commutative+idempotent, so chunking
+    cannot change a single bit), and the folded per-day bitmaps must
+    admit every user that actually appeared that day (no false
+    negatives)."""
+    from musicflow_spark.operators.bloomfilter import (
+        bloom_from_words,
+        bloom_probe_grouped,
+        bloom_word_rows,
+    )
+    from musicflow_spark.streaming.events import foreach_batch_sketch_merge
+
+    m_bits, n_hashes = 1 << 14, 5
+    out = str(tmp_path / "bloom_words")
+    shaped_stream = event_stream(
+        spark, stream_dir, max_files_per_trigger=1
+    ).select(F.to_date("ts").alias("day"), "user_id")
+    word_stream = bloom_word_rows(
+        shaped_stream, "user_id", ["day"], m_bits=m_bits, n_hashes=n_hashes
+    )
+    sink = foreach_batch_sketch_merge(
+        out,
+        ["day", "word_idx"],
+        build_aggs={"word": F.bit_or("mask")},
+        merge_aggs={"word": F.bit_or("word")},
+    )
+    q = (
+        word_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out)
+    raw = spark.read.parquet(stream_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    batch_words = (
+        bloom_word_rows(raw, "user_id", ["day"], m_bits=m_bits, n_hashes=n_hashes)
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    # bit-exact: same (day, word_idx, word) set
+    assert streamed.count() == batch_words.count()
+    assert (
+        streamed.join(batch_words, ["day", "word_idx", "word"], "left_anti").count()
+        == 0
+    )
+
+    # no false negatives: every (day, user) present in the raw events
+    # survives a probe against its day's folded bitmap
+    blooms = bloom_from_words(streamed, ["day"], m_bits=m_bits)
+    day_users = raw.distinct()
+    passed = bloom_probe_grouped(
+        day_users, "user_id", blooms, ["day"], m_bits=m_bits, n_hashes=n_hashes
+    )
+    assert passed.count() == day_users.count()
