@@ -265,5 +265,6 @@ QUERIES = [
         "ext: URL canonicalization (parse_url host/path key, per-host rollup)",
         doc_url_canonical,
         DOC_URL_CANONICAL_SQL,
+        bench=True,
     ),
 ]

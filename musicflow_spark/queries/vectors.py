@@ -264,22 +264,28 @@ WHERE rank <= {TOP_K}
 
 
 PQ_SUB, PQ_DIM, PQ_SCALE, PQ_CAND = 8, 64, 1000, 64
-PQ_CENT_MOD, PQ_CENT_REM = 31, 3
+PQ_CENT_MOD, PQ_CENT_REM, PQ_SEED_MAX = 31, 3, 500
 
 
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (ext: the third ANN path — the
     memory-compression tier: 8-byte codes instead of 256-byte float
     vectors in the scan, operators/similarity.py::pq_topk).  The
-    codebook seeds from a deterministic corpus stride (vec_id % 31 ==
-    3 -> 17 centroids x 8 subspaces) and every distance runs on a
+    codebook seeds from a deterministic corpus stride capped to a
+    FIXED id range (vec_id % 31 == 3 and vec_id < 500 -> 17 centroids
+    x 8 subspaces at every SF — real PQ keeps the codebook fixed as
+    the corpus grows; encode stays O(N*K) with constant K) and every
+    distance runs on a
     fixed-point integer grid, so argmin/ADC ties cannot flip across
     engines — the oracle replays encode, distance tables, the ADC
     candidate scan, and the exact-cosine rerank end to end.  Recall
     vs brute force is additionally asserted in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    seeds = emb.filter(F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_REM)
+    seeds = emb.filter(
+        (F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_REM)
+        & (F.col("vec_id") < PQ_SEED_MAX)
+    )
     topk = pq_topk(
         emb, queries, seeds, k=TOP_K, dim=PQ_DIM, n_sub=PQ_SUB,
         n_candidates=PQ_CAND, scale=PQ_SCALE,
@@ -307,7 +313,7 @@ WITH iv AS (
   FROM embeddings),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, iv AS sv
-  FROM iv WHERE vec_id % {PQ_CENT_MOD} = {PQ_CENT_REM}),
+  FROM iv WHERE vec_id % {PQ_CENT_MOD} = {PQ_CENT_REM} AND vec_id < {PQ_SEED_MAX}),
 m AS (SELECT unnest(range({PQ_SUB})) AS m),
 codes AS (
   SELECT vec_id AS neighbor_id, m, cid FROM (
@@ -558,7 +564,7 @@ QUERIES = [
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
     Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, _knn_lsh_oracle_sql()),
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
-    Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql()),
+    Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql(), bench=True),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),

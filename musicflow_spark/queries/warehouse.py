@@ -859,6 +859,6 @@ QUERIES = [
     Query("customer_profile", "ext: one-pass table profile (completeness + cardinality)", customer_profile, CUSTOMER_PROFILE_SQL),
     Query("orders_with_customer_version", "ext: fact -> SCD2 dimension-version lookup", orders_with_customer_version, _orders_with_customer_version_oracle_sql()),
     Query("customer_profile_sketch", "ext: sketch-tier profile (no-expand HLL pass, exact-gated)", customer_profile_sketch, CUSTOMER_PROFILE_SKETCH_SQL),
-    Query("bloom_filtered_revenue", "ext: bloom runtime-filter semi-join reduction == direct semi join", bloom_filtered_revenue, BLOOM_FILTERED_REVENUE_SQL),
-    Query("customer_merge_upsert", "ext: MERGE INTO upsert-with-delete (single full-outer join)", customer_merge_upsert, CUSTOMER_MERGE_UPSERT_SQL),
+    Query("bloom_filtered_revenue", "ext: bloom runtime-filter semi-join reduction == direct semi join", bloom_filtered_revenue, BLOOM_FILTERED_REVENUE_SQL, bench=True),
+    Query("customer_merge_upsert", "ext: MERGE INTO upsert-with-delete (single full-outer join)", customer_merge_upsert, CUSTOMER_MERGE_UPSERT_SQL, bench=True),
 ]

@@ -82,15 +82,13 @@ QUERY_TABLES = {
     "customer_merge_upsert": ["customer", "orders", "supplier"],
     # map + one keyed agg over hosts
     "doc_url_canonical": ["documents"],
+    # fixed codebook (vec_id < 500 caps seeds to the base replica),
+    # so encode + ADC scan are O(N) with constant K
+    "knn_pq": ["embeddings"],
     # match_cascade_catalog is deliberately absent: its synthetic
     # first-token vocabulary (pk % 250, and 250 divides the replica
     # stride) would make replicas share index buckets — the measured
     # curve would be a fixture artifact, not the operator's shape.
-    # knn_pq is absent for the same fixture-artifact reason: its
-    # codebook seeds by corpus stride, so replicating the corpus
-    # grows K (encode cost per row) with N — at real scale K is FIXED
-    # while the corpus grows, and the ADC scan is linear by
-    # construction (one code lookup row per corpus vector).
 }
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
