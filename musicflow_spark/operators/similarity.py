@@ -247,12 +247,20 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: rank only candidates that share an
     SRP bucket with the query in any of ``n_tables`` independent
     hash tables.  Recall grows with n_tables; candidate count drops
     ~2^n_planes-fold vs brute force.  Same output schema as
     brute_force_topk (queries with zero candidates simply emit <k rows).
+
+    ``broadcast_queries=True`` (default) is the bounded-query-set
+    contract: the bucketed query frame rides as a broadcast.  Pass
+    ``False`` when QUERIES ARE THE CORPUS (kNN-graph construction for
+    SemDeDup/clustering): the candidate join becomes a plain shuffle
+    equi-join on (table_id, bucket) — both sides scale, no broadcast;
+    AQE's skew-join split handles hot buckets at runtime.
     """
     tables = [
         random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
@@ -273,8 +281,9 @@ def lsh_topk(
 
     qb = bucketed(queries, "query_id", "q_vec")
     cb = bucketed(corpus, "neighbor_id", "c_vec")
+    q_side = F.broadcast(qb) if broadcast_queries else qb
     cands = (
-        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        cb.join(q_side, ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "q_vec", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])

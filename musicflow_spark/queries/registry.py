@@ -88,6 +88,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "customer_merge_upsert",
     "knn_pq",
     "doc_url_canonical",
+    "knn_graph_lsh",
 )
 
 

@@ -263,6 +263,77 @@ WHERE rank <= {TOP_K}
 """
 
 
+K_GRAPH, GRAPH_TABLES = 3, 8
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH construction (ext: every vector is a query — the
+    SemDeDup/cluster-pipeline precursor).  Same SRP-LSH bucketing as
+    knn_lsh but the candidate join is a plain shuffle equi-join on
+    (table_id, bucket) with NO broadcast side
+    (lsh_topk(broadcast_queries=False)): both sides are the corpus,
+    which is exactly the regime where a broadcast contract breaks at
+    100 TB.  Top-3 exact-cosine neighbors per vector; the oracle
+    replays the full pipeline from the same plane literals."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    topk = lsh_topk(
+        emb, emb, k=K_GRAPH, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
+def _knn_graph_lsh_oracle_sql() -> str:
+    """knn_lsh's oracle with queries == corpus, GRAPH_TABLES hash
+    tables, and rank <= 3."""
+    tables = [
+        random_hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED + t)
+        for t in range(GRAPH_TABLES)
+    ]
+    flat = [
+        "[" + ",".join(repr(float(v)) for v in plane) + "]"
+        for tbl in tables
+        for plane in tbl
+    ]
+    planes = "[" + ",".join(flat) + "]"
+    bucket = f"""list_sum(list_transform(range({LSH_PLANES}), i ->
+             CASE WHEN list_sum(list_transform(range(1, {LSH_DIM} + 1),
+                    j -> cast(embedding[j] AS double) * p[t.t * {LSH_PLANES} + i + 1][j])) > 0
+                  THEN (2 ** i)::BIGINT ELSE 0::BIGINT END))"""
+    return f"""
+WITH planes AS (SELECT {planes} AS p),
+tt AS (SELECT unnest(range({GRAPH_TABLES})) AS t),
+cb AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, t.t AS table_id,
+         {bucket} AS bucket
+  FROM embeddings, planes, tt t),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, t.t AS table_id,
+         {bucket} AS bucket
+  FROM embeddings, planes, tt t),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, q_vec, c_vec
+  FROM cb JOIN qb USING (table_id, bucket)
+  WHERE neighbor_id <> query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(range(1, len(q_vec) + 1),
+                  i -> cast(q_vec[i] AS double) * cast(c_vec[i] AS double)))
+         / (sqrt(list_sum(list_transform(q_vec, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(c_vec, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {K_GRAPH}
+"""
+
+
 PQ_SUB, PQ_DIM, PQ_SCALE, PQ_CAND = 8, 64, 1000, 64
 PQ_CENT_MOD, PQ_CENT_REM, PQ_SEED_MAX = 31, 3, 500
 
@@ -565,6 +636,7 @@ QUERIES = [
     Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, _knn_lsh_oracle_sql()),
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
     Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql(), bench=True),
+    Query("knn_graph_lsh", "ext: kNN-graph construction (LSH, no-broadcast shuffle join)", knn_graph_lsh, _knn_graph_lsh_oracle_sql()),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),

@@ -181,3 +181,26 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = read_table(spark, SF_DIR, "embeddings")
     with _pytest.raises(ValueError, match="divisible"):
         pq_topk(emb, emb.limit(1), emb.limit(3), dim=64, n_sub=7)
+
+
+def test_knn_graph_candidate_join_is_not_broadcast(spark):
+    """kNN-graph mode (broadcast_queries=False) must plan the
+    (table_id, bucket) candidate join as a SHUFFLE join — with queries
+    == corpus a broadcast contract would ship the whole corpus to
+    every task at scale."""
+    from musicflow_spark.operators.similarity import lsh_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    out = lsh_topk(emb, emb, k=3, dim=64, n_planes=6, n_tables=4,
+                   broadcast_queries=False)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # the only broadcasts are the two 1-row plane frames
+    assert plan.count("BroadcastNestedLoopJoin") <= 4  # AQE dups subtrees
+    # and the default bounded-query mode still broadcasts
+    q = emb.filter(F.col("vec_id") < 8)
+    out_b = lsh_topk(emb, q, k=3, dim=64, n_planes=6, n_tables=4)
+    out_b.write.format("noop").mode("overwrite").save()
+    plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b, plan_b

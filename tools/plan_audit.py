@@ -55,6 +55,9 @@ CARTESIAN_OK = {
     "bloom_filtered_revenue",  # 1-row bitmap broadcast (map<long,long>, ≤ m_bits/64 entries)
     "knn_pq",                  # 1-row codebook broadcast (17 seed vectors) + 8-row
                                # query distance-table broadcast (the ADC scan pairing)
+    "knn_graph_lsh",           # two 1-row plane-matrix broadcasts (the bucketing
+                               # constants); the candidate join itself is a plain
+                               # shuffle equi-join — that is the point of the query
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
