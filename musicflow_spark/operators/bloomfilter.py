@@ -106,7 +106,14 @@ def bloom_probe(
 
     ``key_col`` must be a plain SQL identifier (it is interpolated
     into the probe predicate — same contract as qsketch's
-    ``_bin_expr``)."""
+    ``_bin_expr``).
+
+    NULL keys: xxhash64 skips null inputs, so NULL hashes like a
+    distinct constant — a probe-side NULL passes iff the build side
+    contained a NULL.  An equi-join never matches NULLs, so the probe
+    admits a SUPERSET of the join result on null-bearing keys; keep
+    the exact verify join downstream (the intended sandwich), or
+    pre-filter nulls when using the probe alone."""
     probed = df.crossJoin(F.broadcast(bloom))
     conds = []
     for i in range(n_hashes):

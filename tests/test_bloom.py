@@ -97,3 +97,33 @@ def test_probe_side_has_no_shuffle(spark):
     # no SortMergeJoin / ShuffledHashJoin anywhere
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_null_keys_pass_only_with_null_in_build(spark):
+    """NULL hashes as a distinct constant: the probe admits a probe-side
+    NULL iff the build side had one — a SUPERSET of equi-join semantics
+    (which never match NULL); the exact verify join downstream restores
+    join semantics exactly."""
+    probe = spark.createDataFrame([(1,), (None,), (5,)], "k int")
+    with_null = bloom_build(
+        spark.createDataFrame([(1,), (None,)], "k int"), "k",
+        m_bits=1 << 10, n_hashes=3,
+    )
+    got = {
+        r.k
+        for r in bloom_probe(
+            probe, "k", with_null, m_bits=1 << 10, n_hashes=3
+        ).collect()
+    }
+    assert 1 in got and None in got and 5 not in got
+    without_null = bloom_build(
+        spark.createDataFrame([(1,), (2,)], "k int"), "k",
+        m_bits=1 << 10, n_hashes=3,
+    )
+    got2 = {
+        r.k
+        for r in bloom_probe(
+            probe, "k", without_null, m_bits=1 << 10, n_hashes=3
+        ).collect()
+    }
+    assert None not in got2

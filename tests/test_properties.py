@@ -270,3 +270,51 @@ def test_canonical_url_drops_tracking_and_case(spark):
         "https://wwwx.example.net/y",
         "https://example.com/",
     ]
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-1000, 1000)),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-1000, 1000)),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.integers(-500, 500),
+)
+def test_merge_into_matches_reference_semantics(base_rows, upd_rows, thresh):
+    """merge_into == the dict-based reference merge on arbitrary
+    disjoint-key frames: matched rows update (or delete past the
+    threshold), unmatched-by-source carry, unmatched-by-base insert."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.operators.mergeinto import merge_into
+
+    spark = _get_spark()
+    base = spark.createDataFrame(base_rows, "k int, v int") if base_rows else \
+        spark.createDataFrame([], "k int, v int")
+    upd = spark.createDataFrame(upd_rows, "k int, d int") if upd_rows else \
+        spark.createDataFrame([], "k int, d int")
+    out = merge_into(
+        base, upd, on=["k"],
+        update_set={"v": F.col("v") + F.col("d")},
+        delete_when=F.col("d") > thresh,
+        insert_set={"v": F.col("d")},
+    )
+    got = {r.k: r.v for r in out.collect()}
+
+    b, u = dict(base_rows), dict(upd_rows)
+    want = {}
+    for k, v in b.items():
+        if k in u:
+            if u[k] > thresh:
+                continue  # matched-delete
+            want[k] = v + u[k]  # matched-update
+        else:
+            want[k] = v  # carry
+    for k, d in u.items():
+        if k not in b:
+            want[k] = d  # insert
+    assert got == want
