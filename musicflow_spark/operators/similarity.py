@@ -598,15 +598,22 @@ def _fixed_point(vec: Column, scale: int) -> Column:
     )
 
 
-def _sub_d2_int(a: Column, b: Column, m: Column, sub_dim: int) -> Column:
-    """Integer squared L2 between subvectors ``m`` (0-based) of two
-    fixed-point vectors: sum over j of (a[m*sub+j] - b[m*sub+j])^2."""
+def _sub_slices(iv: Column, n_sub: int, sub_dim: int) -> Column:
+    """``array<array<long>>`` of the ``n_sub`` contiguous subvectors of
+    a fixed-point vector — sliced ONCE per row so every later distance
+    touches each element exactly once."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: F.slice(iv, m * sub_dim + 1, sub_dim),
+    )
+
+
+def _slice_d2(a_sub: Column, b_sub: Column) -> Column:
+    """Integer squared L2 between two pre-sliced subvectors."""
     return F.aggregate(
-        F.sequence(F.lit(1), F.lit(sub_dim)),
+        F.zip_with(a_sub, b_sub, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + (F.element_at(a, m * sub_dim + j) - F.element_at(b, m * sub_dim + j))
-        * (F.element_at(a, m * sub_dim + j) - F.element_at(b, m * sub_dim + j)),
+        lambda acc, v: acc + v,
     )
 
 
@@ -645,6 +652,8 @@ def pq_topk(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_dim = dim // n_sub
+    # __seeds__[m][c] = pre-sliced subvector m of codebook entry c
+    # (entry order = seed id ascending); sliced once in the 1-row frame
     codebook = (
         seeds.select(
             F.struct(
@@ -653,48 +662,55 @@ def pq_topk(
             ).alias("s")
         )
         .agg(F.array_sort(F.collect_list("s")).alias("s"))
-        .select(F.transform("s", lambda s: s["iv"]).alias("__seeds__"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda m: F.transform(
+                    F.col("s"),
+                    lambda s: F.slice(s["iv"], m * sub_dim + 1, sub_dim),
+                ),
+            ).alias("__seeds__")
+        )
     )
 
-    def with_iv(df: DataFrame, idname: str) -> DataFrame:
+    def with_subs(df: DataFrame, idname: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(f"{idname}_vec"),
-            _fixed_point(F.col(vec_col), scale).alias("iv"),
+            _sub_slices(
+                _fixed_point(F.col(vec_col), scale), n_sub, sub_dim
+            ).alias("subs"),
         ).crossJoin(F.broadcast(codebook))
 
-    def argmin_code(m: Column, iv: Column, sds: Column) -> Column:
-        return F.element_at(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(sds) - 1),
-                    lambda c: F.struct(
-                        _sub_d2_int(
-                            iv, F.element_at(sds, c + 1), m, sub_dim
-                        ).alias("d"),
-                        c.alias("cid"),
-                    ),
-                )
-            ),
-            1,
+    def argmin_code(m: Column) -> Column:
+        # array_min on (d, cid) structs == lexicographic argmin with
+        # cid tie-break — O(K), replaces sort-and-take-first
+        cents = F.element_at(F.col("__seeds__"), m + 1)
+        sub = F.element_at(F.col("subs"), m + 1)
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.size(cents) - 1),
+                lambda c: F.struct(
+                    _slice_d2(sub, F.element_at(cents, c + 1)).alias("d"),
+                    c.alias("cid"),
+                ),
+            )
         )["cid"]
 
-    encoded = with_iv(corpus, "neighbor_id").select(
+    encoded = with_subs(corpus, "neighbor_id").select(
         "neighbor_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(n_sub - 1)),
-            lambda m: argmin_code(m, F.col("iv"), F.col("__seeds__")),
+            lambda m: argmin_code(m),
         ).alias("codes"),
     )
-    dtabbed = with_iv(queries, "query_id").select(
+    dtabbed = with_subs(queries, "query_id").select(
         "query_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(n_sub - 1)),
             lambda m: F.transform(
-                F.sequence(F.lit(0), F.size(F.col("__seeds__")) - 1),
-                lambda c: _sub_d2_int(
-                    F.col("iv"), F.element_at(F.col("__seeds__"), c + 1), m, sub_dim
-                ),
+                F.element_at(F.col("__seeds__"), m + 1),
+                lambda cent: _slice_d2(F.element_at(F.col("subs"), m + 1), cent),
             ),
         ).alias("dtab"),
     )
