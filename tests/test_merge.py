@@ -79,3 +79,40 @@ def test_single_shuffle_no_cartesian(frames):
     # one full-outer join = one exchange per side; AQE repeats
     # initial+final subtrees in the plan string, hence <= 4
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_bucketed_merge_runs_shuffle_free(spark, tmp_path):
+    """The docstring's at-scale claim, proven on the plan: base and
+    updates both bucketed by the merge key -> merge_into's full-outer
+    join reads pre-co-located buckets and plans ZERO shuffle
+    exchanges."""
+    from musicflow_spark.sources.catalog import read_table, write_table
+
+    sf = "/root/testdata/sf0.001"
+    base = read_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    upd = (
+        read_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_orders"))
+    )
+    for name, df in (("mb_base", base), ("mb_upd", upd)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_table(df, str(tmp_path / name), bucket_by=(8, ["k"]), table_name=name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = merge_into(
+            spark.table("mb_base"),
+            spark.table("mb_upd"),
+            on=["k"],
+            update_set={"name": F.concat(F.col("name"), F.lit("*"))},
+            insert_set={"name": F.lit("new")},
+        )
+        merged.collect()
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
