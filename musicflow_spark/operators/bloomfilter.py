@@ -200,3 +200,21 @@ def bloom_probe_grouped(
             f" & shiftleft(1L, cast({pos} % 64 AS int))) != 0L"
         )
     return probed.filter(F.expr(" AND ".join(conds))).drop("__bloom__")
+
+
+def bloom_params(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Classic sizing: (m_bits, n_hashes) for ``n_keys`` at the target
+    false-positive rate.  m = -n·ln(p)/ln(2)^2 rounded UP to a power
+    of two (pmod stays cheap and the dense word array packs evenly),
+    k = round(ln(2)·m/n) clamped to >= 1.  Power-of-two rounding only
+    LOWERS the realized FP rate."""
+    import math
+
+    if n_keys <= 0:
+        raise ValueError("n_keys must be positive")
+    if not 0 < fp_rate < 1:
+        raise ValueError("fp_rate must be in (0, 1)")
+    m_exact = -n_keys * math.log(fp_rate) / (math.log(2) ** 2)
+    m_bits = 1 << max(6, math.ceil(math.log2(m_exact)))
+    n_hashes = max(1, round(math.log(2) * m_bits / n_keys))
+    return m_bits, n_hashes

@@ -127,3 +127,21 @@ def test_null_keys_pass_only_with_null_in_build(spark):
         ).collect()
     }
     assert None not in got2
+
+
+def test_bloom_params_sizing(spark):
+    from musicflow_spark.operators.bloomfilter import bloom_params
+
+    m, k = bloom_params(73_000, 0.01)
+    assert m == 1 << 20 and 5 <= k <= 10
+    m2, k2 = bloom_params(100, 0.001)
+    assert m2 >= 1 << 6 and k2 >= 1
+    # realized FP at the suggested sizing stays under target: probe
+    # disjoint keys and count survivors
+    from pyspark.sql import functions as F
+    m3, k3 = bloom_params(500, 0.01)
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    neg = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=m3, n_hashes=k3)
+    fps = bloom_probe(neg, "k", bloom, m_bits=m3, n_hashes=k3).count()
+    assert fps / 20_000 < 0.02, fps  # 2x slack on the 1% target
