@@ -316,3 +316,57 @@ def foreach_batch_sketch_merge(
         os.rename(tmp, path)
 
     return sink
+
+
+def foreach_batch_merge_into(
+    path: str,
+    on: list[str],
+    update_set=None,
+    delete_when=None,
+    insert_set=None,
+):
+    """The streaming tier of operators/mergeinto.py: each micro-batch
+    is a CDC-style updates frame merged into the materialized table
+    with full MERGE semantics — matched-update, matched-delete,
+    not-matched-insert, carry — then atomically swapped (on a
+    lakehouse format this body becomes a transactional MERGE INTO).
+
+    First batch bootstraps the table as pure inserts.  Convergence
+    contract: if per-key updates arrive in source order within a batch
+    and across batches (one key per batch at most once — pre-aggregate
+    the batch on ``on`` upstream when the source can repeat keys), the
+    final table equals the one-shot batch merge of all updates
+    (proven in tests/test_streaming.py).
+
+    At 100 TB the same shape runs against a bucketed base (see
+    tests/test_merge.py::test_bucketed_merge_runs_shuffle_free — the
+    full-outer join plans zero exchanges) so each micro-batch costs
+    one co-located merge pass, not a table rewrite."""
+    from musicflow_spark.operators.mergeinto import merge_into
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        if os.path.exists(path):
+            base = spark.read.parquet(path)
+            merged = merge_into(
+                base, batch, on=on,
+                update_set=update_set, delete_when=delete_when,
+                insert_set=insert_set,
+            )
+        else:
+            # bootstrap: every row is a not-matched-insert (MERGE's
+            # matched-delete clause never fires on unmatched rows)
+            cols = list(on) + [
+                c.alias(name)
+                for name, c in (insert_set or {}).items()
+            ]
+            merged = batch.select(*cols)
+        merged = merged.localCheckpoint(eager=True)
+        tmp = f"{path}.__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return sink
