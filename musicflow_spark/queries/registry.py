@@ -89,6 +89,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "knn_pq",
     "doc_url_canonical",
     "knn_graph_lsh",
+    "doc_hard_negatives",
 )
 
 

@@ -664,6 +664,97 @@ WHERE rank <= {DOC_KNN_K}
 """
 
 
+NEG_MAX, NEG_K = 0.5, 5
+
+
+def doc_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (ext: training-pair
+    construction): for each query document, the top-5 MOST similar
+    documents whose similarity stays BELOW the near-duplicate cutoff
+    (0.5) — similar enough to be hard, distinct enough to be true
+    negatives.  Same text -> feature-hash embedding -> cosine bridge
+    as doc_text_knn; both the sub-threshold filter and the ranking run
+    on the 6-dp-rounded similarity so a cross-engine ulp cannot flip a
+    boundary pair.  Scale shape: bounded query set broadcast, linear
+    corpus scan, per-query top-k window."""
+    from pyspark.sql import Window
+
+    from musicflow_spark.operators.similarity import (
+        cosine,
+        feature_hash_embedding,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = feature_hash_embedding(docs, dim=EMBED_DIM).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    nonzero = emb.filter(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
+    ).localCheckpoint(eager=True)
+    queries = nonzero.filter(F.col("vec_id") < DOC_KNN_QUERIES).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        nonzero.select(
+            F.col("vec_id").alias("neg_doc"), F.col("embedding").alias("c_vec")
+        )
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("neg_doc") != F.col("doc_id"))
+        .select(
+            "doc_id",
+            "neg_doc",
+            pround(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < NEG_MAX)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cos_sim"), F.asc("neg_doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NEG_K)
+        .select("doc_id", "neg_doc", "cos_sim", "rank")
+    )
+
+
+def _doc_hard_negatives_oracle_sql() -> str:
+    sign_bit = EMBED_DIM.bit_length() - 1
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+cells AS (
+  SELECT doc_id, h % {EMBED_DIM} AS dim,
+         CASE WHEN ((h >> {sign_bit}) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM h),
+agg AS (SELECT doc_id, dim, sum(s) AS v FROM cells GROUP BY doc_id, dim),
+grid AS (
+  SELECT d.doc_id, g.dim
+  FROM documents d CROSS JOIN (SELECT unnest(range({EMBED_DIM})) AS dim) g),
+filled AS (
+  SELECT grid.doc_id, grid.dim, coalesce(agg.v, 0.0) AS v
+  FROM grid LEFT JOIN agg ON agg.doc_id = grid.doc_id AND agg.dim = grid.dim),
+emb AS (SELECT doc_id, list(v ORDER BY dim) AS e FROM filled GROUP BY doc_id),
+nz AS (
+  SELECT * FROM emb
+  WHERE list_sum(list_transform(e, x -> x * x)) > 0),
+scored AS (
+  SELECT q.doc_id AS doc_id, c.doc_id AS neg_doc,
+         round(list_sum(list_transform(range(1, {EMBED_DIM} + 1), i -> q.e[i] * c.e[i]))
+         / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.e, x -> x * x)))) * 1000000.0) / 1000000.0 AS cos_sim
+  FROM nz c CROSS JOIN (SELECT * FROM nz WHERE doc_id < {DOC_KNN_QUERIES}) q
+  WHERE c.doc_id <> q.doc_id)
+SELECT doc_id, neg_doc, cos_sim, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cos_sim DESC, neg_doc) AS rank
+      FROM scored WHERE cos_sim < {NEG_MAX})
+WHERE rank <= {NEG_K}
+"""
+
+
 def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling (ext): per-language document-length
     distribution — count, mean, and exact interpolated quartiles/p95.
@@ -1336,6 +1427,7 @@ QUERIES = [
     Query("doc_length_profile", "ext: corpus length profiling (exact percentiles)", doc_length_profile, DOC_LENGTH_PROFILE_SQL),
     Query("corpus_clean", "ext: full cleaning pipeline (lang+quality+dedup+clustering)", corpus_clean, _corpus_clean_oracle_sql()),
     Query("doc_text_knn", "ext: text->embedding->ANN composite", doc_text_knn, _doc_text_knn_oracle_sql()),
+    Query("doc_hard_negatives", "ext: contrastive hard-negative mining (sub-threshold top-k)", doc_hard_negatives, _doc_hard_negatives_oracle_sql()),
     Query("doc_minhash_dedup", "ext: minhash LSH dedup", doc_minhash_dedup, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_incremental_dedup", "ext: delta-vs-corpus incremental dedup (no base-x-base pairing)", doc_incremental_dedup, DOC_INCREMENTAL_DEDUP_SQL, bench=True),
     Query("doc_winnow_fingerprints", "ext: winnowing (MOSS) fingerprint selection, oracle-replayed", doc_winnow_fingerprints, DOC_WINNOW_FINGERPRINTS_SQL),

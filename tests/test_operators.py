@@ -503,3 +503,36 @@ def test_winnow_short_doc_keeps_global_min(spark):
     assert len(fps) == 1
     with pytest.raises(ValueError, match="w >= 1"):
         winnow_fingerprints(df, w=0).count()
+
+
+def test_hard_negatives_are_subthreshold_and_ranked(spark):
+    """doc_hard_negatives: every mined pair sits strictly below the
+    near-dup cutoff, per-query ranks are dense descending, and no
+    mined pair also appears in the near-dup (>= cutoff) region."""
+    from musicflow_spark.queries.textops import (
+        NEG_MAX,
+        doc_hard_negatives,
+        doc_text_knn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    negs = doc_hard_negatives(spark, sf).collect()
+    assert negs, "fixture must yield hard negatives"
+    assert all(r.cos_sim < NEG_MAX for r in negs)
+    per_q = {}
+    for r in negs:
+        per_q.setdefault(r.doc_id, []).append((r.rank, r.cos_sim))
+    for pairs in per_q.values():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        sims = [p[1] for p in pairs]
+        assert sims == sorted(sims, reverse=True)
+    # disjoint from the duplicate region: knn rows at/above the cutoff
+    # never reappear as negatives
+    dup_pairs = {
+        (r.doc_id, r.neighbor_doc)
+        for r in doc_text_knn(spark, sf).collect()
+        if r.cos_sim >= NEG_MAX
+    }
+    neg_pairs = {(r.doc_id, r.neg_doc) for r in negs}
+    assert not dup_pairs & neg_pairs

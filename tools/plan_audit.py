@@ -58,6 +58,8 @@ CARTESIAN_OK = {
     "knn_graph_lsh",           # two 1-row plane-matrix broadcasts (the bucketing
                                # constants); the candidate join itself is a plain
                                # shuffle equi-join — that is the point of the query
+    "doc_hard_negatives",      # broadcast side = bounded query set (8 docs by the
+                               # DOC_KNN_QUERIES contract), same as doc_text_knn
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
