@@ -75,22 +75,40 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "nation_metrics_unpivot", "customer_snapshot_diff",
     "order_revenue_range_window", "hll_distinct_users",
     "approx_median_prices", "weighted_sample_orders", "fuzzy_customer_pairs",
+    # green in CORRECTNESS_r04.json
+    "pipe_return_status_stats", "regional_supplier_volume",
+    "forecast_revenue_delta", "returned_item_customers",
+    "customer_order_gaps", "lateral_top_customers", "regional_rollup",
+    "log_found_videos_mart", "log_for_tableau_mart",
+    "log_not_found_videos_mart", "match_cascade_catalog",
+    "skipped_during_run_analysis", "found_ratio_analysis",
+    "found_by_stats_analysis", "best_supplier_per_part",
+    "nation_profit_by_year", "ship_latency_priority_counts",
+    "promo_revenue_share", "top_supplier_revenue", "part_supplier_variety",
+    "excess_inventory_suppliers", "event_props_variant_stats",
+    "user_value_locf", "recursive_yearly_revenue",
+    "daily_value_interpolated", "user_activity_streaks",
+    "shipment_overlap_pairs", "doc_bigram_condprob",
+    "doc_incremental_dedup", "doc_winnow_fingerprints", "doc_winnow_pairs",
+    "corpus_vocab_topk", "doc_rarity_score", "doc_bpe_token_stats",
+    "doc_canonical_selection", "knn_bruteforce_blas",
+    "embedding_gram_moments", "embedding_semantic_dedup",
+    "media_feature_values", "customer_profile",
+    "orders_with_customer_version", "customer_profile_sketch",
+    "hll_mergeable_daily", "approx_top_tokens", "cms_token_counts",
+    "quantile_sketch_daily", "event_type_quantiles", "theta_year_overlap",
+    "kll_value_quantiles",
 )
 
-# Queries added AFTER the round-4 window was frozen (41 never-proven +
-# 9 round-4 additions fill it exactly).  They sort after the window but
-# before the proven tail, so they enter the window automatically next
-# round when this round's greens move to _DRIVER_PROVEN.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "collection_cascade_catalog",
-    "others_cascade_catalog",
-    "bloom_filtered_revenue",
-    "customer_merge_upsert",
-    "knn_pq",
-    "doc_url_canonical",
-    "knn_graph_lsh",
-    "doc_hard_negatives",
-)
+# Queries added AFTER the current round's 50-query window was frozen.
+# They sort after the window but before the proven tail, so they enter
+# the window automatically next round when this round's greens move to
+# _DRIVER_PROVEN.  Round-5 rotation: the 49 round-4 greens rolled into
+# _DRIVER_PROVEN, which promotes the 8 late round-4 additions (cascade
+# catalogs, bloom, MERGE, PQ/graph kNN, URL canonical, hard negatives)
+# plus `embedding_pca_scores` to the head of the window; round-5
+# additions join them until the window refreezes.
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def get_queries() -> list[Query]:

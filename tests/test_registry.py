@@ -26,15 +26,19 @@ def test_names_unique_and_window_is_tier0():
     names = [q.name for q in qs]
     assert len(names) == len(set(names))
     proven, fresh = set(_DRIVER_PROVEN), set(_NEW_THIS_ROUND)
-    # every never-driver-proven query must sit inside the driver window;
-    # tier-1 (post-freeze additions) must never displace one
-    tier0 = [n for n in names if n not in proven and n not in fresh]
-    assert len(tier0) <= DRIVER_WINDOW, (
-        f"{len(tier0)} never-proven queries exceed the {DRIVER_WINDOW}-query "
-        "driver window; move this round's additions to _NEW_THIS_ROUND"
+    # EVERY query without a green driver row — tier-0 and tier-1 alike —
+    # must sit inside the driver window, or it ships driver-unverified
+    # (round-4 postmortem: 8 late additions sat at positions 50–57 for a
+    # whole round).  Overfilling the window is a decision to make loudly,
+    # not a silent queue.
+    nonproven = [n for n in names if n not in proven]
+    assert len(nonproven) <= DRIVER_WINDOW, (
+        f"{len(nonproven)} never-driver-proven queries exceed the "
+        f"{DRIVER_WINDOW}-query driver window; rotate this round's greens "
+        "into _DRIVER_PROVEN or drop a query"
     )
     window = set(names[:DRIVER_WINDOW])
-    missing = [n for n in tier0 if n not in window]
+    missing = [n for n in nonproven if n not in window]
     assert not missing, missing
     # and tiers are contiguous: tier-0, then tier-1, then proven
     tiers = [2 if n in proven else (1 if n in fresh else 0) for n in names]
