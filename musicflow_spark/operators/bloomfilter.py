@@ -39,8 +39,49 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_identifier(key_col: str) -> str:
+    """Probe predicates interpolate ``key_col`` into raw SQL (same
+    contract as qsketch's ``_bin_expr``); reject names that would need
+    backtick quoting up front instead of mis-parsing silently."""
+    if not _IDENT_RE.match(key_col):
+        raise ValueError(
+            f"key_col must be a plain SQL identifier, got {key_col!r}"
+        )
+    return key_col
+
+
+def _probe_conds(key_col: str, m_bits: int, n_hashes: int) -> str:
+    """The unrolled bit-test predicate, prefixed with a bitmap-width
+    guard: ``size(__bloom__) == m_bits/64`` must hold or the probe
+    positions index a DIFFERENT modulus than the build side used and
+    the bit tests silently produce false negatives (breaking the
+    no-false-negative contract — the downstream exact verify join then
+    loses rows).  The guard RAISES on mismatch (first row evaluated)
+    rather than filtering, so a build/probe parameter drift is a loud
+    runtime error, never a quietly-wrong result."""
+    _check_identifier(key_col)
+    guard = (
+        f"(CASE WHEN size(__bloom__) != {m_bits // 64} THEN "
+        f"cast(raise_error(concat('bloom probe m_bits mismatch: bitmap has ', "
+        f"size(__bloom__), ' words, probe expects {m_bits // 64}')) AS boolean) "
+        f"ELSE true END)"
+    )
+    conds = [guard]
+    for i in range(n_hashes):
+        pos = f"pmod(xxhash64({key_col}, {i}), {m_bits})"
+        conds.append(
+            f"(element_at(__bloom__, cast(shiftrightunsigned({pos}, 6) AS int) + 1)"
+            f" & shiftleft(1L, cast({pos} % 64 AS int))) != 0L"
+        )
+    return " AND ".join(conds)
 
 
 def bloom_positions(key: Column, m_bits: int, n_hashes: int) -> Column:
@@ -104,9 +145,13 @@ def bloom_probe(
     one row, effectively free) and the unrolled bit tests run at the
     scan, BEFORE any shuffle the caller adds downstream.
 
-    ``key_col`` must be a plain SQL identifier (it is interpolated
-    into the probe predicate — same contract as qsketch's
-    ``_bin_expr``).
+    ``key_col`` must be a plain SQL identifier (validated — it is
+    interpolated into the probe predicate, same contract as qsketch's
+    ``_bin_expr``).  ``m_bits``/``n_hashes`` must match the build-side
+    parameters; a bitmap-width guard raises at runtime on ``m_bits``
+    drift (``n_hashes`` drift is not detectable from the bitmap alone:
+    extra probe hashes only ADD false negatives, so keep the two
+    parameters paired in one config site as all callers here do).
 
     NULL keys: xxhash64 skips null inputs, so NULL hashes like a
     distinct constant — a probe-side NULL passes iff the build side
@@ -115,14 +160,9 @@ def bloom_probe(
     the exact verify join downstream (the intended sandwich), or
     pre-filter nulls when using the probe alone."""
     probed = df.crossJoin(F.broadcast(bloom))
-    conds = []
-    for i in range(n_hashes):
-        pos = f"pmod(xxhash64({key_col}, {i}), {m_bits})"
-        conds.append(
-            f"(element_at(__bloom__, cast(shiftrightunsigned({pos}, 6) AS int) + 1)"
-            f" & shiftleft(1L, cast({pos} % 64 AS int))) != 0L"
-        )
-    return probed.filter(F.expr(" AND ".join(conds))).drop("__bloom__")
+    return probed.filter(
+        F.expr(_probe_conds(key_col, m_bits, n_hashes))
+    ).drop("__bloom__")
 
 
 def bloom_word_rows(
@@ -190,16 +230,12 @@ def bloom_probe_grouped(
     """Probe rows against their own group's bitmap (e.g. events vs the
     per-day bloom): broadcast the bitmap table, join on the group
     columns, run the same unrolled bit tests.  ``key_col`` must be a
-    plain SQL identifier (interpolated predicate)."""
+    plain SQL identifier (validated); the same bitmap-width guard as
+    ``bloom_probe`` raises on ``m_bits`` drift."""
     probed = df.join(F.broadcast(blooms), group_cols)
-    conds = []
-    for i in range(n_hashes):
-        pos = f"pmod(xxhash64({key_col}, {i}), {m_bits})"
-        conds.append(
-            f"(element_at(__bloom__, cast(shiftrightunsigned({pos}, 6) AS int) + 1)"
-            f" & shiftleft(1L, cast({pos} % 64 AS int))) != 0L"
-        )
-    return probed.filter(F.expr(" AND ".join(conds))).drop("__bloom__")
+    return probed.filter(
+        F.expr(_probe_conds(key_col, m_bits, n_hashes))
+    ).drop("__bloom__")
 
 
 def bloom_params(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:

@@ -64,7 +64,12 @@ def merge_into(
     matched = F.col(_B).isNotNull() & F.col(_U).isNotNull()
 
     if delete_when is not None:
-        joined = joined.filter(~(matched & delete_when))
+        # ANSI/Delta: a NULL `WHEN MATCHED AND cond THEN DELETE` condition
+        # does NOT fire — the row falls through to update/carry.  Without
+        # the coalesce, 3-valued logic makes ~(matched & NULL) = NULL and
+        # the filter silently drops the row.
+        fires = matched & F.coalesce(delete_when, F.lit(False))
+        joined = joined.filter(~fires)
 
     out_cols = []
     for c in base.columns:

@@ -152,11 +152,20 @@ class BatchRestWriter(DataSourceWriter):
     ``url``; transient HTTP codes retry with the reader's backoff.
     Two-phase shape: tasks return (rows, batches) commit messages
     and the DRIVER posts one commit marker to ``commit_url`` (if
-    configured) only after every task succeeded — Spark re-runs
-    failed tasks, so the marker is the all-or-nothing signal a
-    downstream consumer keys on; ``abort()`` posts to ``abort_url``
-    so staged rows can be discarded.  At scale the task count is
-    the API-concurrency bound, same knob as the reader."""
+    configured) only after every task succeeded; ``abort()`` posts
+    to ``abort_url`` so staged rows can be discarded.
+
+    Delivery is AT-LEAST-ONCE to the data endpoint: a task that
+    POSTs some chunks and then fails is re-run by Spark and re-POSTs
+    its whole partition, so duplicate chunks can reach the sink even
+    on runs where the commit marker later fires.  Every chunk
+    therefore carries an idempotency key — ``part`` (Spark partition
+    id) + ``chunk`` (0-based chunk index within the partition) — that
+    is IDENTICAL across task re-runs (same partition data, same
+    chunking), so a consumer that keeps the last write per
+    (part, chunk) and applies on the commit marker gets effective
+    exactly-once.  At scale the task count is the API-concurrency
+    bound, same knob as the reader."""
 
     def __init__(self, schema: StructType, options: dict):
         if "url" not in options:
@@ -194,13 +203,22 @@ class BatchRestWriter(DataSourceWriter):
         raise RuntimeError("unreachable")
 
     def write(self, iterator: Iterator) -> RestCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else -1
         rows = batches = 0
         chunk: list[dict] = []
 
         def flush() -> None:
             nonlocal batches
             if chunk:
-                self._post(self.url, {self.items_key: chunk})
+                # (part, chunk) = idempotency key, stable across task
+                # re-runs — see the at-least-once note in the class doc
+                self._post(
+                    self.url,
+                    {self.items_key: chunk, "part": part, "chunk": batches},
+                )
                 batches += 1
                 chunk.clear()
 

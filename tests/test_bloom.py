@@ -145,3 +145,31 @@ def test_bloom_params_sizing(spark):
     bloom = bloom_build(keys, "k", m_bits=m3, n_hashes=k3)
     fps = bloom_probe(neg, "k", bloom, m_bits=m3, n_hashes=k3).count()
     assert fps / 20_000 < 0.02, fps  # 2x slack on the 1% target
+
+
+def test_probe_rejects_non_identifier_key(spark):
+    """key_col is interpolated into raw SQL — non-identifier names
+    must raise up front (qsketch-parity guard), never mis-parse."""
+    import pytest
+
+    keys, probe = _frames(spark)
+    bloom = bloom_build(keys, "k", m_bits=1 << 10, n_hashes=3)
+    for bad in ("k; drop", "k k", "1k", "k`"):
+        with pytest.raises(ValueError, match="identifier"):
+            bloom_probe(probe, bad, bloom, m_bits=1 << 10, n_hashes=3)
+
+
+def test_probe_raises_on_m_bits_mismatch(spark):
+    """Probing with m_bits different from the build side would index a
+    different modulus and silently produce false negatives; the width
+    guard must turn that into a loud runtime error instead."""
+    import pytest
+
+    keys, probe = _frames(spark)
+    bloom = bloom_build(keys, "k", m_bits=1 << 12, n_hashes=3)
+    bad = bloom_probe(probe, "k", bloom, m_bits=1 << 14, n_hashes=3)
+    with pytest.raises(Exception, match="m_bits mismatch"):
+        bad.collect()
+    # matched parameters still pass cleanly
+    ok = bloom_probe(probe, "k", bloom, m_bits=1 << 12, n_hashes=3)
+    assert ok.count() > 0

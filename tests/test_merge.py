@@ -57,6 +57,26 @@ def test_unlisted_insert_column_is_typed_null(frames):
     assert dict(out.dtypes)["name"] == "string"
 
 
+def test_null_delete_condition_does_not_fire(spark):
+    """ANSI/Delta MERGE: a NULL `WHEN MATCHED AND cond THEN DELETE`
+    condition does not fire — the matched row falls through to update.
+    Regression for the 3-valued-logic bug where filter(~(matched &
+    NULL)) silently dropped the row."""
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, "y", 20), (3, "n", 30)], "k int, x string, bal long"
+    )
+    updates = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "k int, delta int")
+    out = merge_into(
+        base,
+        updates,
+        on=["k"],
+        update_set={"bal": F.col("bal") + F.col("delta")},
+        delete_when=F.col("x") == "y",  # NULL for k=1
+    )
+    got = {r.k: r.bal for r in out.collect()}
+    assert got == {1: 11, 3: 33}  # k=1 updated (NULL cond), k=2 deleted
+
+
 def test_collision_guard(frames):
     base, _ = frames
     bad = base.select("k", F.col("bal").alias("name"))  # name collides

@@ -136,6 +136,34 @@ def test_validation(spark):
         hist_merge()
 
 
+def test_integer_width_exact_past_double_precision(spark):
+    """Width and bin index stay integer-exact at a 2^53-adjacent
+    domain, where the double-division path would round: w must equal
+    (hi-lo) // n_bins + 1 and every value's bin must match Python's
+    integer arithmetic bit-for-bit."""
+    from musicflow_spark.operators.qsketch import _with_width
+
+    lo, hi = 2**53 - 11, 2**53 + 101  # straddles the double-exactness edge
+    vals = [lo, lo + 1, lo + 57, hi - 1, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    n_bins = 7
+    bounds = hist_bounds(df, "v")
+    row = _with_width(bounds, n_bins).collect()[0]
+    assert row.lo == lo and row.hi == hi
+    assert row.w == (hi - lo) // n_bins + 1
+    got = {
+        r.bin: r.cnt
+        for r in hist_partials(df, "v", bounds, n_bins=n_bins).collect()
+    }
+    w = (hi - lo) // n_bins + 1
+    want = {}
+    for v in vals:
+        b = (v - lo) // w
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    assert all(0 <= b < n_bins for b in got)
+
+
 def test_grouped_quantiles_match_per_group_reference(valdf):
     """The grouped form on a shared global grid must equal running
     the global form separately on each group's rows (same bounds

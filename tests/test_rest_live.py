@@ -151,7 +151,7 @@ def _make_handler(state: _State):
                         rate_limited = True
                     else:
                         rate_limited = False
-                        state.sink_events.append(("data", body.get("items", [])))
+                        state.sink_events.append(("data", body))
                 if rate_limited:
                     return self._json(429, {"error": "slow down"}, {"Retry-After": "0"})
                 return self._json(200, {"ok": True})
@@ -484,10 +484,21 @@ def test_python_datasource_writer_posts_batches_then_commit(spark, rest_server):
         events = list(state.sink_events)
     kinds = [k for k, _ in events]
     assert kinds.count("commit") == 1 and kinds[-1] == "commit"
-    data = [items for k, items in events if k == "data"]
+    bodies = [b for k, b in events if k == "data"]
+    data = [b["items"] for b in bodies]
     assert all(1 <= len(b) <= 50 for b in data)
     seen = sorted(r["id"] for b in data for r in b)
     assert seen == list(range(n))  # exactly once, 429 retry absorbed
+    # at-least-once idempotency keys: (part, chunk) present and unique,
+    # chunk indices contiguous from 0 within each partition
+    keys = [(b["part"], b["chunk"]) for b in bodies]
+    assert len(keys) == len(set(keys))
+    by_part: dict[int, list[int]] = {}
+    for p, c in keys:
+        by_part.setdefault(p, []).append(c)
+    assert set(by_part) == {0, 1, 2, 3}
+    for chunks in by_part.values():
+        assert sorted(chunks) == list(range(len(chunks)))
     commit = events[-1][1]
     assert commit["rows"] == n and commit["batches"] == len(data)
     assert commit["tasks"] == 4

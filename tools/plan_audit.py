@@ -52,7 +52,7 @@ CARTESIAN_OK = {
     "event_type_quantiles",    # same 1-row bounds broadcast (grouped form)
     "theta_year_overlap",      # 1-row x 1-row scalar join (sketch ests vs exact counts)
     "kll_value_quantiles",     # 3-row quantile-frame broadcast into the rank-gate scan
-    "bloom_filtered_revenue",  # 1-row bitmap broadcast (map<long,long>, ≤ m_bits/64 entries)
+    "bloom_filtered_revenue",  # 1-row bitmap broadcast (dense array<long>, m_bits/64 words)
     "knn_pq",                  # 1-row codebook broadcast (17 seed vectors) + 8-row
                                # query distance-table broadcast (the ADC scan pairing)
     "knn_graph_lsh",           # two 1-row plane-matrix broadcasts (the bucketing
