@@ -167,15 +167,24 @@ def pca_components(
 
 
 def pca_project(
-    df: DataFrame, vec_col: str, k: int, *, out_col: str = "pca"
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    *,
+    out_col: str = "pca",
+    basis: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Append an array<double> column of the k leading principal
     components' centered scores ((x - mean) . v).  The d x k basis
     broadcasts as literals with the mean offset folded into a
     per-component constant; each score is a native zip_with/aggregate
     dot fold — zero Python in the row path, one extra map stage in
-    the plan."""
-    comps, _, mean = pca_components(df, vec_col, k)
+    the plan.  Pass ``basis`` (the :func:`pca_components` triple) to
+    reuse an already-computed decomposition instead of re-scanning."""
+    comps, _, mean = basis if basis is not None else pca_components(df, vec_col, k)
+    if k > len(comps):
+        raise ValueError(f"k={k} exceeds the {len(comps)}-component basis")
+    comps = comps[:k]
     scores = [
         dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in comp]))
         - F.lit(float(np.dot(mean, comp)))

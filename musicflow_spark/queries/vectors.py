@@ -11,12 +11,14 @@ asserted in tests.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from musicflow_spark.operators.embeddings import (
     DEFAULT_SCALE,
     gram_moments_exact,
+    pca_components,
     pca_project,
 )
 from musicflow_spark.operators.similarity import (
@@ -579,6 +581,67 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-replayable PCA gate (VERDICT r04 item 2): the raw
+    eigendecomposition has no SQL twin, but its DEFINING invariants
+    round to exact constants, so the oracle is a literal expectation
+    table joined to the corpus row count.  One row with:
+
+    - ``n``            — vectors projected (data-dependent; the oracle
+                         recounts it from the parquet)
+    - ``mean{i}``      — avg(score_i)/sqrt(eigenvalue_i), exact 0.0
+                         when centering is right (observed ~1e-12,
+                         ten orders inside the 1e-6 rounding margin —
+                         no boundary hazard)
+    - ``var{i}``       — var_samp(score_i)/eigenvalue_i, exact 1.0
+                         when the projected variance matches the
+                         eigenvalue of the sample covariance
+    - ``ortho{i}{j}``  — covar_samp(score_i, score_j) normalized by
+                         sqrt(eig_i·eig_j), exact 0.0 when the axes
+                         are orthogonal
+
+    Any bug in the moment aggregation, the eigendecomposition, the
+    mean offset, or the projection fold moves at least one cell off
+    its constant and the driver hash goes red.  ``+ 0.0`` folds IEEE
+    ``-0.0`` (possible after rounding a tiny negative) to ``+0.0`` so
+    both engines hash the same bits."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    comps, eigs, mean = pca_components(emb, "embedding", PCA_K)
+    scored = pca_project(emb, "embedding", PCA_K, basis=(comps, eigs, mean))
+    s = scored.select(*[F.col("pca")[i].alias(f"pc{i}") for i in range(PCA_K)])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(PCA_K):
+        aggs.append(
+            (pround(F.avg(f"pc{i}") / float(np.sqrt(eigs[i])), 6) + F.lit(0.0)).alias(f"mean{i}")
+        )
+    for i in range(PCA_K):
+        aggs.append(
+            (pround(F.var_samp(f"pc{i}") / float(eigs[i]), 6) + F.lit(0.0)).alias(f"var{i}")
+        )
+    for i in range(PCA_K):
+        for j in range(i + 1, PCA_K):
+            aggs.append(
+                (
+                    pround(
+                        F.covar_samp(f"pc{i}", f"pc{j}")
+                        / float(np.sqrt(eigs[i] * eigs[j])),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias(f"ortho{i}{j}")
+            )
+    return s.agg(*aggs)
+
+
+EMBEDDING_PCA_INVARIANTS_SQL = f"""
+SELECT count(*) AS n,
+       {", ".join(f"0.0 AS mean{i}" for i in range(PCA_K))},
+       {", ".join(f"1.0 AS var{i}" for i in range(PCA_K))},
+       {", ".join(f"0.0 AS ortho{i}{j}" for i in range(PCA_K) for j in range(i + 1, PCA_K))}
+FROM embeddings
+"""
+
+
 # 24 dims = 300 moment cells; wide enough to include coordinates whose
 # float32 .5-boundary rounding diverged between engines before the
 # CAST-to-DOUBLE fix (e.g. sf0.1 vec 1879 dim 17), so the oracle
@@ -642,4 +705,5 @@ QUERIES = [
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),
     Query("embedding_semantic_dedup", "ext: SemDeDup-style cluster-blocked semantic dedup", embedding_semantic_dedup, _embedding_semantic_dedup_oracle_sql()),
     Query("embedding_pca_scores", "ext: PCA projection (driver rows-only; numpy-certified in tests)", embedding_pca_scores, None),
+    Query("embedding_pca_invariants", "ext: PCA driver gate — centering/eigenvalue/orthogonality invariants vs a literal expectation oracle", embedding_pca_invariants, EMBEDDING_PCA_INVARIANTS_SQL),
 ]
