@@ -122,6 +122,7 @@ def get_queries() -> list[Query]:
     from musicflow_spark.queries import multimodal as _multimodal
     from musicflow_spark.queries import relational as _relational
     from musicflow_spark.queries import sampling as _sampling
+    from musicflow_spark.queries import streamtwins as _streamtwins
     from musicflow_spark.queries import textops as _textops
     from musicflow_spark.queries import timeseries as _timeseries
     from musicflow_spark.queries import vectors as _vectors
@@ -133,6 +134,7 @@ def get_queries() -> list[Query]:
         _matchflow,
         _classic,
         _events,
+        _streamtwins,
         _timeseries,
         _textops,
         _sampling,

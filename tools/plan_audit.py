@@ -92,6 +92,7 @@ SINGLE_OK = {
     "promo_revenue_share",     # final global scalar aggregate (1 row by construction)
     "top_supplier_revenue",    # global-max scalar broadcast back (1 row by construction)
     "cms_token_counts",        # scalar token-total + merge-proof aggregates (1 row each)
+    "embedding_pca_invariants",  # final global invariant aggregate (1 row by construction)
     "daily_value_interpolated", # day-grain global fill windows (dozens of rows; see daily_moving_stats)
     "approx_top_tokens",       # 1-row frequent-items sketch aggregate
     "quantile_sketch_daily",   # scalar bounds aggregate + ≤256-row sketch cumsum window
