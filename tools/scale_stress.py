@@ -19,11 +19,28 @@ dimensions don't, and scaling them would turn broadcast sides into
 fact-sized frames the real workload never has.
 
 Usage: python tools/scale_stress.py [N] [query ...]
+       python tools/scale_stress.py --skew [N] [query ...]
 Writes scaled parquet under /tmp/scale_stress/x{N}/ (rebuilt if
 missing), times each query on sf0.1 and on the scaled dir (2 runs
 each, best-of), prints one ratio line per query.  A ratio well below
 N means sub-linear (broadcast reuse / fixed overhead amortizing);
 near N is linear; well above N flags a super-linear stage.
+
+``--skew`` (VERDICT r04 item 5) replaces the benign uniform replicas
+with a HOT-SPOT distribution and measures t(skew xN)/t(skew x1), so
+both points carry the same skew and the ratio isolates the cost
+CURVE under it:
+
+* documents: 10% of docs (across ALL replicas) share one identical
+  60-token suffix — one globally hot shingle family.  The safety
+  argument under test is the ``max_df`` cap: a df>>20 shingle must be
+  dropped from BOTH the jaccard inverted index and the minhash kept-
+  shingle sets, or the hot bucket alone costs O((0.1·corpus)²).
+* lineitem: 10% of heavy shipments compress into one 32-day window —
+  one hot TIME bucket with diverse supplier keys.  The claim under
+  test is overlap_join_bucketed's composite (key, bucket) shuffle
+  key: bucket-only heat must shard across keys instead of landing in
+  a single task.
 """
 
 from __future__ import annotations
@@ -111,17 +128,60 @@ def _replica(df, table: str, i: int):
     return out
 
 
-def build_scaled(spark, n: int, tables: set[str]) -> str:
-    root = f"/tmp/scale_stress/x{n}"
+#: --skew mode: queries whose hot-spot behavior the caps must bound,
+#: and the tables the hot spot lives in
+SKEW_QUERIES = [
+    "doc_jaccard_pairs",        # max_df cap on the inverted index
+    "doc_minhash_dedup",        # max_df cap before signatures/banding
+    "doc_incremental_dedup",    # same cap on the delta-vs-corpus probe
+    "shipment_overlap_pairs",   # composite (key, bucket) shuffle key
+]
+
+_HOT_SUFFIX = " ".join(f"zzhot{j}" for j in range(60))
+
+
+def _skewed(df, table: str):
+    """Inject the hot spot AFTER replica-shifting, so the hot content
+    is IDENTICAL across replicas (one global hot spot holding ~10% of
+    all rows, growing with N — the adversarial case)."""
+    if table == "documents":
+        return df.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,  # stride is a multiple of 10
+                F.concat_ws(" ", F.col("text"), F.lit(_HOT_SUFFIX)),
+            ).otherwise(F.col("text")),
+        )
+    if table == "lineitem":
+        # one hot 32-day window; supplier keys stay replica-disjoint,
+        # so only the BUCKET component of the join key is hot
+        return df.withColumn(
+            "l_shipdate",
+            F.when(
+                F.col("l_orderkey") % 10 == 0,
+                F.to_date(F.lit("1995-06-01"))
+                + F.make_interval(days=F.pmod(F.col("l_orderkey") / 10, F.lit(32)).cast("int")),
+            ).otherwise(F.col("l_shipdate")),
+        )
+    return df
+
+
+def build_scaled(spark, n: int, tables: set[str], skew: bool = False) -> str:
+    root = f"/tmp/scale_stress/{'skew_' if skew else ''}x{n}"
     os.makedirs(root, exist_ok=True)
     for t in sorted(tables):
         dest = f"{root}/{t}.parquet"
         if os.path.exists(dest):
             continue
         base = spark.read.parquet(f"{BASE}/{t}.parquet")
-        scaled = _replica(base, t, 0)
+
+        def one(i: int):
+            rep = _replica(base, t, i)
+            return _skewed(rep, t) if skew else rep
+
+        scaled = one(0)
         for i in range(1, n):
-            scaled = scaled.unionByName(_replica(base, t, i))
+            scaled = scaled.unionByName(one(i))
         tmp = dest + ".__tmp__"
         scaled.repartition(32).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, dest)
@@ -148,8 +208,12 @@ def _time(fn, spark, sf_dir: str, runs: int = 2) -> float:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    skew = "--skew" in args
+    if skew:
+        args.remove("--skew")
+    n = int(args[0]) if args else 10
+    names = args[1:] or (SKEW_QUERIES if skew else DEFAULT_QUERIES)
     bad = [q for q in names if q not in QUERY_TABLES]
     if bad:
         raise SystemExit(f"no table map for {bad}; add to QUERY_TABLES")
@@ -164,17 +228,21 @@ def main() -> int:
     need = set()
     for q in names:
         need |= set(QUERY_TABLES[q])
-    scaled_dir = build_scaled(spark, n, need)
+    scaled_dir = build_scaled(spark, n, need, skew=skew)
+    # under --skew the x1 point carries the SAME hot spot, so the
+    # ratio measures the curve under skew, not skew-vs-benign
+    base_dir = build_scaled(spark, 1, need, skew=True) if skew else BASE
 
-    print(f"{'query':26s} {'t(sf0.1)':>9s} {'t(x%d)' % n:>9s} {'ratio':>6s}  verdict")
+    label = f"t(skew x1)" if skew else "t(sf0.1)"
+    print(f"{'query':26s} {label:>10s} {'t(%sx%d)' % ('skew ' if skew else '', n):>12s} {'ratio':>6s}  verdict")
     worst = 0.0
     for q in names:
-        t1 = _time(fns[q], spark, BASE)
+        t1 = _time(fns[q], spark, base_dir)
         tn = _time(fns[q], spark, scaled_dir)
         r = tn / t1
         worst = max(worst, r)
         verdict = "sub-linear" if r < 0.8 * n else ("~linear" if r <= 1.5 * n else "SUPER-LINEAR!")
-        print(f"{q:26s} {t1:9.2f} {tn:9.2f} {r:6.2f}  {verdict}")
+        print(f"{q:26s} {t1:10.2f} {tn:12.2f} {r:6.2f}  {verdict}")
     print(f"SCALE STRESS: {'OK' if worst <= 1.5 * n else 'SUPER-LINEAR STAGE FOUND'}")
     return 0 if worst <= 1.5 * n else 1
 
