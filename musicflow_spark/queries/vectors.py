@@ -635,9 +635,9 @@ def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_PCA_INVARIANTS_SQL = f"""
 SELECT count(*) AS n,
-       {", ".join(f"0.0 AS mean{i}" for i in range(PCA_K))},
-       {", ".join(f"1.0 AS var{i}" for i in range(PCA_K))},
-       {", ".join(f"0.0 AS ortho{i}{j}" for i in range(PCA_K) for j in range(i + 1, PCA_K))}
+       {", ".join(f"CAST(0.0 AS DOUBLE) AS mean{i}" for i in range(PCA_K))},
+       {", ".join(f"CAST(1.0 AS DOUBLE) AS var{i}" for i in range(PCA_K))},
+       {", ".join(f"CAST(0.0 AS DOUBLE) AS ortho{i}{j}" for i in range(PCA_K) for j in range(i + 1, PCA_K))}
 FROM embeddings
 """
 
