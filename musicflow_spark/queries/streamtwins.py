@@ -327,6 +327,76 @@ FROM events
 """
 
 
+# --------------------------- stateful LSH candidates (streaming dedup)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup, sketch-then-verify: candidate pairs
+    come from the INCREMENTAL stateful LSH operator
+    (streaming/dedup.py::minhash_candidates_stream — per-(band,
+    bucket) doc-id lists in applyInPandasWithState state, a pair
+    emitted the moment a new doc collides with anything seen), then
+    the standard exact-Jaccard verify join runs over the same
+    max_df-filtered kept-shingle sets the batch tier uses.
+
+    Oracle: the exact jaccard_pairs SQL (``doc_minhash_dedup``'s
+    oracle, hash-green since r01) at the same k=32/bands=16/
+    threshold=0.2/max_df=20 envelope.  Soundness is exact by the
+    verify stage; equality additionally asserts 100% streaming-LSH
+    recall here, an honest bar for the same bimodal-corpus reason as
+    the batch tier (qualifying pairs sit at jaccard >= 0.8; the
+    streaming deviation — banding WITHOUT the max_df filter, df is
+    unknowable mid-stream — only ADDS candidates, and the near-dup
+    replicas' unfiltered signatures still collide with
+    P(miss) ~ (1-0.64^2)^16 per the banding math)."""
+    from musicflow_spark.operators.dedup import kept_shingle_sets
+    from musicflow_spark.streaming.dedup import minhash_candidates_stream
+
+    docs = read_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    third = (hi - lo) // _N_CHUNKS + 1
+    path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    for i in range(_N_CHUNKS):
+        docs.filter(
+            (F.col("doc_id") >= lo + i * third) & (F.col("doc_id") < lo + (i + 1) * third)
+        ).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/mh_cands"
+    _run_available_now(
+        minhash_candidates_stream(stream, k=32, bands=16),
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    cands = spark.read.parquet(out).select("doc_a", "doc_b").distinct()
+    # identical verify stage to the batch tier (minhash_dedup_pairs)
+    sets = (
+        kept_shingle_sets(docs, "text", "doc_id", 3, max_df=20, hashed=True)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_cnt", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "inter_cnt", pround(F.col("jaccard"), 6).alias("jaccard"))
+    )
+
+
 QUERIES = [
     Query("stream_user_rollup", "ext: streaming twin — no-state-store rollup-merge sink (S9 incremental analogue)", stream_user_rollup, STREAM_USER_ROLLUP_SQL),
     Query("stream_customer_merge", "ext: streaming twin — foreachBatch CDC MERGE INTO tier", stream_customer_merge, STREAM_CUSTOMER_MERGE_SQL),
@@ -334,3 +404,21 @@ QUERIES = [
     Query("stream_latest_event_user", "W2,O3 ext: streaming twin — applyInPandasWithState top-1 + keyed upsert sink", stream_latest_event_user, STREAM_LATEST_EVENT_USER_SQL),
     Query("stream_event_dedup", "A7 ext: streaming twin — watermark-bounded exact dedup of an at-least-once replay", stream_event_dedup, STREAM_EVENT_DEDUP_SQL),
 ]
+
+
+def _register_minhash_twin() -> None:
+    # DOC_JACCARD_PAIRS_SQL lives in textops; import at the tail to
+    # keep module init order acyclic (textops imports registry too)
+    from musicflow_spark.queries.textops import DOC_JACCARD_PAIRS_SQL
+
+    QUERIES.append(
+        Query(
+            "stream_minhash_dedup",
+            "ext: streaming twin — stateful incremental LSH candidates + exact verify",
+            stream_minhash_dedup,
+            DOC_JACCARD_PAIRS_SQL,
+        )
+    )
+
+
+_register_minhash_twin()
