@@ -1,0 +1,181 @@
+"""Iterative graph algorithms as DataFrame plans: weighted PageRank
+in exact integer fixed-point arithmetic (beyond-reference extension —
+the reference has no graph tier; the nearest analogue is ranking
+match candidates, `dags/main.py` score ordering).
+
+Why integer fixed-point: float PageRank sums are order-dependent, so
+a Spark run and a DuckDB oracle replay could diverge in the last bits
+and a value-hash compare would be meaningless.  Here ranks live as
+int64 "units" (a fixed ``total`` mass, default 1e12) and every
+per-iteration expression is integer multiply + integer ``div`` —
+associative, commutative, engine-portable, so N iterations later the
+two engines agree bit-for-bit.  The floor losses are bounded by
+(edges + 2) units per iteration — at total=1e12 that is ~1e-9 of the
+mass, far below any ranking-relevant difference.
+
+Execution shape (the GraphX/Pregel pattern, DataFrame-native):
+
+- edge "shares" (the row-normalized transition matrix, scaled to
+  integers) are computed ONCE: one groupBy(src) + one equi-join;
+- each iteration is one keyed equi-join (ranks ⋈ shares on src) +
+  one groupBy(dst) partial-agg shuffle + a 1-row dangling-mass
+  broadcast — never anything quadratic;
+- ranks are ``localCheckpoint``ed per iteration so the lineage stays
+  flat (the standard fix for exponentially-growing iterative plans);
+- at web scale the edge table dominates: repartition it by ``src``
+  once and every iteration's join reuses that partitioning, so only
+  the (much smaller) rank frame moves per step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_TOTAL = 10**12
+PAGERANK_SCALE = 10**6
+
+
+def edge_shares(edges: DataFrame, scale: int = PAGERANK_SCALE) -> DataFrame:
+    """Row-normalized integer transition shares: for each directed
+    edge (src, dst, w) emit s = (w * scale) div out(src), where
+    out(src) is the total outgoing weight.  Σ_dst s ≤ scale (floor
+    loss stays in the dangling/teleport slack, never inflates mass).
+
+    ``w * scale`` must fit int64: with scale=1e6 that allows per-edge
+    weights up to ~9e12 — beyond any per-key count a 100 TB fact
+    table produces after aggregation."""
+    out = edges.groupBy("src").agg(F.sum("w").alias("__out__"))
+    return edges.join(out, "src").select(
+        "src", "dst", F.expr(f"(w * {int(scale)}) div __out__").alias("s")
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    total: int = PAGERANK_TOTAL,
+    scale: int = PAGERANK_SCALE,
+    checkpoint_interval: int = 1,
+) -> DataFrame:
+    """Weighted PageRank over ``edges`` (src, dst, w>0 long) for the
+    node set ``nodes`` (single column ``node``; must cover every src/
+    dst).  Returns (node, rank_units long), Σ rank_units ≈ total.
+
+    Per iteration, with d = damping_num/damping_den:
+
+        rank'(v) = teleport + d·Σ_u rank(u)·s(u,v) div scale
+                            + d·dangling div n          (all integer)
+
+    where teleport = (1-d)·total div n and dangling is the rank mass
+    sitting on nodes with no outgoing edge (redistributed uniformly,
+    the standard dangling-node treatment).  Every operation is
+    integer, so the result is deterministic and exactly replayable by
+    a SQL engine (see queries/graph.py for the unrolled DuckDB twin).
+
+    ``checkpoint_interval``: iterations to chain lazily between
+    ``localCheckpoint``s.  On a dangling-free graph each lazy
+    iteration references the rank frame once (linear plan growth);
+    with dangling nodes it is referenced twice (inflow join +
+    dangling scalar), so the plan doubles per lazy step — keep the
+    interval at 1 there.  Measured on the nation trade graph the
+    per-iteration checkpoint wins (2.5 s vs 2.9–3.6 s for intervals
+    of 3–10 at sf0.1): recomputation under the doubled references
+    costs more than the job-scheduling it saves."""
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty node set")
+    shares = edge_shares(edges, scale).localCheckpoint(eager=True)
+    srcs = shares.select("src").distinct().localCheckpoint(eager=True)
+    # one-time structural check: a graph with no dangling nodes (every
+    # node has an out-edge) drops the dangling aggregate from every
+    # iteration — its contribution is identically 0, so the result is
+    # unchanged and each lazy iteration references the rank frame only
+    # once (linear plan growth instead of doubling)
+    has_dangling = nodes.join(srcs, nodes["node"] == srcs["src"], "left_anti").count() > 0
+    teleport = (damping_den - damping_num) * total // (damping_den * n)
+    ranks = nodes.select("node", F.lit(total // n).cast("long").alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for it in range(n_iter):
+        inflow = (
+            shares.join(ranks, shares["src"] == ranks["node"])
+            .select(
+                "dst", F.expr(f"(rank * s) div {int(scale)}").alias("__c__")
+            )
+            .groupBy("dst")
+            .agg(F.sum("__c__").alias("__inflow__"))
+        )
+        rank_expr = F.lit(teleport).cast("long") + F.expr(
+            f"({int(damping_num)} * coalesce(__inflow__, 0))"
+            f" div {int(damping_den)}"
+        )
+        stepped = nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(srcs, ranks["node"] == srcs["src"], "left_anti")
+                .agg(
+                    F.coalesce(F.sum("rank"), F.lit(0))
+                    .cast("long")
+                    .alias("__dang__")
+                )
+            )
+            stepped = stepped.crossJoin(F.broadcast(dangling))
+            rank_expr = rank_expr + F.expr(
+                f"({int(damping_num)} * __dang__) div {int(damping_den) * n}"
+            )
+        ranks = stepped.select("node", rank_expr.cast("long").alias("rank"))
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").alias("rank_units"))
+
+
+def pagerank_oracle_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    n_iter: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    total: int = PAGERANK_TOTAL,
+    scale: int = PAGERANK_SCALE,
+) -> str:
+    """The exact DuckDB replay of :func:`pagerank` as unrolled CTEs
+    (standard SQL allows only one recursive self-reference, but each
+    step needs the rank frame twice — inflow join + dangling scalar —
+    so the iterations are generated textually instead).
+
+    ``nodes_sql`` must yield (node), ``edges_sql`` (src, dst, w).
+    Emits CTEs nodes/edges/shares/nn/r0..r{n_iter} and a final
+    ``SELECT node, rank AS rank_units FROM r{n_iter}``; callers wrap
+    or extend the tail as needed."""
+    dn, dd = int(damping_num), int(damping_den)
+    steps = []
+    for t in range(n_iter):
+        steps.append(f"""
+r{t + 1} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(((({dd} - {dn}) * {total}) // ({dd} * nn.n))
+              + ({dn} * COALESCE(infl.i, 0)) // {dd}
+              + ({dn} * dang.d) // ({dd} * nn.n) AS BIGINT) AS rank
+  FROM nodes nd
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS d
+              FROM r{t} r
+              WHERE r.node NOT IN (SELECT src FROM shares)) dang
+  LEFT JOIN (SELECT s.dst AS node, SUM((r.rank * s.s) // {scale}) AS i
+             FROM shares s JOIN r{t} r ON r.node = s.src
+             GROUP BY s.dst) infl ON infl.node = nd.node)""")
+    return f"""
+WITH nodes AS MATERIALIZED ({nodes_sql}),
+edges AS MATERIALIZED ({edges_sql}),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+shares AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST((e.w * {scale}) // o.ow AS BIGINT) AS s
+  FROM edges e JOIN outw o ON o.src = e.src),
+r0 AS MATERIALIZED (SELECT node, CAST({total} // nn.n AS BIGINT) AS rank
+       FROM nodes CROSS JOIN nn),{",".join(steps)}
+SELECT node, rank AS rank_units FROM r{n_iter}
+"""

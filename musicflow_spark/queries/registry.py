@@ -118,6 +118,7 @@ def get_queries() -> list[Query]:
     from musicflow_spark.queries import classic as _classic
     from musicflow_spark.queries import cleanse as _cleanse
     from musicflow_spark.queries import events as _events
+    from musicflow_spark.queries import graph as _graph
     from musicflow_spark.queries import matchflow as _matchflow
     from musicflow_spark.queries import multimodal as _multimodal
     from musicflow_spark.queries import relational as _relational
@@ -143,6 +144,7 @@ def get_queries() -> list[Query]:
         _multimodal,
         _warehouse,
         _approx,
+        _graph,
     ):
         out.extend(mod.QUERIES)
     names = [q.name for q in out]

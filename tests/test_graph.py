@@ -1,0 +1,114 @@
+"""PageRank (operators/graph.py): numpy power-iteration agreement,
+dangling-node mass handling, determinism, and oracle-generator parity
+on a hand-built graph."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from musicflow_spark.operators.graph import (
+    PAGERANK_TOTAL,
+    edge_shares,
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+#: (src, dst, w) — two hubs, one dangling node (4 has no out-edge),
+#: asymmetric weights so every rank is distinct.
+EDGES = [
+    (0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5),
+    (2, 3, 1), (3, 0, 1), (3, 4, 4), (1, 4, 1),
+]
+NODES = [0, 1, 2, 3, 4]
+
+
+def _numpy_pagerank(nodes, edges, n_iter=10, d=0.85):
+    """Float reference: textbook weighted PageRank with uniform
+    dangling redistribution (probability mass, sums to 1)."""
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = np.zeros((n, n))
+    out = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    for s, t, w in edges:
+        m[idx[t], idx[s]] += w / out[s]
+    dangling = np.array([1.0 if v not in out else 0.0 for v in nodes])
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        r = (1 - d) / n + d * (m @ r) + d * (dangling @ r) / n
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    nodes = spark.createDataFrame([(v,) for v in NODES], "node long")
+    edges = spark.createDataFrame(EDGES, "src long, dst long, w long")
+    return nodes, edges
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, frames):
+    nodes, edges = frames
+    got = {r["node"]: r["rank_units"] for r in pagerank(nodes, edges).collect()}
+    want = _numpy_pagerank(NODES, EDGES)
+    assert set(got) == set(NODES)
+    for v in NODES:
+        # integer floors lose ≤ (edges+2)/total mass per iteration;
+        # at total=1e12 the relative gap to the float reference is
+        # dominated by the share quantization (scale=1e6) — 1e-5 is
+        # orders of magnitude of headroom while still pinning ranks.
+        assert got[v] / PAGERANK_TOTAL == pytest.approx(want[v], abs=1e-5)
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark, frames):
+    nodes, edges = frames
+    a = {r["node"]: r["rank_units"] for r in pagerank(nodes, edges).collect()}
+    b = {r["node"]: r["rank_units"] for r in pagerank(nodes, edges).collect()}
+    assert a == b
+    total = sum(a.values())
+    # floor losses only ever shrink the mass, never inflate it; the
+    # dominant loss is share quantization (≤ out-degree/scale ≈ 3e-6
+    # of the transported mass per node-iteration here)
+    assert PAGERANK_TOTAL * (1 - 1e-4) < total <= PAGERANK_TOTAL
+
+
+def test_pagerank_oracle_generator_replays_spark(spark, frames):
+    nodes, edges = frames
+    got = {r["node"]: r["rank_units"] for r in pagerank(nodes, edges, n_iter=4).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ",".join(f"({s},{t},{w})" for s, t, w in EDGES)
+        + ") t(src, dst, w)"
+    )
+    sql = pagerank_oracle_sql(
+        "SELECT * FROM (VALUES (0),(1),(2),(3),(4)) t(node)",
+        "SELECT src, dst, w FROM e",
+        n_iter=4,
+    )
+    want = {int(n): int(r) for n, r in con.execute(sql).fetchall()}
+    assert got == want  # bit-exact, not approximate
+
+
+def test_dangling_node_receives_and_forwards_no_mass(spark, frames):
+    nodes, edges = frames
+    ranks = {r["node"]: r["rank_units"] for r in pagerank(nodes, edges).collect()}
+    # node 4 is dangling but is fed by 1 and 3 — it must hold real
+    # rank (teleport + inflow), and the sink must not capture the
+    # whole graph (its mass is redistributed each round)
+    teleport_only = PAGERANK_TOTAL * 15 // (100 * len(NODES))
+    assert ranks[4] > teleport_only
+    assert ranks[4] < PAGERANK_TOTAL // 2
+
+
+def test_edge_shares_row_normalized(spark, frames):
+    _, edges = frames
+    rows = edge_shares(edges).collect()
+    by_src: dict[int, int] = {}
+    for r in rows:
+        by_src[r["src"]] = by_src.get(r["src"], 0) + r["s"]
+    for s, tot in by_src.items():
+        assert tot <= 10**6, s
+        assert tot > 10**6 - len(EDGES)  # floor loss < 1 unit/edge
