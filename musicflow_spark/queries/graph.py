@@ -76,6 +76,40 @@ JOIN nation n ON n.n_nationkey = pr.node
 """
 
 
+def embedding_centrality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection centrality: PageRank over the kNN similarity
+    graph (every vector → its top-3 LSH neighbors, unit weight) — the
+    "pick the most representative documents" signal used by
+    diversity-aware training-data selection.  Reuses the hash-proven
+    `knn_graph_lsh` edge set (queries/vectors.py:271); isolated
+    vectors (no LSH candidates) exercise the dangling-mass branch of
+    `operators/graph.py::pagerank`.  The scale path is the graph
+    build (bucketed shuffle equi-join, no broadcast contract); the
+    iterations run on |V|·k edge rows."""
+    from musicflow_spark.queries.vectors import knn_graph_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    edges = knn_graph_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return pagerank(nodes, edges, n_iter=PAGERANK_ITERS)
+
+
+def _embedding_centrality_oracle_sql() -> str:
+    from musicflow_spark.queries.vectors import _knn_graph_lsh_oracle_sql
+
+    edges_sql = (
+        "SELECT query_id AS src, neighbor_id AS dst, CAST(1 AS BIGINT) AS w"
+        f" FROM ({_knn_graph_lsh_oracle_sql()}) knn"
+    )
+    return pagerank_oracle_sql(
+        "SELECT vec_id AS node FROM embeddings", edges_sql, n_iter=PAGERANK_ITERS
+    )
+
+
 QUERIES = [
     Query(
         "nation_trade_pagerank",
@@ -83,5 +117,11 @@ QUERIES = [
         nation_trade_pagerank,
         NATION_TRADE_PAGERANK_SQL,
         bench=True,
+    ),
+    Query(
+        "embedding_centrality_pagerank",
+        "ext: kNN-graph centrality for data selection (PageRank over the LSH similarity graph, dangling branch)",
+        embedding_centrality_pagerank,
+        _embedding_centrality_oracle_sql(),
     ),
 ]
