@@ -98,16 +98,26 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "hll_mergeable_daily", "approx_top_tokens", "cms_token_counts",
     "quantile_sketch_daily", "event_type_quantiles", "theta_year_overlap",
     "kll_value_quantiles",
+    # green in CORRECTNESS_r05.json (49/50; the 50th row is the
+    # documented rows-only embedding_pca_scores, which stays unproven)
+    "collection_cascade_catalog", "others_cascade_catalog",
+    "stream_user_rollup", "stream_customer_merge",
+    "stream_hourly_event_stats", "stream_latest_event_user",
+    "stream_event_dedup", "stream_minhash_dedup",
+    "doc_hard_negatives", "doc_url_canonical", "knn_pq", "knn_graph_lsh",
+    "embedding_pca_invariants", "bloom_filtered_revenue",
+    "customer_merge_upsert", "nation_trade_pagerank",
+    "embedding_centrality_pagerank",
 )
 
 # Queries added AFTER the current round's 50-query window was frozen.
 # They sort after the window but before the proven tail, so they enter
 # the window automatically next round when this round's greens move to
-# _DRIVER_PROVEN.  Round-5 rotation: the 49 round-4 greens rolled into
-# _DRIVER_PROVEN, which promotes the 8 late round-4 additions (cascade
-# catalogs, bloom, MERGE, PQ/graph kNN, URL canonical, hard negatives)
-# plus `embedding_pca_scores` to the head of the window; round-5
-# additions join them until the window refreezes.
+# _DRIVER_PROVEN.  Round-6 rotation: the 17 round-5 greens (cascade
+# catalogs, six streaming twins, hard negatives, URL canonical, PQ and
+# graph kNN, PCA invariants, bloom, MERGE, both PageRanks) rolled into
+# _DRIVER_PROVEN; the window head is now `embedding_pca_scores`
+# (rows-only by design) plus every round-6 addition.
 _NEW_THIS_ROUND: tuple[str, ...] = ()
 
 

@@ -41,6 +41,7 @@ chunk-to-parquet replay harness is correctness scaffolding only.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,21 @@ from musicflow_spark.sources.catalog import read_table
 
 SENTINEL_USER = -1
 _N_CHUNKS = 3
+
+
+def _bump_mtimes(path: str, seen: set[str], tick: int) -> None:
+    """Stamp files appended since `seen` with a strictly increasing
+    mtime (ADVICE r05): back-to-back parquet writes can land with
+    identical mtimes, and Spark's file source orders ties arbitrarily —
+    a sentinel-first micro-batch would advance the watermark past all
+    real data.  Distinct, monotone mtimes make the replay order (and
+    thus the micro-batch sequence) deterministic."""
+    base = 1_600_000_000  # any fixed epoch; only the ordering matters
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if full not in seen and os.path.isfile(full):
+            os.utime(full, (base + tick, base + tick))
+            seen.add(full)
 
 
 def _cents(col: str) -> F.Column:
@@ -76,6 +92,8 @@ def _events_replay_dir(
     bounds = [lo + span * i for i in range(1, _N_CHUNKS)]
     cuts = [F.lit(None), *[F.lit(b) for b in bounds], F.lit(None)]
     chunks = []
+    seen: set[str] = set()
+    tick = 0
     for i in range(_N_CHUNKS):
         cond = F.lit(True)
         if i > 0:
@@ -84,15 +102,21 @@ def _events_replay_dir(
             cond = cond & (F.col("ts") < cuts[i + 1])
         chunk = ev.filter(cond)
         chunk.coalesce(1).write.mode("append").parquet(path)
+        tick += 1
+        _bump_mtimes(path, seen, tick)
         chunks.append(chunk)
     if replay_first:
         chunks[0].coalesce(1).write.mode("append").parquet(path)
+        tick += 1
+        _bump_mtimes(path, seen, tick)
     if sentinel:
         s = spark.createDataFrame(
             [(10**9, hi + dt.timedelta(days=30), SENTINEL_USER, "flush", 0.0, "{}")],
             ev.schema,
         )
         s.coalesce(1).write.mode("append").parquet(path)
+        tick += 1
+        _bump_mtimes(path, seen, tick)
     return path
 
 
@@ -105,7 +129,11 @@ def _run_available_now(stream_df: DataFrame, sink_builder) -> None:
             availableNow=True
         )
     ).start()
-    q.awaitTermination(600)
+    # ADVICE r05: awaitTermination(timeout) returns False on timeout —
+    # fail loudly rather than reading a partially-drained sink.
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming twin did not drain within 600 s")
 
 
 def _file_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -178,14 +206,25 @@ def stream_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("new_seg"),
         )
     )
-    upd_suppliers = read_table(spark, sf_dir, "supplier").select(
-        (F.lit(1_000_000) + F.col("s_suppkey")).alias("custkey"),
-        _cents("s_acctbal").alias("delta_cents"),
-        F.col("s_name").alias("new_name"),
-        F.lit("NEW").alias("new_seg"),
+    # ADVICE r05: insert keys derived from the actual key domain
+    # (max(c_custkey) + s_suppkey) so the disjoint-key premise holds at
+    # every sf; the oracle computes the same offset via a scalar
+    # subquery.  1-row aggregate broadcast, never a collect.
+    max_key = base.agg(F.max("custkey").alias("max_custkey"))
+    upd_suppliers = (
+        read_table(spark, sf_dir, "supplier")
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("max_custkey") + 1 + F.col("s_suppkey")).alias("custkey"),
+            _cents("s_acctbal").alias("delta_cents"),
+            F.col("s_name").alias("new_name"),
+            F.lit("NEW").alias("new_seg"),
+        )
     )
-    for upd in (upd_orders, upd_suppliers):
+    seen: set[str] = set()
+    for tick, upd in enumerate((upd_orders, upd_suppliers), start=1):
         upd.coalesce(1).write.mode("append").parquet(upd_dir)
+        _bump_mtimes(upd_dir, seen, tick)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(upd_dir).schema)
@@ -215,7 +254,8 @@ WITH upd AS (
          CAST(NULL AS VARCHAR) AS new_name, CAST(NULL AS VARCHAR) AS new_seg
   FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_custkey
   UNION ALL
-  SELECT 1000000 + s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT), s_name, 'NEW'
+  SELECT (SELECT max(c_custkey) + 1 FROM customer) + s_suppkey,
+         CAST(round(s_acctbal * 100) AS BIGINT), s_name, 'NEW'
   FROM supplier
 ),
 base AS (
@@ -354,10 +394,12 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     third = (hi - lo) // _N_CHUNKS + 1
     path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    seen: set[str] = set()
     for i in range(_N_CHUNKS):
         docs.filter(
             (F.col("doc_id") >= lo + i * third) & (F.col("doc_id") < lo + (i + 1) * third)
         ).coalesce(1).write.mode("append").parquet(path)
+        _bump_mtimes(path, seen, i + 1)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

@@ -722,8 +722,10 @@ def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches in one pass: customers with >= $2M of 1997+ order volume
     are deleted (matched-delete), other customers with recent orders
     get their balance incremented (matched-update), supplier-derived
-    rows keyed 1_000_000 + s_suppkey insert as new accounts
-    (not-matched-insert), and customers with no recent orders carry
+    rows keyed max(c_custkey) + s_suppkey insert as new accounts
+    (not-matched-insert, key offset derived from the actual key domain
+    so the disjoint-key premise holds at every sf — ADVICE r05), and
+    customers with no recent orders carry
     unchanged (not-matched-by-source).  One full-outer join = one
     shuffle; the oracle replays the same CASE branches in ANSI SQL."""
     from musicflow_spark.operators.mergeinto import merge_into
@@ -745,11 +747,16 @@ def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("new_seg"),
         )
     )
-    upd_suppliers = read_table(spark, sf_dir, "supplier").select(
-        (F.lit(1_000_000) + F.col("s_suppkey")).alias("custkey"),
-        _cents("s_acctbal").alias("delta_cents"),
-        F.col("s_name").alias("new_name"),
-        F.lit("NEW").alias("new_seg"),
+    max_key = base.agg(F.max("custkey").alias("max_custkey"))
+    upd_suppliers = (
+        read_table(spark, sf_dir, "supplier")
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("max_custkey") + 1 + F.col("s_suppkey")).alias("custkey"),
+            _cents("s_acctbal").alias("delta_cents"),
+            F.col("s_name").alias("new_name"),
+            F.lit("NEW").alias("new_seg"),
+        )
     )
     updates = upd_orders.unionByName(upd_suppliers)
     merged = merge_into(
@@ -776,7 +783,8 @@ WITH upd AS (
          CAST(NULL AS VARCHAR) AS new_name, CAST(NULL AS VARCHAR) AS new_seg
   FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_custkey
   UNION ALL
-  SELECT 1000000 + s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT), s_name, 'NEW'
+  SELECT (SELECT max(c_custkey) + 1 FROM customer) + s_suppkey,
+         CAST(round(s_acctbal * 100) AS BIGINT), s_name, 'NEW'
   FROM supplier
 ),
 base AS (

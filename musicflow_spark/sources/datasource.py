@@ -164,8 +164,21 @@ class BatchRestWriter(DataSourceWriter):
     is IDENTICAL across task re-runs (same partition data, same
     chunking), so a consumer that keeps the last write per
     (part, chunk) and applies on the commit marker gets effective
-    exactly-once.  At scale the task count is the API-concurrency
-    bound, same knob as the reader."""
+    exactly-once.
+
+    PRECONDITION (ADVICE r05): the (part, chunk) key is only stable
+    when the upstream partition CONTENTS AND ROW ORDER are
+    deterministic across stage retries.  Plans containing
+    nondeterministic repartitioning (round-robin ``repartition(n)``
+    with no keys), ``sample``/``rand``-derived rows, or unordered
+    shuffle reads can re-run a task with DIFFERENT rows under the
+    SAME key, silently committing mixed data.  Write through a
+    deterministic boundary — key-hash repartition, an explicit
+    ``sortWithinPartitions``, or a materialized (checkpointed /
+    written) input — before this sink; if the upstream cannot be made
+    deterministic, give the payload a content hash column so a
+    drifted re-run is detectable by the consumer.  At scale the task
+    count is the API-concurrency bound, same knob as the reader."""
 
     def __init__(self, schema: StructType, options: dict):
         if "url" not in options:

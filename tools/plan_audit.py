@@ -60,6 +60,8 @@ CARTESIAN_OK = {
                                # shuffle equi-join — that is the point of the query
     "doc_hard_negatives",      # broadcast side = bounded query set (8 docs by the
                                # DOC_KNN_QUERIES contract), same as doc_text_knn
+    "customer_merge_upsert",   # 1-row max(custkey) broadcast (ADVICE r05 insert-key
+                               # offset derived from the key domain)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -106,6 +108,7 @@ SINGLE_OK = {
                                # exactly 1 map row out by construction
     "knn_pq",                  # 1-row codebook fold (17 seed rows in, 1 array row out)
                                # + the bounded query-set (8 rows) distance-table agg
+    "customer_merge_upsert",   # scalar max(custkey) aggregate (1 row by construction)
 }
 
 
