@@ -617,38 +617,19 @@ def _slice_d2(a_sub: Column, b_sub: Column) -> Column:
     )
 
 
-def pq_topk(
+def _pq_encode_parts(
     corpus: DataFrame,
     queries: DataFrame,
     seeds: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    n_sub: int = 8,
-    n_candidates: int = 40,
-    scale: int = 1000,
-) -> DataFrame:
-    """Product-quantization ADC top-k — the memory-compression ANN
-    tier: each corpus vector is encoded once into ``n_sub`` centroid
-    ids (8 bytes/vector at 256 centroids vs ~256 bytes of floats), the
-    query scan touches ONLY those codes via a precomputed per-query
-    distance table (asymmetric distance computation), and exact cosine
-    reranks the ``n_candidates`` ADC survivors fetched by a join-back.
-
-    ``seeds`` supplies the codebook vectors (``id_col``, ``vec_col``);
-    centroid id = rank of the seed's id ascending, so a deterministic
-    seed set (e.g. a corpus stride) makes the WHOLE pipeline
-    SQL-replicable.  Distances run on a fixed-point integer grid
-    (``scale``), so cross-engine argmin/ADC ties cannot flip.
-
-    Scale notes (100 TB): encode is one map pass against a broadcast
-    codebook (1 row); the ADC scan is map-only over codes with the
-    8-query distance-table frame broadcast; the per-partition top-C
-    window shuffles candidate rows only; the rerank join-back
-    broadcasts C*Q ids into the corpus scan.  The raw vectors are
-    touched exactly twice: encode and rerank-fetch.
-    """
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int,
+    scale: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared PQ front half: (codebook 1-row frame, encoded corpus
+    codes, per-query ADC distance tables).  Used by both the flat-scan
+    ``pq_topk`` and the cluster-pruned ``ivfpq_topk``."""
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_dim = dim // n_sub
@@ -714,29 +695,33 @@ def pq_topk(
             ),
         ).alias("dtab"),
     )
+    return codebook, encoded, dtabbed
 
-    adc = (
-        encoded.crossJoin(F.broadcast(dtabbed))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(n_sub - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, m: acc
-                + F.element_at(
-                    F.element_at(F.col("dtab"), m + 1),
-                    F.element_at(F.col("codes"), m + 1).cast("int") + 1,
-                ),
-            ).alias("adc"),
-        )
+
+def _adc_sum(n_sub: int) -> Column:
+    """ADC distance: sum over subspaces of dtab[m][codes[m]] — integer
+    grid end to end, so cross-engine ties cannot flip."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("dtab"), m + 1),
+            F.element_at(F.col("codes"), m + 1).cast("int") + 1,
+        ),
     )
-    wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
-    cands = adc.withColumn("crank", F.row_number().over(wc)).filter(
-        F.col("crank") <= n_candidates
-    ).select("query_id", "neighbor_id")
 
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine rerank of (query_id, neighbor_id) candidates via
+    broadcast join-backs; the raw vectors are touched only here."""
     c_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
@@ -758,3 +743,115 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    seeds: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_candidates: int = 40,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the memory-compression ANN
+    tier: each corpus vector is encoded once into ``n_sub`` centroid
+    ids (8 bytes/vector at 256 centroids vs ~256 bytes of floats), the
+    query scan touches ONLY those codes via a precomputed per-query
+    distance table (asymmetric distance computation), and exact cosine
+    reranks the ``n_candidates`` ADC survivors fetched by a join-back.
+
+    ``seeds`` supplies the codebook vectors (``id_col``, ``vec_col``);
+    centroid id = rank of the seed's id ascending, so a deterministic
+    seed set (e.g. a corpus stride) makes the WHOLE pipeline
+    SQL-replicable.  Distances run on a fixed-point integer grid
+    (``scale``), so cross-engine argmin/ADC ties cannot flip.
+
+    Scale notes (100 TB): encode is one map pass against a broadcast
+    codebook (1 row); the ADC scan is map-only over codes with the
+    8-query distance-table frame broadcast; the per-partition top-C
+    window shuffles candidate rows only; the rerank join-back
+    broadcasts C*Q ids into the corpus scan.  The raw vectors are
+    touched exactly twice: encode and rerank-fetch.
+    """
+    codebook, encoded, dtabbed = _pq_encode_parts(
+        corpus, queries, seeds, id_col, vec_col, dim, n_sub, scale
+    )
+
+    adc = (
+        encoded.crossJoin(F.broadcast(dtabbed))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_sum(n_sub).alias("adc"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cands = adc.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= n_candidates
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    seeds: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    dim: int = 64,
+    n_sub: int = 8,
+    n_candidates: int = 40,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ: the combined ANN tier every large vector deployment
+    actually ships — IVF coarse quantization prunes WHICH codes are
+    scanned, PQ compression shrinks WHAT is scanned.  Each corpus
+    vector lives in exactly one coarse cluster and carries an
+    ``n_sub``-byte PQ code; a query probes its ``n_probe`` nearest
+    clusters and ADC-scans only those clusters' codes (expected scan
+    fraction ~ n_probe/n_clusters of an already-26x-compressed
+    representation), then exact cosine reranks the top
+    ``n_candidates``.
+
+    This is the ``by_residual=false`` IVF-PQ variant (codes quantize
+    the raw vectors, not the centroid residuals): residual encoding
+    would couple every code to float centroid arithmetic and break
+    the integer-grid portability contract that makes the operator
+    SQL-replicable; the accuracy delta is absorbed by the exact
+    rerank stage.  Distances are fixed-point integers end to end
+    (argmin/ADC ties cannot flip across engines).
+
+    Scale notes (100 TB): encode is one map pass against the 1-row
+    broadcast codebook; cluster assignment is the physical layout key
+    (write the codes partitioned by cluster_id and a probe prunes
+    whole files); the ADC join touches n_probe cluster lists per
+    query with the query frames broadcast; raw vectors are read only
+    at encode and rerank.  Candidates cannot duplicate — a corpus
+    vector has exactly one cluster, so (query, neighbor) appears at
+    most once and no dedup pass is needed.
+    """
+    codebook, encoded, dtabbed = _pq_encode_parts(
+        corpus, queries, seeds, id_col, vec_col, dim, n_sub, scale
+    )
+    assigned = nearest_centroids(
+        corpus, centroids, id_col, vec_col, "neighbor_id", "__cv__", 1
+    ).select("neighbor_id", "cluster_id")
+    probed = nearest_centroids(
+        queries, centroids, id_col, vec_col, "query_id", "__qv__", n_probe
+    ).select("query_id", "cluster_id")
+    adc = (
+        encoded.join(assigned, "neighbor_id")
+        .join(F.broadcast(probed), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(dtabbed), "query_id")
+        .select("query_id", "neighbor_id", _adc_sum(n_sub).alias("adc"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cands = adc.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= n_candidates
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k)

@@ -428,6 +428,122 @@ WHERE rank <= {TOP_K}
 """
 
 
+IVFPQ_PROBE, IVFPQ_CAND = 6, 64
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN tier (ext: the production vector-index
+    shape — IVF prunes WHICH codes are scanned, PQ shrinks WHAT is
+    scanned; operators/similarity.py::ivfpq_topk).  Coarse centroids
+    seed from the knn_ivf stride (vec_id % 97 == 3), the PQ codebook
+    from the knn_pq stride capped to a fixed id range, so the whole
+    pipeline — cluster assignment, probe list, integer-grid encode,
+    ADC scan restricted to probed clusters, exact rerank — replays in
+    ANSI SQL end to end.  Recall vs brute force asserted in tests."""
+    from musicflow_spark.operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    cent = emb.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    seeds = emb.filter(
+        (F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_REM)
+        & (F.col("vec_id") < PQ_SEED_MAX)
+    )
+    topk = ivfpq_topk(
+        emb, queries, cent, seeds, k=TOP_K, n_probe=IVFPQ_PROBE,
+        dim=PQ_DIM, n_sub=PQ_SUB, n_candidates=IVFPQ_CAND, scale=PQ_SCALE,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
+def _knn_ivfpq_oracle_sql() -> str:
+    """DuckDB replica of ivfpq_topk: the knn_ivf oracle's argmin-L2
+    assignment/probe CTEs composed with the knn_pq oracle's
+    integer-grid encode/distance-table CTEs; the ADC aggregation is
+    additionally constrained to (neighbor, query) pairs sharing a
+    probed cluster — the IVF pruning — before the identical top-C +
+    exact-cosine rerank tail."""
+    sub = PQ_DIM // PQ_SUB
+    d2 = """list_sum(list_transform(range(1, len(e.embedding) + 1),
+               j -> (cast(e.embedding[j] AS double) - cast(c.cv[j] AS double))
+                  * (cast(e.embedding[j] AS double) - cast(c.cv[j] AS double))))"""
+    sub_d2 = f"""list_sum(list_transform(range(1, {sub + 1}),
+             j -> (i.iv[m.m * {sub} + j] - s.sv[m.m * {sub} + j])
+                * (i.iv[m.m * {sub} + j] - s.sv[m.m * {sub} + j])))"""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+probed AS (
+  SELECT vec_id AS query_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERY_VECS})
+  WHERE rn <= {IVFPQ_PROBE}),
+iv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(cast(x AS double) * {PQ_SCALE}) AS BIGINT)) AS iv
+  FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, iv AS sv
+  FROM iv WHERE vec_id % {PQ_CENT_MOD} = {PQ_CENT_REM} AND vec_id < {PQ_SEED_MAX}),
+m AS (SELECT unnest(range({PQ_SUB})) AS m),
+codes AS (
+  SELECT vec_id AS neighbor_id, m, cid FROM (
+    SELECT i.vec_id, m.m, s.cid,
+           row_number() OVER (PARTITION BY i.vec_id, m.m
+                              ORDER BY {sub_d2}, s.cid) AS rn
+    FROM iv i, seeds s, m)
+  WHERE rn = 1),
+dtab AS (
+  SELECT i.vec_id AS query_id, m.m, s.cid, {sub_d2} AS d
+  FROM iv i, seeds s, m WHERE i.vec_id < {N_QUERY_VECS}),
+adc AS (
+  SELECT d.query_id, c.neighbor_id, CAST(sum(d.d) AS BIGINT) AS adc
+  FROM codes c
+  JOIN assigned a ON a.neighbor_id = c.neighbor_id
+  JOIN probed p ON p.cluster_id = a.cluster_id
+  JOIN dtab d ON c.m = d.m AND c.cid = d.cid AND d.query_id = p.query_id
+  WHERE c.neighbor_id <> d.query_id
+  GROUP BY d.query_id, c.neighbor_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS crank
+    FROM adc)
+  WHERE crank <= {IVFPQ_CAND}),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> cast(q.embedding[i] AS double) * cast(n.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(n.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 NEARDUP_THRESHOLD = 0.4
 
 
@@ -700,6 +816,7 @@ QUERIES = [
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
     Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql(), bench=True),
     Query("knn_graph_lsh", "ext: kNN-graph construction (LSH, no-broadcast shuffle join)", knn_graph_lsh, _knn_graph_lsh_oracle_sql()),
+    Query("knn_ivfpq", "ext: similarity search (ANN/IVF-PQ — cluster-pruned ADC scan)", knn_ivfpq, _knn_ivfpq_oracle_sql(), bench=True),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),

@@ -173,6 +173,48 @@ def test_pq_recall_and_determinism(spark):
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
 
 
+def test_ivfpq_recall_pruning_and_determinism(spark):
+    from musicflow_spark.operators.similarity import ivfpq_topk, nearest_centroids
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    # mod-31 stride -> ~16 coarse clusters at sf0.001, so probe=4
+    # genuinely prunes (~25% of cluster lists scanned)
+    cent = emb.filter(F.col("vec_id") % 31 == 5).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    seeds = emb.filter(F.col("vec_id") % 31 == 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = ivfpq_topk(emb, queries, cent, seeds, k=10, n_probe=4,
+                     dim=64, n_sub=8, n_candidates=64).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    # pruned ADC scan of random vectors — the compounded worst case;
+    # still must recover a solid fraction
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    # IVF containment: every returned neighbor's cluster is in its
+    # query's probe list (the pruning is real, not decorative)
+    assign = {
+        r["nid"]: r["cluster_id"]
+        for r in nearest_centroids(emb, cent, "vec_id", "embedding",
+                                   "nid", "v", 1).collect()
+    }
+    probes: dict[int, set] = {}
+    for r in nearest_centroids(queries, cent, "vec_id", "embedding",
+                               "qid", "v", 4).collect():
+        probes.setdefault(r["qid"], set()).add(r["cluster_id"])
+    for r in got:
+        assert assign[r["neighbor_id"]] in probes[r["query_id"]]
+    # deterministic: integer-grid ADC admits no tie ambiguity
+    again = ivfpq_topk(emb, queries, cent, seeds, k=10, n_probe=4,
+                       dim=64, n_sub=8, n_candidates=64).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_pq_rejects_indivisible_dim(spark):
     import pytest as _pytest
 

@@ -55,6 +55,8 @@ CARTESIAN_OK = {
     "bloom_filtered_revenue",  # 1-row bitmap broadcast (dense array<long>, m_bits/64 words)
     "knn_pq",                  # 1-row codebook broadcast (17 seed vectors) + 8-row
                                # query distance-table broadcast (the ADC scan pairing)
+    "knn_ivfpq",               # same 1-row codebook + ≤52-row centroid broadcasts;
+                               # the ADC scan itself is a cluster_id equi-join
     "knn_graph_lsh",           # two 1-row plane-matrix broadcasts (the bucketing
                                # constants); the candidate join itself is a plain
                                # shuffle equi-join — that is the point of the query
@@ -108,6 +110,7 @@ SINGLE_OK = {
                                # exactly 1 map row out by construction
     "knn_pq",                  # 1-row codebook fold (17 seed rows in, 1 array row out)
                                # + the bounded query-set (8 rows) distance-table agg
+    "knn_ivfpq",               # same 1-row codebook fold + bounded query-frame aggs
     "customer_merge_upsert",   # scalar max(custkey) aggregate (1 row by construction)
 }
 
