@@ -179,3 +179,89 @@ r0 AS MATERIALIZED (SELECT node, CAST({total} // nn.n AS BIGINT) AS rank
        FROM nodes CROSS JOIN nn),{",".join(steps)}
 SELECT node, rank AS rank_units FROM r{n_iter}
 """
+
+
+# ----------------------------------------- connected components (stars)
+def _canonical(e: DataFrame) -> DataFrame:
+    """Distinct edges oriented (hi, lo), self-loops dropped."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def star_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the O(log² n)-round alternative to plain
+    min-label propagation (operators/dedup.py::dedup_clusters), which
+    needs O(diameter) rounds and so degrades on long path-shaped
+    components (chained near-dup documents, linked-record graphs).
+
+    large-star: every node u sends its strictly-larger neighbors to
+    m = min(Γ(u) ∪ {u}); small-star: orient edges (hi, lo), every hi
+    node re-hangs its smaller neighbors (and itself) under their
+    minimum.  Both steps are one groupBy + one projection over the
+    edge list — keyed shuffles only, edge-linear work per round; the
+    edge frame is localCheckpointed per round to keep lineage flat.
+    Converged when the canonical edge set is a fixpoint, at which
+    point every component is a star rooted at its minimum id.
+
+    Returns (id_col, cluster_id, keep) — identical contract to
+    ``dedup_clusters`` (cluster_id = min reachable id, keeper =
+    root), so the two are interchangeable and cross-checkable.
+    """
+    edges = _canonical(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # large-star over the symmetric neighbor list
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _canonical(
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over the (hi, lo) orientation
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(smin, "u")
+        small = _canonical(
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+        ).localCheckpoint(eager=True)
+        # one full-outer join: rows missing on either side == symmetric
+        # difference of the two canonical (distinct) edge sets
+        delta = (
+            small.withColumn("__n__", F.lit(1))
+            .join(edges.withColumn("__o__", F.lit(1)), ["u", "v"], "full")
+            .filter(F.col("__n__").isNull() | F.col("__o__").isNull())
+            .count()
+        )
+        edges = small
+        if delta == 0:
+            break
+    else:
+        raise RuntimeError(f"star_components did not converge in {max_iter} rounds")
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(roots, F.col("id") == roots["u"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("root", F.col("id")).alias("cluster_id"),
+            F.col("root").isNull().alias("keep"),
+        )
+    )

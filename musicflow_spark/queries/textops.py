@@ -887,6 +887,23 @@ GROUP BY id
 """
 
 
+def doc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering via large-star/small-star contraction (ext:
+    operators/graph.py::star_components — the O(log² n)-round MapReduce
+    connected-components algorithm, vs min-label propagation's
+    O(diameter)).  Same edges (exact jaccard near-dup pairs), same
+    output contract, same recursive-CTE oracle as doc_dedup_clusters —
+    a green row proves the star-contraction algebra equals the
+    declarative transitive closure; the two Spark implementations are
+    additionally cross-checked in tests on path-shaped graphs where
+    their round counts diverge."""
+    from musicflow_spark.operators.graph import star_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2, max_df=20)
+    return star_components(docs.select("doc_id"), pairs)
+
+
 def doc_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection (ext): after dedup clustering,
     keep the LONGEST member of each near-dup cluster (doc_id
@@ -1423,6 +1440,7 @@ QUERIES = [
     Query("doc_exact_dedup", "ext: exact dedup; A7", doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
     Query("doc_jaccard_pairs", "ext: ngram jaccard dedup; J8", doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_dedup_clusters", "ext: dedup clustering (connected components)", doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
+    Query("doc_star_components", "ext: dedup clustering (large-star/small-star contraction, O(log^2 n) rounds)", doc_star_components, DOC_DEDUP_CLUSTERS_SQL),
     Query("doc_hash_embedding", "ext: feature-hashing text embedding", doc_hash_embedding, DOC_HASH_EMBEDDING_SQL),
     Query("doc_length_profile", "ext: corpus length profiling (exact percentiles)", doc_length_profile, DOC_LENGTH_PROFILE_SQL),
     Query("corpus_clean", "ext: full cleaning pipeline (lang+quality+dedup+clustering)", corpus_clean, _corpus_clean_oracle_sql()),

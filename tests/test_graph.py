@@ -112,3 +112,83 @@ def test_edge_shares_row_normalized(spark, frames):
     for s, tot in by_src.items():
         assert tot <= 10**6, s
         assert tot > 10**6 - len(EDGES)  # floor loss < 1 unit/edge
+
+
+# ------------------------------------------ star-contraction components
+def _uf_components(n_nodes, edges):
+    """Union-find reference: id -> min reachable id."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def _run_star(spark, n_nodes, edges):
+    from musicflow_spark.operators.graph import star_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+    return {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in star_components(nodes, pairs).collect()
+    }
+
+
+def test_star_components_path_graph(spark):
+    """A 30-node path — the O(diameter) worst case for min-label
+    propagation — must resolve to one cluster rooted at 0 within the
+    star-contraction round budget."""
+    edges = [(i, i + 1) for i in range(29)]
+    got = _run_star(spark, 30, edges)
+    assert got == {i: (0, i == 0) for i in range(30)}
+
+
+def test_star_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    ref = _uf_components(n, edges)
+    got = _run_star(spark, n, edges)
+    assert {k: v[0] for k, v in got.items()} == ref
+    for k, (cl, keep) in got.items():
+        assert keep == (cl == k)
+
+
+def test_star_components_agrees_with_label_propagation(spark):
+    import random
+
+    from musicflow_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(11)
+    n = 40
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(n), rng.randrange(n))
+                               for _ in range(30)) if a != b})
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    from musicflow_spark.operators.graph import star_components
+
+    a = sorted(map(tuple, star_components(nodes, pairs).collect()))
+    b = sorted(map(tuple, dedup_clusters(nodes, pairs).collect()))
+    assert a == b
+
+
+def test_star_components_empty_edges_all_singletons(spark):
+    got = _run_star(spark, 5, [])
+    assert got == {i: (i, True) for i in range(5)}
