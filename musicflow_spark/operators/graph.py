@@ -265,3 +265,74 @@ def star_components(
             F.col("root").isNull().alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------- triangle counting
+def triangle_counts(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-node triangle counts by degree-ordered edge orientation
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11).  Naive wedge enumeration groups on the
+    shared vertex, so one hub of degree d creates d²/2 wedge rows —
+    the "last reducer" that kills the job at 100 TB.  Orienting every
+    edge from its lower-(degree, id) endpoint to the higher one caps
+    every oriented out-degree at O(√E), so the wedge join is bounded
+    by E^{3/2} TOTAL and, more importantly, no single key is
+    quadratic in a hub's degree.
+
+    Plan: degrees (one groupBy) → orientation (two broadcast-or-
+    shuffle joins against the degree frame) → wedge self-equi-join on
+    the oriented source → closing-edge equi-join.  Each triangle
+    {x,y,z} materializes exactly once (its vertices appear in strict
+    (degree, id) order), then explodes to 3 per-node contributions.
+    Everything is keyed equi-joins and aggregations — no cartesian,
+    no collect.
+
+    Returns (id_col, n_triangles) for EVERY node (zeros included).
+    """
+    e = _canonical(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u", "v",
+            F.struct(F.col("du").alias("d"), F.col("u").alias("i")).alias("ku"),
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("i")).alias("kv"),
+        )
+    )
+    # orient src -> dst by ascending (degree, id); struct comparison
+    # is lexicographic, so the order is total and deterministic
+    oe = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
+    )
+    x = oe.select("src", F.col("dst").alias("a"), F.col("kdst").alias("ka"))
+    y = oe.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
+    wedges = x.join(y, "src").filter(F.col("ka") < F.col("kb")).select("src", "a", "b")
+    closing = oe.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tri = wedges.join(closing, ["a", "b"])
+    counts = (
+        tri.select(F.explode(F.array("src", "a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(counts, F.col("id") == counts["n"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

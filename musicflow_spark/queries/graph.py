@@ -110,6 +110,48 @@ def _embedding_centrality_oracle_sql() -> str:
     )
 
 
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the kNN similarity graph (ext:
+    operators/graph.py::triangle_counts — degree-ordered wedge join,
+    the Suri-Vassilvitskii MapReduce algorithm).  Triangle density on
+    the similarity graph is the classic clustering-coefficient
+    precursor: near-dup groups show up as dense triangle
+    neighborhoods, isolated random vectors as zeros.  Edges reuse the
+    hash-proven knn_graph_lsh set, undirected; the oracle counts the
+    same triangles declaratively via the a<b<c triple self-join."""
+    from musicflow_spark.operators.graph import triangle_counts
+    from musicflow_spark.queries.vectors import knn_graph_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = knn_graph_lsh(spark, sf_dir).select(
+        F.least("query_id", "neighbor_id").alias("doc_a"),
+        F.greatest("query_id", "neighbor_id").alias("doc_b"),
+    )
+    return triangle_counts(emb, pairs, id_col="vec_id")
+
+
+def _knn_graph_triangles_oracle_sql() -> str:
+    from musicflow_spark.queries.vectors import _knn_graph_lsh_oracle_sql
+
+    return f"""
+WITH knn AS ({_knn_graph_lsh_oracle_sql()}),
+e AS (
+  SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                  greatest(query_id, neighbor_id) AS b
+  FROM knn),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+c AS (SELECT unnest([x, y, z]) AS n FROM t)
+SELECT emb.vec_id,
+       CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_triangles
+FROM embeddings emb
+LEFT JOIN (SELECT n, count(*) AS cnt FROM c GROUP BY n) g ON g.n = emb.vec_id
+"""
+
+
 QUERIES = [
     Query(
         "nation_trade_pagerank",
@@ -123,5 +165,11 @@ QUERIES = [
         "ext: kNN-graph centrality for data selection (PageRank over the LSH similarity graph, dangling branch)",
         embedding_centrality_pagerank,
         _embedding_centrality_oracle_sql(),
+    ),
+    Query(
+        "knn_graph_triangles",
+        "ext: triangle counting (degree-ordered wedge join) over the kNN similarity graph",
+        knn_graph_triangles,
+        _knn_graph_triangles_oracle_sql(),
     ),
 ]

@@ -192,3 +192,61 @@ def test_star_components_agrees_with_label_propagation(spark):
 def test_star_components_empty_edges_all_singletons(spark):
     got = _run_star(spark, 5, [])
     assert got == {i: (i, True) for i in range(5)}
+
+
+# ----------------------------------------------------- triangle counting
+def _brute_triangles(n_nodes, edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {i: set() for i in range(n_nodes)}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    tris = {
+        tuple(sorted((a, b, c)))
+        for a, b in es
+        for c in adj[a] & adj[b]
+    }
+    counts = {i: 0 for i in range(n_nodes)}
+    for t in tris:
+        for v in t:
+            counts[v] += 1
+    return counts
+
+
+def test_triangle_counts_random_vs_brute(spark):
+    import random
+
+    from musicflow_spark.operators.graph import triangle_counts
+
+    rng = random.Random(3)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    ref = _brute_triangles(n, edges)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["vec_id"]: r["n_triangles"]
+        for r in triangle_counts(nodes, pairs).collect()
+    }
+    assert got == ref
+    assert sum(ref.values()) % 3 == 0 and sum(ref.values()) > 0
+
+
+def test_triangle_counts_hub_graph(spark):
+    """A star hub (degree n-1) plus one rim edge: exactly one
+    triangle; the degree orientation must keep the hub's oriented
+    out-degree at 0 (every edge points AT the hub), so no wedge
+    explosion on the hot key."""
+    from musicflow_spark.operators.graph import triangle_counts
+
+    n = 30
+    edges = [(0, i) for i in range(1, n)] + [(1, 2)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["vec_id"]: r["n_triangles"]
+        for r in triangle_counts(nodes, pairs).collect()
+    }
+    expect = {i: 0 for i in range(n)}
+    expect[0] = expect[1] = expect[2] = 1
+    assert got == expect
