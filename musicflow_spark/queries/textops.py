@@ -1425,12 +1425,125 @@ GROUP BY p.doc_id
 """
 
 
+# ------------------------------------- perplexity quality filter
+PPL_SCALE = 1_000_000
+PPL_KEEP_MICRO_NATS = -3_420_000  # ~25% of the corpus routes to drop
+
+
+def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (ext): score every document by
+    its average bigram log-likelihood under the corpus LM with add-1
+    (Laplace) smoothing — P(w2|w1) = (C(w1 w2)+1)/(C(w1)+V) — and
+    route low-likelihood (high-perplexity) documents to drop.  This is
+    the ladder rung above ``doc_bigram_condprob``: that query emits
+    the raw MLE signal; this one is the actual filter a training-data
+    pipeline applies (CCNet buckets corpora by LM perplexity and
+    drops the worst tail).
+
+    Portability: each bigram's log term is rounded to INTEGER
+    micro-nats first (one ln() per distinct (c2, c1) ratio — a ulp
+    divergence would need the product to land within 1e-10 of a .5
+    boundary), then summed exactly as int64, and the keep decision
+    compares the integer per-bigram average against an integer
+    threshold — no float aggregation order anywhere.
+
+    Scale shape: unigram/bigram count tables shuffle once on their
+    keys; V is a 1-row broadcast scalar; the per-occurrence join is
+    the same equi-join lattice as doc_bigram_condprob.  Docs with no
+    bigram (< 2 tokens) drop out, as in the raw-signal query."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = docs.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
+    occ = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, pairs["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vsz")))
+                * PPL_SCALE
+            ).cast("long").alias("lp"),
+        )
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("sum_lp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_micro",
+            F.expr("sum_lp_micro div n_bigrams").alias("avg_lp_micro"),
+            (F.expr("sum_lp_micro div n_bigrams") >= PPL_KEEP_MICRO_NATS).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+DOC_PERPLEXITY_FILTER_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+    FROM toks)),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+v AS (SELECT count(*) AS vsz FROM uni),
+occ AS (
+  SELECT p.doc_id,
+         CAST(round(ln((b.c2 + 1.0) / (u.c1 + v.vsz)) * {PPL_SCALE}) AS BIGINT) AS lp
+  FROM pairs p
+  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN uni u ON p.w1 = u.w
+  CROSS JOIN v)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+       CAST(sum(lp) // count(*) AS BIGINT) AS avg_lp_micro,
+       (sum(lp) // count(*)) >= {PPL_KEEP_MICRO_NATS} AS keep
+FROM occ
+GROUP BY doc_id
+"""
+
+
 QUERIES = [
     Query(
         "doc_bigram_condprob",
         "ext: bigram-LM conditional-probability quality signal (integer bp)",
         doc_bigram_condprob,
         DOC_BIGRAM_CONDPROB_SQL,
+    ),
+    Query(
+        "doc_perplexity_filter",
+        "ext: CCNet-style perplexity filter (add-1 bigram LM, integer micro-nat grid)",
+        doc_perplexity_filter,
+        DOC_PERPLEXITY_FILTER_SQL,
     ),
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
     Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),

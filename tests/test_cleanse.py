@@ -137,3 +137,64 @@ class TestTfidfTopk:
                tfidf_topk(df, "doc_id", "text", k=2).filter(F.col("doc_id") == 1).collect()}
         # equal tf and df -> equal score -> alphabetical term order
         assert out == {1: "apple", 2: "zebra"}
+
+
+class TestPerplexityFilter:
+    def test_matches_pure_python_laplace_lm(self, spark, tmp_path):
+        import math
+
+        from musicflow_spark.queries.textops import (
+            PPL_KEEP_MICRO_NATS,
+            PPL_SCALE,
+            doc_perplexity_filter,
+        )
+
+        texts = {
+            1: "the cat sat on the mat",
+            2: "the cat sat",
+            3: "entirely novel gibberish tokens here",
+            4: "x",  # single token: no bigram, must not appear
+        }
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in doc_perplexity_filter(spark, str(tmp_path)).collect()
+        }
+        # pure-python reference
+        toks = {d: t.split() for d, t in texts.items()}
+        uni: dict[str, int] = {}
+        big: dict[tuple, int] = {}
+        for t in toks.values():
+            for w in t:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(t, t[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        v = len(uni)
+        for d, t in toks.items():
+            bgs = list(zip(t, t[1:]))
+            if not bgs:
+                assert d not in got
+                continue
+            lps = [
+                round(math.log((big[bg] + 1.0) / (uni[bg[0]] + v)) * PPL_SCALE)
+                for bg in bgs
+            ]
+            s = sum(lps)
+            # Spark `div` truncates toward zero; python // floors
+            avg = int(s / len(bgs)) if s >= 0 else -((-s) // len(bgs))
+            r = got[d]
+            assert r["n_bigrams"] == len(bgs)
+            assert r["sum_lp_micro"] == s
+            assert r["avg_lp_micro"] == avg
+            assert r["keep"] == (avg >= PPL_KEEP_MICRO_NATS)
+
+    def test_filter_routes_both_ways_on_fixture(self, spark):
+        from musicflow_spark.queries.textops import doc_perplexity_filter
+
+        out = doc_perplexity_filter(spark, "/root/testdata/sf0.001")
+        agg = out.groupBy("keep").count().collect()
+        counts = {r["keep"]: r["count"] for r in agg}
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+        # every log term is negative -> every sum strictly negative
+        assert out.filter(F.col("sum_lp_micro") >= 0).count() == 0

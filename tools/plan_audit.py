@@ -37,6 +37,7 @@ CARTESIAN_OK = {
     "doc_jaccard_pairs", "doc_minhash_dedup",       # 1-row common-shingle broadcast
     "conservation_counts",     # three 1-row scalar aggregates cross-joined
     "doc_tfidf_topk",          # 1-row corpus-count broadcast (idf denominator)
+    "doc_perplexity_filter",   # 1-row vocab-size broadcast (the add-1 denominator)
     "doc_split_contamination", # inherits jaccard's 1-row common-shingle broadcast
     "doc_dup_spans",           # inherits jaccard's 1-row common-shingle broadcast
     "incremental_user_rollup", # 1-row cutoff-day broadcast (delta boundary)
@@ -78,6 +79,7 @@ SINGLE_OK = {
     "doc_simhash_pairs",       # 1-row global token-idf bounds aggregate
     "top_revenue_orders",  # global top-k limit (10 rows by the LIMIT literal)
     "doc_tfidf_topk",          # scalar corpus count (1 row by construction)
+    "doc_perplexity_filter",   # scalar vocab-size aggregate (1 row by construction)
     "doc_split_contamination", # scalar common-shingle collect (tiny by construction)
     "doc_dup_spans",           # scalar common-shingle collect (tiny by construction)
     "daily_event_spine",       # scalar min/max bounds (1 row by construction)
