@@ -677,6 +677,52 @@ def _delta_pairs_from_flagged_sets(
 
 
 # ------------------------------------------------- dedup clustering
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = 20,
+    hashed_index: bool = True,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A,B) = |A∩B| / |A| (Broder's
+    second resemblance measure) — the near-SUPERSET detector Jaccard
+    misses: a tweet-length quote fully contained in a long article has
+    tiny Jaccard (union is article-sized) but containment ~1 from the
+    quote's side.  Training-data pipelines use this to drop truncated
+    or quoted-and-expanded rehosts of kept documents.
+
+    Same df-capped inverted-index equi-join as ``jaccard_pairs`` (one
+    shuffle, O(n_shingles · max_df²) worst case, never corpus²); per
+    surviving unordered pair BOTH directions are emitted as columns —
+    (doc_a < doc_b, inter_cnt, cont_a = inter/|A|, cont_b = inter/|B|)
+    filtered on max(cont_a, cont_b) >= threshold — so the consumer
+    reads the direction off whichever side is contained.
+    """
+    sh = shingle_table(df, text_col, id_col, n, max_df, hashed=hashed_index)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+        "shingle",
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+        "shingle",
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+        .withColumn("cont_a", F.col("inter_cnt") / F.col("n_a").cast("double"))
+        .withColumn("cont_b", F.col("inter_cnt") / F.col("n_b").cast("double"))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select("doc_a", "doc_b", "inter_cnt", "cont_a", "cont_b")
+    )
+
+
 def dedup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -1425,6 +1425,56 @@ GROUP BY p.doc_id
 """
 
 
+# ------------------------------------------- shingle containment
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection (ext): asymmetric shingle containment
+    |A∩B|/|A| (operators/dedup.py::containment_pairs) over the same
+    3-token kept-shingle sets as doc_jaccard_pairs — catches truncated
+    or quoted-and-expanded rehosts whose symmetric Jaccard stays low.
+    Both directions ride as columns on the a<b pair row; the filter is
+    max(cont_a, cont_b) >= 0.6."""
+    from musicflow_spark.operators.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = containment_pairs(
+        docs, threshold=CONTAINMENT_THRESHOLD, max_df=20
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "inter_cnt",
+        pround(F.col("cont_a"), 6).alias("cont_a"),
+        pround(F.col("cont_b"), 6).alias("cont_b"),
+    )
+
+
+DOC_CONTAINMENT_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+inv1 AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS sh_df FROM inv0),
+inv AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM inv1 WHERE sh_df <= 20)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS inter_cnt,
+       round(count(*) / cast(a.n_sh AS double) * 1000000.0) / 1000000.0 AS cont_a,
+       round(count(*) / cast(b.n_sh AS double) * 1000000.0) / 1000000.0 AS cont_b
+FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING greatest(count(*) / cast(a.n_sh AS double),
+                count(*) / cast(b.n_sh AS double)) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # ------------------------------------- perplexity quality filter
 PPL_SCALE = 1_000_000
 PPL_KEEP_MICRO_NATS = -3_420_000  # ~25% of the corpus routes to drop
@@ -1544,6 +1594,12 @@ QUERIES = [
         "ext: CCNet-style perplexity filter (add-1 bigram LM, integer micro-nat grid)",
         doc_perplexity_filter,
         DOC_PERPLEXITY_FILTER_SQL,
+    ),
+    Query(
+        "doc_containment_pairs",
+        "ext: asymmetric shingle containment (near-superset detection, df-capped index join)",
+        doc_containment_pairs,
+        DOC_CONTAINMENT_PAIRS_SQL,
     ),
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
     Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),

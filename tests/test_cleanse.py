@@ -198,3 +198,55 @@ class TestPerplexityFilter:
         assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
         # every log term is negative -> every sum strictly negative
         assert out.filter(F.col("sum_lp_micro") >= 0).count() == 0
+
+
+class TestContainmentPairs:
+    def test_truncation_has_high_containment_low_jaccard(self, spark):
+        from musicflow_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+        long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+        short = "alpha beta gamma delta epsilon zeta"  # a strict prefix
+        df = spark.createDataFrame(
+            [(1, long), (2, short), (3, "wholly unrelated text body here")],
+            "doc_id long, text string",
+        )
+        cont = {(r["doc_a"], r["doc_b"]): r
+                for r in containment_pairs(df, threshold=0.6, max_df=None).collect()}
+        assert (1, 2) in cont
+        r = cont[(1, 2)]
+        # every shingle of the prefix is in the long doc
+        assert r["cont_b"] == 1.0 and r["cont_a"] < 0.5
+        # symmetric jaccard at the same bar misses it
+        jac = {(q["doc_a"], q["doc_b"])
+               for q in jaccard_pairs(df, threshold=0.6, max_df=None).collect()}
+        assert (1, 2) not in jac
+        assert not any(3 in p for p in cont)
+
+    def test_agrees_with_python_reference(self, spark):
+        from musicflow_spark.operators.dedup import containment_pairs
+
+        texts = {
+            1: "a b c d e f g",
+            2: "c d e f g h",
+            3: "a b c",
+            4: "z z z q",
+        }
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+        def sh3(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+
+        got = {(r["doc_a"], r["doc_b"]): (r["inter_cnt"], r["cont_a"], r["cont_b"])
+               for r in containment_pairs(df, threshold=0.5, max_df=None).collect()}
+        expect = {}
+        ids = sorted(texts)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                sa, sb = sh3(texts[a]), sh3(texts[b])
+                inter = len(sa & sb)
+                ca, cb = inter / len(sa), inter / len(sb)
+                if inter and max(ca, cb) >= 0.5:
+                    expect[(a, b)] = (inter, ca, cb)
+        assert got == expect

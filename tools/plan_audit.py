@@ -40,6 +40,7 @@ CARTESIAN_OK = {
     "doc_perplexity_filter",   # 1-row vocab-size broadcast (the add-1 denominator)
     "doc_split_contamination", # inherits jaccard's 1-row common-shingle broadcast
     "doc_dup_spans",           # inherits jaccard's 1-row common-shingle broadcast
+    "doc_containment_pairs",   # inherits jaccard's 1-row common-shingle broadcast
     "incremental_user_rollup", # 1-row cutoff-day broadcast (delta boundary)
     "incremental_value_moments", # same 1-row cutoff-day broadcast
     "dormant_rich_customers",  # 1-row balance-threshold + date-cutoff broadcasts
@@ -82,6 +83,7 @@ SINGLE_OK = {
     "doc_perplexity_filter",   # scalar vocab-size aggregate (1 row by construction)
     "doc_split_contamination", # scalar common-shingle collect (tiny by construction)
     "doc_dup_spans",           # scalar common-shingle collect (tiny by construction)
+    "doc_containment_pairs",   # scalar common-shingle collect (tiny by construction)
     "daily_event_spine",       # scalar min/max bounds (1 row by construction)
     "daily_moving_stats",      # global window on the day-grain aggregate (dozens of rows)
     "order_revenue_range_window",  # same day-grain global window (RANGE frame twin)
