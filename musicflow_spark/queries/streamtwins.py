@@ -367,6 +367,35 @@ FROM events
 """
 
 
+# ------------------------------------- streaming session windows
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming ``session_window`` aggregation in APPEND mode
+    (streaming/events.py::user_sessions_stream): gap-merged sessions
+    finalize only when the watermark passes their close, so the
+    replay ends with the far-future flush sentinel; its own session
+    (and only it) is filtered back out by user id.  This is the one
+    windowing mode the other twins don't cover — state here MERGES
+    windows as events arrive instead of assigning them statically.
+    Oracle: the hash-proven batch session_window SQL
+    (``session_window_stats``, green r03) restricted to real users."""
+    from musicflow_spark.streaming.events import user_sessions_stream
+
+    src = _events_replay_dir(spark, sf_dir, sentinel=True)
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/sessions"
+    stream = user_sessions_stream(_file_stream(spark, src))
+    _run_available_now(
+        stream,
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    return spark.read.parquet(out).filter(F.col("user_id") != SENTINEL_USER)
+
+
+def _stream_session_stats_sql() -> str:
+    from musicflow_spark.queries.events import SESSION_WINDOW_STATS_SQL
+
+    return SESSION_WINDOW_STATS_SQL
+
+
 # --------------------------- stateful LSH candidates (streaming dedup)
 def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup dedup, sketch-then-verify: candidate pairs
@@ -445,6 +474,7 @@ QUERIES = [
     Query("stream_hourly_event_stats", "ext: streaming twin — watermarked tumbling-window agg (append mode)", stream_hourly_event_stats, STREAM_HOURLY_EVENT_STATS_SQL),
     Query("stream_latest_event_user", "W2,O3 ext: streaming twin — applyInPandasWithState top-1 + keyed upsert sink", stream_latest_event_user, STREAM_LATEST_EVENT_USER_SQL),
     Query("stream_event_dedup", "A7 ext: streaming twin — watermark-bounded exact dedup of an at-least-once replay", stream_event_dedup, STREAM_EVENT_DEDUP_SQL),
+    Query("stream_session_stats", "ext: streaming twin — merging session windows under watermark (append mode)", stream_session_stats, _stream_session_stats_sql()),
 ]
 
 
