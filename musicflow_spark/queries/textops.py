@@ -1425,6 +1425,100 @@ GROUP BY p.doc_id
 """
 
 
+# ------------------------------------------- PMI collocations
+PPL_SCALE = 1_000_000  # shared integer micro-nat grid (PMI + perplexity)
+PMI_MIN_COUNT, PMI_TOP_K = 5, 50
+
+
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (ext):
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1,·)·P(·,w2)) ) over bigram
+    occurrences, the standard collocation-extraction statistic
+    (Church & Hanks 1990) a corpus-analysis pipeline computes before
+    tokenizer/phrase-vocabulary decisions.  Marginals are
+    bigram-POSITION counts (w as first word / w as second word), so
+    the whole table derives from one bigram aggregation.
+
+    Portability: PMI is rounded to integer micro-nats per DISTINCT
+    bigram (same grid as doc_perplexity_filter), ranking ties break on
+    the words themselves, and the min-count floor (>= 5) keeps the
+    rare-pair noise out.  The final top-k LIMIT is the one
+    single-partition stage — k rows by the literal.
+
+    Scale shape: bigram counts shuffle once on (w1,w2); both marginal
+    frames are re-aggregations of that table (vocab-sized); N is a
+    1-row broadcast."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    big = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ca = big.groupBy("w1").agg(F.sum("c2").alias("ca"))
+    cb = big.groupBy("w2").agg(F.sum("c2").alias("cb"))
+    total = big.agg(F.sum("c2").alias("nn"))
+    scored = (
+        big.filter(F.col("c2") >= PMI_MIN_COUNT)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c2",
+            F.round(
+                F.log(
+                    (F.col("c2") * F.col("nn")).cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                )
+                * PPL_SCALE
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_micro"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PMI_TOP_K)
+        .select("w1", "w2", "c2", "pmi_micro", "rank")
+    )
+
+
+CORPUS_PMI_COLLOCATIONS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+big AS (
+  SELECT s['w1'] AS w1, s['w2'] AS w2, count(*) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+    FROM toks)
+  GROUP BY 1, 2),
+ca AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ca FROM big GROUP BY w1),
+cb AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cb FROM big GROUP BY w2),
+nn AS (SELECT CAST(sum(c2) AS BIGINT) AS nn FROM big),
+scored AS (
+  SELECT b.w1, b.w2, b.c2,
+         CAST(round(ln(cast(b.c2 * nn.nn AS double) / cast(ca.ca * cb.cb AS double))
+                    * {PPL_SCALE}) AS BIGINT) AS pmi_micro
+  FROM big b JOIN ca ON b.w1 = ca.w1 JOIN cb ON b.w2 = cb.w2 CROSS JOIN nn
+  WHERE b.c2 >= {PMI_MIN_COUNT})
+SELECT w1, w2, c2, pmi_micro, rank
+FROM (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rank
+      FROM scored)
+WHERE rank <= {PMI_TOP_K}
+"""
+
+
 # ------------------------------------------- shingle containment
 CONTAINMENT_THRESHOLD = 0.6
 
@@ -1476,7 +1570,6 @@ HAVING greatest(count(*) / cast(a.n_sh AS double),
 
 
 # ------------------------------------- perplexity quality filter
-PPL_SCALE = 1_000_000
 PPL_KEEP_MICRO_NATS = -3_420_000  # ~25% of the corpus routes to drop
 
 
@@ -1600,6 +1693,12 @@ QUERIES = [
         "ext: asymmetric shingle containment (near-superset detection, df-capped index join)",
         doc_containment_pairs,
         DOC_CONTAINMENT_PAIRS_SQL,
+    ),
+    Query(
+        "corpus_pmi_collocations",
+        "ext: PMI collocation extraction (integer micro-nat grid, min-count floor)",
+        corpus_pmi_collocations,
+        CORPUS_PMI_COLLOCATIONS_SQL,
     ),
     Query("fix_title_parts", "F1,F3,D2", fix_title_parts, _fix_title_oracle_sql(), bench=True),
     Query("doc_fingerprint", "ext: rolling-hash fingerprinting", doc_fingerprint, DOC_FINGERPRINT_SQL),

@@ -428,7 +428,7 @@ WHERE rank <= {TOP_K}
 """
 
 
-IVFPQ_PROBE, IVFPQ_CAND = 6, 64
+IVFPQ_PROBE, IVFPQ_CAND, IVFPQ_CENT_MAX = 6, 64, 5000
 
 
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,7 +444,14 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    cent = emb.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+    # the coarse quantizer is CAPPED to a fixed id range, like the PQ
+    # codebook: a real IVF index keeps n_clusters fixed (or ~sqrt(N))
+    # as the corpus grows — an uncapped stride would make the
+    # assignment pass corpus x corpus/97 = quadratic at scale
+    cent = emb.filter(
+        (F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM)
+        & (F.col("vec_id") < IVFPQ_CENT_MAX)
+    ).select(
         F.col("vec_id").alias("cluster_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
     )
@@ -478,7 +485,7 @@ def _knn_ivfpq_oracle_sql() -> str:
     return f"""
 WITH cent AS (
   SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
-  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}),
+  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM} AND vec_id < {IVFPQ_CENT_MAX}),
 assigned AS (
   SELECT vec_id AS neighbor_id, cluster_id FROM (
     SELECT e.vec_id, c.cluster_id,

@@ -250,3 +250,55 @@ class TestContainmentPairs:
                 if inter and max(ca, cb) >= 0.5:
                     expect[(a, b)] = (inter, ca, cb)
         assert got == expect
+
+
+class TestPmiCollocations:
+    def test_matches_pure_python_pmi(self, spark, tmp_path):
+        import math
+
+        from musicflow_spark.queries.textops import (
+            PPL_SCALE,
+            corpus_pmi_collocations,
+        )
+
+        # 'san francisco' always co-occurs; 'the the' is common noise
+        texts = [
+            (i, "san francisco is where the the cat lives in san francisco")
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {(r["w1"], r["w2"]): r for r in
+               corpus_pmi_collocations(spark, str(tmp_path)).collect()}
+        big: dict[tuple, int] = {}
+        for _, t in texts:
+            w = t.split()
+            for bg in zip(w, w[1:]):
+                big[bg] = big.get(bg, 0) + 1
+        nn = sum(big.values())
+        ca: dict[str, int] = {}
+        cb: dict[str, int] = {}
+        for (a, b), c in big.items():
+            ca[a] = ca.get(a, 0) + c
+            cb[b] = cb.get(b, 0) + c
+        for bg, c in big.items():
+            if c < 5:
+                assert bg not in got
+                continue
+            exp = round(math.log(c * nn / (ca[bg[0]] * cb[bg[1]])) * PPL_SCALE)
+            assert got[bg]["pmi_micro"] == exp and got[bg]["c2"] == c
+        # the fixed collocation outranks the promiscuous pair
+        assert got[("san", "francisco")]["rank"] < got[("the", "the")]["rank"]
+
+    def test_topk_and_floor_on_fixture(self, spark):
+        from musicflow_spark.queries.textops import (
+            PMI_MIN_COUNT,
+            PMI_TOP_K,
+            corpus_pmi_collocations,
+        )
+
+        out = corpus_pmi_collocations(spark, "/root/testdata/sf0.001").collect()
+        assert 0 < len(out) <= PMI_TOP_K
+        assert all(r["c2"] >= PMI_MIN_COUNT for r in out)
+        ranks = sorted(r["rank"] for r in out)
+        assert ranks == list(range(1, len(out) + 1))

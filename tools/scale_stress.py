@@ -102,6 +102,19 @@ QUERY_TABLES = {
     # fixed codebook (vec_id < 500 caps seeds to the base replica),
     # so encode + ADC scan are O(N) with constant K
     "knn_pq": ["embeddings"],
+    # fixed codebook AND fixed coarse quantizer (vec_id < 5000 caps
+    # centroids to the base replica): assignment/encode O(N), ADC scan
+    # O(N * n_probe / n_clusters), rerank O(1) candidates
+    "knn_ivfpq": ["embeddings"],
+    # replica-prefixed tokens keep shingles disjoint: inverted-index
+    # join and per-pair containment are N x base, never cross-replica
+    "doc_containment_pairs": ["documents"],
+    # vocab grows ~N (disjoint replica prefixes); count tables and the
+    # per-occurrence equi-join lattice all shuffle linearly
+    "doc_perplexity_filter": ["documents"],
+    # near-dup components stay within a replica; star rounds constant
+    # (cluster diameter unchanged), per-round work edge-linear
+    "doc_star_components": ["documents"],
     # match_cascade_catalog is deliberately absent: its synthetic
     # first-token vocabulary (pk % 250, and 250 divides the replica
     # stride) would make replicas share index buckets — the measured
