@@ -1425,6 +1425,118 @@ GROUP BY p.doc_id
 """
 
 
+# ---------------------------------- end-to-end training selection
+CTS_MIN_TOKENS, CTS_MIN_UNIQ = 12, 0.30
+
+
+def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data selection mart (ext): every
+    document routed through the full filter ladder IN ONE PLAN —
+    language id → quality floors → perplexity filter → exact dedup →
+    near-dup canonical selection — emitting the final keep flag plus
+    the FIRST stage that rejected it (the routing/audit column every
+    production corpus pipeline carries).  Each stage reuses the
+    hash-proven component verbatim (lang_id, quality_features,
+    doc_perplexity_filter, exact_dedup's fingerprint window,
+    doc_canonical_selection), so this query certifies their
+    COMPOSITION, not new logic.
+
+    Stage order is the cheap-to-expensive production order: per-row
+    predicates first (lang, quality — map-only), corpus-relative
+    stats next (perplexity), pairwise stages last (exact and near
+    dedup) — at 100 TB the early map-side drops shrink every later
+    shuffle.  All stage outputs join back on doc_id (one shuffle
+    each, AQE-broadcast when small)."""
+    from musicflow_spark.operators.textstats import (
+        lang_id,
+        normalize_for_fingerprint,
+        quality_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", lang_id("text").alias("pred_lang"))
+    q = quality_features(docs).select("doc_id", "n_tokens", "uniq_frac")
+    ppl = doc_perplexity_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ppl_keep")
+    )
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    fp = (
+        docs.withColumn("fp", F.md5(normalize_for_fingerprint("text")))
+        .withColumn("rn", F.row_number().over(wfp))
+        .select("doc_id", (F.col("rn") == 1).alias("exact_keeper"))
+    )
+    canon = doc_canonical_selection(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(q, "doc_id")
+        .join(ppl, "doc_id", "left")
+        .join(fp, "doc_id")
+        .join(canon, "doc_id")
+    )
+    reason = (
+        F.when(F.col("pred_lang") != "en", "lang")
+        .when(
+            (F.col("n_tokens") < CTS_MIN_TOKENS)
+            | (F.col("uniq_frac") < CTS_MIN_UNIQ),
+            "quality",
+        )
+        .when(F.col("ppl_keep").isNull() | ~F.col("ppl_keep"), "perplexity")
+        .when(~F.col("exact_keeper"), "exact_dup")
+        .when(~F.col("is_canonical"), "near_dup")
+        .otherwise("kept")
+    )
+    return joined.select(
+        "doc_id",
+        "pred_lang",
+        "n_tokens",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )
+
+
+def _corpus_training_selection_oracle_sql() -> str:
+    return rf"""
+WITH lang AS ({_lang_id_oracle_sql()}),
+qtoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE len(list_distinct(t)) / cast(len(t) AS double) END AS uniq_frac
+  FROM qtoks),
+ppl AS ({DOC_PERPLEXITY_FILTER_SQL}),
+fp AS (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           ORDER BY doc_id) = 1 AS exact_keeper
+  FROM documents),
+canon AS ({_doc_canonical_selection_oracle_sql()}),
+staged AS (
+  SELECT d.doc_id, l.pred_lang, q.n_tokens,
+         CASE WHEN l.pred_lang <> 'en' THEN 'lang'
+              WHEN q.n_tokens < {CTS_MIN_TOKENS}
+                   OR q.uniq_frac < {CTS_MIN_UNIQ} THEN 'quality'
+              WHEN p.keep IS NULL OR NOT p.keep THEN 'perplexity'
+              WHEN NOT f.exact_keeper THEN 'exact_dup'
+              WHEN NOT c.is_canonical THEN 'near_dup'
+              ELSE 'kept' END AS reason
+  FROM documents d
+  JOIN lang l ON l.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN ppl p ON p.doc_id = d.doc_id
+  JOIN fp f ON f.doc_id = d.doc_id
+  JOIN canon c ON c.doc_id = d.doc_id)
+SELECT doc_id, pred_lang, n_tokens, reason, reason = 'kept' AS keep
+FROM staged
+"""
+
+
 # ------------------------------------------- PMI collocations
 PPL_SCALE = 1_000_000  # shared integer micro-nat grid (PMI + perplexity)
 PMI_MIN_COUNT, PMI_TOP_K = 5, 50
@@ -1693,6 +1805,13 @@ QUERIES = [
         "ext: asymmetric shingle containment (near-superset detection, df-capped index join)",
         doc_containment_pairs,
         DOC_CONTAINMENT_PAIRS_SQL,
+    ),
+    Query(
+        "corpus_training_selection",
+        "ext: end-to-end training-data selection mart (lang -> quality -> perplexity -> exact dedup -> canonical), first-reject routing",
+        corpus_training_selection,
+        _corpus_training_selection_oracle_sql(),
+        bench=True,
     ),
     Query(
         "corpus_pmi_collocations",

@@ -302,3 +302,43 @@ class TestPmiCollocations:
         assert all(r["c2"] >= PMI_MIN_COUNT for r in out)
         ranks = sorted(r["rank"] for r in out)
         assert ranks == list(range(1, len(out) + 1))
+
+
+class TestTrainingSelection:
+    def test_every_reason_fires_on_crafted_corpus(self, spark, tmp_path):
+        from musicflow_spark.queries.textops import corpus_training_selection
+
+        base = ("the cat sat on the mat and then the dog sat on the mat "
+                "while the bird flew over the quiet green garden today")
+        rows = [
+            (1, base),                                   # kept
+            (2, base + " extra tail words here"),        # near_dup of 1 (shorter loses)
+            (3, base),                                   # exact dup of 1
+            (4, "le chat le chien le jardin le soir"),   # lang: french markers
+            (5, " ".join(["the"] * 13)),                 # quality: uniq_frac 1/13
+            # English-marked but every bigram unique -> high perplexity
+            (6, " ".join(f"the w{i}" for i in range(20))),
+        ]
+        full = [(i, t, "en", "test", len(t)) for i, t in rows]
+        df = spark.createDataFrame(
+            full, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r["doc_id"]: r["reason"]
+               for r in corpus_training_selection(spark, str(tmp_path)).collect()}
+        assert got[4] == "lang"
+        assert got[5] == "quality"
+        assert got[6] == "perplexity"
+        assert got[3] == "exact_dup"
+        # doc 2 is LONGER, so it is canonical; doc 1 drops as near_dup
+        assert got[2] == "kept"
+        assert got[1] == "near_dup"
+
+    def test_reason_and_keep_consistent_on_fixture(self, spark):
+        from musicflow_spark.queries.textops import corpus_training_selection
+
+        out = corpus_training_selection(spark, "/root/testdata/sf0.001")
+        assert out.filter((F.col("reason") == "kept") != F.col("keep")).count() == 0
+        counts = {r["reason"]: r["count"]
+                  for r in out.groupBy("reason").count().collect()}
+        assert counts.get("kept", 0) > 0 and len(counts) >= 3

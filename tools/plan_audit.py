@@ -39,6 +39,8 @@ CARTESIAN_OK = {
     "doc_tfidf_topk",          # 1-row corpus-count broadcast (idf denominator)
     "doc_perplexity_filter",   # 1-row vocab-size broadcast (the add-1 denominator)
     "corpus_pmi_collocations", # 1-row bigram-total broadcast (the PMI numerator)
+    "corpus_training_selection", # inherits jaccard's common-shingle + perplexity's
+                               # vocab-size 1-row broadcasts (stage composition)
     "doc_split_contamination", # inherits jaccard's 1-row common-shingle broadcast
     "doc_dup_spans",           # inherits jaccard's 1-row common-shingle broadcast
     "doc_containment_pairs",   # inherits jaccard's 1-row common-shingle broadcast
@@ -83,6 +85,7 @@ SINGLE_OK = {
     "doc_tfidf_topk",          # scalar corpus count (1 row by construction)
     "doc_perplexity_filter",   # scalar vocab-size aggregate (1 row by construction)
     "corpus_pmi_collocations", # scalar bigram total + global top-k LIMIT (50 rows)
+    "corpus_training_selection", # inherited scalar collects (common-shingle, vocab size)
     "doc_split_contamination", # scalar common-shingle collect (tiny by construction)
     "doc_dup_spans",           # scalar common-shingle collect (tiny by construction)
     "doc_containment_pairs",   # scalar common-shingle collect (tiny by construction)
