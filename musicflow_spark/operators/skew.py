@@ -17,7 +17,7 @@ not:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,3 +94,44 @@ def salted_join(
     joined_hot = big_hot.join(other_hot, [key, "__salt__"], how)
     joined_tail = big_tail.join(other_tail, [key, "__salt__"], how)
     return joined_hot.unionByName(joined_tail).drop("__salt__")
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[Column | str],
+    k: int,
+    n_salts: int = 16,
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Per-key top-k without a hot-key sort: a direct
+    ``row_number() OVER (PARTITION BY keys ORDER BY ...)`` sorts every
+    row of the hottest key in ONE task — the classic last-reducer
+    stall when a key holds millions of rows.  Two phases fix it:
+    rank within (keys, salt) and keep k per salt (any single task now
+    sorts ~1/n_salts of the hot key), then rank the ≤ k·n_salts
+    survivors per key.  Every global top-k row is necessarily inside
+    its salt's top-k, so the result is EXACTLY the direct window's —
+    provided ``order_cols`` is a total order (pass a full tiebreak
+    chain; float ties are the caller's hazard).
+
+    The salt is a deterministic hash of ``salt_on`` (default: ALL
+    input columns — row-varying by construction), so retries re-salt
+    identically; correctness holds under ANY row partition,
+    determinism of the salt just keeps stage retries byte-stable
+    (the datasource sink precondition)."""
+    salt_cols = salt_on if salt_on is not None else list(df.columns)
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).alias("__salt__")
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w_part = Window.partitionBy(*keys, "__salt__").orderBy(*order)
+    w_final = Window.partitionBy(*keys).orderBy(*order)
+    survivors = (
+        df.select("*", salt)
+        .withColumn("__pr__", F.row_number().over(w_part))
+        .filter(F.col("__pr__") <= k)
+        .drop("__salt__", "__pr__")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+    )

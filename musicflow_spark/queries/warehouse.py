@@ -94,6 +94,56 @@ GROUP BY o_orderpriority
 """
 
 
+# ------------------------------------------------- skew-safe top-k
+def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted top-k (operators/skew.py::salted_topk) vs the
+    direct window as oracle: per-key top-10 lineitems by price over
+    (l_returnflag, l_linestatus) — 4 hot keys each holding ~1/4 of the
+    fact table, exactly the shape where a direct
+    row_number window sorts millions of rows in one task at 100 TB.
+    The salted form bounds any task's sort to ~1/16 of a key; the
+    hash-green row proves the two-phase rewrite emits the identical
+    ranking.  Integer-cents ordering + the full line tiebreak chain
+    ((l_orderkey, l_linenumber) alone is NOT unique in this fixture)
+    make the order total, so the ranking is engine-portable."""
+    from musicflow_spark.operators.skew import salted_topk
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        _cents("l_extendedprice").alias("price_cents"),
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    )
+    out = salted_topk(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        order_cols=[
+            F.desc("price_cents"), F.asc("l_orderkey"), F.asc("l_linenumber"),
+            F.asc("l_partkey"), F.asc("l_suppkey"),
+        ],
+        k=10,
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "price_cents",
+        "l_orderkey", "l_linenumber", "rank",
+    )
+
+
+SKEW_SALTED_TOPK_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       l_orderkey, l_linenumber, rank
+FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY l_returnflag, l_linestatus
+           ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+                    l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rank
+  FROM lineitem)
+WHERE rank <= 10
+"""
+
+
 # ------------------------------------------------- CUBE / grouping sets
 def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP CUBE over priority × status with grouping_id — all four
@@ -853,6 +903,7 @@ GROUP BY o_orderpriority
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
+    Query("skew_salted_topk", "ext: two-phase salted top-k == direct window (last-reducer fix)", skew_salted_topk, SKEW_SALTED_TOPK_SQL),
     Query("order_status_cube", "ext: CUBE grouping-sets OLAP summary", order_status_cube, ORDER_STATUS_CUBE_SQL),
     Query("daily_moving_stats", "ext: frame-bounded moving/cumulative windows", daily_moving_stats, DAILY_MOVING_STATS_SQL),
     Query("scd2_customer_history", "ext: SCD Type-2 snapshot merge", scd2_customer_history, SCD2_CUSTOMER_HISTORY_SQL),

@@ -246,3 +246,29 @@ def test_knn_graph_candidate_join_is_not_broadcast(spark):
     out_b.write.format("noop").mode("overwrite").save()
     plan_b = out_b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_b, plan_b
+
+
+def test_salted_topk_equals_direct_window_on_skewed(spark, skewed):
+    from pyspark.sql import Window
+
+    from musicflow_spark.operators.skew import salted_topk
+
+    # v alone is not a total order on the hot key (10k rows, v in 0..6)
+    # -> add a deterministic synthetic tiebreak on both sides
+    keyed = skewed.withColumn("tb", F.xxhash64("k", "v"))
+    w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("tb"))
+    direct = keyed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    salted = salted_topk(keyed, ["k"], [F.desc("v"), F.asc("tb")], k=5, n_salts=8)
+    assert sorted(map(tuple, direct.select("k", "v", "rank").collect())) == \
+        sorted(map(tuple, salted.select("k", "v", "rank").collect()))
+
+
+def test_salted_topk_partial_phase_really_prunes(spark, skewed):
+    """The survivor frame entering the final window must hold at most
+    k rows per (key, salt) — the bound that fixes the last reducer."""
+    from musicflow_spark.operators.skew import salted_topk
+
+    keyed = skewed.withColumn("tb", F.xxhash64("k", "v"))
+    out = salted_topk(keyed, ["k"], [F.desc("v"), F.asc("tb")], k=3, n_salts=4)
+    rows = out.groupBy("k").count().collect()
+    assert all(r["count"] == 3 for r in rows)  # k rows per key, all keys
