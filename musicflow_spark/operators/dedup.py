@@ -891,3 +891,72 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------- segment (line/paragraph)
+def segment_table(
+    df: DataFrame,
+    seg_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, seg_id, seg): the document cut into consecutive
+    ``seg_words``-word windows (the last one may be shorter).
+
+    This is the C4/CCNet *line-level* dedup unit generalised to
+    corpora without newlines: a deterministic segmenter replaces the
+    newline split, everything downstream is identical.  All array
+    work (sequence -> slice -> array_join) is native expressions
+    inside whole-stage codegen; nothing leaves the JVM.
+    """
+    words = df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
+    n_segs = F.ceil(F.size("w") / F.lit(float(seg_words))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_segs - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice("w", i * seg_words + 1, seg_words), " "),
+    )
+    return words.select(
+        id_col, F.posexplode(segs).alias("seg_id", "seg")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    seg_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-wide segment dedup: every duplicated segment
+    keeps exactly its FIRST occurrence (lowest (doc, position)) and is
+    dropped everywhere else; documents are reassembled from their kept
+    segments in order.
+
+    Returns (id, n_segs, n_kept, kept_text).
+
+    Scale shape: first-occurrence is min(struct(doc, pos)) per segment
+    — a partially-aggregatable groupBy (map-side combine collapses
+    dup-heavy corpora BEFORE the shuffle), then an equi-join back on
+    the segment, instead of a row_number window whose per-segment sort
+    buys nothing here.  Both shuffles key on the segment text; a hot
+    boilerplate segment is bounded by the combine step emitting one
+    row per (segment, map task).
+    """
+    segs = segment_table(df, seg_words, text_col, id_col)
+    first = segs.groupBy("seg").agg(
+        F.min(F.struct(id_col, "seg_id")).alias("first_occ")
+    )
+    flagged = segs.join(first, "seg").withColumn(
+        "keep",
+        (F.col(id_col) == F.col("first_occ")[id_col])
+        & (F.col("seg_id") == F.col("first_occ.seg_id")),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("seg_id", "seg")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["seg"]), " "
+        ).alias("kept_text"),
+    )

@@ -19,6 +19,7 @@ from musicflow_spark.operators.dedup import (
     jaccard_pairs,
     minhash_dedup_incremental,
     minhash_dedup_pairs,
+    paragraph_dedup,
     winnow_fingerprints,
     positional_shingle_table,
     shared_span_stats,
@@ -237,6 +238,44 @@ SELECT doc_id, fp, dup_count FROM (
                             ORDER BY doc_id) AS rn,
          count(*)    OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS dup_count
   FROM documents) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- paragraph dedup (C4)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup (ext), generalised to a fixed
+    8-word segmenter since this corpus has no newlines: every
+    duplicated segment survives only at its first (doc_id, position)
+    occurrence; docs are reassembled from their kept segments.
+
+    The first-occurrence pass is a min(struct) groupBy (map-side
+    combinable) + equi-join back on the segment — no global window.
+    Reference scope: the reference dedups whole rows (dbt
+    ``distinct`` staging models, e.g. models/staging/*.sql); segment-
+    level dedup is the training-pipeline extension of the same A7
+    keep-first contract."""
+    docs = read_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, seg_words=8)
+
+
+DOC_PARAGRAPH_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_id,
+         array_to_string(list_slice(words, i*8 + 1, (i+1)*8), ' ') AS seg
+  FROM base, unnest(range(0, CAST(ceil(len(words)/8.0) AS BIGINT))) AS t(i)),
+ranked AS (
+  SELECT doc_id, seg_id, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) AS rn
+  FROM segs)
+SELECT doc_id,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_id), '')
+         AS kept_text
+FROM ranked
+GROUP BY doc_id
 """
 
 
@@ -1825,6 +1864,12 @@ QUERIES = [
     Query("doc_quality", "ext: quality scoring", doc_quality, DOC_QUALITY_SQL),
     Query("doc_lang_id", "ext: language id", doc_lang_id, _lang_id_oracle_sql()),
     Query("doc_exact_dedup", "ext: exact dedup; A7", doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    Query(
+        "doc_paragraph_dedup",
+        "ext: C4-style segment-level corpus dedup (first-occurrence-wins, reassembled text)",
+        doc_paragraph_dedup,
+        DOC_PARAGRAPH_DEDUP_SQL,
+    ),
     Query("doc_jaccard_pairs", "ext: ngram jaccard dedup; J8", doc_jaccard_pairs, DOC_JACCARD_PAIRS_SQL, bench=True),
     Query("doc_dedup_clusters", "ext: dedup clustering (connected components)", doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
     Query("doc_star_components", "ext: dedup clustering (large-star/small-star contraction, O(log^2 n) rounds)", doc_star_components, DOC_DEDUP_CLUSTERS_SQL),

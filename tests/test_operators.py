@@ -536,3 +536,37 @@ def test_hard_negatives_are_subthreshold_and_ranked(spark):
     }
     neg_pairs = {(r.doc_id, r.neg_doc) for r in negs}
     assert not dup_pairs & neg_pairs
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from musicflow_spark.operators.dedup import paragraph_dedup
+
+    # seg_words=2 -> doc 1 segments: "a b","c d"; doc 2: "a b","x y";
+    # doc 3: "c d","a b","z".  Every repeat of "a b"/"c d" after its
+    # first (doc, pos) occurrence must be dropped from the rebuilt text.
+    rows = [
+        (1, "a b c d"),
+        (2, "a b x y"),
+        (3, "c d a b z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, seg_words=2).collect()
+    }
+    assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == "a b c d"
+    assert out[2]["n_segs"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["kept_text"] == "x y"
+    assert out[3]["n_segs"] == 3 and out[3]["n_kept"] == 1
+    assert out[3]["kept_text"] == "z"
+
+
+def test_paragraph_dedup_all_dup_doc_keeps_empty_text(spark):
+    from musicflow_spark.operators.dedup import paragraph_dedup
+
+    rows = [(1, "a b"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, seg_words=2).collect()}
+    assert out[2]["n_kept"] == 0 and out[2]["kept_text"] == ""
+    assert out[1]["n_kept"] == 1 and out[1]["kept_text"] == "a b"
