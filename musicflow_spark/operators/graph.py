@@ -336,3 +336,144 @@ def triangle_counts(
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+# ------------------------------------------------------ link prediction
+def link_prediction(
+    pairs: DataFrame,
+    ra_scale: int = 10**6,
+    max_hub_deg: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list
+    (doc_a, doc_b): for every NON-adjacent pair sharing at least one
+    neighbor, the common-neighbor count and the Resource-Allocation
+    index (Zhou, Lü & Zhang, EPJ B 2009) — RA = Σ_z 1/deg(z) over
+    shared neighbors z.
+
+    RA instead of Adamic-Adar on purpose: AA's 1/ln(deg) weights need
+    a transcendental whose last-ulp may differ across engines, while
+    RA in integer micro-units (``ra_scale div deg``) is a sum of
+    exact integers — associative, order-independent, bit-identical on
+    Spark and the DuckDB oracle replay.
+
+    Scale shape: wedges group on the shared vertex z, so a hub of
+    degree d emits d² candidate rows — the same last-reducer hazard
+    as naive triangle counting.  ``max_hub_deg`` drops hubs ABOVE the
+    cap from wedge generation (the df-cap pattern of the shingle
+    inverted index, operators/dedup.py::jaccard_pairs): a
+    boilerplate-hub's CN score is noise for near-dup mining anyway.
+    None = uncapped (exact).
+    """
+    e = _canonical(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    hub = deg if max_hub_deg is None else deg.filter(F.col("deg") <= max_hub_deg)
+    # wedge join on the shared vertex z: (x)-(z)-(y), x < y
+    za = adj.select(F.col("u").alias("z"), F.col("v").alias("x"))
+    zb = adj.select(F.col("u").alias("z"), F.col("v").alias("y"))
+    wedges = (
+        za.join(zb, "z")
+        .filter(F.col("x") < F.col("y"))
+        .join(hub.select(F.col("u").alias("z"), "deg"), "z")
+    )
+    scored = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.expr(f"{int(ra_scale)} div deg")).alias("ra_micro"),
+    )
+    # drop already-adjacent pairs: candidates are NEW links only
+    existing = e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    return scored.join(existing, ["x", "y"], "left_anti").select(
+        F.col("x").alias("doc_a"),
+        F.col("y").alias("doc_b"),
+        "cn",
+        "ra_micro",
+    )
+
+
+# --------------------------------------------------------------- k-core
+def kcore(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    n_rounds: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Members of the k-core (maximal subgraph where every node has
+    degree ≥ k) by synchronous peeling: each round recomputes degrees
+    over the surviving subgraph and deletes every node below k.
+    Peeling is monotone — once the core is reached, further rounds
+    are no-ops — so a FIXED ``n_rounds`` with slack is deterministic
+    and exactly replayable as unrolled SQL (``kcore_oracle_sql``),
+    unlike a loop-until-fixpoint whose round count depends on data.
+
+    Returns (id_col, core_deg) for core members only.
+
+    Each round is one groupBy(u) degree count + two semi-joins of the
+    edge list against the survivor set — keyed shuffles, edge-linear;
+    the edge frame is localCheckpointed per round to keep lineage
+    flat.  Rounds needed = peeling depth, typically ≪ diameter; for
+    similarity graphs single digits.
+    """
+    e = _canonical(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    adj = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("u")
+        adj = (
+            adj.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("core_deg"))
+    return (
+        nodes.select(F.col(id_col).alias("u"))
+        .join(final_deg, "u")
+        .filter(F.col("core_deg") >= k)
+        .select(F.col("u").alias(id_col), "core_deg")
+    )
+
+
+def kcore_oracle_sql(
+    edges_sql: str, k: int, n_rounds: int, id_name: str = "vec_id"
+) -> str:
+    """Unrolled ANSI-SQL replay of ``kcore``: ``edges_sql`` must
+    yield undirected distinct (doc_a, doc_b); each round is a degree
+    CTE + a survivor-filtered edge CTE, mirroring the Spark loop
+    round for round (same fixed n_rounds, same ≥ k predicate)."""
+    # every per-round CTE is MATERIALIZED: each round references the
+    # previous one three times (FROM + two EXISTS), so default CTE
+    # inlining would re-expand the base scan 3^n_rounds times
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT least(doc_a, doc_b) AS v, greatest(doc_a, doc_b) AS u
+  FROM ({edges_sql}) src0 WHERE doc_a <> doc_b
+),
+adj0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM e
+  UNION ALL
+  SELECT DISTINCT v AS u, u AS v FROM e
+)"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""deg{i} AS MATERIALIZED (SELECT u, count(*) AS deg FROM adj{i} GROUP BY u),
+alive{i} AS MATERIALIZED (SELECT u FROM deg{i} WHERE deg >= {k}),
+adj{i + 1} AS MATERIALIZED (
+  SELECT a.u, a.v FROM adj{i} a
+  WHERE EXISTS (SELECT 1 FROM alive{i} s WHERE s.u = a.u)
+    AND EXISTS (SELECT 1 FROM alive{i} s WHERE s.u = a.v)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+fin AS (SELECT u, count(*) AS core_deg FROM adj{n_rounds} GROUP BY u)
+SELECT u AS {id_name}, core_deg FROM fin WHERE core_deg >= {k}"""
+    )

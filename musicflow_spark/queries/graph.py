@@ -152,6 +152,100 @@ LEFT JOIN (SELECT n, count(*) AS cnt FROM c GROUP BY n) g ON g.n = emb.vec_id
 """
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 12
+KCORE_MIN_CO = 2
+
+
+def knn_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the kNN similarity graph (ext:
+    operators/graph.py::link_prediction): for every non-adjacent pair
+    with a shared neighbor, the common-neighbor count and the
+    Resource-Allocation index in integer micro-units — "which
+    documents SHOULD be near-dup candidates that the kNN edge set
+    missed", the standard recall-repair signal for LSH-built graphs.
+    Integer RA (1e6 div deg, summed) keeps the score bit-identical
+    across engines.  Edges reuse the hash-proven knn_graph_lsh set."""
+    from musicflow_spark.operators.graph import link_prediction
+    from musicflow_spark.queries.vectors import knn_graph_lsh
+
+    pairs = knn_graph_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
+    )
+    return link_prediction(pairs)
+
+
+def _knn_link_prediction_oracle_sql() -> str:
+    from musicflow_spark.queries.vectors import _knn_graph_lsh_oracle_sql
+
+    return f"""
+WITH knn AS ({_knn_graph_lsh_oracle_sql()}),
+e AS (
+  SELECT DISTINCT least(query_id, neighbor_id) AS v,
+                  greatest(query_id, neighbor_id) AS u
+  FROM knn WHERE query_id <> neighbor_id),
+adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+wedges AS (
+  SELECT za.v AS x, zb.v AS y, za.u AS z
+  FROM adj za JOIN adj zb ON za.u = zb.u AND za.v < zb.v),
+scored AS (
+  SELECT w.x, w.y, count(*) AS cn,
+         CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_micro
+  FROM wedges w JOIN deg d ON d.u = w.z
+  GROUP BY w.x, w.y)
+SELECT s.x AS doc_a, s.y AS doc_b, s.cn, s.ra_micro
+FROM scored s
+ANTI JOIN e ON e.v = s.x AND e.u = s.y
+"""
+
+
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the part co-purchase graph (ext:
+    operators/graph.py::kcore): parts are linked when they appear in
+    the SAME order at least twice across the corpus; the 3-core is
+    the stable cross-sell backbone after iterative peeling strips
+    incidental co-occurrences (at sf0.01 the peel takes 9 cascading
+    rounds and removes ~45% of nodes — a genuinely iterative case).
+
+    Edge derivation is the market-basket self-join: lineitem ⋈
+    lineitem on l_orderkey — per-key work is bounded by order size
+    (≤7 lines), so the shuffle is orderkey-hashed and nothing is
+    quadratic in the table.  Fixed 12-round peel (converges in 9 at
+    sf0.01; extra rounds are no-ops), replayed round-for-round by the
+    unrolled SQL oracle — exactness is independent of convergence
+    since both engines run the same rounds."""
+    from musicflow_spark.operators.graph import kcore
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("doc_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("doc_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= KCORE_MIN_CO)
+        .select("doc_a", "doc_b")
+    )
+    nodes = read_table(spark, sf_dir, "part").select("p_partkey")
+    return kcore(nodes, pairs, k=KCORE_K, n_rounds=KCORE_ROUNDS, id_col="p_partkey")
+
+
+def _part_copurchase_kcore_oracle_sql() -> str:
+    from musicflow_spark.operators.graph import kcore_oracle_sql
+
+    edges = f"""\
+SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+ GROUP BY 1, 2
+HAVING count(*) >= {KCORE_MIN_CO}"""
+    return kcore_oracle_sql(
+        edges, k=KCORE_K, n_rounds=KCORE_ROUNDS, id_name="p_partkey"
+    )
+
+
 QUERIES = [
     Query(
         "nation_trade_pagerank",
@@ -171,5 +265,17 @@ QUERIES = [
         "ext: triangle counting (degree-ordered wedge join) over the kNN similarity graph",
         knn_graph_triangles,
         _knn_graph_triangles_oracle_sql(),
+    ),
+    Query(
+        "knn_link_prediction",
+        "ext: common-neighbor/Resource-Allocation link prediction (integer micro-unit RA, wedge join)",
+        knn_link_prediction,
+        _knn_link_prediction_oracle_sql(),
+    ),
+    Query(
+        "part_copurchase_kcore",
+        "ext: k-core peeling of the part co-purchase graph (9-round cascade, unrolled SQL replay)",
+        part_copurchase_kcore,
+        _part_copurchase_kcore_oracle_sql(),
     ),
 ]

@@ -250,3 +250,64 @@ def test_triangle_counts_hub_graph(spark):
     expect = {i: 0 for i in range(n)}
     expect[0] = expect[1] = expect[2] = 1
     assert got == expect
+
+
+def test_link_prediction_known_graph(spark):
+    """Path 1-2-3-4 plus chord 1-3: the only non-adjacent pairs with
+    a shared neighbor are (1,4) and (2,4), both through hub 3
+    (deg 3), so cn=1 and ra_micro = 1e6 div 3 for each; adjacent
+    pairs like (2,3) (shared neighbor 1) must be anti-joined away."""
+    from musicflow_spark.operators.graph import link_prediction
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cn"], r["ra_micro"])
+        for r in link_prediction(pairs).collect()
+    }
+    assert got == {(1, 4): (1, 333333), (2, 4): (1, 333333)}
+
+
+def test_link_prediction_hub_cap_drops_hot_wedges(spark):
+    """A degree-10 hub z=0 creates 45 candidate pairs; capping
+    max_hub_deg below 10 removes every wedge through it."""
+    from musicflow_spark.operators.graph import link_prediction
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 11)], "doc_a long, doc_b long"
+    )
+    assert link_prediction(pairs).count() == 45
+    assert link_prediction(pairs, max_hub_deg=9).count() == 0
+
+
+def test_kcore_triangle_with_tail(spark):
+    """Triangle {1,2,3} + tail 3-4: node 4 peels at k=2 (and its
+    removal must NOT drag 3 below k); at k=3 the whole graph peels."""
+    from musicflow_spark.operators.graph import kcore
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "vec_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    core2 = {
+        r["vec_id"]: r["core_deg"]
+        for r in kcore(nodes, pairs, k=2, n_rounds=4).collect()
+    }
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    assert kcore(nodes, pairs, k=3, n_rounds=4).count() == 0
+
+
+def test_kcore_path_cascades_from_both_ends(spark):
+    """A 6-node path at k=2 unravels one layer per round from each
+    end — after enough rounds nothing survives, and the fixed-round
+    unrolling must reach that fixpoint (3 rounds needed here)."""
+    from musicflow_spark.operators.graph import kcore
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "vec_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    assert kcore(nodes, pairs, k=2, n_rounds=3).count() == 0
+    # insufficient rounds leave a partial (still-deterministic) residue
+    assert kcore(nodes, pairs, k=2, n_rounds=1).count() == 2

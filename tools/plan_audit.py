@@ -67,6 +67,8 @@ CARTESIAN_OK = {
                                # shuffle equi-join — that is the point of the query
     "knn_graph_triangles",     # inherits knn_graph_lsh's 1-row plane broadcasts;
                                # the wedge/closing joins are keyed equi-joins
+    "knn_link_prediction",     # inherits the same 1-row plane broadcasts; wedge,
+                               # degree and anti joins are keyed equi-joins
     "doc_hard_negatives",      # broadcast side = bounded query set (8 docs by the
                                # DOC_KNN_QUERIES contract), same as doc_text_knn
     "customer_merge_upsert",   # 1-row max(custkey) broadcast (ADVICE r05 insert-key
