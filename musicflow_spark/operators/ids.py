@@ -79,3 +79,39 @@ def opaque_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
     needs a join key, not an ordering — at 100 TB this is free where
     surrogate_ids still pays one range shuffle."""
     return df.withColumn(id_col, F.monotonically_increasing_id())
+
+
+def ntile_scaled(
+    df: DataFrame,
+    n: int,
+    order_cols: list[str],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order_cols)`` without the global
+    single-partition window NTILE normally forces: global dense row
+    numbers come from ``surrogate_ids`` (range repartition +
+    parallel per-partition window + broadcast offsets) and the bucket
+    is NTILE's closed form — with N = q·n + r rows, the first r
+    buckets hold q+1 rows:
+
+        bucket(rn) = (rn-1) div (q+1) + 1            if rn ≤ r·(q+1)
+                     r + (rn - r·(q+1) - 1) div q + 1 otherwise
+
+    which is exactly the ANSI NTILE contract, so an oracle using the
+    engine's native ``ntile(n)`` with the SAME total order (tiebreak
+    chain included — ``order_cols`` must be a total order) matches
+    bit-for-bit.  The row count N is one driver-side aggregate
+    action, same cost class as surrogate_ids' per-partition count
+    pass."""
+    total = df.count()
+    q, r = divmod(total, n)
+    cutoff = r * (q + 1)
+    bucket = (
+        f"case when __rn__ <= {cutoff} then (__rn__ - 1) div {q + 1} + 1 "
+        f"else {r} + (__rn__ - {cutoff} - 1) div {max(q, 1)} + 1 end"
+    )
+    return (
+        surrogate_ids(df, order_cols, "__rn__")
+        .withColumn(out_col, F.expr(bucket).cast("int"))
+        .drop("__rn__")
+    )

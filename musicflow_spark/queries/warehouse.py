@@ -900,6 +900,107 @@ GROUP BY o_orderpriority
 """
 
 
+# ------------------------------------------------------------------ RFM
+RFM_TILES = 5
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (ext): quintile scores for Recency (days from
+    each customer's last order to the corpus max order date),
+    Frequency (order count) and Monetary (lifetime cents), plus the
+    classic marketing segment label from the (R, F) grid.
+
+    Every NTILE runs through ``operators/ids.py::ntile_scaled`` — the
+    range-repartitioned surrogate-id path plus NTILE's closed form —
+    so no global single-partition window exists anywhere in the plan,
+    while the oracle uses DuckDB's native ntile() over the identical
+    (metric, custkey) total order: a hash-green row proves the
+    closed-form/parallel-window path IS ANSI NTILE.  Monetary sums
+    integer cents (round(x*100)) so the ordering has no float-sum
+    ambiguity.  Reference analogue: none (marts are per-entity
+    rollups, e.g. log_for_tableau.sql); RFM is the standard
+    warehouse-side extension of the same customer-rollup shape."""
+    from musicflow_spark.operators.ids import ntile_scaled
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("__anchor__"))
+    base = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.to_date("__anchor__"), F.to_date("last_order")),
+        )
+        .drop("__anchor__", "last_order")
+    )
+    scored = ntile_scaled(
+        base.withColumn("__neg_f__", -F.col("frequency")),
+        RFM_TILES,
+        ["recency_days", "o_custkey"],
+        "__b_r__",
+    )
+    scored = ntile_scaled(scored, RFM_TILES, ["__neg_f__", "o_custkey"], "__b_f__")
+    scored = ntile_scaled(
+        scored.withColumn("__neg_m__", -F.col("monetary_cents")),
+        RFM_TILES,
+        ["__neg_m__", "o_custkey"],
+        "__b_m__",
+    )
+    r_s = (F.lit(RFM_TILES + 1) - F.col("__b_r__")).alias("r_score")
+    f_s = (F.lit(RFM_TILES + 1) - F.col("__b_f__")).alias("f_score")
+    m_s = (F.lit(RFM_TILES + 1) - F.col("__b_m__")).alias("m_score")
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champions")
+        .when(F.col("r_score") >= 4, "new_or_promising")
+        .when(F.col("f_score") >= 4, "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("core")
+    )
+    return (
+        scored.select(
+            "o_custkey", "recency_days", "frequency", "monetary_cents", r_s, f_s, m_s
+        )
+        .withColumn("segment", seg)
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1),
+anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+base AS (
+  SELECT p.o_custkey, p.frequency, p.monetary_cents,
+         CAST(date_diff('day', CAST(p.last_order AS DATE), CAST(a.anchor AS DATE)) AS INT)
+           AS recency_days
+  FROM per_cust p, anchor a),
+scored AS (
+  SELECT *,
+         CAST({RFM_TILES + 1} - ntile({RFM_TILES}) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+         CAST({RFM_TILES + 1} - ntile({RFM_TILES}) OVER (ORDER BY -frequency, o_custkey) AS INT) AS f_score,
+         CAST({RFM_TILES + 1} - ntile({RFM_TILES}) OVER (ORDER BY -monetary_cents, o_custkey) AS INT) AS m_score
+  FROM base)
+SELECT o_custkey, recency_days, frequency, monetary_cents, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+            WHEN r_score >= 4 THEN 'new_or_promising'
+            WHEN f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'core' END AS segment
+FROM scored
+"""
+
+
 QUERIES = [
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
@@ -916,6 +1017,12 @@ QUERIES = [
     Query("customer_snapshot_diff", "ext: FULL OUTER snapshot reconciliation (added/removed/changed)", customer_snapshot_diff, CUSTOMER_SNAPSHOT_DIFF_SQL),
     Query("order_revenue_range_window", "ext: RANGE-framed trailing-interval window", order_revenue_range_window, ORDER_REVENUE_RANGE_WINDOW_SQL),
     Query("customer_profile", "ext: one-pass table profile (completeness + cardinality)", customer_profile, CUSTOMER_PROFILE_SQL),
+    Query(
+        "customer_rfm_segments",
+        "ext: RFM quintile segmentation via parallel closed-form NTILE (no global window)",
+        customer_rfm_segments,
+        CUSTOMER_RFM_SEGMENTS_SQL,
+    ),
     Query("orders_with_customer_version", "ext: fact -> SCD2 dimension-version lookup", orders_with_customer_version, _orders_with_customer_version_oracle_sql()),
     Query("customer_profile_sketch", "ext: sketch-tier profile (no-expand HLL pass, exact-gated)", customer_profile_sketch, CUSTOMER_PROFILE_SKETCH_SQL),
     Query("bloom_filtered_revenue", "ext: bloom runtime-filter semi-join reduction == direct semi join", bloom_filtered_revenue, BLOOM_FILTERED_REVENUE_SQL, bench=True),

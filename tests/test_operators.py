@@ -570,3 +570,29 @@ def test_paragraph_dedup_all_dup_doc_keeps_empty_text(spark):
     out = {r["doc_id"]: r for r in paragraph_dedup(df, seg_words=2).collect()}
     assert out[2]["n_kept"] == 0 and out[2]["kept_text"] == ""
     assert out[1]["n_kept"] == 1 and out[1]["kept_text"] == "a b"
+
+
+def test_ntile_scaled_equals_native_ntile(spark):
+    """Closed-form NTILE over surrogate ids must equal the engine's
+    global-window ntile for divisible AND non-divisible row counts
+    (the first N mod n buckets carry one extra row)."""
+    from pyspark.sql import Window
+
+    from musicflow_spark.operators.ids import ntile_scaled
+
+    for n_rows in (10_000, 9_997, 7):
+        df = spark.range(0, n_rows, 1, 8).select(
+            (F.col("id") * 2654435761 % 1_000_003).alias("k"),
+            F.col("id").alias("orig"),
+        )
+        got = {
+            r["orig"]: r["bucket"]
+            for r in ntile_scaled(df, 5, ["k", "orig"]).collect()
+        }
+        want = {
+            r["orig"]: r["nt"]
+            for r in df.withColumn(
+                "nt", F.ntile(5).over(Window.orderBy("k", "orig"))
+            ).collect()
+        }
+        assert got == want, n_rows
