@@ -543,12 +543,126 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------- multi-touch attribution
+ATTR_LOOKBACK_DAYS = 7
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution (ext): every
+    purchase distributes 10000 basis points across the click/view
+    touches in its 7-day lookback — 40% to first, 40% to last, the
+    middle 20% split evenly, with the integer-division remainder
+    assigned to the first touch so credit conserves exactly
+    (Σ credit = 10000 · attributed conversions, asserted in pytest).
+    All credit arithmetic is integer bp, so the engines agree
+    bit-for-bit.
+
+    Scale shape: conversions ⋈ touches is an equi-join on user_id
+    with the time-range predicate as a join filter — per-user work is
+    bounded by per-user event volume, never cross-user; the path
+    window partitions on conv_id (fine-grained keys, no skew).
+    Reference analogue: none (no event tier); the first/last-credit
+    window shape is W2's first-hit-wins generalised to fractional
+    credit."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    path = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("touch_ts") < F.col("conv_ts"))
+            & (
+                F.col("touch_ts")
+                >= F.col("conv_ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
+            )
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+            ),
+        )
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+        )
+    )
+    credit = F.expr(
+        "case when n = 1 then 10000 "
+        "when n = 2 then 5000 "
+        "when rn = n then 4000 "
+        "when rn = 1 then 4000 + (2000 - (n - 2) * (2000 div (n - 2))) "
+        "else 2000 div (n - 2) end"
+    ).cast("long")
+    pos = F.expr(
+        "case when n = 1 then 'solo' when rn = 1 then 'first' "
+        "when rn = n then 'last' else 'middle' end"
+    )
+    return (
+        path.withColumn("credit_bp", credit)
+        .withColumn("position", pos)
+        .groupBy("channel", "position")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct("conv_id").alias("n_conversions"),
+            F.sum("credit_bp").alias("credit_bp"),
+        )
+    )
+
+
+EVENT_ATTRIBUTION_SQL = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS touch_ts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')),
+path AS (
+  SELECT c.conv_id, t.channel,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.touch_ts, t.touch_id) AS rn,
+         count(*) OVER (PARTITION BY c.conv_id) AS n
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id
+   AND t.touch_ts < c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY)
+SELECT channel,
+       CASE WHEN n = 1 THEN 'solo' WHEN rn = 1 THEN 'first'
+            WHEN rn = n THEN 'last' ELSE 'middle' END AS position,
+       count(*) AS n_touches,
+       count(DISTINCT conv_id) AS n_conversions,
+       CAST(sum(CASE WHEN n = 1 THEN 10000
+                     WHEN n = 2 THEN 5000
+                     WHEN rn = n THEN 4000
+                     WHEN rn = 1 THEN 4000 + (2000 - (n - 2) * (2000 // (n - 2)))
+                     ELSE 2000 // (n - 2) END) AS BIGINT) AS credit_bp
+FROM path
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     Query("latest_event_per_user", "W2,O3", latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
     Query("user_sessions", "W2,A1,A2 (ext: sessionization)", user_sessions, USER_SESSIONS_SQL, bench=True),
     Query("session_window_stats", "ext: session windows (streaming twin)", session_window_stats, SESSION_WINDOW_STATS_SQL),
     Query("hourly_event_stats", "A1,A2 (ext: windowed agg)", hourly_event_stats, HOURLY_EVENT_STATS_SQL),
     Query("event_value_as_clock", "F10,F13", event_value_as_clock, EVENT_VALUE_AS_CLOCK_SQL),
+    Query(
+        "event_attribution",
+        "ext: U-shaped multi-touch attribution (integer basis points, exact credit conservation)",
+        event_attribution,
+        EVENT_ATTRIBUTION_SQL,
+    ),
     Query("event_props_extract", "F21", event_props_extract, EVENT_PROPS_EXTRACT_SQL),
     Query(
         "event_props_variant_stats",

@@ -596,3 +596,37 @@ def test_ntile_scaled_equals_native_ntile(spark):
             ).collect()
         }
         assert got == want, n_rows
+
+
+def test_attribution_credit_conserves_and_u_shape(spark):
+    """Hand-built path: one purchase with 5 prior touches → first
+    gets 4000 + remainder(2000 - 3*666 = 2)=4002, last 4000, middles
+    666 each; totals conserve at exactly 10000 bp per conversion."""
+    import datetime as dt
+
+    from musicflow_spark.queries.events import (
+        ATTR_LOOKBACK_DAYS,
+        event_attribution,
+    )
+
+    assert ATTR_LOOKBACK_DAYS == 7
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [(99, t0, 1, "purchase", 0.0, "{}")]
+    for i in range(5):
+        rows.append((i, t0 - dt.timedelta(hours=5 - i), 1, "click", 0.0, "{}"))
+    # a touch outside the 7-day lookback must not be credited
+    rows.append((50, t0 - dt.timedelta(days=8), 1, "view", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = event_attribution(spark, d).collect()
+    by_pos = {(r["channel"], r["position"]): r for r in out}
+    assert by_pos[("click", "first")]["credit_bp"] == 4002
+    assert by_pos[("click", "last")]["credit_bp"] == 4000
+    assert by_pos[("click", "middle")]["credit_bp"] == 3 * 666
+    assert ("view", "solo") not in by_pos and ("view", "first") not in by_pos
+    assert sum(r["credit_bp"] for r in out) == 10000
