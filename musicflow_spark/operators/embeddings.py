@@ -191,3 +191,135 @@ def pca_project(
         for comp in comps
     ]
     return df.withColumn(out_col, F.array(*scores))
+
+
+# --------------------------------------------------------------- k-means
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Lloyd's k-means on the integer grid, exactly replayable: the
+    vectors are quantized (``quantized``, round(x·scale)), centroids
+    stay integer via element-wise floor-mean (``sum div count``), and
+    assignment is argmin of INTEGER squared L2 with cluster-id
+    tiebreak — every operation is engine-portable integer arithmetic,
+    so a DuckDB oracle unrolling the same ``n_iter`` rounds
+    (``kmeans_oracle_sql``) matches bit-for-bit, iteration by
+    iteration.  Empty clusters drop out (standard Lloyd degeneracy) —
+    deterministically on both engines.
+
+    Returns the final assignment (id_col, cluster_id, d2) against the
+    post-iteration centroids.
+
+    Scale shape per iteration: assignment is a k-row broadcast
+    crossJoin (centroid table ≤ k rows by construction — the PQ
+    codebook contract) + a per-row argmin window keyed on the vector
+    id; the update is one posexplode → groupBy(cluster, dim) partial
+    agg — shuffle rows bounded by k·dim, never by the corpus.
+    Centroids are localCheckpointed per round (flat lineage, the
+    pagerank pattern).  Seeds are the k lowest-id vectors, fetched
+    with a bounded k-row collect (same contract as the PQ seed
+    codebook, operators/similarity.py::_pq_encode_parts).
+    """
+    q = df.select(
+        F.col(id_col).alias("id"), quantized(vec_col, scale).alias("qv")
+    ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    seeds = q.orderBy("id").limit(k).collect()
+    cent = spark.createDataFrame(
+        [(int(i), list(r["qv"])) for i, r in enumerate(seeds)],
+        "cid int, cv array<long>",
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = q.crossJoin(F.broadcast(centroids)).select("id", "cid", d2.alias("d2"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy("d2", "cid")
+        return (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+
+    for _ in range(n_iter):
+        assigned = _assign(cent)
+        dims = assigned.join(q, "id").select(
+            "cid", F.posexplode("qv").alias("pos", "val")
+        )
+        cent = (
+            dims.groupBy("cid", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _assign(cent).select(
+        F.col("id").alias(id_col), F.col("cid").alias("cluster_id"), "d2"
+    )
+
+
+def kmeans_oracle_sql(
+    table: str,
+    dim: int,
+    k: int,
+    n_iter: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """Unrolled replay of ``kmeans_lloyd``: same quantization, same
+    floor-mean update, same (d2, cid) argmin, same round count.  All
+    round CTEs MATERIALIZED (each is referenced multiple times)."""
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM {table}),
+cent0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, qv AS cv
+  FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k}))"""
+    ]
+    for t in range(n_iter + 1):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT q.id, c.cid,
+         CAST(list_sum(list_transform(range(1, {dim} + 1),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM q, cent{t} c),
+a{t} AS MATERIALIZED (
+  SELECT id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d{t})
+  WHERE rn = 1)"""
+        )
+        if t < n_iter:
+            parts.append(
+                f"""cent{t + 1} AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cid, r.i AS pos, CAST(sum(q.qv[r.i + 1]) // count(*) AS BIGINT) AS m
+    FROM a{t} a JOIN q ON q.id = a.id,
+         unnest(range(0, {dim})) AS r(i)
+    GROUP BY a.cid, r.i)
+  GROUP BY cid)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS {id_col}, cid AS cluster_id, d2 FROM a{n_iter}"""
+    )

@@ -815,6 +815,35 @@ GROUP BY a.i, b.i
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_DIM = 64
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means clustering of the embedding corpus (ext:
+    operators/embeddings.py::kmeans_lloyd): 8 clusters, 3 update
+    rounds, integer-grid arithmetic end to end — quantized vectors,
+    floor-mean centroid updates, integer squared-L2 argmin — so the
+    unrolled DuckDB oracle replays every round bit-for-bit.  This is
+    the trainable-quantizer tier the IVF coarse index assumes
+    (knn_ivf seeds centroids statically; k-means is how a production
+    index builds them), and the cluster assignment doubles as the
+    SemDeDup blocking key."""
+    from musicflow_spark.operators.embeddings import kmeans_lloyd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=KMEANS_K, n_iter=KMEANS_ITERS)
+
+
+def _embedding_kmeans_oracle_sql() -> str:
+    from musicflow_spark.operators.embeddings import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(
+        "embeddings", dim=KMEANS_DIM, k=KMEANS_K, n_iter=KMEANS_ITERS
+    )
+
+
 QUERIES = [
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),
@@ -828,6 +857,12 @@ QUERIES = [
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),
     Query("embedding_semantic_dedup", "ext: SemDeDup-style cluster-blocked semantic dedup", embedding_semantic_dedup, _embedding_semantic_dedup_oracle_sql()),
+    Query(
+        "embedding_kmeans",
+        "ext: Lloyd k-means on the integer grid (floor-mean centroids, exact per-round SQL replay)",
+        embedding_kmeans,
+        _embedding_kmeans_oracle_sql(),
+    ),
     Query("embedding_pca_scores", "ext: PCA projection (driver rows-only; numpy-certified in tests)", embedding_pca_scores, None),
     Query("embedding_pca_invariants", "ext: PCA driver gate — centering/eigenvalue/orthogonality invariants vs a literal expectation oracle", embedding_pca_invariants, EMBEDDING_PCA_INVARIANTS_SQL),
 ]

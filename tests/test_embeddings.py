@@ -117,3 +117,54 @@ def test_parameter_validation(spark, vecs):
         pca_components(df, "embedding", 0)
     with pytest.raises(ValueError, match="exceeds embedding dim"):
         pca_components(df, "embedding", DIM + 1)
+
+
+def test_kmeans_lloyd_matches_python_reference(spark, vecs):
+    """Independent pure-python Lloyd on the same integer grid — same
+    lowest-id seeding, trunc-division means, (d2, cid) argmin — must
+    agree exactly with the DataFrame plan after every round."""
+    mat, df = vecs
+    from musicflow_spark.operators.embeddings import kmeans_lloyd
+
+    k, iters, scale = 4, 3, 1000
+    # python reference (uses round-half-away like Spark's F.round)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = {
+        i: [
+            int(Decimal(repr(float(x) * scale)).quantize(0, ROUND_HALF_UP))
+            for x in mat[i]
+        ]
+        for i in range(len(mat))
+    }
+    cent = {c: list(q[c]) for c in range(k)}  # lowest-id seeds
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cent[c])), c) for c in cent
+            )
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        members = {}
+        for i, (_, c) in a.items():
+            members.setdefault(c, []).append(q[i])
+        def trunc_div(a: int, b: int) -> int:  # toward zero == Spark div
+            m = abs(a) // b
+            return m if a >= 0 else -m
+
+        cent = {
+            c: [trunc_div(sum(col), len(col)) for col in zip(*vs)]
+            for c, vs in members.items()
+        }
+    want = {i: (c, d2) for i, (d2, c) in assign().items()}
+
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["d2"])
+        for r in kmeans_lloyd(df, k=k, n_iter=iters, scale=scale).collect()
+    }
+    assert got == {i: (c, d) for i, (c, d) in want.items()}

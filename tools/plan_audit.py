@@ -73,6 +73,8 @@ CARTESIAN_OK = {
                                # DOC_KNN_QUERIES contract), same as doc_text_knn
     "customer_merge_upsert",   # 1-row max(custkey) broadcast (ADVICE r05 insert-key
                                # offset derived from the key domain)
+    "embedding_kmeans",        # k-row (8) centroid-table broadcast per assignment
+                               # pass — the PQ-codebook bounded-broadcast contract
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
