@@ -396,6 +396,75 @@ def _stream_session_stats_sql() -> str:
     return SESSION_WINDOW_STATS_SQL
 
 
+# ------------------------------------- stream-stream as-of (time join)
+ASOF_HORIZON_DAYS = 7
+
+
+def stream_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM as-of join under watermarks
+    (streaming/timejoin.py::asof_join_stream_stream): every click/
+    view matched to the SAME user's latest purchase at-or-before it
+    within a 7-day horizon — a real two-unbounded-sides multi-
+    stateful pipeline (time-range join state + per-event max_by agg,
+    append mode), fed by the time-ordered replay.  Both sides keep
+    the flush sentinel so BOTH watermarks advance past all real data
+    (the join's global watermark is the min of the two); the
+    sentinel's self-match is filtered back out by user id.  The
+    ``tiebreak`` column makes equal-timestamp purchases resolve
+    deterministically (highest event id), so the batch SQL replay is
+    exact, not probabilistic."""
+    from musicflow_spark.streaming.timejoin import asof_join_stream_stream
+
+    src = _events_replay_dir(spark, sf_dir, sentinel=True)
+    raw = _file_stream(spark, src)
+    left = raw.filter(
+        F.col("event_type").isin("click", "view", "flush")
+    ).select("event_id", "user_id", "ts")
+    right = raw.filter(F.col("event_type").isin("purchase", "flush")).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        _cents("value").alias("p_cents"),
+    )
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/asof"
+    joined = asof_join_stream_stream(
+        left,
+        right,
+        left_key="user_id",
+        right_key="p_user",
+        left_ts="ts",
+        right_ts="p_ts",
+        horizon=f"{ASOF_HORIZON_DAYS} days",
+        watermark="1 hour",
+        how="inner",
+        tiebreak="p_id",
+    ).select("event_id", "user_id", "ts", "p_id", "p_ts", "p_cents")
+    _run_available_now(
+        joined,
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    return spark.read.parquet(out).filter(F.col("user_id") != SENTINEL_USER)
+
+
+STREAM_ASOF_PURCHASE_SQL = f"""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type IN ('click', 'view')),
+r AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+         CAST(round(value * 100) AS BIGINT) AS p_cents
+  FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT l.event_id, l.user_id, l.ts, r.p_id, r.p_ts, r.p_cents,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.p_ts DESC, r.p_id DESC) AS rn
+  FROM l JOIN r ON r.p_user = l.user_id
+   AND r.p_ts <= l.ts
+   AND r.p_ts > l.ts - INTERVAL {ASOF_HORIZON_DAYS} DAY)
+SELECT event_id, user_id, ts, p_id, p_ts, p_cents FROM cand WHERE rn = 1
+"""
+
+
 # --------------------------- stateful LSH candidates (streaming dedup)
 def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup dedup, sketch-then-verify: candidate pairs
@@ -475,6 +544,7 @@ QUERIES = [
     Query("stream_latest_event_user", "W2,O3 ext: streaming twin — applyInPandasWithState top-1 + keyed upsert sink", stream_latest_event_user, STREAM_LATEST_EVENT_USER_SQL),
     Query("stream_event_dedup", "A7 ext: streaming twin — watermark-bounded exact dedup of an at-least-once replay", stream_event_dedup, STREAM_EVENT_DEDUP_SQL),
     Query("stream_session_stats", "ext: streaming twin — merging session windows under watermark (append mode)", stream_session_stats, _stream_session_stats_sql()),
+    Query("stream_asof_purchase", "ext: streaming twin — stream-stream as-of join (time-range join state + max_by agg, deterministic tiebreak)", stream_asof_purchase, STREAM_ASOF_PURCHASE_SQL),
 ]
 
 

@@ -156,6 +156,7 @@ def asof_join_stream_stream(
     horizon: str = "1 hour",
     watermark: str = "1 hour",
     how: str = "inner",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Stream-STREAM as-of join: every left event matched to the
     LATEST right event at-or-before it on the same key, looking back
@@ -179,10 +180,14 @@ def asof_join_stream_stream(
     silent behavior).
 
     The bounded lookback is what makes the state finite.  Ties among
-    right rows with equal (key, ts) resolve arbitrarily — pre-dedup
-    the right stream if it can carry duplicates (the family contract,
-    same as the batch operator).  Column names must be disjoint; both
-    ts columns must be event-time timestamps."""
+    right rows with equal (key, ts) resolve arbitrarily unless
+    ``tiebreak`` names a right column that completes the total order
+    (max_by then compares struct(right_ts, tiebreak) — struct
+    ordering is lexicographic, so the highest tiebreak wins within a
+    ts tie); without it, pre-dedup the right stream if it can carry
+    duplicates (the family contract, same as the batch operator).
+    Column names must be disjoint; both ts columns must be event-time
+    timestamps."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     clash = set(left.columns) & set(right.columns)
@@ -197,9 +202,16 @@ def asof_join_stream_stream(
     )
     joined = l.join(r, cond, "left_outer" if how == "left" else "inner")
     payload = F.struct(*[F.col(c) for c in right.columns]).alias("__cand__")
+    order_key = (
+        F.col(f"__cand__.{right_ts}")
+        if tiebreak is None
+        else F.struct(
+            F.col(f"__cand__.{right_ts}"), F.col(f"__cand__.{tiebreak}")
+        )
+    )
     agg = joined.select(*left.columns, payload).groupBy(
         *left.columns
-    ).agg(F.max_by("__cand__", F.col(f"__cand__.{right_ts}")).alias("__m__"))
+    ).agg(F.max_by("__cand__", order_key).alias("__m__"))
     return agg.select(
         *left.columns, *[F.col(f"__m__.{c}").alias(c) for c in right.columns]
     )
