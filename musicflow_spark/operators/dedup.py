@@ -960,3 +960,95 @@ def paragraph_dedup(
             F.transform(kept_structs, lambda s: s["seg"]), " "
         ).alias("kept_text"),
     )
+
+
+# -------------------------------------------- prefix filter (AllPairs)
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    hashed_index: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard self-join with AllPairs/PPJoin prefix filtering
+    (Bayardo, Ma & Srikant, WWW'07; Xiao et al., WWW'08): all shingle
+    sets are ordered by one global canonical order (ascending
+    document frequency, then shingle — rarest first) and only each
+    set's PREFIX enters the inverted-index join.  Threshold is the
+    RATIONAL t = t_num/t_den so every bound is integer arithmetic,
+    bit-identical across engines.
+
+    Prefix length |X| - ceil(|X|·t/(1+t)) + 1: a qualifying pair has
+    overlap m ≥ α = ceil((|A|+|B|)·t/(1+t)); each side's suffix can
+    hide at most ceil(|X|·t/(1+t)) - 1 of those shared shingles, and
+    ceil(a+b) ≥ ceil(a)+ceil(b)-1 makes the two suffixes together
+    strictly smaller than α — so at least one shared shingle sits in
+    BOTH prefixes and candidate generation is provably COMPLETE.
+    (The shorter |X| - ceil(t·|X|) + 1 prefix in the papers is only
+    valid for index-vs-full-probe designs, not prefix∩prefix.)
+    This removes the recall caveat of :func:`jaccard_pairs`'s
+    ``max_df`` cap, and beats it on skew: a boilerplate shingle has
+    HIGH df, ranks last, and never enters a prefix, so the hot
+    inverted-index buckets that cap-based pruning merely truncates
+    are never built at all.
+
+    Returns (doc_a, doc_b, inter_cnt, jaccard), doc_a < doc_b,
+    jaccard over FULL shingle sets; the ≥ t filter is the integer
+    cross-multiplication ``inter · (num+den) ≥ num · (n_a + n_b)``
+    (algebra of inter/union ≥ num/den), the float column is output
+    rendering only.
+    """
+    beta_den = t_num + t_den  # t/(1+t) = t_num / beta_den
+    sets = (
+        kept_shingle_sets(df, text_col, id_col, n, max_df=None, hashed=hashed_index)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    inv = sets.select(id_col, "n_shingles", F.explode("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(dfreq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("df", "shingle")),
+    )
+    # ceil(n·t_num/beta_den) in integers: (n·t_num + beta_den - 1) div beta_den
+    p_len = F.expr(
+        f"n_shingles - ((n_shingles * {t_num} + {beta_den - 1}) div {beta_den}) + 1"
+    )
+    prefix = ranked.filter(F.col("pos") <= p_len)
+    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "inter_cnt", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .filter(
+            F.col("inter_cnt") * (t_num + t_den)
+            >= t_num * (F.col("n_a") + F.col("n_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "inter_cnt", "jaccard")
+    )

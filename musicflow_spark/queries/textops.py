@@ -20,6 +20,7 @@ from musicflow_spark.operators.dedup import (
     minhash_dedup_incremental,
     minhash_dedup_pairs,
     paragraph_dedup,
+    prefix_filter_pairs,
     winnow_fingerprints,
     positional_shingle_table,
     shared_span_stats,
@@ -238,6 +239,47 @@ SELECT doc_id, fp, dup_count FROM (
                             ORDER BY doc_id) AS rn,
          count(*)    OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS dup_count
   FROM documents) WHERE rn = 1
+"""
+
+
+# --------------------------------------------- AllPairs prefix filtering
+def doc_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join at t = 1/2 (ext:
+    operators/dedup.py::prefix_filter_pairs — AllPairs/PPJoin df-
+    ordered prefixes, rational-threshold integer bounds).  The oracle
+    is the UNPRUNED quadratic inverted-index join, so a hash-green
+    row certifies prefix-filter completeness on this corpus — the
+    guarantee the max_df-capped tier (doc_jaccard_pairs) explicitly
+    gives up."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(docs, n=3, t_num=1, t_den=2)
+    return pairs.select(
+        "doc_a", "doc_b", "inter_cnt", pround(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+DOC_ALLPAIRS_EXACT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+sets AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, n_sh, unnest(s) AS shingle FROM sets),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter_cnt
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, CAST(inter_cnt AS BIGINT) AS inter_cnt,
+       round(inter_cnt / CAST(n_a + n_b - inter_cnt AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE inter_cnt * 3 >= n_a + n_b
 """
 
 
@@ -1864,6 +1906,12 @@ QUERIES = [
     Query("doc_quality", "ext: quality scoring", doc_quality, DOC_QUALITY_SQL),
     Query("doc_lang_id", "ext: language id", doc_lang_id, _lang_id_oracle_sql()),
     Query("doc_exact_dedup", "ext: exact dedup; A7", doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    Query(
+        "doc_allpairs_exact",
+        "ext: AllPairs/PPJoin prefix-filtered exact Jaccard join (completeness proven vs unpruned oracle)",
+        doc_allpairs_exact,
+        DOC_ALLPAIRS_EXACT_SQL,
+    ),
     Query(
         "doc_paragraph_dedup",
         "ext: C4-style segment-level corpus dedup (first-occurrence-wins, reassembled text)",

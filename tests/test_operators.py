@@ -630,3 +630,37 @@ def test_attribution_credit_conserves_and_u_shape(spark):
     assert by_pos[("click", "middle")]["credit_bp"] == 3 * 666
     assert ("view", "solo") not in by_pos and ("view", "first") not in by_pos
     assert sum(r["credit_bp"] for r in out) == 10000
+
+
+def test_prefix_filter_complete_vs_uncapped_index(docs):
+    """The prefix-filtered join must return EXACTLY the pairs the
+    unpruned (max_df=None) inverted-index join returns at the same
+    threshold — completeness AND soundness on the real corpus."""
+    from musicflow_spark.operators.dedup import jaccard_pairs, prefix_filter_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["inter_cnt"]
+        for r in prefix_filter_pairs(docs, n=3, t_num=1, t_den=2).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["inter_cnt"]
+        for r in jaccard_pairs(docs, n=3, threshold=0.5, max_df=None).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_prefix_filter_skips_boilerplate_hub(spark):
+    """A shingle shared by EVERY doc ranks last in the df order and
+    must never enter a prefix: candidate generation stays pair-
+    bounded where the plain inverted index would build an n² bucket.
+    Docs are otherwise disjoint, so the result is empty — but only
+    the prefix join proves it without the hot bucket."""
+    from musicflow_spark.operators.dedup import prefix_filter_pairs
+
+    # 12 docs: common boilerplate trigram + unique tails
+    rows = [
+        (i, "common boiler plate " + " ".join(f"u{i}w{j}" for j in range(9)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert prefix_filter_pairs(df, n=3, t_num=1, t_den=2).count() == 0
