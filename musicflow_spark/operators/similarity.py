@@ -855,3 +855,130 @@ def ivfpq_topk(
         F.col("crank") <= n_candidates
     ).select("query_id", "neighbor_id")
     return _exact_rerank(corpus, queries, cands, id_col, vec_col, k)
+
+
+# ------------------------------------------------------------------ MMR
+def mmr_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 8,
+    pool: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified top-k on the integer grid: greedily pick the
+    candidate maximizing rel(d) - max_{s∈selected} sim(d, s), ties to
+    the lowest id, from a bounded relevance pool (the standard
+    rerank-window shape).  Both rel and sim are integer dot products
+    of the quantized vectors (λ = 1/2 — the marginal form where the
+    relevance and redundancy terms weigh equally, so the score stays
+    a difference of two int64s), making every selection step
+    bit-replayable by the unrolled SQL oracle (``mmr_oracle_sql``).
+
+    The greedy recurrence is inherently sequential in k: each of the
+    k steps is one jobs-bounded argmax over the pool (a ``limit 1``
+    collect — k driver round-trips of ONE row each, the same bounded-
+    collect contract as the PQ seed codebook).  The pool itself comes
+    from a distributed top-``pool`` (TakeOrdered, no global sort) and
+    is localCheckpointed once; at 100 TB only the relevance scan is
+    data-sized, everything after runs on ``pool`` rows.
+    """
+    from musicflow_spark.operators.embeddings import quantized
+
+    q = df.select(F.col(id_col).alias("id"), quantized(vec_col, scale).alias("qv"))
+    q0 = q.filter(F.col("id") == query_id).select(F.col("qv").alias("q0"))
+    intdot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rel = (
+        q.filter(F.col("id") != query_id)
+        .crossJoin(F.broadcast(q0))
+        .select("id", "qv", intdot(F.col("qv"), F.col("q0")).alias("rel"))
+    )
+    pool_df = (
+        rel.orderBy(F.col("rel").desc(), F.col("id")).limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    selected: list[tuple] = []  # (id, qv, rel, rank, score)
+    for rank in range(1, k + 1):
+        if not selected:
+            cand = pool_df.withColumn("score", F.col("rel"))
+        else:
+            sel = spark.createDataFrame(
+                [(r[0], r[1]) for r in selected], "sid long, sv array<long>"
+            )
+            cand = (
+                pool_df.filter(~F.col("id").isin([r[0] for r in selected]))
+                .crossJoin(F.broadcast(sel))
+                .withColumn("__sim__", intdot(F.col("qv"), F.col("sv")))
+                .groupBy("id", "qv", "rel")
+                .agg(F.max("__sim__").alias("__ms__"))
+                .withColumn("score", F.col("rel") - F.col("__ms__"))
+            )
+        top = cand.orderBy(F.col("score").desc(), F.col("id")).limit(1).collect()[0]
+        selected.append((top["id"], list(top["qv"]), top["rel"], rank, top["score"]))
+    return spark.createDataFrame(
+        [(r[3], r[0], r[2], r[4]) for r in selected],
+        f"rank int, {id_col} long, rel long, score long",
+    )
+
+
+def mmr_oracle_sql(
+    table: str,
+    dim: int,
+    query_id: int,
+    k: int = 8,
+    pool: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> str:
+    """Unrolled replay of ``mmr_topk``: one (pick, sel) CTE pair per
+    greedy step, correlated max-dot subquery for the redundancy term,
+    identical (score DESC, id) tiebreak."""
+    d = (
+        f"CAST(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> c.qv[i] * s.qv[i])) AS BIGINT)"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM {table}),
+q0 AS MATERIALIZED (SELECT qv AS v0 FROM q WHERE id = {query_id}),
+rel AS MATERIALIZED (
+  SELECT q.id, q.qv,
+         CAST(list_sum(list_transform(range(1, {dim} + 1),
+              i -> q.qv[i] * q0.v0[i])) AS BIGINT) AS rel
+  FROM q, q0 WHERE q.id <> {query_id}),
+pool AS MATERIALIZED (SELECT * FROM rel ORDER BY rel DESC, id LIMIT {pool}),
+sel1 AS MATERIALIZED (
+  SELECT id, qv, rel, 1 AS rank, rel AS score
+  FROM pool ORDER BY rel DESC, id LIMIT 1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""ms{t} AS MATERIALIZED (
+  SELECT c.id, max({d}) AS ms
+  FROM pool c, sel{t - 1} s
+  WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+  GROUP BY c.id),
+pick{t} AS MATERIALIZED (
+  SELECT p.id, p.qv, p.rel, {t} AS rank, p.rel - m.ms AS score
+  FROM pool p JOIN ms{t} m ON m.id = p.id
+  ORDER BY score DESC, p.id LIMIT 1),
+sel{t} AS MATERIALIZED (
+  SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT rank, id AS {id_col}, rel, score FROM sel{k}"""
+    )

@@ -818,6 +818,31 @@ GROUP BY a.i, b.i
 KMEANS_K = 8
 KMEANS_ITERS = 3
 KMEANS_DIM = 64
+MMR_QUERY_ID = 0
+MMR_K = 8
+MMR_POOL = 40
+
+
+def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k retrieval (ext:
+    operators/similarity.py::mmr_topk): the greedy relevance-minus-
+    redundancy reranker every RAG / data-selection stack runs on top
+    of its ANN pool — here on the integer grid with λ = 1/2, so each
+    of the 8 selection steps is exactly replayed by the unrolled
+    greedy oracle (argmax ties to lowest id, correlated max-dot
+    redundancy term)."""
+    from musicflow_spark.operators.similarity import mmr_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, query_id=MMR_QUERY_ID, k=MMR_K, pool=MMR_POOL)
+
+
+def _knn_mmr_oracle_sql() -> str:
+    from musicflow_spark.operators.similarity import mmr_oracle_sql
+
+    return mmr_oracle_sql(
+        "embeddings", dim=KMEANS_DIM, query_id=MMR_QUERY_ID, k=MMR_K, pool=MMR_POOL
+    )
 
 
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,6 +882,12 @@ QUERIES = [
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),
     Query("embedding_semantic_dedup", "ext: SemDeDup-style cluster-blocked semantic dedup", embedding_semantic_dedup, _embedding_semantic_dedup_oracle_sql()),
+    Query(
+        "knn_mmr",
+        "ext: MMR-diversified top-k reranking (integer-grid greedy, unrolled step-exact SQL replay)",
+        knn_mmr,
+        _knn_mmr_oracle_sql(),
+    ),
     Query(
         "embedding_kmeans",
         "ext: Lloyd k-means on the integer grid (floor-mean centroids, exact per-round SQL replay)",

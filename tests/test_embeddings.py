@@ -168,3 +168,46 @@ def test_kmeans_lloyd_matches_python_reference(spark, vecs):
         for r in kmeans_lloyd(df, k=k, n_iter=iters, scale=scale).collect()
     }
     assert got == {i: (c, d) for i, (c, d) in want.items()}
+
+
+def test_mmr_matches_python_greedy_and_diversifies(spark, vecs):
+    """Pure-python greedy MMR on the same integer grid must agree
+    exactly; and the diversified ranking must differ from plain
+    relevance order (the pool has correlated directions by
+    construction, so redundancy suppression must kick in)."""
+    mat, df = vecs
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from musicflow_spark.operators.similarity import mmr_topk
+
+    k, pool, scale, qid = 5, 20, 1000, 0
+    q = {
+        i: [
+            int(Decimal(repr(float(x) * scale)).quantize(0, ROUND_HALF_UP))
+            for x in mat[i]
+        ]
+        for i in range(len(mat))
+    }
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    rel = {i: dot(v, q[qid]) for i, v in q.items() if i != qid}
+    pool_ids = sorted(rel, key=lambda i: (-rel[i], i))[:pool]
+    sel, want = [], []
+    for rank in range(1, k + 1):
+        cands = [i for i in pool_ids if i not in sel]
+        scored = [
+            (rel[i] - max(dot(q[i], q[s]) for s in sel) if sel else rel[i], i)
+            for i in cands
+        ]
+        score, best = max(((sc, -i) for sc, i in scored))
+        best = -best
+        sel.append(best)
+        want.append((rank, best, rel[best], score))
+    got = [
+        (r["rank"], r["vec_id"], r["rel"], r["score"])
+        for r in mmr_topk(df, query_id=qid, k=k, pool=pool, scale=scale)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    plain = [i for i in pool_ids[:k]]
+    assert [v for _, v, _, _ in want] != plain  # diversification bites

@@ -75,6 +75,9 @@ CARTESIAN_OK = {
                                # offset derived from the key domain)
     "embedding_kmeans",        # k-row (8) centroid-table broadcast per assignment
                                # pass — the PQ-codebook bounded-broadcast contract
+    "knn_mmr",                 # 1-row query-vector broadcast into the relevance
+                               # scan (the only data-sized stage; selection runs
+                               # on the 40-row pool)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates

@@ -115,6 +115,27 @@ QUERY_TABLES = {
     # near-dup components stay within a replica; star rounds constant
     # (cluster diameter unchanged), per-round work edge-linear
     "doc_star_components": ["documents"],
+    # replica-prefixed tokens keep segments disjoint: dup segments
+    # stay within a replica, the min(struct) agg + join are N x base
+    "doc_paragraph_dedup": ["documents"],
+    # prefix buckets never cross replicas (disjoint shingles); under
+    # --skew the df-ordered prefix must EXCLUDE the hot suffix
+    "doc_allpairs_exact": ["documents"],
+    # co-purchase edges live inside one replica's order (orderkey
+    # shifted), so the peel graph is N disjoint copies; rounds fixed
+    "part_copurchase_kcore": ["lineitem", "part"],
+    # assignment O(N·k) with the k-row broadcast; seeds stay the base
+    # replica's lowest ids (< stride); update agg bounded by k·dim
+    "embedding_kmeans": ["embeddings"],
+    # per-user paths replica-disjoint; lookback join + conv_id window
+    # both shuffle linearly
+    "event_attribution": ["events"],
+    # per-customer rollup + three range-partitioned ntile passes
+    "customer_rfm_segments": ["orders"],
+    # knn_link_prediction / part-of-knn-graph queries are deliberately
+    # absent for the same reason as match_cascade_catalog below:
+    # replicas carry IDENTICAL vectors, so LSH buckets merge across
+    # replicas and the curve would measure the fixture, not the plan.
     # match_cascade_catalog is deliberately absent: its synthetic
     # first-token vocabulary (pk % 250, and 250 divides the replica
     # stride) would make replicas share index buckets — the measured
@@ -148,6 +169,7 @@ SKEW_QUERIES = [
     "doc_minhash_dedup",        # max_df cap before signatures/banding
     "doc_incremental_dedup",    # same cap on the delta-vs-corpus probe
     "shipment_overlap_pairs",   # composite (key, bucket) shuffle key
+    "doc_allpairs_exact",       # df-ordered prefixes exclude the hot suffix
 ]
 
 _HOT_SUFFIX = " ".join(f"zzhot{j}" for j in range(60))
