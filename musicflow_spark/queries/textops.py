@@ -1868,7 +1868,57 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------- BM25 ranked retrieval
+BM25_QUERIES = 8
+BM25_K = 5
+BM25_MIN_TF = 2
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked full-text retrieval (ext: operators/search.py::bm25_topk)
+    — the lexical search tier next to the ANN ladder, and the ranked
+    generalization of the reference's first-token inverted-index probe
+    (matching/candidates.py).  Query sets are self-derived: each of
+    the first 8 documents queries the corpus with its own repeated
+    terms (tf >= 2), so the fixture is deterministic in both engines
+    and self-retrieval sanity (the query doc ranking at/near the top)
+    falls out for free.  Scoring is integer-grid BM25 (k1=6/5, b=3/4):
+    milli-quantized length ratio, micro-nat RSJ idf, per-term integer
+    division — the top-k ordering is bit-replayable.  Scale shape:
+    query terms broadcast into the postings equi-join (only queried
+    terms' postings are scored), postings/df one shuffle each,
+    corpus stats a 1-row broadcast."""
+    from musicflow_spark.operators.search import bm25_topk, postings_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    qterms = (
+        postings_index(docs.filter(F.col("doc_id") < BM25_QUERIES))
+        .filter(F.col("tf") >= BM25_MIN_TF)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    return bm25_topk(docs, qterms, k=BM25_K)
+
+
+def _doc_bm25_search_oracle_sql() -> str:
+    from musicflow_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        "documents",
+        queries_cte=(
+            "SELECT doc_id AS query_id, term FROM post "
+            f"WHERE doc_id < {BM25_QUERIES} AND tf >= {BM25_MIN_TF}"
+        ),
+        k=BM25_K,
+    )
+
+
 QUERIES = [
+    Query(
+        "doc_bm25_search",
+        "ext: BM25 ranked retrieval over the inverted postings index (integer-grid scoring, self-derived query sets)",
+        doc_bm25_search,
+        _doc_bm25_search_oracle_sql(),
+    ),
     Query(
         "doc_bigram_condprob",
         "ext: bigram-LM conditional-probability quality signal (integer bp)",

@@ -664,3 +664,57 @@ def test_prefix_filter_skips_boilerplate_hub(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert prefix_filter_pairs(df, n=3, t_num=1, t_den=2).count() == 0
+
+
+def test_bm25_matches_python_reference(spark):
+    """Integer-grid BM25 must agree EXACTLY (scores and ranking) with
+    a pure-python implementation of the same quantized formula; the
+    query doc must self-retrieve at rank 1 when it owns a distinctive
+    repeated term."""
+    from musicflow_spark.operators.search import bm25_topk
+
+    texts = {
+        0: "zebra zebra stripes roam the savanna plains",
+        1: "lions roam the savanna plains at dusk",
+        2: "zebra herds cross the river near the plains",
+        3: "a field guide to stripes and savanna wildlife",
+        4: "dusk settles over the quiet river",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    queries = [(0, "zebra"), (0, "stripes"), (9, "river"), (9, "dusk")]
+    qdf = spark.createDataFrame(queries, "query_id long, term string")
+
+    toks = {d: t.lower().split() for d, t in texts.items()}
+    post = {
+        (d, w): sum(1 for x in t if x == w) for d, t in toks.items() for w in set(t)
+    }
+    dfreq = {}
+    for (_, w) in post:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n, ltot = len(toks), sum(len(t) for t in toks.values())
+    want = {}
+    for qid, term in queries:
+        idf = round(math.log((n - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1) * 1e6)
+        for d, t in toks.items():
+            tf = post.get((d, term), 0)
+            if not tf:
+                continue
+            r_milli = (1000 * len(t) * n) // ltot
+            contrib = (idf * 22000 * tf) // (10000 * tf + 3000 + 9 * r_milli)
+            k = (qid, d)
+            want[k] = (want.get(k, (0, 0))[0] + 1, want.get(k, (0, 0))[1] + contrib)
+    rank = {}
+    for qid in {q for q, _ in queries}:
+        hits = sorted(
+            ((s, -d) for (q, d), (_, s) in want.items() if q == qid), reverse=True
+        )
+        for i, (_, nd) in enumerate(hits[:5], 1):
+            rank[(qid, -nd)] = i
+
+    got = bm25_topk(docs, qdf, k=5).collect()
+    assert {
+        (r["query_id"], r["doc_id"]): (r["n_hit_terms"], r["score_micro"])
+        for r in got
+    } == want
+    assert {(r["query_id"], r["doc_id"]): r["rank"] for r in got} == rank
+    assert rank[(0, 0)] == 1  # self-retrieval: doc 0 tops its own query
