@@ -305,7 +305,134 @@ FROM ranked
 """
 
 
+# --------------------------------------- DSIR importance selection
+DSIR_BUCKETS = 1024  # hashed-unigram feature space (power of two)
+DSIR_SCALE = 1_000_000  # shared micro-nat grid
+
+
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (ext; Xie et al. 2023,
+    DSIR): score every document by how much more likely its hashed
+    unigram features are under the TARGET distribution (here: the
+    English slice, a metadata-defined exemplar set) than under the
+    RAW corpus, and route documents whose per-token importance beats
+    the token-weighted corpus mean into the selected pool — the
+    deterministic-threshold variant of DSIR's importance resampling.
+    (The threshold is data-derived because add-1 smoothing with B
+    comparable to the target token count shifts ALL scores by about
+    ln((Cr+B)/(Ct+B)) - ln(Cr/Ct); an absolute zero cut would encode
+    the corpus size into the routing.)
+
+    Integer-grid portability (the perplexity/PMI/BM25 discipline):
+    per-bucket log ratios with add-1 smoothing,
+    lr_micro(b) = round(ln((ct_b+1)(Cr+B) / ((cr_b+1)(Ct+B)))*1e6),
+    are computed once per bucket (<= 1024 rows), per-doc sums are
+    exact int64, and the keep decision compares an integer division
+    against zero.
+
+    Scale shape: ONE occurrence shuffle keyed (doc_id, bucket); the
+    bucket LM tables are re-aggregations of those partials and join
+    back as a broadcast (bounded by B); totals are a 1-row broadcast.
+    """
+    from musicflow_spark.operators.dedup import portable_hash60
+    from musicflow_spark.operators.textstats import tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.transform(
+            tokens(F.col("text")), lambda t: portable_hash60(F.lower(t)) % DSIR_BUCKETS
+        ).alias("bk"),
+    )
+    occ = (
+        docs.select("doc_id", "lang", F.explode("bk").alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    buckets = occ.groupBy("b").agg(
+        F.sum("cnt").alias("cr_b"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))).alias(
+            "ct_b"
+        ),
+    )
+    tot = buckets.groupBy().agg(
+        F.sum("cr_b").alias("c_r"), F.sum("ct_b").alias("c_t")
+    )
+    lr = (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("ct_b") + 1) * (F.col("c_r") + DSIR_BUCKETS)).cast("double")
+                    / ((F.col("cr_b") + 1) * (F.col("c_t") + DSIR_BUCKETS))
+                )
+                * DSIR_SCALE
+            ).cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    scored = occ.join(F.broadcast(lr), "b").groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_toks"),
+        F.sum(F.expr("cnt * lr_micro")).alias("imp_sum_micro"),
+    )
+    thresh = scored.groupBy().agg(
+        F.expr("sum(imp_sum_micro) div sum(n_toks)").alias("mean_imp_micro")
+    )
+    return scored.crossJoin(F.broadcast(thresh)).select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.expr("imp_sum_micro div n_toks").alias("avg_imp_micro"),
+        (F.expr("imp_sum_micro div n_toks") >= F.col("mean_imp_micro")).alias(
+            "selected"
+        ),
+    )
+
+
+CORPUS_DSIR_SELECTION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> {_H.format(x="lower(x)")} % {DSIR_BUCKETS}) AS bk
+  FROM documents),
+occ AS (
+  SELECT doc_id, lang, b, count(*) AS cnt
+  FROM (SELECT doc_id, lang, unnest(bk) AS b FROM toks)
+  GROUP BY doc_id, lang, b),
+buckets AS (
+  SELECT b, CAST(sum(cnt) AS BIGINT) AS cr_b,
+         CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS ct_b
+  FROM occ GROUP BY b),
+tot AS (SELECT CAST(sum(cr_b) AS BIGINT) AS c_r, CAST(sum(ct_b) AS BIGINT) AS c_t
+        FROM buckets),
+lr AS (
+  SELECT b, CAST(round(ln(CAST((ct_b + 1) * (c_r + {DSIR_BUCKETS}) AS DOUBLE)
+                          / ((cr_b + 1) * (c_t + {DSIR_BUCKETS})))
+                       * {DSIR_SCALE}) AS BIGINT) AS lr_micro
+  FROM buckets CROSS JOIN tot),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(sum(cnt) AS BIGINT) AS n_toks,
+         CAST(sum(cnt * lr_micro) AS BIGINT) AS imp_sum_micro
+  FROM occ JOIN lr USING (b)
+  GROUP BY doc_id, lang),
+thresh AS (SELECT CAST(sum(imp_sum_micro) AS BIGINT) // CAST(sum(n_toks) AS BIGINT)
+             AS mean_imp_micro FROM scored)
+SELECT doc_id, lang, n_toks,
+       imp_sum_micro // n_toks AS avg_imp_micro,
+       imp_sum_micro // n_toks >= mean_imp_micro AS selected
+FROM scored CROSS JOIN thresh
+"""
+
+
 QUERIES = [
+    Query(
+        "corpus_dsir_selection",
+        "ext: DSIR importance selection (hashed-unigram target/raw LM ratio, integer micro-nat grid, threshold routing)",
+        corpus_dsir_selection,
+        CORPUS_DSIR_SELECTION_SQL,
+    ),
     Query(
         "doc_split_assign",
         "ext: deterministic hash split (train/val/test)",

@@ -1868,6 +1868,87 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------- per-source KL divergence
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice drift measurement (ext): KL(P_source || P_corpus)
+    over unigram distributions, per source — the mixture-health
+    metric a pretraining pipeline tracks to spot sources drifting
+    from (or collapsing into) the aggregate distribution.
+
+    Everything derives from ONE occurrence shuffle: the (source, word)
+    count table; corpus word counts, per-source totals, and the grand
+    total are all re-aggregations of those partials (vocabulary-sized,
+    map-side combinable).  No smoothing is needed — P_source's support
+    is a subset of P_corpus's by construction, so every ratio is
+    finite and positive.  Each distinct ratio is rounded to integer
+    micro-nats (the shared grid of the perplexity/PMI/BM25 family),
+    the expectation sum is exact int64, and the final division is
+    integer: kl_micro = sum(c_sw * lr_micro) div C_s."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("tk")
+    )
+    sw = (
+        docs.select("source", F.explode("tk").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    cs = sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    tot = cw.groupBy().agg(F.sum("c_w").alias("c"))
+    ndocs = docs.filter(F.size("tk") > 0).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        sw.join(cw, "w")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lr_micro",
+            F.round(
+                F.log((F.col("c_sw") * F.col("c")).cast("double") / (F.col("c_w") * F.col("c_s")))
+                * PPL_SCALE
+            ).cast("long"),
+        )
+        .groupBy("source", "c_s")
+        .agg(F.sum(F.expr("c_sw * lr_micro")).alias("kl_sum_micro"))
+        .join(F.broadcast(ndocs), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("c_s").alias("n_tokens"),
+            F.expr("kl_sum_micro div c_s").alias("kl_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_SOURCE_DIVERGENCE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS tk
+  FROM documents),
+sw AS (
+  SELECT source, w, count(*) AS c_sw
+  FROM (SELECT source, unnest(tk) AS w FROM toks)
+  GROUP BY source, w),
+cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+cs AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS c_s FROM sw GROUP BY source),
+tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS c FROM cw),
+nd AS (SELECT source, count(*) AS n_docs FROM toks WHERE len(tk) > 0 GROUP BY source),
+kl AS (
+  SELECT sw.source, cs.c_s,
+         CAST(sum(c_sw * CAST(round(ln(CAST(c_sw * c AS DOUBLE) / (c_w * c_s))
+                                    * {PPL_SCALE}) AS BIGINT)) AS BIGINT) AS kl_sum_micro
+  FROM sw JOIN cw USING (w) JOIN cs USING (source) CROSS JOIN tot
+  GROUP BY sw.source, cs.c_s)
+SELECT kl.source, nd.n_docs, kl.c_s AS n_tokens,
+       kl_sum_micro // kl.c_s AS kl_micro
+FROM kl JOIN nd ON nd.source = kl.source
+ORDER BY kl.source
+"""
+
+
 # ------------------------------------------- BM25 ranked retrieval
 BM25_QUERIES = 8
 BM25_K = 5
@@ -1918,6 +1999,12 @@ QUERIES = [
         "ext: BM25 ranked retrieval over the inverted postings index (integer-grid scoring, self-derived query sets)",
         doc_bm25_search,
         _doc_bm25_search_oracle_sql(),
+    ),
+    Query(
+        "corpus_source_divergence",
+        "ext: per-source unigram KL divergence to the corpus mixture (one occurrence shuffle, integer micro-nat expectation)",
+        corpus_source_divergence,
+        CORPUS_SOURCE_DIVERGENCE_SQL,
     ),
     Query(
         "doc_bigram_condprob",

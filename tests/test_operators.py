@@ -718,3 +718,44 @@ def test_bm25_matches_python_reference(spark):
     } == want
     assert {(r["query_id"], r["doc_id"]): r["rank"] for r in got} == rank
     assert rank[(0, 0)] == 1  # self-retrieval: doc 0 tops its own query
+
+
+def test_source_divergence_matches_python_and_gibbs(spark):
+    """Exact integer-grid equality with a pure-python KL on a tiny
+    corpus; Gibbs' inequality (KL >= 0) must hold up to the documented
+    per-term micro-nat rounding slack; a source identical to the
+    mixture scores ~0 while a disjoint-vocabulary source scores big."""
+    from musicflow_spark.queries.textops import PPL_SCALE, corpus_source_divergence
+
+    rows = [
+        (0, "a b a b", "mix", "s_bal"),
+        (1, "a a a a", "mix", "s_skew"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.withColumn("n_chars", F.length("text")).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r for r in corpus_source_divergence(spark, d).collect()}
+
+    toks = {i: t.split() for i, (_, t, _, _) in zip(range(2), rows)}
+    src = {0: "s_bal", 1: "s_skew"}
+    c_sw, c_w, c_s = {}, {}, {}
+    for i, t in toks.items():
+        for w in t:
+            c_sw[(src[i], w)] = c_sw.get((src[i], w), 0) + 1
+            c_w[w] = c_w.get(w, 0) + 1
+            c_s[src[i]] = c_s.get(src[i], 0) + 1
+    c = sum(c_w.values())
+    want = {}
+    for s in set(src.values()):
+        ssum = sum(
+            cnt * round(math.log((cnt * c) / (c_w[w] * c_s[s])) * PPL_SCALE)
+            for (ss, w), cnt in c_sw.items()
+            if ss == s
+        )
+        want[s] = int(ssum // c_s[s]) if ssum >= 0 else -(-ssum // c_s[s])
+    assert {s: r["kl_micro"] for s, r in out.items()} == want
+    assert all(r["kl_micro"] >= -2 for r in out.values())  # Gibbs + rounding slack
+    assert out["s_skew"]["kl_micro"] > out["s_bal"]["kl_micro"] > 0

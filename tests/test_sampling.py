@@ -272,3 +272,38 @@ def test_mixture_interleave_rejects_nonpositive_weights(spark):
         mixture_interleave(df, "src", {"s1": -1.0}, "id")
     with _pytest.raises(ValueError, match="weights"):
         mixture_interleave(df, "src", {"s1": 0.5}, "id", default_weight=0.0)
+
+
+def test_dsir_selection_favors_target_distribution(spark, sf_dir):
+    """DSIR importance routing on the real corpus: the English slice
+    (the target exemplar set) must score higher per-token importance
+    than every other language on average, its mean must be positive,
+    and selection must be exactly the avg_imp_micro >= 0 predicate."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries.sampling import corpus_dsir_selection
+
+    out = corpus_dsir_selection(spark, sf_dir)
+    rows = out.collect()
+    sel = [r["avg_imp_micro"] for r in rows if r["selected"]]
+    unsel = [r["avg_imp_micro"] for r in rows if not r["selected"]]
+    assert sel and unsel  # the mean threshold splits the corpus
+    assert min(sel) > max(unsel)  # routing is a single global cut
+    by_lang = {
+        r["lang"]: (r["m"], r["rate"])
+        for r in out.groupBy("lang")
+        .agg(
+            F.avg("avg_imp_micro").alias("m"),
+            F.avg(F.col("selected").cast("double")).alias("rate"),
+        )
+        .collect()
+    }
+    assert all(by_lang["en"][0] > v for k, (v, _) in by_lang.items() if k != "en")
+    assert all(by_lang["en"][1] > r for k, (_, r) in by_lang.items() if k != "en")
+    # importance sums conserve: every doc with tokens is scored
+    n_docs_with_tokens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) > 0)
+        .count()
+    )
+    assert len(rows) == n_docs_with_tokens
