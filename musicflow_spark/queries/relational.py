@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from musicflow_spark.queries.portable import pround
+from musicflow_spark.queries.portable import pround, pround_sql
 from musicflow_spark.queries.registry import Query
 from musicflow_spark.sources.catalog import read_table
 
@@ -1560,7 +1560,88 @@ LIMIT 20
 """
 
 
+# ------------------------------------------- grouped closed-form OLS
+def brand_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form linear regression (ext): for every part
+    brand, OLS of line revenue (integer cents) on quantity — the
+    slope is the brand's effective unit price, the intercept absorbs
+    fixed pricing effects, r² certifies the fit.  The grouped
+    closed-form GLM is the scalable alternative to iterative
+    solvers: ONE map-side-combinable aggregation collects the exact
+    int64 moment vector (n, Σx, Σy, Σxy, Σx², Σy²) per group, and
+    the coefficients are pure column math on the 25-row result.
+
+    Portability: moments are exact int64; the coefficient arithmetic
+    converts each moment to double ONCE and applies an identical
+    IEEE expression tree in both engines (int64→double conversion
+    and double *,-,/ are all correctly rounded, so the outputs are
+    bit-identical before the defensive 6-dp pround).
+
+    Scale: lineitem→part is a broadcast dim join; the moment agg
+    shuffles 25 groups of 6 longs; nothing else moves."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity", 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    sst = d("n") * d("syy") - d("sy") * d("sy")
+    slope = num / den
+    return m.select(
+        "p_brand",
+        "n",
+        pround(slope, 6).alias("slope_cents_per_unit"),
+        pround((d("sy") - slope * d("sx")) / d("n"), 6).alias("intercept_cents"),
+        pround(num * num / (den * sst), 6).alias("r2"),
+    ).orderBy("p_brand")
+
+
+BRAND_PRICE_OLS_SQL = f"""
+WITH m AS (
+  SELECT p_brand,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM (SELECT l_partkey,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem) l
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand)
+SELECT p_brand, n,
+       {pround_sql("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 6)} AS slope_cents_per_unit,
+       {pround_sql("(CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 6)} AS intercept_cents,
+       {pround_sql("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS r2
+FROM m
+ORDER BY p_brand
+"""
+
+
 QUERIES = [
+    Query(
+        "brand_price_ols",
+        "ext: grouped closed-form OLS (exact int64 moment vector, IEEE-deterministic coefficients)",
+        brand_price_ols,
+        BRAND_PRICE_OLS_SQL,
+    ),
     Query("pricing_summary", "A1,A2,A10,F11,O1", pricing_summary, PRICING_SUMMARY_SQL, bench=True),
     Query("iso_duration_parse", "F14,F10,F13", iso_duration_parse, ISO_DURATION_PARSE_SQL),
     Query("snowflake_flatten", "J1-J5,F16,F17,A10,F11", snowflake_flatten, SNOWFLAKE_FLATTEN_SQL, bench=True),

@@ -759,3 +759,37 @@ def test_source_divergence_matches_python_and_gibbs(spark):
     assert {s: r["kl_micro"] for s, r in out.items()} == want
     assert all(r["kl_micro"] >= -2 for r in out.values())  # Gibbs + rounding slack
     assert out["s_skew"]["kl_micro"] > out["s_bal"]["kl_micro"] > 0
+
+
+def test_brand_price_ols_exact_fit_and_numpy_agreement(spark):
+    """A perfectly linear group must recover its coefficients exactly
+    (slope 3, intercept 200, r2 1); a noisy group must match
+    numpy.polyfit to float tolerance."""
+    import numpy as np
+
+    import tempfile, os
+
+    from musicflow_spark.queries.relational import brand_price_ols
+
+    lin = [(i, 1, float(i % 7 + 1), (3 * (i % 7 + 1) * 100 + 200) / 100.0) for i in range(40)]
+    noisy = [(100 + i, 2, float(i % 9 + 1), ((i % 9 + 1) * 150 + (i * 37) % 50) / 100.0 + 1) for i in range(40)]
+    li = spark.createDataFrame(
+        [(k, pk, q, p) for k, pk, q, p in lin + noisy],
+        "l_orderkey long, l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame([(1, "BrandA"), (2, "BrandB")], "p_partkey long, p_brand string")
+    d = tempfile.mkdtemp()
+    li.coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+    part.coalesce(1).write.parquet(os.path.join(d, "part.parquet"))
+    out = {r["p_brand"]: r for r in brand_price_ols(spark, d).collect()}
+
+    a = out["BrandA"]
+    assert (a["slope_cents_per_unit"], a["intercept_cents"], a["r2"]) == (300.0, 200.0, 1.0)
+
+    xs = np.array([q for _, _, q, _ in noisy])
+    ys = np.array([round(p * 100) for _, _, _, p in noisy], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    b = out["BrandB"]
+    assert abs(b["slope_cents_per_unit"] - slope) < 1e-4
+    assert abs(b["intercept_cents"] - intercept) < 1e-4
+    assert 0.9 < b["r2"] < 1.0
