@@ -537,7 +537,82 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- foreachBatch sketch maintenance
+def stream_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-sketch maintenance (ext: streaming/
+    events.py::foreach_batch_sketch_merge): per-event-type HLL
+    sketches of distinct users built micro-batch by micro-batch and
+    UNIONED into the materialized table with no state store — the
+    pattern that replaces update-mode distinct-count state at 100 TB
+    (kilobyte partials re-merged on read instead of event rescans).
+
+    Soundness contract (the hll_mergeable_daily oracle pattern —
+    sketch bytes never leave Spark): emits the exact recomputable
+    columns plus two Spark-computed gates — ``stream_consistent``
+    (the streamed 3-way-union estimate within 2% of the single-shot
+    batch sketch: register union is max-wise lossless but a BUILT
+    sketch estimates with HIP and a union with the composite
+    estimator, so agreement is sketch-accurate, not bitwise) and
+    ``est_ok`` (streamed estimate within 5%+10 of exact).  The
+    DuckDB oracle replays the exact columns and literal TRUEs."""
+    from musicflow_spark.streaming.events import foreach_batch_sketch_merge
+
+    src = _events_replay_dir(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/sketch"
+    shaped = _file_stream(spark, src).select("event_type", "user_id")
+    _run_available_now(
+        shaped,
+        lambda w: w.foreachBatch(
+            foreach_batch_sketch_merge(
+                out,
+                ["event_type"],
+                build_aggs={"sk": F.hll_sketch_agg("user_id", F.lit(12))},
+                merge_aggs={"sk": F.hll_union_agg("sk")},
+            )
+        ).outputMode("append"),
+    )
+    streamed = spark.read.parquet(out).select(
+        "event_type", F.hll_sketch_estimate("sk").alias("stream_est")
+    )
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+                "direct_est"
+            ),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return streamed.join(batch, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("stream_est") - F.col("direct_est"))
+            <= F.col("direct_est") * 0.02
+        ).alias("stream_consistent"),
+        (
+            F.abs(F.col("stream_est") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05 + F.lit(10)
+        ).alias("est_ok"),
+    )
+
+
+STREAM_SKETCH_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS stream_consistent,
+       TRUE AS est_ok
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = [
+    Query("stream_sketch_users", "ext: streaming twin — mergeable HLL sketch maintenance sink (union-merge, soundness-gated)", stream_sketch_users, STREAM_SKETCH_USERS_SQL),
     Query("stream_user_rollup", "ext: streaming twin — no-state-store rollup-merge sink (S9 incremental analogue)", stream_user_rollup, STREAM_USER_ROLLUP_SQL),
     Query("stream_customer_merge", "ext: streaming twin — foreachBatch CDC MERGE INTO tier", stream_customer_merge, STREAM_CUSTOMER_MERGE_SQL),
     Query("stream_hourly_event_stats", "ext: streaming twin — watermarked tumbling-window agg (append mode)", stream_hourly_event_stats, STREAM_HOURLY_EVENT_STATS_SQL),
