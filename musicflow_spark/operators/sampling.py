@@ -373,3 +373,72 @@ def mixture_interleave(
         df.withColumn("mix_rank", F.row_number().over(rank_w))
         .withColumn("mix_pos", F.col("mix_rank") / w_expr)
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Probability-proportional-to-size sampling with NO randomness
+    and NO global window: systematic (fixed-stride) PPS over the
+    hash-shuffled row order.  Every row whose cumulative-weight
+    interval crosses a multiple of total_weight/k is picked; a row
+    with weight w is selected with probability ~ k*w/W, and rows
+    heavier than one stride are picked with multiplicity
+    (``pick_count`` > 1) — the textbook systematic PPS estimator,
+    made deterministic by ordering on the portable content hash
+    instead of a shuffle RNG.
+
+    Exactness: strides are never materialized as a division — row
+    selection tests ``(cum*k) div W > (prev*k) div W`` in int64, so
+    the SQL oracle replays it bit-for-bit.  Requires W*k < 2^63
+    (document weights in tokens at k <= 1e4 leave headroom past
+    100 TB; assert at call sites if weights are synthetic).
+
+    Scale shape (the ``surrogate_ids`` two-phase pattern): range
+    repartition on (hash, id) -> per-partition weight totals (an
+    O(partitions) driver aggregate, never a data collect) -> prefix
+    offsets broadcast -> per-partition cumulative window.  The only
+    full shuffle is the range partition.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    h = portable_hash60(F.concat(F.lit("pps:"), F.col(id_col).cast("string")))
+    ordered = (
+        df.withColumn("__h__", h)
+        .repartitionByRange(parts, F.col("__h__"), F.col(id_col))
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = (
+        ordered.groupBy("__pid__")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w__"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, w in sorted((r["__pid__"], r["__w__"]) for r in sums):
+        offsets.append((pid, acc))
+        acc += w
+    total_w = acc
+    omap = df.sparkSession.createDataFrame(offsets, "__pid__ int, __off__ long")
+    cw = Window.partitionBy("__pid__").orderBy("__h__", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ordered.join(F.broadcast(omap), "__pid__")
+        .withColumn(
+            "cum_w",
+            F.sum(F.col(weight_col).cast("long")).over(cw) + F.col("__off__"),
+        )
+        .withColumn(
+            "pick_count",
+            F.expr(
+                f"(cum_w * {k}) div {total_w}"
+                f" - ((cum_w - {weight_col}) * {k}) div {total_w}"
+            ),
+        )
+        .filter(F.col("pick_count") > 0)
+        .drop("__pid__", "__off__", "__h__")
+    )

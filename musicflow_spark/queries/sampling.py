@@ -305,6 +305,47 @@ FROM ranked
 """
 
 
+# ------------------------------------ weighted systematic sampling
+PPS_K = 50
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS sampling (ext: operators/sampling.py::
+    weighted_systematic_sample): ~50 documents drawn with probability
+    proportional to length (n_chars) by fixed-stride systematic
+    selection over the hash-shuffled cumulative-weight line — the
+    RNG-free weighted sampler (heavier docs picked with multiplicity
+    when they span a stride).  The Spark side runs the two-phase
+    partitioned cumulative sum (range repartition + per-partition
+    window + broadcast prefix offsets); the oracle replays the SAME
+    total order with a plain global window, proving the parallel
+    decomposition equals the single-partition form."""
+    from musicflow_spark.operators.sampling import weighted_systematic_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_systematic_sample(docs, "n_chars", k=PPS_K).select(
+        "doc_id", "n_chars", "cum_w", "pick_count"
+    )
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         {_H.format(x="'pps:' || cast(doc_id AS varchar)")} AS hh
+  FROM documents),
+c AS (
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY hh, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w
+  FROM h),
+t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM documents)
+SELECT doc_id, n_chars, cum_w,
+       (cum_w * {PPS_K}) // w - ((cum_w - n_chars) * {PPS_K}) // w AS pick_count
+FROM c CROSS JOIN t
+WHERE (cum_w * {PPS_K}) // w - ((cum_w - n_chars) * {PPS_K}) // w > 0
+"""
+
+
 # --------------------------------------- DSIR importance selection
 DSIR_BUCKETS = 1024  # hashed-unigram feature space (power of two)
 DSIR_SCALE = 1_000_000  # shared micro-nat grid
@@ -427,6 +468,12 @@ FROM scored CROSS JOIN thresh
 
 
 QUERIES = [
+    Query(
+        "doc_weighted_sample",
+        "ext: deterministic systematic PPS sampling (partitioned cumulative weights == global-window oracle)",
+        doc_weighted_sample,
+        DOC_WEIGHTED_SAMPLE_SQL,
+    ),
     Query(
         "corpus_dsir_selection",
         "ext: DSIR importance selection (hashed-unigram target/raw LM ratio, integer micro-nat grid, threshold routing)",

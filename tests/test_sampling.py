@@ -307,3 +307,35 @@ def test_dsir_selection_favors_target_distribution(spark, sf_dir):
         .count()
     )
     assert len(rows) == n_docs_with_tokens
+
+
+def test_weighted_systematic_sample_exact_and_conserving(spark):
+    """The parallel two-phase PPS must equal a pure-python single-pass
+    over the same hash order; total pick_count is EXACTLY k; any row
+    heavier than one stride is always selected."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.operators.sampling import weighted_systematic_sample
+
+    rows = [(i, (i * 13) % 97 + 1) for i in range(500)]
+    rows[7] = (7, 5000)  # heavier than one stride -> guaranteed pick
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    k = 20
+    out = weighted_systematic_sample(df, "n_chars", k=k).collect()
+
+    def h(i):
+        return int(hashlib.md5(f"pps:{i}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(rows, key=lambda r: (h(r[0]), r[0]))
+    total = sum(w for _, w in rows)
+    want, cum = {}, 0
+    for i, w in order:
+        prev, cum = cum, cum + w
+        pc = (cum * k) // total - (prev * k) // total
+        if pc > 0:
+            want[i] = (cum, pc)
+    assert {r["doc_id"]: (r["cum_w"], r["pick_count"]) for r in out} == want
+    assert sum(pc for _, pc in want.values()) == k
+    assert 7 in want and want[7][1] >= 1
