@@ -1993,7 +1993,99 @@ def _doc_bm25_search_oracle_sql() -> str:
     )
 
 
+# ------------------------------------ naive Bayes lang classifier
+def doc_lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language router (ext: operators/classify.py): multinomial
+    naive Bayes with add-1 smoothing, trained on the even-doc_id half
+    of the corpus and applied to the odd half — the learned upgrade of
+    the fixed-wordlist ``doc_lang_id`` heuristic, and the engine's
+    fastText-shaped classify-then-route surface.  Every log term is an
+    int64 micro-nat (shared NB_SCALE grid) and the per-document class
+    sum is exact integer addition, so the argmax (ties broken by class
+    name) replays bit-for-bit in SQL.  Scale shape: one shuffle to
+    build the (word, class) count table, a broadcast of the per-class
+    smoothing row, a word-keyed equi-join for scoring — test x vocab
+    is never materialized; OOV tokens take the smoothed floor instead
+    of silently dropping.  (The fixture corpus's lang labels are
+    text-independent, so accuracy there sits at the prior; separability
+    is proven on a crafted corpus in tests/test_classify.py — this
+    query's gate is the bit-exact score/argmax replay.)"""
+    from musicflow_spark.operators.classify import (
+        naive_bayes_predict,
+        naive_bayes_scores,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("tk")
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    pred = naive_bayes_predict(naive_bayes_scores(train, test, "lang"))
+    return pred.join(test.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "pred",
+        "score_micro",
+        (F.col("pred") == F.col("lang")).alias("correct"),
+    )
+
+
+DOC_LANG_NB_CLASSIFIER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+test  AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+wc AS (
+  SELECT cls, w, count(*) AS c_wc
+  FROM (SELECT lang AS cls, unnest(t) AS w FROM train)
+  GROUP BY cls, w),
+ctot AS (SELECT cls, CAST(sum(c_wc) AS BIGINT) AS c_c FROM wc GROUP BY cls),
+v AS (SELECT count(DISTINCT w) AS vsz FROM wc),
+nd AS (SELECT count(*) AS docs FROM train),
+prior AS (
+  SELECT lang AS cls,
+         CAST(round(ln(count(*) / CAST(docs AS double)) * 1000000) AS BIGINT)
+           AS prior_micro
+  FROM train CROSS JOIN nd GROUP BY lang, docs),
+denom AS (
+  SELECT cls, c_c + vsz AS den,
+         CAST(round(ln(1.0 / (c_c + vsz)) * 1000000) AS BIGINT) AS oov_micro
+  FROM ctot CROSS JOIN v),
+occ_te AS (SELECT doc_id, unnest(t) AS w FROM test),
+sums AS (
+  SELECT doc_id, cls, CAST(sum(lp) AS BIGINT) AS sum_lp
+  FROM (
+    SELECT o.doc_id, d.cls,
+           CASE WHEN wc.c_wc IS NOT NULL
+                THEN CAST(round(ln((wc.c_wc + 1.0) / d.den) * 1000000) AS BIGINT)
+                ELSE d.oov_micro END AS lp
+    FROM occ_te o CROSS JOIN denom d
+    LEFT JOIN wc ON wc.cls = d.cls AND wc.w = o.w)
+  GROUP BY doc_id, cls),
+ranked AS (
+  SELECT t.doc_id, t.lang, p.cls,
+         p.prior_micro + coalesce(s.sum_lp, 0) AS score_micro,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY p.prior_micro + coalesce(s.sum_lp, 0) DESC, p.cls) AS rk
+  FROM test t CROSS JOIN prior p
+  LEFT JOIN sums s ON s.doc_id = t.doc_id AND s.cls = p.cls)
+SELECT doc_id, lang, cls AS pred,
+       CAST(score_micro AS BIGINT) AS score_micro,
+       (cls = lang) AS correct
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = [
+    Query(
+        "doc_lang_nb_classifier",
+        "ext: trained multinomial naive Bayes language router (even/odd split, integer micro-nat scores, OOV floor)",
+        doc_lang_nb_classifier,
+        DOC_LANG_NB_CLASSIFIER_SQL,
+    ),
     Query(
         "doc_bm25_search",
         "ext: BM25 ranked retrieval over the inverted postings index (integer-grid scoring, self-derived query sets)",
