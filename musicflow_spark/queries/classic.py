@@ -435,7 +435,104 @@ WHERE s.s_suppkey IN (
 """
 
 
+# -------------------------------------------- association rules
+AR_MIN_PAIR = 3  # min co-occurrence baskets for a rule to surface
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order co-purchases: for
+    every part pair co-bought in >= 3 orders, emit BOTH directed rules
+    antecedent -> consequent with integer-grid support, confidence
+    (basis points, (c_ab*10000) div c_a) and lift (milli,
+    (c_ab*N*1000) div (c_a*c_b)) — the support/confidence/lift triple
+    every recommendation pipeline starts from, kept in exact integer
+    division so the ranking replays bit-for-bit.
+
+    Scale shape: baskets are the per-order DISTINCT item sets, so the
+    pair self-join shuffles on l_orderkey and per-key work is bounded
+    by basket size (<= 7 here) — never quadratic in the table; item
+    supports are one map-side-combined groupBy; the rule join-back to
+    supports is two partkey equi-joins; the basket count N is a 1-row
+    broadcast.  The same plan at 100 TB only grows the orderkey
+    shuffle linearly."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = li.select(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_i"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= AR_MIN_PAIR)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "c_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "c_ab"
+        )
+    )
+    return (
+        rules.join(
+            item.select(F.col("l_partkey").alias("antecedent"), F.col("c_i").alias("c_a")),
+            "antecedent",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("consequent"), F.col("c_i").alias("c_c")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "c_ab",
+            "c_a",
+            "c_c",
+            F.expr("(c_ab * 10000) div c_a").alias("conf_bp"),
+            F.expr("(c_ab * n_baskets * 1000) div (c_a * c_c)").alias("lift_milli"),
+        )
+    )
+
+
+PART_ASSOCIATION_RULES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li),
+item AS (SELECT l_partkey, count(*) AS c_i FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {AR_MIN_PAIR}),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, c_ab FROM pairs
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, c_ab FROM pairs)
+SELECT r.antecedent, r.consequent, CAST(r.c_ab AS BIGINT) AS c_ab,
+       CAST(ia.c_i AS BIGINT) AS c_a, CAST(ic.c_i AS BIGINT) AS c_c,
+       (r.c_ab * 10000) // ia.c_i AS conf_bp,
+       (r.c_ab * n.n_baskets * 1000) // (ia.c_i * ic.c_i) AS lift_milli
+FROM rules r
+JOIN item ia ON ia.l_partkey = r.antecedent
+JOIN item ic ON ic.l_partkey = r.consequent
+CROSS JOIN n
+"""
+
+
 QUERIES = [
+    Query(
+        "part_association_rules",
+        "ext: market-basket association rules (integer-grid support/confidence/lift, basket-bounded pair join)",
+        part_association_rules,
+        PART_ASSOCIATION_RULES_SQL,
+    ),
     Query(
         "best_supplier_per_part",
         "ext: correlated min/max-per-group join-back (Q2 shape)",
