@@ -477,3 +477,79 @@ adj{i + 1} AS MATERIALIZED (
 fin AS (SELECT u, count(*) AS core_deg FROM adj{n_rounds} GROUP BY u)
 SELECT u AS {id_name}, core_deg FROM fin WHERE core_deg >= {k}"""
     )
+
+
+# ------------------------------------------------ BFS hop distances
+def bfs_hops(
+    seeds: DataFrame,
+    pairs: DataFrame,
+    n_rounds: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-source BFS shortest-hop distances over an undirected
+    graph: ``seeds`` (one id column named ``id_col``) start at hop 0;
+    each round relaxes one edge — dist'(v) = min(dist(v), min over
+    neighbors u of dist(u) + 1) — so after ``n_rounds`` rounds every
+    node within ``n_rounds`` hops of a seed carries its exact
+    shortest distance (classic Bellman-Ford / Pregel BFS).  Distances
+    are small exact integers; the round count is FIXED, so the
+    unrolled SQL replay (``bfs_oracle_sql``) agrees bit-for-bit
+    whether or not the frontier has quiesced.
+
+    Scale shape: per round one equi-join of the (much smaller)
+    distance frame against the src-keyed symmetric adjacency, one
+    min-combine groupBy — edge-linear keyed shuffles only, the same
+    per-round lattice as ``pagerank``; the distance frame is
+    localCheckpointed per round to keep lineage flat.  Unreached
+    nodes never materialize (no |V| dense vector).
+    """
+    adj = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(id_col).alias("node"), F.lit(0).cast("int").alias("hops")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        relaxed = dist.join(adj, dist["node"] == adj["u"]).select(
+            F.col("v").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("node").alias(id_col), "hops")
+
+
+def bfs_oracle_sql(
+    seeds_sql: str, edges_sql: str, n_rounds: int, id_name: str = "doc_id"
+) -> str:
+    """Unrolled ANSI-SQL replay of ``bfs_hops``: one min-combine CTE
+    per round over the same symmetric adjacency."""
+    parts = [
+        f"""adj AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT doc_a AS u, doc_b AS v FROM ({edges_sql}) s0
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM ({edges_sql}) s1)
+),
+d0 AS MATERIALIZED (SELECT {id_name} AS node, 0 AS hops FROM ({seeds_sql}) sd)"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+  SELECT node, min(hops) AS hops FROM (
+    SELECT node, hops FROM d{i}
+    UNION ALL
+    SELECT a.v AS node, d.hops + 1 AS hops FROM d{i} d JOIN adj a ON a.u = d.node)
+  GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS {id_name}, CAST(hops AS INT) AS hops FROM d{n_rounds}"
+    )

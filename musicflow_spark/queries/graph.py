@@ -246,7 +246,68 @@ HAVING count(*) >= {KCORE_MIN_CO}"""
     )
 
 
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 100  # seeds = parts with p_partkey % 100 == 0
+
+
+def part_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (ext: operators/graph.py::
+    bfs_hops) over the part co-purchase graph: how many co-purchase
+    hops separate every part from the nearest "anchor" part (every
+    100th partkey — a deterministic stand-in for a curated seed set,
+    e.g. known-good or known-bad items).  The distance tier next to
+    the component/core/centrality tiers: components say WHETHER two
+    nodes connect, this says HOW CLOSE, which is what label
+    propagation from a trusted seed set actually consumes.  Fixed
+    4-round Bellman-Ford relaxation, replayed round-for-round by the
+    unrolled oracle — exactness is independent of frontier quiescence.
+    Scale: edges shuffle once (orderkey-bounded basket self-join, the
+    kcore substrate); each round is one keyed join + min-combine."""
+    from musicflow_spark.operators.graph import bfs_hops
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("doc_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("doc_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= KCORE_MIN_CO)
+        .select("doc_a", "doc_b")
+    )
+    seeds = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % BFS_SEED_MOD == 0)
+        .select("p_partkey")
+    )
+    return bfs_hops(seeds, pairs, n_rounds=BFS_ROUNDS, id_col="p_partkey")
+
+
+def _part_copurchase_reach_oracle_sql() -> str:
+    from musicflow_spark.operators.graph import bfs_oracle_sql
+
+    edges = f"""\
+SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+ GROUP BY 1, 2
+HAVING count(*) >= {KCORE_MIN_CO}"""
+    seeds = (
+        f"SELECT p_partkey FROM part WHERE p_partkey % {BFS_SEED_MOD} = 0"
+    )
+    return bfs_oracle_sql(
+        seeds, edges, n_rounds=BFS_ROUNDS, id_name="p_partkey"
+    )
+
+
 QUERIES = [
+    Query(
+        "part_copurchase_reach",
+        "ext: multi-source BFS hop distances (fixed-round Bellman-Ford relaxation, unrolled SQL replay)",
+        part_copurchase_reach,
+        _part_copurchase_reach_oracle_sql(),
+    ),
     Query(
         "nation_trade_pagerank",
         "ext: iterative weighted PageRank (integer fixed-point, exact 10-iteration SQL replay)",

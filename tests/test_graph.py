@@ -311,3 +311,58 @@ def test_kcore_path_cascades_from_both_ends(spark):
     assert kcore(nodes, pairs, k=2, n_rounds=3).count() == 0
     # insufficient rounds leave a partial (still-deterministic) residue
     assert kcore(nodes, pairs, k=2, n_rounds=1).count() == 2
+
+
+def test_bfs_hops_path_graph_exact_distances(spark):
+    """Path 0-1-2-3-4-5 seeded at {0, 5}: hop counts are the min
+    distance to either end; 4 rounds reach everything; a node beyond
+    the round horizon stays absent."""
+    from musicflow_spark.operators.graph import bfs_hops
+
+    edges = [(i, i + 1) for i in range(5)] + [(10, 11), (11, 12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    seeds = spark.createDataFrame([(0,), (5,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["hops"]
+        for r in bfs_hops(seeds, pairs, n_rounds=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+
+    # 2 rounds: the middle nodes carry their exact distance already
+    got2 = {
+        r["doc_id"]: r["hops"]
+        for r in bfs_hops(seeds, pairs, n_rounds=2).collect()
+    }
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_oracle_generator_replays_spark(spark):
+    """The unrolled SQL replays the Spark rounds bit-for-bit on a
+    random graph, including a disconnected never-reached island."""
+    import random
+
+    from musicflow_spark.operators.graph import bfs_hops, bfs_oracle_sql
+
+    rng = random.Random(7)
+    edges = sorted({
+        tuple(sorted(rng.sample(range(40), 2))) for _ in range(60)
+    })
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    seeds = spark.createDataFrame([(0,), (13,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["hops"]
+        for r in bfs_hops(seeds, pairs, n_rounds=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") t(doc_a, doc_b)"
+    )
+    sql = bfs_oracle_sql(
+        "SELECT * FROM (VALUES (0), (13)) s(doc_id)",
+        "SELECT doc_a, doc_b FROM e",
+        n_rounds=3,
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
