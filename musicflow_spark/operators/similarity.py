@@ -858,6 +858,111 @@ def ivfpq_topk(
 
 
 # ------------------------------------------------------------------ MMR
+def _sq_stats(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-dimension corpus min/max as ONE row of two double arrays —
+    the scalar-quantization training pass.  min/max of floats is
+    comparison-exact (no summation-order hazard), so both engines
+    derive identical grids.  Scale: one posexplode shuffle keyed by
+    dimension (dim-bounded aggregate), then a dim-row collect into a
+    broadcastable 1-row frame — never a driver-side data collect."""
+    per_dim = (
+        corpus.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min("x").cast("double").alias("mn"),
+            F.max("x").cast("double").alias("mx"),
+        )
+    )
+    return per_dim.agg(
+        F.sort_array(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda r: r["mn"]).alias("mn"),
+        F.transform("s", lambda r: r["mx"]).alias("mx"),
+    )
+
+
+def _sq_code(vec_col: str, dim: int, levels: int) -> Column:
+    """int8-style scalar quantization against the broadcast ``mn``/
+    ``mx`` arrays: code_j = clamp(round((x_j - mn_j) * levels /
+    (mx_j - mn_j)), 0, levels); a constant dimension codes to 0.
+    The affine transform is the same IEEE double expression in both
+    engines; after round, everything downstream is int64."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.when(
+            F.element_at("mx", j) > F.element_at("mn", j),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(levels).cast("long"),
+                    F.round(
+                        (F.element_at(vec_col, j).cast("double") - F.element_at("mn", j))
+                        * levels
+                        / (F.element_at("mx", j) - F.element_at("mn", j)),
+                        0,
+                    ).cast("long"),
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    levels: int = 255,
+    n_candidates: int = 40,
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN tier: every corpus vector is
+    compressed to one byte per dimension on a per-dimension affine
+    grid trained from corpus min/max (FAISS ``SQ8``), candidates are
+    ranked by exact integer L2 between code arrays (symmetric SQ
+    distance — queries quantize on the same grid), and exact cosine
+    reranks the survivors.  The tier between PQ (8 bytes/vector,
+    lossy subspaces) and raw floats: 4x compression with
+    near-brute-force recall, and — unlike PQ — no codebook training.
+
+    Scale shape (100 TB): the stats pass is one dim-bounded
+    aggregate; quantization is map-only against the broadcast 1-row
+    grid; the scan is map-only against the broadcast quantized
+    queries with integer distances; the per-query top-C window
+    shuffles candidate rows only; raw vectors are touched exactly
+    twice (stats/encode and rerank-fetch).
+    """
+    stats = _sq_stats(corpus, vec_col, dim)
+    code = _sq_code(vec_col, dim, levels)
+    c_codes = corpus.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("neighbor_id"), code.alias("c_code")
+    )
+    q_codes = queries.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("query_id"), code.alias("q_code")
+    )
+    d2 = (
+        c_codes.crossJoin(F.broadcast(q_codes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("q_code", "c_code", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("sq_d2"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("sq_d2"), F.asc("neighbor_id"))
+    cands = (
+        d2.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k)
+
+
 def mmr_topk(
     df: DataFrame,
     query_id: int,

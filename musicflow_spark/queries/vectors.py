@@ -869,7 +869,82 @@ def _embedding_kmeans_oracle_sql() -> str:
     )
 
 
+SQ_LEVELS, SQ_CAND = 255, 40
+
+
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN tier (ext: operators/similarity.py::
+    sq_topk) — the fourth compression point on the ANN ladder: one
+    byte per dimension on a per-dimension min/max affine grid trained
+    from the corpus itself (FAISS SQ8; no codebook, so unlike PQ the
+    'training' is a single dim-bounded aggregate).  Candidates rank by
+    exact integer L2 between code arrays, exact cosine reranks — the
+    whole pipeline (grid train, quantize, scan, rerank) replays in
+    SQL because min/max are comparison-exact and every distance is
+    int64."""
+    from musicflow_spark.operators.similarity import sq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    topk = sq_topk(
+        emb, queries, k=TOP_K, dim=PQ_DIM, levels=SQ_LEVELS,
+        n_candidates=SQ_CAND,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
+def _knn_sq8_oracle_sql() -> str:
+    code = f"""list_transform(range(1, {PQ_DIM} + 1),
+      j -> CASE WHEN s.mx[j] > s.mn[j]
+           THEN greatest(0, least({SQ_LEVELS},
+                CAST(round((cast(embedding[j] AS double) - s.mn[j]) * {SQ_LEVELS}
+                           / (s.mx[j] - s.mn[j])) AS BIGINT)))
+           ELSE 0 END)"""
+    return f"""
+WITH p AS (SELECT unnest(range(1, {PQ_DIM} + 1)) AS pos),
+st AS (
+  SELECT pos, CAST(min(embedding[pos]) AS double) AS mn,
+         CAST(max(embedding[pos]) AS double) AS mx
+  FROM embeddings CROSS JOIN p GROUP BY pos),
+s AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM st),
+cc AS (SELECT vec_id AS neighbor_id, {code} AS c_code FROM embeddings CROSS JOIN s),
+qc AS (SELECT vec_id AS query_id, {code} AS q_code FROM embeddings CROSS JOIN s
+       WHERE vec_id < {N_QUERY_VECS}),
+d2 AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, {PQ_DIM} + 1),
+              j -> (q.q_code[j] - c.c_code[j]) * (q.q_code[j] - c.c_code[j])))
+         AS BIGINT) AS sq_d2
+  FROM cc c CROSS JOIN qc q WHERE c.neighbor_id <> q.query_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sq_d2, neighbor_id) AS crank
+    FROM d2)
+  WHERE crank <= {SQ_CAND}),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> cast(q.embedding[i] AS double) * cast(n.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(n.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = [
+    Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql()),
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
