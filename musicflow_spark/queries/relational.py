@@ -1635,7 +1635,77 @@ ORDER BY p_brand
 """
 
 
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: every part not
+    dominated on (cheaper price, bigger size) — the classic
+    "best tradeoff set" OLAP operator, computed in O(n log n) via the
+    sort-and-running-max identity instead of the naive quadratic
+    dominance anti-join: reduce to max(size) per distinct price, keep
+    a price level iff its best size strictly beats the running max of
+    all STRICTLY cheaper levels, then join back so same-price-same-size
+    duplicates (which don't dominate each other — no strict
+    inequality) all survive.
+
+    Price lives in exact integer cents.  Scale shape: the groupBy
+    collapses the table to distinct-price-level cardinality (bounded
+    by the cents grid, orders of magnitude below row count) BEFORE the
+    one global running-max window — the same reduced-frame argument as
+    the quantile grids; the join-back is a broadcast of the (tiny)
+    frontier levels into the part scan."""
+    part = read_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    levels = (
+        part.select(cents.alias("price_cents"), "p_size")
+        .groupBy("price_cents")
+        .agg(F.max("p_size").alias("best_size"))
+    )
+    w = (
+        Window.orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        levels.withColumn("prev_best", F.max("best_size").over(w))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select("price_cents", "best_size")
+    )
+    rows = part.select("p_partkey", cents.alias("price_cents"), "p_size")
+    return rows.join(
+        F.broadcast(frontier),
+        (rows["price_cents"] == frontier["price_cents"])
+        & (rows["p_size"] == frontier["best_size"]),
+    ).select(rows["p_partkey"], rows["p_size"], rows["price_cents"])
+
+
+PART_PRICE_SIZE_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part),
+levels AS (
+  SELECT price_cents, max(p_size) AS best_size FROM p GROUP BY price_cents),
+frontier AS (
+  SELECT price_cents, best_size FROM (
+    SELECT price_cents, best_size,
+           max(best_size) OVER (ORDER BY price_cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+    FROM levels)
+  WHERE prev_best IS NULL OR best_size > prev_best)
+SELECT p.p_partkey, p.p_size, p.price_cents
+FROM p JOIN frontier f
+  ON p.price_cents = f.price_cents AND p.p_size = f.best_size
+"""
+
+
 QUERIES = [
+    Query(
+        "part_price_size_skyline",
+        "ext: 2-D skyline / Pareto frontier (distinct-level reduction + running-max window, duplicate-safe)",
+        part_price_size_skyline,
+        PART_PRICE_SIZE_SKYLINE_SQL,
+    ),
     Query(
         "brand_price_ols",
         "ext: grouped closed-form OLS (exact int64 moment vector, IEEE-deterministic coefficients)",

@@ -43,3 +43,29 @@ def test_lift_is_symmetric_confidence_is_not(spark, sf_dir):
         assert r["lift_milli"] == mirror["lift_milli"]
         asym += r["conf_bp"] != mirror["conf_bp"]
     assert asym > 0, "some rule must have direction-dependent confidence"
+
+
+def test_skyline_equals_bruteforce_dominance(spark, sf_dir):
+    """The running-max skyline must equal the quadratic dominance
+    definition: keep p iff no q has (price <=, size >=) with one
+    strict."""
+    from musicflow_spark.queries.relational import part_price_size_skyline
+    from musicflow_spark.sources.catalog import read_table
+
+    parts = [
+        (r["p_partkey"], int(round(r["p_retailprice"] * 100)), r["p_size"])
+        for r in read_table(spark, sf_dir, "part").collect()
+    ]
+    want = set()
+    for pk, pc, sz in parts:
+        dominated = any(
+            (qc <= pc and qz >= sz and (qc < pc or qz > sz))
+            for _, qc, qz in parts
+        )
+        if not dominated:
+            want.add((pk, pc, sz))
+    got = {
+        (r["p_partkey"], r["price_cents"], r["p_size"])
+        for r in part_price_size_skyline(spark, sf_dir).collect()
+    }
+    assert got == want and got

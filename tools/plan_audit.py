@@ -78,6 +78,12 @@ CARTESIAN_OK = {
     "knn_mmr",                 # 1-row query-vector broadcast into the relevance
                                # scan (the only data-sized stage; selection runs
                                # on the 40-row pool)
+    "part_association_rules",  # 1-row basket-count broadcast (the N in lift)
+    "doc_lang_nb_classifier",  # 1-row vocab/doc-count broadcasts + |classes|-row
+                               # (5) prior/denominator broadcasts — the scoring
+                               # join itself is a word-keyed equi-join
+    "knn_sq8",                 # 1-row per-dim min/max grid broadcast + 8-row
+                               # quantized-query broadcast (the SQ scan pairing)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -130,6 +136,14 @@ SINGLE_OK = {
                                # + the bounded query-set (8 rows) distance-table agg
     "knn_ivfpq",               # same 1-row codebook fold + bounded query-frame aggs
     "customer_merge_upsert",   # scalar max(custkey) aggregate (1 row by construction)
+    "part_association_rules",  # scalar basket-count aggregate (1 row by construction)
+    "doc_lang_nb_classifier",  # scalar vocab-size + train-doc-count aggregates
+                               # (1 row each by construction)
+    "knn_sq8",                 # 1-row per-dim stats fold (64 dim rows in, 1 array
+                               # row out) — the SQ grid 'training' aggregate
+    "part_price_size_skyline", # global running-max window on the distinct-price-
+                               # level reduction (cents-grid bounded, orders of
+                               # magnitude below part row count)
 }
 
 
