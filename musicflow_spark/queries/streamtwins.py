@@ -396,6 +396,43 @@ def _stream_session_stats_sql() -> str:
     return SESSION_WINDOW_STATS_SQL
 
 
+# ----------------------------------------- sliding-window aggregate
+def stream_sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation in append mode
+    (streaming/events.py::sliding_event_stats_stream, 2 h window /
+    1 h slide): every event feeds TWO overlapping open windows, so the
+    state store holds multiple concurrent windows per key and the
+    watermark finalizes them front-to-back — the overlap mode the
+    tumbling (stream_hourly_event_stats) and merging-session
+    (stream_session_stats) twins don't reach.  Oracle: each event
+    expands to its two hour-grid window starts (Spark's sliding grid
+    is epoch-aligned, i.e. date_trunc) and aggregates — integer-cents
+    sums make the overlap double-count exactly reproducible.  The
+    flush sentinel's own windows are filtered back out by type."""
+    from musicflow_spark.streaming.events import sliding_event_stats_stream
+
+    src = _events_replay_dir(spark, sf_dir, sentinel=True)
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/sliding"
+    stream = sliding_event_stats_stream(_file_stream(spark, src))
+    _run_available_now(
+        stream,
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    return spark.read.parquet(out).filter(F.col("event_type") != "flush")
+
+
+STREAM_SLIDING_EVENT_STATS_SQL = """
+SELECT win_start, event_type, count(*) AS n_events,
+       sum(cast(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS win_start,
+         event_type, value
+  FROM events)
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------- stream-stream as-of (time join)
 ASOF_HORIZON_DAYS = 7
 
@@ -619,6 +656,7 @@ QUERIES = [
     Query("stream_latest_event_user", "W2,O3 ext: streaming twin — applyInPandasWithState top-1 + keyed upsert sink", stream_latest_event_user, STREAM_LATEST_EVENT_USER_SQL),
     Query("stream_event_dedup", "A7 ext: streaming twin — watermark-bounded exact dedup of an at-least-once replay", stream_event_dedup, STREAM_EVENT_DEDUP_SQL),
     Query("stream_session_stats", "ext: streaming twin — merging session windows under watermark (append mode)", stream_session_stats, _stream_session_stats_sql()),
+    Query("stream_sliding_event_stats", "ext: streaming twin — overlapping sliding windows under watermark (append mode)", stream_sliding_event_stats, STREAM_SLIDING_EVENT_STATS_SQL),
     Query("stream_asof_purchase", "ext: streaming twin — stream-stream as-of join (time-range join state + max_by agg, deterministic tiebreak)", stream_asof_purchase, STREAM_ASOF_PURCHASE_SQL),
 ]
 

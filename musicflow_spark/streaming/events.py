@@ -83,6 +83,31 @@ def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> 
     )
 
 
+def sliding_event_stats_stream(
+    events: DataFrame,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregate (window > slide): every
+    event lands in duration/slide overlapping windows, the one
+    windowing mode the tumbling/session twins don't exercise — state
+    holds multiple open windows per key and the watermark closes them
+    front-to-back.  Cents-exact value sums, append-mode finalization."""
+    cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), (cents / 100.0).alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def user_sessions_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

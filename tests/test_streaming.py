@@ -1079,3 +1079,18 @@ def test_merge_into_sink_wires_into_writestream(spark, tmp_path):
     assert {(r.k, r.v) for r in spark.read.parquet(out).collect()} == {
         (1, 10), (2, 20),
     }
+
+
+def test_sliding_twin_double_counts_exactly(spark):
+    """2h/1h sliding windows: every event lands in exactly two
+    finalized windows, so sum(n_events) == 2 x corpus events."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries.streamtwins import stream_sliding_event_stats
+    from musicflow_spark.sources.catalog import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_sliding_event_stats(spark, sf)
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    n = read_table(spark, sf, "events").count()
+    assert total == 2 * n
