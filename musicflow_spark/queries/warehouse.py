@@ -1001,7 +1001,120 @@ FROM scored
 """
 
 
+# ------------------------------------------ entity-resolution mart
+def customer_entity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the warehouse composition of
+    three hash-proven components into one mart: (1) BLOCKING, the
+    symmetric-deletion edit-distance-1 name join
+    (operators/fuzzyjoin.py, proven complete by fuzzy_customer_pairs'
+    quadratic oracle), gated by a second attribute (same nation —
+    matching on one noisy field alone is how ER pipelines over-merge);
+    (2) CLUSTERING, large-star/small-star connected components over
+    the match edges (operators/graph.py::star_components); (3)
+    SURVIVORSHIP, one golden record per entity — representative =
+    highest balance, ties to lowest custkey; balances sum in exact
+    cents.  The oracle replays blocking as the quadratic theta-join,
+    clustering as a recursive CTE, survivorship as a ranked window —
+    so a green row certifies the COMPOSITION, not just the parts.
+
+    Scale shape: deletion-key equi-join (8-byte hashed keys) for
+    candidates; star contraction is edge-linear keyed rounds; the
+    survivorship window partitions by cluster (near-dup-group-sized);
+    no stage is quadratic in customers."""
+    from musicflow_spark.operators.fuzzyjoin import fuzzy_pairs_dist1
+    from musicflow_spark.operators.graph import star_components
+
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs_dist1(
+        cust.select("c_custkey", "c_name"), "c_custkey", "c_name"
+    )
+    nat = cust.select("c_custkey", "c_nationkey")
+    edges = (
+        pairs.join(
+            nat.select(
+                F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nat_a")
+            ),
+            "id_a",
+        )
+        .join(
+            nat.select(
+                F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nat_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("nat_a") == F.col("nat_b"))
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    clusters = star_components(
+        cust.select("c_custkey"), edges, id_col="c_custkey"
+    ).select("c_custkey", "cluster_id")
+    members = clusters.join(cust, "c_custkey").select(
+        "cluster_id",
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("cents"), F.asc("c_custkey"))
+    golden = (
+        members.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("c_custkey").alias("golden_custkey"),
+            F.col("c_name").alias("golden_name"),
+        )
+    )
+    stats = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("cents").alias("total_balance_cents"),
+    )
+    return stats.join(golden, "cluster_id").filter(F.col("n_members") > 1)
+
+
+CUSTOMER_ENTITY_MART_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND a.c_nationkey = b.c_nationkey
+   AND levenshtein(a.c_name, b.c_name) <= 1),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+cl AS (SELECT id AS c_custkey, min(r) AS cluster_id FROM reach GROUP BY id),
+m AS (
+  SELECT cl.cluster_id, c.c_custkey, c.c_name,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+  FROM cl JOIN customer c USING (c_custkey)),
+stats AS (
+  SELECT cluster_id, count(*) AS n_members,
+         CAST(sum(cents) AS BIGINT) AS total_balance_cents
+  FROM m GROUP BY cluster_id),
+golden AS (
+  SELECT cluster_id, c_custkey AS golden_custkey, c_name AS golden_name
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY cents DESC, c_custkey) AS rk
+        FROM m)
+  WHERE rk = 1)
+SELECT s.cluster_id, s.n_members, s.total_balance_cents,
+       g.golden_custkey, g.golden_name
+FROM stats s JOIN golden g USING (cluster_id)
+WHERE s.n_members > 1
+"""
+
+
 QUERIES = [
+    Query(
+        "customer_entity_mart",
+        "ext: end-to-end entity resolution (deletion-key blocking + attribute gate -> star components -> golden-record survivorship)",
+        customer_entity_mart,
+        CUSTOMER_ENTITY_MART_SQL,
+    ),
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
     Query("skew_salted_topk", "ext: two-phase salted top-k == direct window (last-reducer fix)", skew_salted_topk, SKEW_SALTED_TOPK_SQL),
