@@ -175,6 +175,55 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------- stream-static enrichment
+def stream_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join twin: the event stream enriches against the
+    static customer dimension inside each micro-batch (Spark plans it
+    as a broadcast per batch — the one join mode with no state store
+    and no watermark at all), then rolls up per (market segment, event
+    type) through the same merge sink as stream_user_rollup.  Oracle:
+    the batch join + GROUP BY — a green row proves the per-batch
+    enrichment saw every event exactly once and the dimension
+    consistently.  At scale the static side is the broadcast-sized
+    dim table (or a keyed equi-join when it isn't); the stream side
+    never shuffles before the rollup."""
+    from musicflow_spark.streaming.events import foreach_batch_rollup_merge
+
+    src = _events_replay_dir(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/segroll"
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    shaped = (
+        _file_stream(spark, src)
+        .join(F.broadcast(dim), "user_id")
+        .select(
+            "c_mktsegment",
+            "event_type",
+            F.lit(1).cast("long").alias("n_events"),
+            _cents("value").alias("value_cents"),
+        )
+    )
+    _run_available_now(
+        shaped,
+        lambda w: w.foreachBatch(
+            foreach_batch_rollup_merge(out, ["c_mktsegment", "event_type"])
+        ).outputMode("append"),
+    )
+    return spark.read.parquet(out).select(
+        "c_mktsegment", "event_type", "n_events", "value_cents"
+    )
+
+
+STREAM_SEGMENT_ROLLUP_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events,
+       CAST(sum(cast(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------- foreachBatch CDC MERGE
 def stream_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC MERGE tier under a real availableNow writeStream: the
@@ -651,6 +700,7 @@ GROUP BY event_type
 QUERIES = [
     Query("stream_sketch_users", "ext: streaming twin — mergeable HLL sketch maintenance sink (union-merge, soundness-gated)", stream_sketch_users, STREAM_SKETCH_USERS_SQL),
     Query("stream_user_rollup", "ext: streaming twin — no-state-store rollup-merge sink (S9 incremental analogue)", stream_user_rollup, STREAM_USER_ROLLUP_SQL),
+    Query("stream_segment_rollup", "ext: streaming twin — stream-static broadcast enrichment + rollup-merge sink", stream_segment_rollup, STREAM_SEGMENT_ROLLUP_SQL),
     Query("stream_customer_merge", "ext: streaming twin — foreachBatch CDC MERGE INTO tier", stream_customer_merge, STREAM_CUSTOMER_MERGE_SQL),
     Query("stream_hourly_event_stats", "ext: streaming twin — watermarked tumbling-window agg (append mode)", stream_hourly_event_stats, STREAM_HOURLY_EVENT_STATS_SQL),
     Query("stream_latest_event_user", "W2,O3 ext: streaming twin — applyInPandasWithState top-1 + keyed upsert sink", stream_latest_event_user, STREAM_LATEST_EVENT_USER_SQL),

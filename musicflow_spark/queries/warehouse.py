@@ -1001,6 +1001,66 @@ FROM scored
 """
 
 
+# --------------------------------- incremental join-view maintenance
+def segment_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sided incremental maintenance of a JOIN view — the delta
+    algebra V(A ⨝ B) = agg(A₀⨝B₀) ⊕ agg(ΔA⨝B₀) ⊕ agg(A₀⨝ΔB) ⊕
+    agg(ΔA⨝ΔB), the identity every materialized-view maintainer
+    (and every backfill that must not recompute history) rests on.
+    The rollup-merge tier (operators/scd.py::merge_partial_rollups)
+    already proves single-table delta maintenance
+    (incremental_user_rollup); this extends it to deltas arriving on
+    BOTH sides of a join: orders split by a deterministic orderkey
+    stride (ΔA = keys ≡ 7 mod 10), customers by a custkey stride
+    (ΔB = keys ≡ 3 mod 7).  The Spark side executes all four delta
+    joins and merges the algebraic partials; the oracle is the
+    from-scratch join + GROUP BY — a green row certifies the delta
+    decomposition exactly (integer cents, so ⊕ is exact addition).
+
+    Scale shape: each delta join is a keyed equi-join whose cost
+    scales with the DELTA, not history — that is the point; the merge
+    re-aggregates segment-cardinality partials."""
+    from musicflow_spark.operators.scd import merge_partial_rollups
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    da_pred = F.col("o_orderkey") % 10 == 7
+    db_pred = F.col("c_custkey") % 7 == 3
+    a0, da = orders.filter(~da_pred), orders.filter(da_pred)
+    b0, db = cust.filter(~db_pred), cust.filter(db_pred)
+
+    def part(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+        )
+
+    return merge_partial_rollups(
+        [part(a0, b0), part(da, b0), part(a0, db), part(da, db)],
+        ["c_mktsegment"],
+    )
+
+
+SEGMENT_JOIN_VIEW_IVM_SQL = """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 # ------------------------------------------ entity-resolution mart
 def customer_entity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution — the warehouse composition of
@@ -1109,6 +1169,12 @@ WHERE s.n_members > 1
 
 
 QUERIES = [
+    Query(
+        "segment_join_view_ivm",
+        "ext: double-sided incremental join-view maintenance (four-partial delta algebra == full recompute)",
+        segment_join_view_ivm,
+        SEGMENT_JOIN_VIEW_IVM_SQL,
+    ),
     Query(
         "customer_entity_mart",
         "ext: end-to-end entity resolution (deletion-key blocking + attribute gate -> star components -> golden-record survivorship)",

@@ -160,3 +160,32 @@ def test_snapshot_diff_rejects_empty_compare_cols(spark):
     frame = spark.createDataFrame([(1, 10)], ["k", "v"])
     with _pytest.raises(ValueError, match="compare_cols"):
         snapshot_diff(frame, frame, ["k"], [])
+
+
+def test_join_view_ivm_partials_are_disjoint_and_complete(spark):
+    """The four delta joins partition the joined row set: their
+    n_orders sum equals the direct join count, and the merged view
+    equals the direct recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries.warehouse import segment_join_view_ivm
+    from musicflow_spark.sources.catalog import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["c_mktsegment"]: (r["n_orders"], r["revenue_cents"])
+        for r in segment_join_view_ivm(spark, sf).collect()
+    }
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer")
+    direct = {
+        r["c_mktsegment"]: (r["n"], r["s"])
+        for r in orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == direct
