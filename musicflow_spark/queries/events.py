@@ -651,7 +651,78 @@ GROUP BY 1, 2
 """
 
 
+# -------------------------------------- sequence-pattern detection
+#: single-char alphabet for the event-sequence string
+_EVT_CHAR = {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"}
+FUNNEL_PATTERN = "vc+p"  # view, >=1 clicks, purchase — contiguous
+
+
+def user_funnel_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern detection: each user's
+    event history becomes one character string in exact (ts, event_id)
+    order and a regex counts non-overlapping occurrences of the
+    strict funnel view→click⁺→purchase — row-pattern matching over
+    event streams, the SQL:2016 feature Spark lacks natively,
+    recovered as ordered-string aggregation + regexp_count.  Leftmost
+    non-overlapping greedy semantics agree between Java regex and
+    DuckDB's RE2 for this pattern class, and the total order is fully
+    tiebroken, so counts replay exactly.
+
+    Scale shape: ONE keyed shuffle (collect per user); per-user
+    sequence length is bounded by that user's activity (the same
+    per-key bound as sessionization), never by corpus size."""
+    ev = read_table(spark, sf_dir, "events")
+    chr_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _EVT_CHAR.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    seqs = (
+        ev.select("user_id", "ts", "event_id", chr_col.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_count(F.col("seq"), F.lit(FUNNEL_PATTERN)).alias("n_funnels"),
+        (F.regexp_count(F.col("seq"), F.lit(FUNNEL_PATTERN)) > 0).alias("converted"),
+    )
+
+
+USER_FUNNEL_SEQUENCES_SQL = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      WHEN 'error' THEN 'e' END,
+                    '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(length(seq) AS INT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{FUNNEL_PATTERN}')) AS INT) AS n_funnels,
+       len(regexp_extract_all(seq, '{FUNNEL_PATTERN}')) > 0 AS converted
+FROM seqs
+"""
+
+
 QUERIES = [
+    Query(
+        "user_funnel_sequences",
+        "ext: row-pattern matching over event streams (ordered sequence string + regex funnel count)",
+        user_funnel_sequences,
+        USER_FUNNEL_SEQUENCES_SQL,
+    ),
     Query("latest_event_per_user", "W2,O3", latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
     Query("user_sessions", "W2,A1,A2 (ext: sessionization)", user_sessions, USER_SESSIONS_SQL, bench=True),
     Query("session_window_stats", "ext: session windows (streaming twin)", session_window_stats, SESSION_WINDOW_STATS_SQL),

@@ -1001,6 +1001,83 @@ FROM scored
 """
 
 
+# ------------------------------------- chi-square independence test
+CHI2_SCALE = 1_000_000  # shared integer micro grid
+
+
+def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer
+    market segment and order priority — the categorical-association
+    statistic every feature-selection / drift-detection pass runs.
+    One row per contingency cell: observed count, expected count
+    (row_total * col_total / N) and the cell's (O-E)²/E contribution,
+    both on the integer micro grid — each cell's double expression is
+    a single multiply/divide chain (identical IEEE ops in both
+    engines), rounded to int64 micro-units BEFORE any summation, so
+    downstream totals are exact integer adds.
+
+    Scale shape: the contingency table is one orderkey-joined groupBy
+    (cells = |segments| x |priorities|, tiny); marginals are
+    re-aggregations of the cells; N rides a 1-row broadcast."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = cells.groupBy("c_mktsegment").agg(F.sum("observed").alias("row_total"))
+    ct = cells.groupBy("o_orderpriority").agg(F.sum("observed").alias("col_total"))
+    n = cells.agg(F.sum("observed").alias("n_total"))
+    e = (F.col("row_total") * F.col("col_total")).cast("double") / F.col("n_total")
+    return (
+        cells.join(rt, "c_mktsegment")
+        .join(ct, "o_orderpriority")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "observed",
+            F.round(e * CHI2_SCALE, 0).cast("long").alias("expected_micro"),
+            F.round(
+                (F.col("observed") - e) * (F.col("observed") - e) / e * CHI2_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("chi2_cell_micro"),
+        )
+    )
+
+
+SEGMENT_PRIORITY_CHI2_SQL = f"""
+WITH cells AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS observed
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+rt AS (SELECT c_mktsegment, CAST(sum(observed) AS BIGINT) AS row_total
+       FROM cells GROUP BY 1),
+ct AS (SELECT o_orderpriority, CAST(sum(observed) AS BIGINT) AS col_total
+       FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM cells)
+SELECT cells.c_mktsegment, cells.o_orderpriority,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(round(CAST(row_total * col_total AS double) / n_total
+                  * {CHI2_SCALE}) AS BIGINT) AS expected_micro,
+       CAST(round((observed - CAST(row_total * col_total AS double) / n_total)
+                  * (observed - CAST(row_total * col_total AS double) / n_total)
+                  / (CAST(row_total * col_total AS double) / n_total)
+                  * {CHI2_SCALE}) AS BIGINT) AS chi2_cell_micro
+FROM cells
+JOIN rt USING (c_mktsegment)
+JOIN ct USING (o_orderpriority)
+CROSS JOIN n
+"""
+
+
 # --------------------------------- incremental join-view maintenance
 def segment_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-sided incremental maintenance of a JOIN view — the delta
@@ -1169,6 +1246,12 @@ WHERE s.n_members > 1
 
 
 QUERIES = [
+    Query(
+        "segment_priority_chi2",
+        "ext: Pearson chi-square independence test (per-cell O/E/(O-E)^2/E on the integer micro grid)",
+        segment_priority_chi2,
+        SEGMENT_PRIORITY_CHI2_SQL,
+    ),
     Query(
         "segment_join_view_ivm",
         "ext: double-sided incremental join-view maintenance (four-partial delta algebra == full recompute)",

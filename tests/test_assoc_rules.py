@@ -69,3 +69,60 @@ def test_skyline_equals_bruteforce_dominance(spark, sf_dir):
         for r in part_price_size_skyline(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_funnel_regex_counts_nonoverlapping(spark, tmp_path):
+    """Crafted history: 'v c p v c c p v p' -> two funnel matches
+    (vc+p twice; the trailing vp lacks a click). Order comes from ts
+    with event_id tiebreak."""
+    import datetime as dt
+
+    types = ["view", "click", "purchase", "view", "click", "click",
+             "purchase", "view", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, t, 0.0, "{}")
+        for i, t in enumerate(types)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path / "sf"
+    ev.write.parquet(str(d / "events.parquet"))
+    from musicflow_spark.queries.events import user_funnel_sequences
+
+    [r] = user_funnel_sequences(spark, str(d)).collect()
+    assert r["seq_len"] == 9
+    assert r["n_funnels"] == 2
+    assert r["converted"] is True
+
+
+def test_chi2_cells_conserve_marginals(spark, sf_dir):
+    """Expected counts must re-sum to N (within per-cell rounding) and
+    the statistic must match a float recomputation from the observed
+    table."""
+    from musicflow_spark.queries.warehouse import (
+        CHI2_SCALE,
+        segment_priority_chi2,
+    )
+
+    rows = segment_priority_chi2(spark, sf_dir).collect()
+    assert len(rows) == 25
+    n = sum(r["observed"] for r in rows)
+    exp_total = sum(r["expected_micro"] for r in rows) / CHI2_SCALE
+    assert abs(exp_total - n) < 1e-3
+    # float recompute of the statistic from the observed cells
+    from collections import defaultdict
+
+    rt, ct = defaultdict(int), defaultdict(int)
+    for r in rows:
+        rt[r["c_mktsegment"]] += r["observed"]
+        ct[r["o_orderpriority"]] += r["observed"]
+    chi2 = 0.0
+    for r in rows:
+        e = rt[r["c_mktsegment"]] * ct[r["o_orderpriority"]] / n
+        chi2 += (r["observed"] - e) ** 2 / e
+    got = sum(r["chi2_cell_micro"] for r in rows) / CHI2_SCALE
+    assert abs(got - chi2) < 25 / CHI2_SCALE * 1000  # 25 cells x rounding

@@ -84,6 +84,7 @@ CARTESIAN_OK = {
                                # join itself is a word-keyed equi-join
     "knn_sq8",                 # 1-row per-dim min/max grid broadcast + 8-row
                                # quantized-query broadcast (the SQ scan pairing)
+    "segment_priority_chi2",   # 1-row N-total broadcast into the 25-cell table
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -144,6 +145,7 @@ SINGLE_OK = {
     "part_price_size_skyline", # global running-max window on the distinct-price-
                                # level reduction (cents-grid bounded, orders of
                                # magnitude below part row count)
+    "segment_priority_chi2",   # scalar N-total aggregate (1 row by construction)
 }
 
 
