@@ -323,3 +323,59 @@ a{t} AS MATERIALIZED (
         + f"""
 SELECT id AS {id_col}, cid AS cluster_id, d2 FROM a{n_iter}"""
     )
+
+
+# ------------------------------------- nearest-centroid classifier
+def nearest_centroid_classify(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification on the integer grid:
+    per-label centroids are element-wise floor-means of the quantized
+    training vectors (ONE pass — the degenerate k-means where the
+    assignment is given by the label), test vectors take the label of
+    the integer-L2-nearest centroid with label-id tiebreak.  Exactly
+    the arithmetic ``kmeans_lloyd`` proves portable, so the SQL
+    replay is a one-round specialization.
+
+    Returns (id_col, pred, d2).  Scale shape: the centroid update is
+    one posexplode -> (label, dim) partial agg (shuffle rows bounded
+    by |labels|·dim); assignment is a |labels|-row broadcast + argmin
+    window — the bounded-broadcast contract of the PQ codebook.
+    """
+    qtr = train.select(
+        F.col(label_col).alias("cls"), quantized(vec_col, scale).alias("qv")
+    )
+    cent = (
+        qtr.select("cls", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("cls", "pos")
+        .agg(F.expr("sum(val) div count(*)").alias("m"))
+        .groupBy("cls")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    qte = test.select(
+        F.col(id_col).alias("id"), quantized(vec_col, scale).alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = qte.crossJoin(F.broadcast(cent)).select("id", "cls", d2.alias("d2"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("d2", "cls")
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(F.col("id").alias(id_col), F.col("cls").alias("pred"), "d2")
+    )

@@ -1993,6 +1993,95 @@ def _doc_bm25_search_oracle_sql() -> str:
     )
 
 
+# ----------------------------------------------- Zipf-law exponent
+ZIPF_V = 200  # fit over the top-V vocabulary ranks
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary (ext): OLS of ln(count)
+    on ln(rank) over the top-200 unigrams — the power-law exponent
+    (slope ≈ -1 for natural language) every corpus-health dashboard
+    tracks, and the cross-family composition of the vocabulary miner
+    (corpus_vocab_topk) with the closed-form regression tier
+    (brand_price_ols).  Both log coordinates are rounded to int64
+    micro-nats BEFORE the moment aggregation, the moments are exact
+    integer sums, and the coefficients apply the identical IEEE
+    double expression in both engines — bit-portable end to end.
+    Scale: one token-count shuffle, a 200-row top-k, a 1-row moment
+    fold."""
+    docs = read_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(ZIPF_V)
+    )
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")) * PPL_SCALE)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * PPL_SCALE)
+        .cast("long")
+        .alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    sst = d("n") * d("syy") - d("sy") * d("sy")
+    return m.select(
+        "n",
+        pround(num / den, 6).alias("zipf_slope"),
+        pround((d("sy") - num / den * d("sx")) / d("n") / PPL_SCALE, 6).alias(
+            "ln_c"
+        ),
+        pround(num * num / (den * sst), 6).alias("r2"),
+    )
+
+
+def _corpus_zipf_fit_oracle_sql() -> str:
+    from musicflow_spark.queries.portable import pround_sql
+
+    num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    den = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    sst = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+vc AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+  FROM vc ORDER BY cnt DESC, w LIMIT {ZIPF_V}),
+xy AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * {PPL_SCALE}) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * {PPL_SCALE}) AS BIGINT) AS y
+  FROM top),
+m AS (
+  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy)
+SELECT n,
+       {pround_sql(f"{num} / {den}", 6)} AS zipf_slope,
+       {pround_sql(f"(CAST(sy AS DOUBLE) - {num} / {den} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / {PPL_SCALE}", 6)} AS ln_c,
+       {pround_sql(f"{num} * {num} / ({den} * {sst})", 6)} AS r2
+FROM m
+"""
+
+
 # ------------------------------------ naive Bayes lang classifier
 def doc_lang_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained language router (ext: operators/classify.py): multinomial
@@ -2080,6 +2169,12 @@ FROM ranked WHERE rk = 1
 
 
 QUERIES = [
+    Query(
+        "corpus_zipf_fit",
+        "ext: Zipf-law exponent fit (top-k vocab ranks, integer micro-nat log moments, closed-form OLS)",
+        corpus_zipf_fit,
+        _corpus_zipf_fit_oracle_sql(),
+    ),
     Query(
         "doc_lang_nb_classifier",
         "ext: trained multinomial naive Bayes language router (even/odd split, integer micro-nat scores, OOV floor)",

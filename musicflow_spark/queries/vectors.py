@@ -869,6 +869,60 @@ def _embedding_kmeans_oracle_sql() -> str:
     )
 
 
+def embedding_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) label prediction (ext: operators/
+    embeddings.py::nearest_centroid_classify): per-label floor-mean
+    centroids from the even-vec_id half, integer-L2 assignment of the
+    odd half — the vector-side sibling of the naive-Bayes text router
+    (doc_lang_nb_classifier), completing the supervised tier: text
+    classifier, vector classifier, regression (brand_price_ols).
+    The fixture's labels are vector-independent so accuracy sits at
+    the prior (separability is proven on crafted data in pytest);
+    the driver gate is the bit-exact centroid/argmin replay."""
+    from musicflow_spark.operators.embeddings import nearest_centroid_classify
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    test = emb.filter(F.col("vec_id") % 2 == 1)
+    pred = nearest_centroid_classify(train, test)
+    return pred.join(test.select("vec_id", "label"), "vec_id").select(
+        "vec_id",
+        "label",
+        "pred",
+        "d2",
+        (F.col("pred") == F.col("label")).alias("correct"),
+    )
+
+
+def _embedding_centroid_classifier_oracle_sql() -> str:
+    from musicflow_spark.operators.embeddings import DEFAULT_SCALE
+
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {DEFAULT_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings),
+cent AS MATERIALIZED (
+  SELECT cls, list(m ORDER BY pos) AS cv FROM (
+    SELECT t.label AS cls, r.i AS pos,
+           CAST(sum(t.qv[r.i + 1]) // count(*) AS BIGINT) AS m
+    FROM q t, unnest(range(0, {PQ_DIM})) AS r(i)
+    WHERE t.vec_id % 2 = 0
+    GROUP BY t.label, r.i)
+  GROUP BY cls),
+d AS (
+  SELECT t.vec_id, t.label, c.cls,
+         CAST(list_sum(list_transform(range(1, {PQ_DIM} + 1),
+              i -> (t.qv[i] - c.cv[i]) * (t.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM q t, cent c WHERE t.vec_id % 2 = 1)
+SELECT vec_id, label, cls AS pred, d2, (cls = label) AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cls) AS rn
+      FROM d)
+WHERE rn = 1
+"""
+
+
 SQ_LEVELS, SQ_CAND = 255, 40
 
 
@@ -945,6 +999,7 @@ WHERE rank <= {TOP_K}
 
 QUERIES = [
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql()),
+    Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (floor-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),

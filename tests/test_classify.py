@@ -136,3 +136,39 @@ class TestNaiveBayes:
         )
         assert len(rows) == n_test
         assert all(r["pred"] is not None and r["score_micro"] < 0 for r in rows)
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    """The integer-moment closed form must agree with numpy lstsq on
+    the same rounded log-log points, and the fixture's token counts
+    must actually be Zipf-ish (negative slope, decent r2)."""
+    import numpy as np
+
+    from musicflow_spark.queries.textops import (
+        PPL_SCALE,
+        ZIPF_V,
+        corpus_zipf_fit,
+    )
+    from musicflow_spark.operators.textstats import tokens as _tokens
+    from musicflow_spark.sources.catalog import read_table
+
+    [r] = corpus_zipf_fit(spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    top = sorted(((-c["count"], c["w"]) for c in counts))[:ZIPF_V]
+    x = np.array(
+        [round(np.log(i + 1) * PPL_SCALE) for i in range(len(top))], dtype=float
+    )
+    y = np.array([round(np.log(-n) * PPL_SCALE) for n, _ in top], dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    # the synthetic corpus vocabulary is smaller than ZIPF_V: the fit
+    # covers every rank that exists
+    assert r["n"] == min(ZIPF_V, len(counts))
+    assert abs(r["zipf_slope"] - slope) < 1e-6
+    assert r["zipf_slope"] < 0
+    assert 0 <= r["r2"] <= 1

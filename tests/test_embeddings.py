@@ -211,3 +211,27 @@ def test_mmr_matches_python_greedy_and_diversifies(spark, vecs):
     assert got == want
     plain = [i for i in pool_ids[:k]]
     assert [v for _, v, _, _ in want] != plain  # diversification bites
+
+
+def test_nearest_centroid_separable_and_tiebreak(spark):
+    """Two well-separated label blobs -> 100% accuracy; an exactly
+    equidistant test point goes to the smaller label id."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.operators.embeddings import nearest_centroid_classify
+
+    test = spark.createDataFrame(
+        [(100, [9.9, 0.1]), (101, [0.1, 9.9]), (102, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [(0, 0, [10.0, 0.0]), (2, 0, [10.0, 0.002]),
+         (4, 1, [0.0, 10.0]), (6, 1, [0.002, 10.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["pred"] for r in
+           nearest_centroid_classify(train, test).collect()}
+    assert got[100] == 0 and got[101] == 1
+    # centroids are (10000,1) and (1,10000) on the milli grid; the
+    # diagonal point is equidistant -> label-id tiebreak picks 0
+    assert got[102] == 0

@@ -146,6 +146,9 @@ SINGLE_OK = {
                                # level reduction (cents-grid bounded, orders of
                                # magnitude below part row count)
     "segment_priority_chi2",   # scalar N-total aggregate (1 row by construction)
+    "corpus_zipf_fit",         # global top-k LIMIT (200 rows) + rank window and
+                               # moment fold on that bounded frame
+    "embedding_centroid_classifier",  # |labels|-row centroid collect_list fold
 }
 
 
