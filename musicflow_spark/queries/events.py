@@ -651,6 +651,59 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------- MAD robust outliers
+MAD_K = 3  # flag |x - median| > K * MAD
+
+
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |value − median| > 3·MAD per event
+    type — the median/median-absolute-deviation screen that, unlike
+    the mean/stddev z-score (``event_outliers``), is itself immune to
+    the outliers it hunts (50% breakdown point vs 0%).  Exactness:
+    values are integer cents; both medians are EXACT dyadic-point
+    percentiles (interpolation of two integers at 0.5 is exact in
+    IEEE-754, see nation_value_percentiles), so deviations live on a
+    quarter-cent grid and the strict > comparison cannot straddle an
+    ulp between engines.
+
+    Scale shape: two keyed percentile aggregates + two equi-joins on
+    event_type; exact percentile holds per-group values — the
+    documented sketch swap at higher cardinality is the KLL tier
+    (kll_value_quantiles)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("cents", 0.5).alias("med"))
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.col("adev") > MAD_K * F.col("mad"))
+        .select("event_id", "event_type", "cents", "med", "mad")
+    )
+
+
+EVENT_VALUE_MAD_OUTLIERS_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM ev GROUP BY 1),
+dev AS (
+  SELECT e.event_id, e.event_type, e.cents, m.med,
+         abs(e.cents - m.med) AS adev
+  FROM ev e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_id, d.event_type, d.cents, d.med, m.mad
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev > {MAD_K} * m.mad
+"""
+
+
 # -------------------------------------- sequence-pattern detection
 #: single-char alphabet for the event-sequence string
 _EVT_CHAR = {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"}
@@ -717,6 +770,12 @@ FROM seqs
 
 
 QUERIES = [
+    Query(
+        "event_value_mad_outliers",
+        "ext: median/MAD robust outlier screen (exact dyadic percentiles, quarter-cent deviation grid)",
+        event_value_mad_outliers,
+        EVENT_VALUE_MAD_OUTLIERS_SQL,
+    ),
     Query(
         "user_funnel_sequences",
         "ext: row-pattern matching over event streams (ordered sequence string + regex funnel count)",

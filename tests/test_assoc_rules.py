@@ -126,3 +126,29 @@ def test_chi2_cells_conserve_marginals(spark, sf_dir):
         chi2 += (r["observed"] - e) ** 2 / e
     got = sum(r["chi2_cell_micro"] for r in rows) / CHI2_SCALE
     assert abs(got - chi2) < 25 / CHI2_SCALE * 1000  # 25 cells x rounding
+
+
+def test_mad_outliers_breakdown_resistance(spark, tmp_path):
+    """One enormous spike must be flagged without dragging the median
+    or MAD (the z-score screen's stddev would explode instead)."""
+    import datetime as dt
+
+    vals = [10.0, 11.0, 9.0, 10.5, 10.0, 9.5, 11.5, 10.0, 1_000_000.0]
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path / "sf"
+    ev.write.parquet(str(d / "events.parquet"))
+    from musicflow_spark.queries.events import event_value_mad_outliers
+
+    out = event_value_mad_outliers(spark, str(d)).collect()
+    assert [r["event_id"] for r in out] == [8]
+    # median stays at the bulk (1000 cents) — the spike didn't move it
+    assert out[0]["med"] == 1000.0
