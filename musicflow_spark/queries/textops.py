@@ -2168,7 +2168,75 @@ FROM ranked WHERE rk = 1
 """
 
 
+# ----------------------------------------- classifier evaluation
+def nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation mart over the naive-Bayes router: per-class
+    true positives, false positives, false negatives and integer
+    basis-point precision/recall from the held-out predictions — the
+    confusion-matrix aggregation every train/apply pipeline publishes
+    next to the model.  Composition proof: the Spark side consumes
+    doc_lang_nb_classifier's real output; the oracle nests that
+    query's full SQL replay as a derived table, so a green row
+    certifies classifier + evaluation together.  All-integer metrics
+    (x*10000 div y, zero-guarded) — nothing to drift."""
+    pred = doc_lang_nb_classifier(spark, sf_dir)
+    cells = pred.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n"))
+    support = cells.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    predicted = cells.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").alias("predicted")
+    )
+    tp = (
+        cells.filter(F.col("lang") == F.col("pred"))
+        .select(F.col("lang").alias("cls"), F.col("n").alias("tp"))
+    )
+    return (
+        support.join(predicted, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("predicted", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+            F.when(
+                F.coalesce("predicted", F.lit(0)) > 0,
+                F.expr("coalesce(tp, 0) * 10000 div predicted"),
+            ).otherwise(F.lit(None).cast("long")).alias("precision_bp"),
+            F.when(
+                F.coalesce("support", F.lit(0)) > 0,
+                F.expr("coalesce(tp, 0) * 10000 div support"),
+            ).otherwise(F.lit(None).cast("long")).alias("recall_bp"),
+        )
+    )
+
+
+def _nb_classifier_eval_oracle_sql() -> str:
+    return f"""
+WITH pred AS ({DOC_LANG_NB_CLASSIFIER_SQL}),
+cells AS (SELECT lang, pred, count(*) AS n FROM pred GROUP BY 1, 2),
+sup AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS support FROM cells GROUP BY 1),
+prd AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS predicted FROM cells GROUP BY 1),
+tp AS (SELECT lang AS cls, CAST(n AS BIGINT) AS tp FROM cells WHERE lang = pred)
+SELECT cls,
+       coalesce(tp.tp, 0) AS tp,
+       coalesce(predicted, 0) - coalesce(tp.tp, 0) AS fp,
+       coalesce(support, 0) - coalesce(tp.tp, 0) AS fn,
+       CASE WHEN coalesce(predicted, 0) > 0
+            THEN coalesce(tp.tp, 0) * 10000 // predicted END AS precision_bp,
+       CASE WHEN coalesce(support, 0) > 0
+            THEN coalesce(tp.tp, 0) * 10000 // support END AS recall_bp
+FROM sup FULL JOIN prd USING (cls) LEFT JOIN tp USING (cls)
+"""
+
+
 QUERIES = [
+    Query(
+        "nb_classifier_eval",
+        "ext: confusion-matrix evaluation mart (per-class tp/fp/fn + bp precision/recall over the NB router's held-out predictions)",
+        nb_classifier_eval,
+        _nb_classifier_eval_oracle_sql(),
+    ),
     Query(
         "corpus_zipf_fit",
         "ext: Zipf-law exponent fit (top-k vocab ranks, integer micro-nat log moments, closed-form OLS)",

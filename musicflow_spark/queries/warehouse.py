@@ -1001,6 +1001,65 @@ FROM scored
 """
 
 
+# ---------------------------------------- anti-entropy checksums
+CKSUM_MOD = 1 << 20  # keeps the additive component overflow-free at 1e12 rows
+
+
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint — the anti-entropy check a
+    replicated / migrated warehouse runs to prove two copies of a
+    table are row-for-row identical without shipping rows: per status
+    group, row count, XOR of the portable 60-bit row hashes, and the
+    sum of hashes mod 2^20.  XOR and modular addition are commutative
+    and associative, so the checksum is partitioning- and
+    order-independent; a single changed, missing, or duplicated row
+    flips it.  The row hash covers every column (money in cents,
+    timestamps as ISO strings — both render identically in Spark and
+    DuckDB).  Scale: one map pass + a |statuses|-cell aggregate; this
+    is the cheapest full-table integrity query that exists."""
+    o = read_table(spark, sf_dir, "orders")
+    h = portable_hash60(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            F.col("o_orderdate").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return (
+        o.select("o_orderstatus", h.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_hash"),
+            F.sum(F.col("h") % CKSUM_MOD).alias("sum_hash_mod"),
+        )
+    )
+
+
+ORDERS_TABLE_CHECKSUM_SQL = f"""
+WITH h AS (
+  SELECT o_orderstatus,
+         ('0x' || substr(md5(
+            cast(o_orderkey AS varchar) || '|' ||
+            cast(o_custkey AS varchar) || '|' ||
+            o_orderstatus || '|' ||
+            cast(CAST(round(o_totalprice * 100) AS BIGINT) AS varchar) || '|' ||
+            cast(o_orderdate AS varchar) || '|' ||
+            o_orderpriority), 1, 15))::BIGINT AS h
+  FROM orders)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       CAST(sum(h % {CKSUM_MOD}) AS BIGINT) AS sum_hash_mod
+FROM h
+GROUP BY o_orderstatus
+"""
+
+
 # ------------------------------------- chi-square independence test
 CHI2_SCALE = 1_000_000  # shared integer micro grid
 
@@ -1246,6 +1305,12 @@ WHERE s.n_members > 1
 
 
 QUERIES = [
+    Query(
+        "orders_table_checksum",
+        "ext: order-insensitive anti-entropy table fingerprint (count + XOR + modular-sum of portable row hashes)",
+        orders_table_checksum,
+        ORDERS_TABLE_CHECKSUM_SQL,
+    ),
     Query(
         "segment_priority_chi2",
         "ext: Pearson chi-square independence test (per-cell O/E/(O-E)^2/E on the integer micro grid)",

@@ -52,3 +52,40 @@ def test_entity_clusters_partition_the_fixture(spark, sf_dir):
     assert sum(r["n_members"] for r in rows) <= n_cust
     for r in rows:
         assert r["cluster_id"] <= r["golden_custkey"]
+
+
+def test_checksum_detects_single_row_drift(spark, sf_dir, tmp_path):
+    """Replica equality and tamper detection: the checksum of an exact
+    copy matches; flipping ONE row's priority flips that status
+    group's xor_hash (and only that group)."""
+    from musicflow_spark.queries.warehouse import orders_table_checksum
+    from musicflow_spark.sources.catalog import read_table
+
+    base = {
+        r["o_orderstatus"]: (r["n_rows"], r["xor_hash"], r["sum_hash_mod"])
+        for r in orders_table_checksum(spark, sf_dir).collect()
+    }
+    orders = read_table(spark, sf_dir, "orders")
+    copy_dir = tmp_path / "copy"
+    orders.repartition(7).write.parquet(str(copy_dir / "orders.parquet"))
+    copy = {
+        r["o_orderstatus"]: (r["n_rows"], r["xor_hash"], r["sum_hash_mod"])
+        for r in orders_table_checksum(spark, str(copy_dir)).collect()
+    }
+    assert copy == base  # partitioning/order-independent
+
+    first = orders.orderBy("o_orderkey").limit(1).collect()[0]
+    tampered = orders.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") == first["o_orderkey"], F.lit("9-TAMPERED")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    tdir = tmp_path / "tampered"
+    tampered.write.parquet(str(tdir / "orders.parquet"))
+    t = {
+        r["o_orderstatus"]: (r["n_rows"], r["xor_hash"], r["sum_hash_mod"])
+        for r in orders_table_checksum(spark, str(tdir)).collect()
+    }
+    changed = {k for k in base if t.get(k) != base[k]}
+    assert changed == {first["o_orderstatus"]}
