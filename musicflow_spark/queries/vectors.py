@@ -998,7 +998,7 @@ WHERE rank <= {TOP_K}
 
 
 QUERIES = [
-    Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql()),
+    Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (floor-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),

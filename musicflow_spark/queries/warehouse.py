@@ -1328,6 +1328,7 @@ QUERIES = [
         "ext: end-to-end entity resolution (deletion-key blocking + attribute gate -> star components -> golden-record survivorship)",
         customer_entity_mart,
         CUSTOMER_ENTITY_MART_SQL,
+        bench=True,
     ),
     Query("skew_salted_agg", "ext: two-phase salted aggregation == direct", skew_salted_agg, SKEW_SALTED_AGG_SQL),
     Query("skew_salted_join", "ext: salted hot-key join == plain join", skew_salted_join_revenue, SKEW_SALTED_JOIN_SQL),
