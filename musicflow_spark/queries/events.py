@@ -651,6 +651,62 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------- time-range window frames
+RATE_WINDOW_US = 3_600 * 1_000_000  # trailing hour, epoch micros
+
+
+def user_rolling_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity (burst detection): for every
+    event, how many events (and how much value) the same user produced
+    in the preceding hour INCLUDING this one — a true time-RANGE
+    window frame (RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW), the
+    frame mode the row-frame (daily_moving_stats) and grid-window
+    (hourly) queries don't exercise: the frame width varies per row
+    with the data.  Ordering key is exact epoch MICROS as int64
+    (operators/timejoin.py::micros — timezone-independent for both
+    timestamp flavors), so frame membership is integer comparison on
+    both engines; RANGE peers (equal timestamps) aggregate together,
+    which is exactly why per-row frames need no tiebreak.
+
+    Scale shape: one keyed shuffle (user_id), per-partition sort —
+    the sessionization lattice; frame evaluation is a sliding pointer
+    over the sorted run, linear per user."""
+    from musicflow_spark.operators.timejoin import micros
+
+    ev = read_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        micros(ev, "ts").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-RATE_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.sum("cents").over(w).alias("cents_trailing_hour"),
+    )
+
+
+USER_ROLLING_EVENT_RATE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing_hour,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_trailing_hour
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {RATE_WINDOW_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 # ------------------------------------------- MAD robust outliers
 MAD_K = 3  # flag |x - median| > K * MAD
 
@@ -770,6 +826,12 @@ FROM seqs
 
 
 QUERIES = [
+    Query(
+        "user_rolling_event_rate",
+        "ext: per-row time-RANGE window frame (trailing-hour burst rate on exact epoch micros)",
+        user_rolling_event_rate,
+        USER_ROLLING_EVENT_RATE_SQL,
+    ),
     Query(
         "event_value_mad_outliers",
         "ext: median/MAD robust outlier screen (exact dyadic percentiles, quarter-cent deviation grid)",

@@ -10,7 +10,7 @@ these are exact hash-match checks, not statistical ones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from musicflow_spark.operators.sampling import (
@@ -305,6 +305,77 @@ FROM ranked
 """
 
 
+# --------------------------------- temperature-scaled mixture weights
+TEMP_K = 10_000  # samples to apportion across sources
+TEMP_SCALE = 1_000_000  # micro grid for the tempered weights
+
+
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture apportionment (ext): per-source
+    sample allocation proportional to n_s^0.5 — the α<1 tempering
+    (α = 1/T) multilingual pretraining uses to upsample low-resource
+    slices without letting any slice vanish.  The tempered weight is
+    rounded to the integer micro grid BEFORE the normalizing sum
+    (sqrt is correctly-rounded IEEE in both engines; summing raw
+    doubles would be order-dependent), and the allocation is exact
+    largest-remainder apportionment: base = (w*K) div W, the K−Σbase
+    leftover seats go to the largest integer remainders (source-name
+    tiebreak) — Σalloc == K exactly, certified by the oracle.
+    Scale: one source-count aggregate, a 1-row total broadcast, a
+    |sources|-row ranking window."""
+    docs = read_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = src.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * TEMP_SCALE, 0)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("w_total"))
+    alloc = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"(w_micro * {TEMP_K}) div w_total"))
+        .withColumn("rem", F.expr(f"(w_micro * {TEMP_K}) % w_total"))
+    )
+    leftover = alloc.agg(
+        (F.lit(TEMP_K) - F.sum("base")).alias("seats")
+    )
+    rk = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        alloc.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(rk))
+        .select(
+            "source",
+            "n_docs",
+            "w_micro",
+            (F.col("base") + (F.col("rk") <= F.col("seats")).cast("long")).alias(
+                "alloc"
+            ),
+        )
+    )
+
+
+CORPUS_TEMPERATURE_MIXTURE_SQL = f"""
+WITH src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * {TEMP_SCALE}) AS BIGINT) AS w_micro
+  FROM src),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM w),
+alloc AS (
+  SELECT source, n_docs, w_micro,
+         (w_micro * {TEMP_K}) // w_total AS base,
+         (w_micro * {TEMP_K}) % w_total AS rem
+  FROM w CROSS JOIN tot),
+seats AS (SELECT {TEMP_K} - CAST(sum(base) AS BIGINT) AS seats FROM alloc)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w_micro,
+       base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= seats
+                   THEN 1 ELSE 0 END AS alloc
+FROM alloc CROSS JOIN seats
+"""
+
+
 # ------------------------------------ weighted systematic sampling
 PPS_K = 50
 
@@ -468,6 +539,12 @@ FROM scored CROSS JOIN thresh
 
 
 QUERIES = [
+    Query(
+        "corpus_temperature_mixture",
+        "ext: temperature-scaled mixture apportionment (micro-grid tempered weights, exact largest-remainder seats)",
+        corpus_temperature_mixture,
+        CORPUS_TEMPERATURE_MIXTURE_SQL,
+    ),
     Query(
         "doc_weighted_sample",
         "ext: deterministic systematic PPS sampling (partitioned cumulative weights == global-window oracle)",

@@ -2179,7 +2179,10 @@ def nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's full SQL replay as a derived table, so a green row
     certifies classifier + evaluation together.  All-integer metrics
     (x*10000 div y, zero-guarded) — nothing to drift."""
-    pred = doc_lang_nb_classifier(spark, sf_dir)
+    # checkpoint the predictions: four aggregation branches read them,
+    # and re-deriving the classifier per branch would quadruple the
+    # scoring joins (31 -> 9 exchanges measured at sf0.001)
+    pred = doc_lang_nb_classifier(spark, sf_dir).localCheckpoint(eager=True)
     cells = pred.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n"))
     support = cells.groupBy(F.col("lang").alias("cls")).agg(
         F.sum("n").alias("support")

@@ -339,3 +339,27 @@ def test_weighted_systematic_sample_exact_and_conserving(spark):
     assert {r["doc_id"]: (r["cum_w"], r["pick_count"]) for r in out} == want
     assert sum(pc for _, pc in want.values()) == k
     assert 7 in want and want[7][1] >= 1
+
+
+def test_temperature_mixture_conserves_and_upsamples(spark, sf_dir):
+    """Σalloc == K exactly (largest remainder), and tempering lifts
+    every below-average source's share above its raw share while the
+    ranking of sources by allocation preserves the ranking by size."""
+    from musicflow_spark.queries.sampling import (
+        TEMP_K,
+        corpus_temperature_mixture,
+    )
+
+    rows = corpus_temperature_mixture(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == TEMP_K
+    n_total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        raw_share = r["n_docs"] / n_total
+        alloc_share = r["alloc"] / TEMP_K
+        if raw_share < 1 / len(rows):
+            assert alloc_share >= raw_share  # rare slices upsampled
+        else:
+            assert alloc_share <= raw_share + 1 / TEMP_K
+    by_size = sorted(rows, key=lambda r: (-r["n_docs"], r["source"]))
+    allocs = [r["alloc"] for r in by_size]
+    assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:], strict=False))

@@ -85,6 +85,14 @@ CARTESIAN_OK = {
     "knn_sq8",                 # 1-row per-dim min/max grid broadcast + 8-row
                                # quantized-query broadcast (the SQ scan pairing)
     "segment_priority_chi2",   # 1-row N-total broadcast into the 25-cell table
+    "nb_classifier_eval",      # inherits doc_lang_nb_classifier's 1-row/5-row
+                               # broadcasts (the mart recomputes the predictions)
+    "embedding_centroid_classifier",  # |labels|-row centroid broadcast into the
+                               # assignment scan (the kmeans/PQ-codebook contract)
+    "doc_bm25_search",         # 1-row corpus-stats broadcast (N, avg doc length)
+    "corpus_source_divergence", # 1-row corpus-total broadcast (the KL mixture)
+    "corpus_dsir_selection",   # 1-row vocab/threshold broadcasts (target LM stats)
+    "corpus_temperature_mixture",  # 1-row weight-total + leftover-seat broadcasts
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -149,6 +157,12 @@ SINGLE_OK = {
     "corpus_zipf_fit",         # global top-k LIMIT (200 rows) + rank window and
                                # moment fold on that bounded frame
     "embedding_centroid_classifier",  # |labels|-row centroid collect_list fold
+    "nb_classifier_eval",      # inherits the classifier's scalar folds
+    "doc_bm25_search",         # 1-row corpus-stats fold (N, avgdl)
+    "corpus_source_divergence", # 1-row grand-total fold
+    "corpus_dsir_selection",   # 1-row token-weighted-threshold fold
+    "corpus_temperature_mixture",  # scalar total/seat folds + the |sources|-row
+                               # (20) largest-remainder ranking window
 }
 
 
