@@ -225,6 +225,43 @@ def kmeans_lloyd(
     with a bounded k-row collect (same contract as the PQ seed
     codebook, operators/similarity.py::_pq_encode_parts).
     """
+    q, cent = _kmeans_fit(df, k, n_iter, id_col, vec_col, scale)
+    return _kmeans_assign(q, cent).select(
+        F.col("id").alias(id_col), F.col("cid").alias("cluster_id"), "d2"
+    )
+
+
+def _kmeans_assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Integer-L2 argmin of quantized vectors against the (≤ k-row,
+    broadcast) centroid table, cluster-id tiebreak."""
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).select("id", "cid", d2.alias("d2"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def _kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Quantize + seed + run ``n_iter`` Lloyd rounds; returns the
+    quantized frame (id, qv) and the post-iteration centroid table
+    (cid, cv) — shared by ``kmeans_lloyd`` (assignment consumer) and
+    ``kmeans_centroids`` (trained-quantizer consumer)."""
     q = df.select(
         F.col(id_col).alias("id"), quantized(vec_col, scale).alias("qv")
     ).localCheckpoint(eager=True)
@@ -234,25 +271,8 @@ def kmeans_lloyd(
         [(int(i), list(r["qv"])) for i, r in enumerate(seeds)],
         "cid int, cv array<long>",
     )
-
-    def _assign(centroids: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        scored = q.crossJoin(F.broadcast(centroids)).select("id", "cid", d2.alias("d2"))
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("id").orderBy("d2", "cid")
-        return (
-            scored.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
-            .drop("__rn__")
-        )
-
     for _ in range(n_iter):
-        assigned = _assign(cent)
+        assigned = _kmeans_assign(q, cent)
         dims = assigned.join(q, "id").select(
             "cid", F.posexplode("qv").alias("pos", "val")
         )
@@ -268,9 +288,24 @@ def kmeans_lloyd(
             )
             .localCheckpoint(eager=True)
         )
-    return _assign(cent).select(
-        F.col("id").alias(id_col), F.col("cid").alias("cluster_id"), "d2"
-    )
+    return q, cent
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """The trained coarse quantizer itself: the integer centroid table
+    (cid, cv: array<long>) after ``n_iter`` Lloyd rounds — what a
+    production IVF index build feeds its assignment pass
+    (``knn_ivf_trained``).  Same fit as ``kmeans_lloyd``, exposing
+    centroids instead of assignments; divide by ``scale`` for the
+    double-grid form ANN operators consume."""
+    return _kmeans_fit(df, k, n_iter, id_col, vec_col, scale)[1]
 
 
 def kmeans_oracle_sql(
@@ -285,6 +320,34 @@ def kmeans_oracle_sql(
     """Unrolled replay of ``kmeans_lloyd``: same quantization, same
     floor-mean update, same (d2, cid) argmin, same round count.  All
     round CTEs MATERIALIZED (each is referenced multiple times)."""
+    parts = kmeans_oracle_parts(
+        table, dim, k, n_iter, id_col=id_col, vec_col=vec_col, scale=scale,
+        final_assign=True,
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS {id_col}, cid AS cluster_id, d2 FROM a{n_iter}"""
+    )
+
+
+def kmeans_oracle_parts(
+    table: str,
+    dim: int,
+    k: int,
+    n_iter: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+    final_assign: bool = False,
+) -> list[str]:
+    """The kmeans replay as composable CTE fragments: quantization,
+    seed centroids, and per-round distance/argmin/update CTEs ending
+    at ``cent{n_iter}`` (the trained quantizer).  With
+    ``final_assign`` the post-training assignment CTEs ``d{n_iter}``/
+    ``a{n_iter}`` are appended too.  Callers (``kmeans_oracle_sql``,
+    the trained-IVF oracle) splice these into larger WITH chains."""
     parts = [
         f"""q AS MATERIALIZED (
   SELECT {id_col} AS id,
@@ -295,7 +358,8 @@ cent0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, qv AS cv
   FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k}))"""
     ]
-    for t in range(n_iter + 1):
+    last = n_iter if final_assign else n_iter - 1
+    for t in range(last + 1):
         parts.append(
             f"""d{t} AS MATERIALIZED (
   SELECT q.id, c.cid,
@@ -317,12 +381,7 @@ a{t} AS MATERIALIZED (
     GROUP BY a.cid, r.i)
   GROUP BY cid)"""
             )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
-SELECT id AS {id_col}, cid AS cluster_id, d2 FROM a{n_iter}"""
-    )
+    return parts
 
 
 # ------------------------------------- nearest-centroid classifier

@@ -12,7 +12,7 @@ asserted in tests.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from musicflow_spark.operators.embeddings import (
@@ -923,6 +923,100 @@ WHERE rn = 1
 """
 
 
+IVF_TRAIN_PROBE = 3
+
+
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a TRAINED coarse quantizer (ext): the production
+    index-build composition — kmeans_lloyd's centroids after 3 Lloyd
+    rounds become the IVF cluster table, corpus vectors assign to
+    their nearest trained centroid, queries probe their 3 nearest
+    clusters, exact cosine reranks the probed lists.  Closes the loop
+    knn_ivf documents ("k-means is how a production index builds its
+    centroids"): that query seeds statically for replayability; this
+    one replays the TRAINING too, because the kmeans tier is already
+    bit-portable.  Both the assignment and the probe ranking run on
+    integer squared-L2 over the quantized grid — unlike the static
+    IVF's float d², no float ordering exists before the final rerank.
+    Scale: training cost is the kmeans lattice (k·dim-bounded
+    shuffles); assignment is the k-row broadcast scan that becomes
+    the partition key at corpus scale; probes prune ~probe/k of the
+    lists."""
+    from musicflow_spark.operators.embeddings import (
+        kmeans_centroids,
+        quantized,
+    )
+    from musicflow_spark.operators.similarity import _exact_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=KMEANS_K, n_iter=KMEANS_ITERS)
+    qq = emb.select(F.col("vec_id").alias("id"), quantized("embedding").alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = qq.crossJoin(F.broadcast(cent)).select("id", "cid", d2.alias("d2"))
+    w = Window.partitionBy("id").orderBy("d2", "cid")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("id").alias("neighbor_id"), "cid"
+    )
+    probes = (
+        ranked.filter((F.col("id") < N_QUERY_VECS) & (F.col("rn") <= IVF_TRAIN_PROBE))
+        .select(F.col("id").alias("query_id"), "cid")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    topk = _exact_rerank(emb, queries, cands, "vec_id", "embedding", TOP_K)
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
+def _knn_ivf_trained_oracle_sql() -> str:
+    from musicflow_spark.operators.embeddings import kmeans_oracle_parts
+
+    parts = kmeans_oracle_parts(
+        "embeddings", dim=KMEANS_DIM, k=KMEANS_K, n_iter=KMEANS_ITERS,
+        final_assign=True,
+    )
+    t = KMEANS_ITERS
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+probes AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d{t} WHERE id < {N_QUERY_VECS})
+  WHERE rn <= {IVF_TRAIN_PROBE}),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM a{t} a JOIN probes p ON a.cid = p.cid
+  WHERE a.id <> p.query_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> cast(q.embedding[i] AS double) * cast(n.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(n.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 SQ_LEVELS, SQ_CAND = 255, 40
 
 
@@ -999,6 +1093,7 @@ WHERE rank <= {TOP_K}
 
 QUERIES = [
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
+    Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (floor-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),

@@ -313,3 +313,53 @@ def test_sq8_codes_are_bytes_on_the_trained_grid(spark):
         F.array_min("code").alias("lo"), F.array_max("code").alias("hi")
     ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
     assert agg["lo"] == 0 and agg["hi"] == 255
+
+
+def test_ivf_trained_recall_and_probe_containment(spark):
+    """The trained-quantizer IVF must recover a solid fraction of the
+    brute-force neighbors, and every returned neighbor's trained
+    cluster must be in its query's probe list."""
+    from musicflow_spark.queries.vectors import (
+        IVF_TRAIN_PROBE,
+        knn_ivf_trained,
+    )
+    from musicflow_spark.operators.embeddings import (
+        _kmeans_assign,
+        kmeans_centroids,
+        quantized,
+    )
+
+    got = knn_ivf_trained(spark, SF_DIR).collect()
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+    cent = kmeans_centroids(emb, k=8, n_iter=3)
+    qq = emb.select(F.col("vec_id").alias("id"), quantized("embedding").alias("qv"))
+    assign = {r["id"]: r["cid"] for r in _kmeans_assign(qq, cent).collect()}
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("d2", "cid")
+    probes: dict[int, set] = {}
+    for r in (
+        qq.filter(F.col("id") < 8)
+        .crossJoin(F.broadcast(cent))
+        .select("id", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TRAIN_PROBE)
+        .collect()
+    ):
+        probes.setdefault(r["id"], set()).add(r["cid"])
+    for r in got:
+        assert assign[r["neighbor_id"]] in probes[r["query_id"]]

@@ -93,6 +93,8 @@ CARTESIAN_OK = {
     "corpus_source_divergence", # 1-row corpus-total broadcast (the KL mixture)
     "corpus_dsir_selection",   # 1-row vocab/threshold broadcasts (target LM stats)
     "corpus_temperature_mixture",  # 1-row weight-total + leftover-seat broadcasts
+    "knn_ivf_trained",         # inherits kmeans's k-row (8) centroid broadcast
+                               # for train/assign/probe; candidate join is keyed
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -163,6 +165,7 @@ SINGLE_OK = {
     "corpus_dsir_selection",   # 1-row token-weighted-threshold fold
     "corpus_temperature_mixture",  # scalar total/seat folds + the |sources|-row
                                # (20) largest-remainder ranking window
+    "knn_ivf_trained",         # kmeans's bounded k-row seed collect/centroid folds
 }
 
 
