@@ -140,6 +140,37 @@ QUERY_TABLES = {
     # first-token vocabulary (pk % 250, and 250 divides the replica
     # stride) would make replicas share index buckets — the measured
     # curve would be a fixture artifact, not the operator's shape.
+    # ER mart: replica name tags keep cross-replica edit distance >= 2,
+    # so blocking/clustering decompose into N disjoint problems; star
+    # rounds fixed (component diameter unchanged)
+    "customer_entity_mart": ["customer"],
+    # BFS: the stride is a multiple of 100, so every replica keeps its
+    # proportional seed set; co-purchase edges stay within an order's
+    # replica; fixed 4 relaxation rounds, edge-linear each
+    "part_copurchase_reach": ["lineitem", "part"],
+    # NB classifier: replica-prefixed tokens grow the vocab ~N; the
+    # (word, class) count table and the word-keyed scoring join all
+    # shuffle linearly; classes stay 5, priors/denominators 1-row
+    "doc_lang_nb_classifier": ["documents"],
+    # baskets live inside one replica's order; item/pair count tables
+    # grow ~N; the 1-row N-baskets broadcast is size-constant
+    "part_association_rules": ["lineitem"],
+    # SQ8: the grid-train aggregate is dim-bounded regardless of N;
+    # quantize + integer-L2 scan are map-only O(N x 8 queries)
+    "knn_sq8": ["embeddings"],
+    # trained IVF: seeds = lowest ids (< stride) cap training to the
+    # base replica's k; assignment O(N·k); probed-list rerank O(N/k)
+    "knn_ivf_trained": ["embeddings"],
+    # per-user sequence strings: users replica-disjoint, one keyed
+    # shuffle, per-key work bounded by that user's activity
+    "user_funnel_sequences": ["events"],
+    # time-RANGE frame: keyed shuffle + per-partition sorted sweep
+    "user_rolling_event_rate": ["events"],
+    # systematic PPS: one range shuffle + per-partition prefix sums;
+    # k fixed, so output stays 50 rows at every N
+    "doc_weighted_sample": ["documents"],
+    # four delta joins, each keyed and linear in its delta replica
+    "segment_join_view_ivm": ["orders", "customer"],
 }
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
