@@ -482,6 +482,76 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------ native stream-stream interval join
+CLICK_JOIN_HORIZON = "1 hour"
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stream-stream inner join (the one stateful
+    operator the custom as-of twin deliberately bypasses): clicks and
+    purchases are two independent streams over the same replay, joined
+    per user with the purchase inside [click.ts, click.ts + 1 h].
+    Both sides carry watermarks and the join condition is
+    time-bounded, so Spark can size and EVICT the two join state
+    stores — the interval bound is what makes infinite streams
+    joinable at all.  Inner semantics: a row emits exactly when both
+    sides have arrived; the far-future sentinel flushes state.
+    Oracle: the identical batch theta-join — every (click, purchase)
+    pair within the horizon, exact integer microsecond gap."""
+    src = _events_replay_dir(spark, sf_dir, sentinel=True)
+    clicks = (
+        _file_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _file_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts"
+            f" AND p_ts <= c_ts + INTERVAL {CLICK_JOIN_HORIZON}"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
+    )
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/clickjoin"
+    _run_available_now(
+        joined,
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    return spark.read.parquet(out)
+
+
+STREAM_CLICK_PURCHASE_JOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 # ------------------------------------- stream-stream as-of (time join)
 ASOF_HORIZON_DAYS = 7
 
@@ -707,6 +777,7 @@ QUERIES = [
     Query("stream_event_dedup", "A7 ext: streaming twin — watermark-bounded exact dedup of an at-least-once replay", stream_event_dedup, STREAM_EVENT_DEDUP_SQL),
     Query("stream_session_stats", "ext: streaming twin — merging session windows under watermark (append mode)", stream_session_stats, _stream_session_stats_sql()),
     Query("stream_sliding_event_stats", "ext: streaming twin — overlapping sliding windows under watermark (append mode)", stream_sliding_event_stats, STREAM_SLIDING_EVENT_STATS_SQL),
+    Query("stream_click_purchase_join", "ext: streaming twin — NATIVE stream-stream interval inner join (dual watermarks, evictable join state)", stream_click_purchase_join, STREAM_CLICK_PURCHASE_JOIN_SQL),
     Query("stream_asof_purchase", "ext: streaming twin — stream-stream as-of join (time-range join state + max_by agg, deterministic tiebreak)", stream_asof_purchase, STREAM_ASOF_PURCHASE_SQL),
 ]
 

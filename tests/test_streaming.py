@@ -1094,3 +1094,44 @@ def test_sliding_twin_double_counts_exactly(spark):
     total = got.agg(F.sum("n_events")).collect()[0][0]
     n = read_table(spark, sf, "events").count()
     assert total == 2 * n
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The native interval join twin emits exactly the batch join's
+    pair set, with every gap inside the horizon."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries.streamtwins import stream_click_purchase_join
+    from musicflow_spark.sources.catalog import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in stream_click_purchase_join(spark, sf).collect()
+    }
+    ev = read_table(spark, sf, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
+        )
+        .collect()
+    }
+    assert got == want and got
+    assert all(0 <= g <= 3_600_000_000 for _, _, g in got)
