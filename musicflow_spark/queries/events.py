@@ -651,6 +651,77 @@ GROUP BY 1, 2
 """
 
 
+# -------------------------------- interval-estimated conversion
+WILSON_Z = 1.96  # 95% two-sided
+
+
+def segment_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate per market segment with the Wilson score lower
+    bound — the interval estimate every growth dashboard ranks by
+    instead of the raw rate (a 1/1 segment must NOT outrank a 90/100
+    one).  Numerators/denominators are exact integers; the bound is
+    one fixed IEEE double expression per segment row (5 rows), pround
+    6-dp on both engines.  Scale: events→customer is a broadcast dim
+    join; per-user conversion is one keyed agg; everything after is
+    segment-cardinality."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+        )
+        .join(F.broadcast(cust), "user_id")
+    )
+    seg = per_user.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    z = WILSON_Z
+    p = F.col("n_converted").cast("double") / F.col("n_users")
+    n = F.col("n_users").cast("double")
+    lo = (
+        p
+        + z * z / (2 * n)
+        - z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    ) / (1 + z * z / n)
+    return seg.select(
+        "c_mktsegment",
+        "n_users",
+        "n_converted",
+        pround(p, 6).alias("conv_rate"),
+        pround(lo, 6).alias("wilson_lo"),
+    )
+
+
+SEGMENT_CONVERSION_WILSON_SQL = f"""
+WITH per_user AS (
+  SELECT e.user_id,
+         max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events e GROUP BY e.user_id),
+seg AS (
+  SELECT c.c_mktsegment, count(*) AS n_users,
+         CAST(sum(u.converted) AS BIGINT) AS n_converted
+  FROM per_user u JOIN customer c ON u.user_id = c.c_custkey
+  GROUP BY 1)
+SELECT c_mktsegment, n_users, n_converted,
+       round((CAST(n_converted AS DOUBLE) / n_users) * 1000000.0) / 1000000.0
+         AS conv_rate,
+       round(((CAST(n_converted AS DOUBLE) / n_users
+               + {WILSON_Z} * {WILSON_Z} / (2 * CAST(n_users AS DOUBLE))
+               - {WILSON_Z} * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                     * (1 - CAST(n_converted AS DOUBLE) / n_users)
+                     / CAST(n_users AS DOUBLE)
+                   + {WILSON_Z} * {WILSON_Z}
+                     / (4 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+              / (1 + {WILSON_Z} * {WILSON_Z} / CAST(n_users AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS wilson_lo
+FROM seg
+"""
+
+
 # ------------------------------------- time-range window frames
 RATE_WINDOW_US = 3_600 * 1_000_000  # trailing hour, epoch micros
 
@@ -826,6 +897,12 @@ FROM seqs
 
 
 QUERIES = [
+    Query(
+        "segment_conversion_wilson",
+        "ext: Wilson-score interval estimation of grouped conversion rates (exact integer counts, fixed IEEE bound expression)",
+        segment_conversion_wilson,
+        SEGMENT_CONVERSION_WILSON_SQL,
+    ),
     Query(
         "user_rolling_event_rate",
         "ext: per-row time-RANGE window frame (trailing-hour burst rate on exact epoch micros)",

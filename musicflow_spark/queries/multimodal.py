@@ -43,6 +43,44 @@ FROM documents
 ORDER BY doc_id
 """
 
+def media_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup of OPAQUE binary payloads (ext): group by
+    (md5, byte length) of the media payload itself — the first pass
+    every multimodal ingest runs (identical re-uploads, mirrored
+    assets) before any decode, because it needs no codec and prunes
+    the expensive perceptual tiers.  First-occurrence-wins keeper,
+    copy count per content group.  The hash is computed JVM-side over
+    the binary column; at 100 TB this is one map pass + one shuffle
+    keyed by the 16-byte digest (+ length as a free collision guard).
+    The oracle replays the digest over the same utf-8 payload bytes."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = fake_media_from_documents(docs, "image")
+    return (
+        media.select(
+            "media_id",
+            F.md5("payload").alias("content_md5"),
+            F.length("payload").alias("n_bytes"),
+        )
+        .groupBy("content_md5", "n_bytes")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+MEDIA_BINARY_DEDUP_SQL = """
+-- DuckDB's md5 takes VARCHAR and hashes its utf-8 bytes — exactly the
+-- payload bytes fake_media_from_documents encodes
+SELECT md5(text) AS content_md5,
+       octet_length(encode(text)) AS n_bytes,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 FEATURE_DIM = 4
 
 
@@ -90,6 +128,12 @@ FROM h
 
 
 QUERIES = [
+    Query(
+        "media_binary_dedup",
+        "ext: opaque-payload exact content dedup (digest + length groups, first-occurrence keeper)",
+        media_binary_dedup,
+        MEDIA_BINARY_DEDUP_SQL,
+    ),
     Query(
         "media_frame_stats",
         "ext: multimodal binary columns (frame fan-out + Arrow decode)",

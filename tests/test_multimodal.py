@@ -278,3 +278,64 @@ def test_extract_features_arrow_equals_pandas_tier(media):
         for r in extract_features_arrow(media, codec, dim=6).collect()
     }
     assert got == want
+
+
+def test_binary_dedup_groups_identical_payloads(spark, tmp_path):
+    """Identical texts -> identical payload bytes -> one content group
+    with the lowest id as keeper; distinct texts stay singletons."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "same bytes", "en", "s0", 10),
+        (5, "same bytes", "en", "s1", 10),
+        (3, "same bytes", "fr", "s2", 10),
+        (2, "different", "en", "s0", 9),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "sf"
+    docs.write.parquet(str(d / "documents.parquet"))
+    from musicflow_spark.queries.multimodal import media_binary_dedup
+
+    got = {r["keep_id"]: r["n_copies"] for r in media_binary_dedup(spark, str(d)).collect()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_wilson_bound_ranks_small_samples_down(spark, tmp_path):
+    """A 1/1 segment's Wilson lower bound must sit BELOW a 90/100
+    segment's, even though its raw rate is higher."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    ev_rows, cust_rows = [], []
+    base = dt.datetime(2024, 1, 1)
+    # segment A: one user, converted; segment B: 100 users, 90 convert
+    cust_rows.append((1, "Customer#1", 0, 0.0, "AAA"))
+    ev_rows.append((1, base, 1, "purchase", 1.0, "{}"))
+    for u in range(10, 110):
+        cust_rows.append((u, f"Customer#{u}", 0, 0.0, "BBB"))
+        t = "purchase" if u < 100 else "view"
+        ev_rows.append((u, base, u, t, 1.0, "{}"))
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "sf" / "events.parquet"))
+    spark.createDataFrame(
+        cust_rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(str(tmp_path / "sf" / "customer.parquet"))
+    from musicflow_spark.queries.events import segment_conversion_wilson
+
+    got = {
+        r["c_mktsegment"]: r
+        for r in segment_conversion_wilson(spark, str(tmp_path / "sf")).collect()
+    }
+    a, b = got["AAA"], got["BBB"]
+    assert a["conv_rate"] == 1.0 and abs(b["conv_rate"] - 0.9) < 1e-9
+    assert a["wilson_lo"] < b["wilson_lo"]
+    for r in got.values():
+        assert 0.0 <= r["wilson_lo"] <= r["conv_rate"]
