@@ -1001,6 +1001,78 @@ FROM scored
 """
 
 
+# -------------------------------------------- PSI drift monitor
+PSI_SCALE = 1_000_000  # micro grid
+PSI_BIN_CENTS = 5_000_000  # $50k value bins
+PSI_SPLIT_YEAR = 1996  # expected = years < split, actual = years >= split
+
+
+def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the early and late halves of
+    the order-value distribution — THE drift monitor scored models are
+    gated on (PSI < 0.1 stable / > 0.25 retrain).  Orders bucket into
+    fixed $50k bins; the pre-{split}-year slice is the expected
+    distribution, the rest the actual; each bin row carries counts and
+    its (p−q)·ln(p/q) contribution with add-1 smoothing.  The shares
+    and the log ride the integer micro grid BEFORE any summation
+    (same discipline as the KL/perplexity family), so the bin table
+    replays bit-for-bit.  Scale: one scan, one bin-keyed aggregate
+    (bin count bounded by the value domain), two 1-row total
+    broadcasts."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr(
+            f"cast(round(o_totalprice * 100) AS bigint) div {PSI_BIN_CENTS}"
+        ).alias("bin"),
+        (F.year("o_orderdate") < PSI_SPLIT_YEAR).alias("is_expected"),
+    )
+    cells = o.groupBy("bin").agg(
+        F.sum(F.col("is_expected").cast("long")).alias("n_exp"),
+        F.sum((~F.col("is_expected")).cast("long")).alias("n_act"),
+    )
+    tot = cells.agg(
+        F.sum("n_exp").alias("t_exp"), F.sum("n_act").alias("t_act"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    # add-1 smoothing keeps empty-side bins finite; shares on the
+    # micro grid, each ln() rounded to int64 before the sum
+    p = (F.col("n_exp") + 1).cast("double") / (F.col("t_exp") + F.col("n_bins"))
+    q = (F.col("n_act") + 1).cast("double") / (F.col("t_act") + F.col("n_bins"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_exp",
+            "n_act",
+            F.round((p - q) * F.log(p / q) * PSI_SCALE, 0)
+            .cast("long")
+            .alias("psi_micro"),
+        )
+    )
+
+
+ORDERS_PSI_DRIFT_SQL = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // {PSI_BIN_CENTS} AS bin,
+         (year(o_orderdate) < {PSI_SPLIT_YEAR}) AS is_expected
+  FROM orders),
+cells AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN is_expected THEN 1 ELSE 0 END) AS BIGINT) AS n_exp,
+         CAST(sum(CASE WHEN is_expected THEN 0 ELSE 1 END) AS BIGINT) AS n_act
+  FROM o GROUP BY bin),
+tot AS (SELECT CAST(sum(n_exp) AS BIGINT) AS t_exp,
+               CAST(sum(n_act) AS BIGINT) AS t_act,
+               count(*) AS n_bins
+        FROM cells)
+SELECT bin, n_exp, n_act,
+       CAST(round(
+         ((n_exp + 1.0) / (t_exp + n_bins) - (n_act + 1.0) / (t_act + n_bins))
+         * ln(((n_exp + 1.0) / (t_exp + n_bins)) / ((n_act + 1.0) / (t_act + n_bins)))
+         * {PSI_SCALE}) AS BIGINT) AS psi_micro
+FROM cells CROSS JOIN tot
+"""
+
+
 # ---------------------------------------- anti-entropy checksums
 CKSUM_MOD = 1 << 20  # keeps the additive component overflow-free at 1e12 rows
 
@@ -1305,6 +1377,12 @@ WHERE s.n_members > 1
 
 
 QUERIES = [
+    Query(
+        "orders_psi_drift",
+        "ext: PSI drift monitor between time slices (fixed value bins, add-1 smoothing, micro-grid contributions)",
+        orders_psi_drift,
+        ORDERS_PSI_DRIFT_SQL,
+    ),
     Query(
         "orders_table_checksum",
         "ext: order-insensitive anti-entropy table fingerprint (count + XOR + modular-sum of portable row hashes)",

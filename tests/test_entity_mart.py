@@ -89,3 +89,39 @@ def test_checksum_detects_single_row_drift(spark, sf_dir, tmp_path):
     }
     changed = {k for k in base if t.get(k) != base[k]}
     assert changed == {first["o_orderstatus"]}
+
+
+def test_psi_zero_on_identical_halves_positive_on_shift(spark, tmp_path):
+    """Identical expected/actual distributions -> every bin's PSI
+    contribution is ~0; a shifted actual distribution -> positive
+    total PSI."""
+    import datetime as dt
+
+    from musicflow_spark.queries.warehouse import PSI_SCALE, orders_psi_drift
+
+    rows = []
+    # identical halves: same price ladder in 1995 (expected) and 1997
+    for i in range(400):
+        price = 10_000.0 + (i % 10) * 60_000.0
+        rows.append((i, 1, "O", price, dt.datetime(1995, 1, 1), "1-URGENT"))
+        rows.append((1000 + i, 1, "O", price, dt.datetime(1997, 1, 1), "1-URGENT"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = tmp_path / "same"
+    df.write.parquet(str(d / "orders.parquet"))
+    same = orders_psi_drift(spark, str(d)).collect()
+    assert sum(abs(r["psi_micro"]) for r in same) <= len(same)  # ~0 + rounding
+
+    # shifted: actual prices moved up two bins
+    rows2 = [
+        (k, c, s, p + (120_000.0 if ts.year >= 1996 else 0.0), ts, pr)
+        for k, c, s, p, ts, pr in rows
+    ]
+    df2 = spark.createDataFrame(rows2, df.schema)
+    d2 = tmp_path / "shift"
+    df2.write.parquet(str(d2 / "orders.parquet"))
+    shifted = orders_psi_drift(spark, str(d2)).collect()
+    assert sum(r["psi_micro"] for r in shifted) / PSI_SCALE > 0.1

@@ -95,6 +95,7 @@ CARTESIAN_OK = {
     "corpus_temperature_mixture",  # 1-row weight-total + leftover-seat broadcasts
     "knn_ivf_trained",         # inherits kmeans's k-row (8) centroid broadcast
                                # for train/assign/probe; candidate join is keyed
+    "orders_psi_drift",        # 1-row slice-totals broadcast into the bin table
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -166,6 +167,7 @@ SINGLE_OK = {
     "corpus_temperature_mixture",  # scalar total/seat folds + the |sources|-row
                                # (20) largest-remainder ranking window
     "knn_ivf_trained",         # kmeans's bounded k-row seed collect/centroid folds
+    "orders_psi_drift",        # scalar slice-totals fold (1 row by construction)
 }
 
 
