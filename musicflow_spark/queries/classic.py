@@ -437,6 +437,7 @@ WHERE s.s_suppkey IN (
 
 # -------------------------------------------- association rules
 AR_MIN_PAIR = 3  # min co-occurrence baskets for a rule to surface
+MAX_BASKET = 64  # baskets above this are excluded from pair mining
 
 
 def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,16 +451,25 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: baskets are the per-order DISTINCT item sets, so the
     pair self-join shuffles on l_orderkey and per-key work is bounded
-    by basket size (<= 7 here) — never quadratic in the table; item
-    supports are one map-side-combined groupBy; the rule join-back to
-    supports is two partkey equi-joins; the basket count N is a 1-row
-    broadcast.  The same plan at 100 TB only grows the orderkey
-    shuffle linearly."""
+    by basket size — and that bound is ENFORCED, not assumed: baskets
+    above MAX_BASKET items are excluded before pairing (standard
+    market-basket practice; one pathological 100k-item basket would
+    otherwise cost 10^10 pairs on its own).  Item supports are one
+    map-side-combined groupBy; the rule join-back to supports is two
+    partkey equi-joins; the basket count N is a 1-row broadcast.  The
+    same plan at 100 TB only grows the orderkey shuffle linearly."""
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    small = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    li = li.join(small, "l_orderkey")
     n_baskets = li.select(
         F.count_distinct("l_orderkey").alias("n_baskets")
     )
@@ -503,7 +513,11 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PART_ASSOCIATION_RULES_SQL = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT * FROM li0
+  WHERE l_orderkey IN (SELECT l_orderkey FROM li0
+                       GROUP BY 1 HAVING count(*) <= {MAX_BASKET})),
 n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li),
 item AS (SELECT l_partkey, count(*) AS c_i FROM li GROUP BY l_partkey),
 pairs AS (

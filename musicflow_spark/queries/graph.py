@@ -200,6 +200,50 @@ ANTI JOIN e ON e.v = s.x AND e.u = s.y
 """
 
 
+MAX_BASKET = 64  # orders above this many lines are excluded from pairing
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared co-purchase edge derivation (kcore / BFS substrates):
+    the market-basket self-join on l_orderkey, with per-key work
+    BOUNDED by construction — orders above MAX_BASKET lines are
+    excluded before pairing, so one pathological giant order cannot
+    cost O(lines²) on its own (the same guard as
+    part_association_rules; fixture orders are <= 7 lines, so the cap
+    never fires there)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    small = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    li = li.join(small, "l_orderkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("doc_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("doc_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= KCORE_MIN_CO)
+        .select("doc_a", "doc_b")
+    )
+
+
+_COPURCHASE_EDGES_SQL = f"""\
+SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+  FROM (SELECT * FROM lineitem WHERE l_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY 1 HAVING count(*) <= {MAX_BASKET})) a
+  JOIN (SELECT * FROM lineitem WHERE l_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY 1 HAVING count(*) <= {MAX_BASKET})) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+ GROUP BY 1, 2
+HAVING count(*) >= {KCORE_MIN_CO}"""
+
+
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the part co-purchase graph (ext:
     operators/graph.py::kcore): parts are linked when they appear in
@@ -217,17 +261,7 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     since both engines run the same rounds."""
     from musicflow_spark.operators.graph import kcore
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("doc_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("doc_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= KCORE_MIN_CO)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     nodes = read_table(spark, sf_dir, "part").select("p_partkey")
     return kcore(nodes, pairs, k=KCORE_K, n_rounds=KCORE_ROUNDS, id_col="p_partkey")
 
@@ -235,14 +269,9 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _part_copurchase_kcore_oracle_sql() -> str:
     from musicflow_spark.operators.graph import kcore_oracle_sql
 
-    edges = f"""\
-SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
-  FROM lineitem a
-  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
- GROUP BY 1, 2
-HAVING count(*) >= {KCORE_MIN_CO}"""
     return kcore_oracle_sql(
-        edges, k=KCORE_K, n_rounds=KCORE_ROUNDS, id_name="p_partkey"
+        _COPURCHASE_EDGES_SQL, k=KCORE_K, n_rounds=KCORE_ROUNDS,
+        id_name="p_partkey",
     )
 
 
@@ -265,17 +294,7 @@ def part_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     kcore substrate); each round is one keyed join + min-combine."""
     from musicflow_spark.operators.graph import bfs_hops
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("doc_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("doc_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= KCORE_MIN_CO)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     seeds = (
         read_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % BFS_SEED_MOD == 0)
@@ -287,17 +306,11 @@ def part_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _part_copurchase_reach_oracle_sql() -> str:
     from musicflow_spark.operators.graph import bfs_oracle_sql
 
-    edges = f"""\
-SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
-  FROM lineitem a
-  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
- GROUP BY 1, 2
-HAVING count(*) >= {KCORE_MIN_CO}"""
     seeds = (
         f"SELECT p_partkey FROM part WHERE p_partkey % {BFS_SEED_MOD} = 0"
     )
     return bfs_oracle_sql(
-        seeds, edges, n_rounds=BFS_ROUNDS, id_name="p_partkey"
+        seeds, _COPURCHASE_EDGES_SQL, n_rounds=BFS_ROUNDS, id_name="p_partkey"
     )
 
 

@@ -152,3 +152,23 @@ def test_mad_outliers_breakdown_resistance(spark, tmp_path):
     assert [r["event_id"] for r in out] == [8]
     # median stays at the bulk (1000 cents) — the spike didn't move it
     assert out[0]["med"] == 1000.0
+
+
+def test_giant_basket_is_excluded_from_pairing(spark, tmp_path):
+    """One pathological 5000-item order must not explode the pair
+    join: the basket cap drops it, leaving the small baskets' rules
+    untouched."""
+    import pyspark.sql.functions as F
+
+    small = [(100 + i, [1, 2]) for i in range(3)]
+    rows = [(ok, pk) for ok, items in small for pk in items]
+    rows += [(999, pk) for pk in range(10_000, 15_000)]  # the monster
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = tmp_path / "sf"
+    li.write.parquet(str(d / "lineitem.parquet"))
+    got = {
+        (r["antecedent"], r["consequent"]): r["c_ab"]
+        for r in part_association_rules(spark, str(d)).collect()
+    }
+    # only the small baskets' pair survives; N excludes the monster
+    assert got == {(1, 2): 3, (2, 1): 3}
