@@ -51,6 +51,12 @@ def naive_bayes_scores(
 
     A test doc with an empty token array still scores (prior only):
     the occurrence sum arrives through a left join with a 0 default.
+    A class trained ONLY on empty docs still gets a denominator row
+    (C(c) = 0 via a left join from the class table — deriving
+    denominators from the word-count table would silently drop the
+    class's token terms); a fully token-free training corpus takes
+    vocabulary size max(V, 1) so the floor stays finite — the one
+    degenerate case add-1 smoothing leaves undefined.
     """
     classes = train.groupBy(F.col(label_col).alias("cls")).agg(
         F.count(F.lit(1)).alias("docs_c")
@@ -60,7 +66,9 @@ def naive_bayes_scores(
     )
     wc = occ_train.groupBy("cls", "w").agg(F.count(F.lit(1)).alias("c_wc"))
     ctot = wc.groupBy("cls").agg(F.sum("c_wc").alias("c_c"))
-    vocab = wc.select("w").distinct().agg(F.count(F.lit(1)).alias("vsz"))
+    vocab = wc.select("w").distinct().agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).alias("vsz")
+    )
     ndocs = train.agg(F.count(F.lit(1)).alias("docs"))
 
     prior = (
@@ -73,13 +81,19 @@ def naive_bayes_scores(
         )
     )
     # Per-class smoothing denominator + the OOV floor term, one row
-    # per class — broadcast to the occurrence scoring join.
+    # per class (from the CLASS table, not the word counts, so
+    # zero-token classes keep their row) — broadcast to the scoring
+    # join.
     denom = (
-        ctot.crossJoin(F.broadcast(vocab))
+        classes.join(ctot, "cls", "left")
+        .crossJoin(F.broadcast(vocab))
         .select(
             "cls",
-            (F.col("c_c") + F.col("vsz")).alias("den"),
-            F.round(F.log(1.0 / (F.col("c_c") + F.col("vsz"))) * NB_SCALE)
+            (F.coalesce("c_c", F.lit(0)) + F.col("vsz")).alias("den"),
+            F.round(
+                F.log(1.0 / (F.coalesce("c_c", F.lit(0)) + F.col("vsz")))
+                * NB_SCALE
+            )
             .cast("long")
             .alias("oov_micro"),
         )

@@ -2131,17 +2131,20 @@ wc AS (
   FROM (SELECT lang AS cls, unnest(t) AS w FROM train)
   GROUP BY cls, w),
 ctot AS (SELECT cls, CAST(sum(c_wc) AS BIGINT) AS c_c FROM wc GROUP BY cls),
-v AS (SELECT count(DISTINCT w) AS vsz FROM wc),
+v AS (SELECT greatest(count(DISTINCT w), 1) AS vsz FROM wc),
 nd AS (SELECT count(*) AS docs FROM train),
+classes AS (SELECT lang AS cls FROM train GROUP BY lang),
 prior AS (
   SELECT lang AS cls,
          CAST(round(ln(count(*) / CAST(docs AS double)) * 1000000) AS BIGINT)
            AS prior_micro
   FROM train CROSS JOIN nd GROUP BY lang, docs),
 denom AS (
-  SELECT cls, c_c + vsz AS den,
-         CAST(round(ln(1.0 / (c_c + vsz)) * 1000000) AS BIGINT) AS oov_micro
-  FROM ctot CROSS JOIN v),
+  -- from the CLASS table (zero-token classes keep their row)
+  SELECT c.cls, coalesce(t.c_c, 0) + v.vsz AS den,
+         CAST(round(ln(1.0 / (coalesce(t.c_c, 0) + v.vsz)) * 1000000) AS BIGINT)
+           AS oov_micro
+  FROM classes c LEFT JOIN ctot t ON t.cls = c.cls CROSS JOIN v),
 occ_te AS (SELECT doc_id, unnest(t) AS w FROM test),
 sums AS (
   SELECT doc_id, cls, CAST(sum(lp) AS BIGINT) AS sum_lp

@@ -29,7 +29,7 @@ def _python_nb(train_rows, test_rows):
             ctot[cls] = ctot.get(cls, 0) + 1
             vocab.add(w)
     docs = sum(docs_c.values())
-    vsz = len(vocab)
+    vsz = max(len(vocab), 1)
 
     def r(x):
         # round-half-away-from-zero, matching Spark/DuckDB round()

@@ -318,3 +318,103 @@ def test_merge_into_matches_reference_semantics(base_rows, upd_rows, thresh):
         if k not in b:
             want[k] = d  # insert
     assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10_000), min_size=3, max_size=60
+    ),
+    st.integers(min_value=1, max_value=25),
+)
+def test_pps_sample_matches_python_and_conserves(weights, k):
+    """Systematic PPS over ANY weight multiset: the two-phase parallel
+    form equals the single-pass python reference over the same hash
+    order, Σ pick_count == k exactly, and every row heavier than one
+    stride is selected."""
+    import hashlib
+
+    from musicflow_spark.operators.sampling import weighted_systematic_sample
+
+    spark = _get_spark()
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {
+        r["doc_id"]: (r["cum_w"], r["pick_count"])
+        for r in weighted_systematic_sample(df, "n_chars", k=k).collect()
+    }
+
+    def h(i):
+        return int(hashlib.md5(f"pps:{i}".encode()).hexdigest()[:15], 16)
+
+    total = sum(weights)
+    want, cum = {}, 0
+    for i, w in sorted(rows, key=lambda r: (h(r[0]), r[0])):
+        prev, cum = cum, cum + w
+        pc = (cum * k) // total - (prev * k) // total
+        if pc > 0:
+            want[i] = (cum, pc)
+    assert out == want
+    assert sum(pc for _, pc in want.values()) == k
+    stride_heavy = [i for i, w in rows if w * k > total]
+    assert all(i in want for i in stride_heavy)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "de"]),
+            st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=6),
+        ),
+        min_size=2,
+        max_size=16,
+    ).filter(lambda rows: len({c for c, _ in rows}) >= 2)
+)
+def test_naive_bayes_matches_python_on_any_corpus(rows):
+    """NB integer scores equal the pure-python reference on arbitrary
+    tiny corpora (train = even index, test = odd), including all-OOV
+    and empty documents."""
+    import math
+
+    from musicflow_spark.operators.classify import (
+        NB_SCALE,
+        naive_bayes_scores,
+    )
+
+    spark = _get_spark()
+    train_rows = [(i, c, t) for i, (c, t) in enumerate(rows) if i % 2 == 0]
+    test_rows = [(i, t) for i, (c, t) in enumerate(rows) if i % 2 == 1]
+    if not train_rows or not test_rows:
+        return
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, lang string, tk array<string>"
+    )
+    test = spark.createDataFrame(test_rows, "doc_id long, tk array<string>")
+    got = {
+        (r["doc_id"], r["cls"]): r["score_micro"]
+        for r in naive_bayes_scores(train, test, "lang").collect()
+    }
+
+    def rnd(x):
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    wc, ctot, docs_c, vocab = {}, {}, {}, set()
+    for _, cls, toks in train_rows:
+        docs_c[cls] = docs_c.get(cls, 0) + 1
+        for w in toks:
+            wc[(cls, w)] = wc.get((cls, w), 0) + 1
+            ctot[cls] = ctot.get(cls, 0) + 1
+            vocab.add(w)
+    docs, vsz = sum(docs_c.values()), max(len(vocab), 1)
+    want = {}
+    for did, toks in test_rows:
+        for cls in docs_c:
+            den = ctot.get(cls, 0) + vsz
+            s = rnd(math.log(docs_c[cls] / docs) * NB_SCALE)
+            for w in toks:
+                c = wc.get((cls, w))
+                lp = math.log((c + 1.0) / den) if c else math.log(1.0 / den)
+                s += rnd(lp * NB_SCALE)
+            want[(did, cls)] = s
+    assert got == want
