@@ -418,3 +418,147 @@ def test_naive_bayes_matches_python_on_any_corpus(rows):
                 s += rnd(lp * NB_SCALE)
             want[(did, cls)] = s
     assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),   # price level
+            st.integers(min_value=1, max_value=20),   # size
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_equals_quadratic_dominance_on_any_points(points):
+    """The running-max skyline equals the quadratic dominance
+    definition on ANY point multiset, including duplicate pairs (which
+    never dominate each other)."""
+    from musicflow_spark.queries.relational import part_price_size_skyline
+
+    spark = _get_spark()
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(points)]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    ).withColumn("p_name", F.lit("x")).withColumn("p_brand", F.lit("b")) \
+     .withColumn("p_type", F.lit("t"))
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mf_sky_")
+    df.write.mode("overwrite").parquet(d + "/part.parquet")
+    got = {
+        (r["p_partkey"], r["price_cents"], r["p_size"])
+        for r in part_price_size_skyline(spark, d).collect()
+    }
+    pts = [(i, int(round(p * 100)), s) for i, (p, s) in
+           ((r[0], (r[1], r[2])) for r in rows)]
+    want = {
+        (i, pc, sz)
+        for i, pc, sz in pts
+        if not any(
+            qc <= pc and qz >= sz and (qc < pc or qz > sz)
+            for _, qc, qz in pts
+        )
+    }
+    assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=8), min_size=1, max_size=5
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_association_rules_match_python_on_any_baskets(baskets):
+    """support/confidence/lift on ANY basket multiset equal the
+    pure-python reference (distinct items per basket, integer grids)."""
+    from musicflow_spark.queries.classic import (
+        AR_MIN_PAIR,
+        part_association_rules,
+    )
+
+    spark = _get_spark()
+    rows = [
+        (ok, pk) for ok, items in enumerate(baskets) for pk in items
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mf_ar_")
+    df.write.mode("overwrite").parquet(d + "/lineitem.parquet")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["c_ab"], r["c_a"], r["c_c"], r["conf_bp"], r["lift_milli"]
+        )
+        for r in part_association_rules(spark, d).collect()
+    }
+    sets = [set(b) for b in baskets]
+    n = len(sets)
+    item: dict[int, int] = {}
+    for b in sets:
+        for x in b:
+            item[x] = item.get(x, 0) + 1
+    pair: dict[tuple[int, int], int] = {}
+    for b in sets:
+        ss = sorted(b)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pair[(ss[i], ss[j])] = pair.get((ss[i], ss[j]), 0) + 1
+    want = {}
+    for (a, b), c in pair.items():
+        if c >= AR_MIN_PAIR:
+            for ante, cons in ((a, b), (b, a)):
+                want[(ante, cons)] = (
+                    c, item[ante], item[cons],
+                    c * 10000 // item[ante],
+                    c * n * 1000 // (item[ante] * item[cons]),
+                )
+    assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.sets(st.integers(min_value=0, max_value=25), min_size=1, max_size=3),
+)
+def test_bfs_hops_match_python_on_any_graph(edge_list, seed_set):
+    """Fixed-round BFS equals python Bellman-Ford relaxation on ANY
+    undirected graph (self-loops dropped, multi-edges collapsed)."""
+    from musicflow_spark.operators.graph import bfs_hops
+
+    spark = _get_spark()
+    edges = sorted({(min(a, b), max(a, b)) for a, b in edge_list if a != b})
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    seeds = spark.createDataFrame([(s,) for s in sorted(seed_set)], "doc_id long")
+    n_rounds = 3
+    got = {
+        r["doc_id"]: r["hops"]
+        for r in bfs_hops(seeds, pairs, n_rounds=n_rounds).collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seed_set}
+    for _ in range(n_rounds):
+        new = dict(dist)
+        for u, d in dist.items():
+            for v in adj.get(u, ()):
+                if d + 1 < new.get(v, 1 << 60):
+                    new[v] = d + 1
+        dist = new
+    assert got == dist
