@@ -1001,6 +1001,68 @@ FROM scored
 """
 
 
+# ------------------------------------------ Benford digit screen
+BENFORD_SCALE = 1_000_000
+
+
+def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order values — the classic
+    forensic-accounting anomaly test (fabricated amounts drift from
+    the ln(1+1/d)/ln(10) law).  One row per leading digit: count,
+    observed share in basis points (exact integer division), expected
+    Benford share in micro-units, and the absolute gap — all integer,
+    so the screen replays bit-for-bit.  Scale: one scan with the
+    digit extracted from the cents string (no float log in the hot
+    path), one 9-cell aggregate, a 1-row total broadcast."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cells = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    # ln(10) as a shared decimal literal: evaluating ln(10.0) at
+    # runtime could differ by an ulp between libm implementations
+    expected = F.round(
+        F.log(1.0 + 1.0 / F.col("digit")) / 2.302585092994046 * BENFORD_SCALE, 0
+    ).cast("long")
+    share_bp = F.expr("(n * 10000) div total")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            share_bp.alias("share_bp"),
+            expected.alias("benford_micro"),
+            F.abs(
+                F.expr(f"(n * {BENFORD_SCALE}) div total") - expected
+            ).alias("gap_micro"),
+        )
+    )
+
+
+ORDERS_BENFORD_SCREEN_SQL = f"""
+WITH o AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders),
+cells AS (SELECT digit, count(*) AS n FROM o GROUP BY digit),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT digit, n,
+       (n * 10000) // total AS share_bp,
+       CAST(round(ln(1.0 + 1.0 / digit) / 2.302585092994046 * {BENFORD_SCALE}) AS BIGINT)
+         AS benford_micro,
+       abs((n * {BENFORD_SCALE}) // total
+           - CAST(round(ln(1.0 + 1.0 / digit) / 2.302585092994046 * {BENFORD_SCALE}) AS BIGINT))
+         AS gap_micro
+FROM cells CROSS JOIN tot
+"""
+
+
 # -------------------------------------------- PSI drift monitor
 PSI_SCALE = 1_000_000  # micro grid
 PSI_BIN_CENTS = 5_000_000  # $50k value bins
@@ -1377,6 +1439,12 @@ WHERE s.n_members > 1
 
 
 QUERIES = [
+    Query(
+        "orders_benford_screen",
+        "ext: Benford first-digit anomaly screen (integer shares, shared-literal expected law)",
+        orders_benford_screen,
+        ORDERS_BENFORD_SCREEN_SQL,
+    ),
     Query(
         "orders_psi_drift",
         "ext: PSI drift monitor between time slices (fixed value bins, add-1 smoothing, micro-grid contributions)",

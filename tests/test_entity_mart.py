@@ -125,3 +125,21 @@ def test_psi_zero_on_identical_halves_positive_on_shift(spark, tmp_path):
     df2.write.parquet(str(d2 / "orders.parquet"))
     shifted = orders_psi_drift(spark, str(d2)).collect()
     assert sum(r["psi_micro"] for r in shifted) / PSI_SCALE > 0.1
+
+
+def test_benford_shares_and_expected_law(spark, sf_dir):
+    """Digits cover a subset of 1..9, shares re-sum to ~100%, and the
+    expected column IS Benford's law (monotone decreasing, d=1 at
+    ~30.1%)."""
+    from musicflow_spark.queries.warehouse import (
+        BENFORD_SCALE,
+        orders_benford_screen,
+    )
+
+    rows = {r["digit"]: r for r in orders_benford_screen(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    assert abs(sum(r["share_bp"] for r in rows.values()) - 10000) <= len(rows)
+    exp = [rows[d]["benford_micro"] for d in sorted(rows)]
+    assert exp == sorted(exp, reverse=True)
+    if 1 in rows:
+        assert abs(rows[1]["benford_micro"] / BENFORD_SCALE - 0.30103) < 1e-4

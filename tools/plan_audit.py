@@ -96,6 +96,7 @@ CARTESIAN_OK = {
     "knn_ivf_trained",         # inherits kmeans's k-row (8) centroid broadcast
                                # for train/assign/probe; candidate join is keyed
     "orders_psi_drift",        # 1-row slice-totals broadcast into the bin table
+    "orders_benford_screen",   # 1-row digit-total broadcast into the 9-cell table
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -168,6 +169,7 @@ SINGLE_OK = {
                                # (20) largest-remainder ranking window
     "knn_ivf_trained",         # kmeans's bounded k-row seed collect/centroid folds
     "orders_psi_drift",        # scalar slice-totals fold (1 row by construction)
+    "orders_benford_screen",   # scalar digit-total fold (1 row by construction)
 }
 
 
