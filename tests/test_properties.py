@@ -562,3 +562,40 @@ def test_bfs_hops_match_python_on_any_graph(edge_list, seed_set):
                     new[v] = d + 1
         dist = new
     assert got == dist
+
+
+@SET
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=12
+    )
+)
+def test_temperature_mixture_apportionment_is_exact(counts):
+    """For ANY per-source doc counts: Σalloc == K exactly, every
+    allocation is within 1 of its real-valued tempered share, and a
+    strictly larger source never receives a smaller allocation by
+    more than the largest-remainder wiggle."""
+    import tempfile
+
+    from musicflow_spark.queries.sampling import (
+        TEMP_K,
+        corpus_temperature_mixture,
+    )
+
+    spark = _get_spark()
+    rows = [
+        (i * 1000 + j, f"t{j}", "en", f"src{i}", 10)
+        for i, c in enumerate(counts)
+        for j in range(c)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="mf_temp_")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {r["source"]: r for r in corpus_temperature_mixture(spark, d).collect()}
+    assert sum(r["alloc"] for r in got.values()) == TEMP_K
+    w_total = sum(r["w_micro"] for r in got.values())
+    for r in got.values():
+        ideal = r["w_micro"] * TEMP_K / w_total
+        assert ideal - 1 < r["alloc"] < ideal + 1
