@@ -108,16 +108,40 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "embedding_pca_invariants", "bloom_filtered_revenue",
     "customer_merge_upsert", "nation_trade_pagerank",
     "embedding_centrality_pagerank",
+    # green in CORRECTNESS_r06.json (49/50 incl. the proven window-fill
+    # pricing_summary; the 50th row was the rows-only
+    # embedding_pca_scores, retired from the registry in round 7 in
+    # favour of the closed-form embedding_pca_scores_2d oracle twin)
+    "part_price_size_skyline", "brand_price_ols", "part_association_rules",
+    "segment_conversion_wilson", "user_rolling_event_rate",
+    "event_value_mad_outliers", "user_funnel_sequences",
+    "event_attribution", "stream_sketch_users", "stream_segment_rollup",
+    "stream_session_stats", "stream_sliding_event_stats",
+    "stream_click_purchase_join", "stream_asof_purchase",
+    "nb_classifier_eval", "corpus_zipf_fit", "doc_lang_nb_classifier",
+    "doc_bm25_search", "corpus_source_divergence", "doc_perplexity_filter",
+    "doc_containment_pairs", "corpus_training_selection",
+    "corpus_pmi_collocations", "doc_allpairs_exact", "doc_paragraph_dedup",
+    "doc_star_components", "corpus_temperature_mixture",
+    "doc_weighted_sample", "corpus_dsir_selection", "knn_sq8",
+    "knn_ivf_trained", "embedding_centroid_classifier", "knn_ivfpq",
+    "knn_mmr", "embedding_kmeans", "media_binary_dedup",
+    "orders_benford_screen", "orders_psi_drift", "orders_table_checksum",
+    "segment_priority_chi2", "segment_join_view_ivm",
+    "customer_entity_mart", "skew_salted_topk", "customer_rfm_segments",
+    "part_copurchase_reach", "knn_graph_triangles", "knn_link_prediction",
+    "part_copurchase_kcore",
 )
 
 # Queries added AFTER the current round's 50-query window was frozen.
 # They sort after the window but before the proven tail, so they enter
 # the window automatically next round when this round's greens move to
-# _DRIVER_PROVEN.  Round-6 rotation: the 17 round-5 greens (cascade
-# catalogs, six streaming twins, hard negatives, URL canonical, PQ and
-# graph kNN, PCA invariants, bloom, MERGE, both PageRanks) rolled into
-# _DRIVER_PROVEN; the window head is now `embedding_pca_scores`
-# (rows-only by design) plus every round-6 addition.
+# _DRIVER_PROVEN.  Round-7 rotation: the 48 new round-6 greens rolled
+# into _DRIVER_PROVEN; `embedding_pca_scores` (the permanent rows-only
+# row) is retired from the registry — the scores surface is now
+# hash-proven end-to-end by `embedding_pca_scores_2d` (closed-form 2x2
+# eigendecomposition oracle) and the d=24 path stays pytest-certified.
+# The window head is every round-7 addition.
 _NEW_THIS_ROUND: tuple[str, ...] = ()
 
 

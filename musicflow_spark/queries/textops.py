@@ -30,6 +30,8 @@ from musicflow_spark.operators.dedup import (
 from musicflow_spark.operators.textstats import (
     LANG_MARKERS,
     STOPWORDS,
+    bpe_oracle_sql,
+    bpe_train_merges,
     lang_id,
     lang_scores,
     quality_features,
@@ -1367,6 +1369,22 @@ FROM t
 """
 
 
+# ------------------------------------------------- BPE merge training
+BPE_N_MERGES = 12
+
+
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (ext: text analysis — VERDICT r06 item
+    3): learn the 12 highest-count byte-pair merges of the corpus,
+    greedy and deterministic, over the word-type histogram
+    (operators/textstats.py::bpe_train_merges).  The DuckDB oracle
+    unrolls the same 12 rounds CTE-by-CTE (the
+    kmeans_oracle_sql/bfs_oracle_sql pattern), so merge order, tie
+    breaks, and pair counts are hash-checked end to end."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, BPE_N_MERGES)
+
+
 # ------------------------------------------------- unigram rarity score
 def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model-free quality signal (ext): per-document mean
@@ -2335,5 +2353,6 @@ QUERIES = [
     Query("corpus_vocab_topk", "ext: vocabulary coverage curve (top-k unigrams + cum share)", corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
     Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),
+    Query("corpus_bpe_merges", "ext: BPE tokenizer TRAINING — greedy merge learning over the word-type histogram, 12 unrolled rounds hash-replayed", corpus_bpe_merges, bpe_oracle_sql(BPE_N_MERGES)),
     Query("doc_canonical_selection", "ext: longest-member canonical doc per dedup cluster", doc_canonical_selection, _doc_canonical_selection_oracle_sql()),
 ]

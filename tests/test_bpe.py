@@ -1,0 +1,117 @@
+"""BPE merge-training tests: the distributed trainer vs a straight
+pure-python BPE reference (the Sennrich et al. greedy algorithm over a
+word-frequency histogram), plus the delimiter-representation edge
+cases the string-replace merge pass relies on."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.textstats import (
+    BPE_WORD_RE,
+    bpe_train_merges,
+    bpe_word_types,
+)
+
+
+def python_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Reference trainer: word-type histogram, greedy argmax pair with
+    (count desc, lhs asc, rhs asc) tie-break, left-to-right
+    non-overlapping merge application."""
+    freqs = Counter(
+        w for t in texts for w in re.findall(BPE_WORD_RE, t.lower())
+    )
+    words = {w: list(w) for w in freqs}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freqs[w]
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats chatter, the mats scatter!",
+    "that hat is the cat hat",
+    "statistics that matter: the data that chatters",
+    "aaaa aaa aa a",  # overlapping-pair stress: greedy must pick non-overlap
+]
+
+
+def _spark_merges(spark, texts, n):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = bpe_train_merges(df, n).collect()
+    return sorted(
+        [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    )
+
+
+def test_matches_python_reference(spark):
+    got = _spark_merges(spark, CORPUS, 10)
+    want = python_bpe(CORPUS, 10)
+    assert got == want
+    # learned symbols compose: later merges may consume earlier outputs
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got[3:])
+
+
+def test_overlapping_pair_greedy_nonoverlap(spark):
+    # 'aaaa' x1: true greedy yields (a,a) count freq*(len-1) summed as
+    # ADJACENT occurrences, and applying it leaves aa|aa, never aa|a|a
+    got = _spark_merges(spark, ["aaaa"], 2)
+    want = python_bpe(["aaaa"], 2)
+    assert got == want
+    assert got[0][1:3] == ("a", "a")
+    assert got[1][1:3] == ("aa", "aa")
+
+
+def test_word_types_weighting(spark):
+    # pair counts weight by word FREQUENCY, not type count
+    texts = ["zz zz zz", "zq"]
+    got = _spark_merges(spark, texts, 1)
+    want = python_bpe(texts, 1)
+    assert got == want
+    assert got[0][1:] == ("z", "z", 3)  # three zz occurrences, one zq
+
+
+def test_tiebreak_lexicographic(spark):
+    # 'ba' and 'ab' both appear twice -> (a,b) wins on lhs asc
+    texts = ["ab ab ba ba"]
+    got = _spark_merges(spark, texts, 1)
+    assert got[0][1:] == ("a", "b", 2)
+    assert got == python_bpe(texts, 1)
+
+
+def test_word_type_histogram(spark):
+    df = spark.createDataFrame(
+        [(0, "The the THE cat"), (1, "cat-dog")], "doc_id long, text string"
+    )
+    rows = {r["word"]: r["freq"] for r in bpe_word_types(df).collect()}
+    assert rows == {"the": 3, "cat": 2, "dog": 1}
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, 0)

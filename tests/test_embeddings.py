@@ -13,6 +13,7 @@ from musicflow_spark.operators.embeddings import (
     covariance_matrix,
     gram_moments_exact,
     gram_moments_fast,
+    pca2_scores_closed_form,
     pca_components,
     pca_project,
     quantized,
@@ -97,6 +98,49 @@ def test_pca_invariants_and_reference(vecs):
     # centered scores: per-component mean ~ 0, variance ~ eigenvalue
     np.testing.assert_allclose(scores.mean(axis=0), np.zeros(k), atol=1e-5)
     np.testing.assert_allclose(scores.var(axis=0, ddof=1), vals, rtol=1e-4)
+
+
+def test_pca2_closed_form_matches_numpy(vecs):
+    mat, df = vecs
+    out = pca2_scores_closed_form(df, "vec_id", "embedding").orderBy("vec_id")
+    got = np.array([(r["pc1"], r["pc2"]) for r in out.collect()])
+    # numpy reference over the SAME quantized 2-D sub-embedding
+    q = np.round(mat[:, :2] * DEFAULT_SCALE)
+    centered = (q - q.mean(axis=0)) / DEFAULT_SCALE
+    cov = np.cov(q, rowvar=False)
+    vals, vecs_ = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    axes = vecs_[:, order].T
+    for row in axes:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1
+    ref = centered @ axes.T
+    # numpy's second axis may be the quarter-turn's negation: both are
+    # valid under the largest-|coord|-positive convention only when the
+    # pivots coincide — re-fix the reference to the operator's u2 rule
+    u1 = axes[0]
+    u2 = np.array([-u1[1], u1[0]])
+    if u2[np.argmax(np.abs(u2))] < 0:
+        u2 = -u2
+    ref = np.column_stack([centered @ u1, centered @ u2])
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    # scores decorrelated and variance-ordered
+    assert abs(np.corrcoef(got[:, 0], got[:, 1])[0, 1]) < 1e-3
+    assert got[:, 0].var() > got[:, 1].var()
+
+
+def test_pca2_diagonal_covariance_axes(spark):
+    # B == 0 branch: independent axes, larger variance on dim 1 ->
+    # pc1 must be the (centered) SECOND coordinate
+    rows = [(i, [float(i % 3 - 1) * 0.1, float(i % 7 - 3) * 0.2]) for i in range(21)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca2_scores_closed_form(df, "vec_id", "embedding").orderBy("vec_id")
+    got = np.array([(r["pc1"], r["pc2"]) for r in out.collect()])
+    q = np.array([r[1] for r in rows])
+    q = np.round(q * DEFAULT_SCALE)
+    centered = (q - q.mean(axis=0)) / DEFAULT_SCALE
+    np.testing.assert_allclose(got[:, 0], centered[:, 1], atol=1e-6)
+    np.testing.assert_allclose(got[:, 1], centered[:, 0], atol=1e-6)
 
 
 def test_project_plan_is_native(vecs):

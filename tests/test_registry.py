@@ -46,10 +46,12 @@ def test_names_unique_and_window_is_tier0():
 
 
 def test_oracles_present_or_documented_rows_only():
-    # rows-only queries are the documented exceptions; anything else
-    # losing its oracle is a regression in driver evidence
+    # every registered query carries a full DuckDB oracle since round 7:
+    # the last rows-only row (embedding_pca_scores, d=24 eigendecomp)
+    # was retired from the registry in favour of the closed-form
+    # embedding_pca_scores_2d twin; the d=24 path stays pytest-certified
     rows_only = {q.name for q in get_queries() if q.oracle is None}
-    assert rows_only == {"embedding_pca_scores"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_bench_flags_point_at_registered_queries():

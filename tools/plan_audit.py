@@ -97,6 +97,10 @@ CARTESIAN_OK = {
                                # for train/assign/probe; candidate join is keyed
     "orders_psi_drift",        # 1-row slice-totals broadcast into the bin table
     "orders_benford_screen",   # 1-row digit-total broadcast into the 9-cell table
+    "embedding_pca_scores_2d", # 1-row moments/eigenvector broadcast into the
+                               # projection scan (closed-form 2x2 PCA)
+    "corpus_bpe_merges",       # 1-row per-round winning-pair broadcast into the
+                               # vocabulary-sized merge replace
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -170,6 +174,8 @@ SINGLE_OK = {
     "knn_ivf_trained",         # kmeans's bounded k-row seed collect/centroid folds
     "orders_psi_drift",        # scalar slice-totals fold (1 row by construction)
     "orders_benford_screen",   # scalar digit-total fold (1 row by construction)
+    "embedding_pca_scores_2d", # 1-row global moments aggregate (6 sums, 1 row
+                               # by construction) feeding the closed-form axes
 }
 
 
