@@ -338,3 +338,134 @@ def decode_frames(frames: DataFrame, codec: Codec, dim: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return frames.mapInPandas(run, schema)
+
+
+# ------------------------------------------ perceptual image near-dup
+#: deterministic PNG fixture geometry (png_media_from_documents):
+#: H x W greyscale, 4 consecutive doc_ids per near-dup group, one
+#: +56 single-pixel perturbation at (doc_id % (H*W))
+PHASH_H, PHASH_W = 36, 32
+PHASH_GROUP = 4
+PHASH_BASE_MOD = 199
+PHASH_BUMP = 56
+
+
+def phash_fixture_pixels(doc_id: int) -> "np.ndarray":
+    """The deterministic greyscale grid the PNG fixture encodes:
+    base(Y, X) = ((g+1)*(idx+1)*(idx+7) + (g%101)*(idx+3)*31) % 199
+    with g = doc_id // PHASH_GROUP and idx = Y*W + X (consecutive ids
+    share a base image), plus a +56 bump at one doc-specific pixel — so ids in a
+    group are NEAR-duplicates (dHash hamming <= 4: at most 2 gradient
+    bits per bump) while across groups the quadratic texture
+    de-correlates the hash (a linear gradient's dHash depends only on
+    wrap phase — low entropy — and made unrelated groups collide).
+    Everything is integer arithmetic a SQL oracle replays verbatim."""
+    import numpy as np
+
+    g = doc_id // PHASH_GROUP
+    idx = (
+        np.arange(PHASH_H)[:, None] * PHASH_W + np.arange(PHASH_W)[None, :]
+    ).astype(np.int64)
+    base = ((g + 1) * (idx + 1) * (idx + 7) + (g % 101) * (idx + 3) * 31) % PHASH_BASE_MOD
+    pos = doc_id % (PHASH_H * PHASH_W)
+    base[pos // PHASH_W, pos % PHASH_W] += PHASH_BUMP
+    return base.astype("uint8")
+
+
+def png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads (stdlib encoder) of the deterministic fixture
+    grid, one per document — the decodable twin of
+    ``fake_media_from_documents`` for perceptual-hash tests.  Encode
+    runs Arrow-batched; downstream consumers must decode the payload
+    to see the pixels, so the full codec path is exercised."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.pngcodec import encode_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_png(phash_fixture_pixels(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def phash_bands(media: DataFrame, rows: int = 8, cols: int = 8) -> DataFrame:
+    """(media_id, bands array<int>): dHash of each DECODED payload as
+    per-row byte bands (operators/pngcodec.py::dhash_bands).  This is
+    the perceptual twin of the exact-digest pass: decode + hash runs
+    once per asset in an Arrow batch; everything after (banding,
+    joins, hamming verify) is native JVM."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("bands", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.pngcodec import decode_png, dhash_bands
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "bands": [
+                        dhash_bands(decode_png(bytes(p)), rows, cols)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def phash_neardup_pairs(bands: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Hamming-LSH near-dup pairs over dHash bands (the
+    simhash_near_pairs machinery on byte bands): candidates share at
+    least one (band_idx, band_val) bucket — pigeonhole-complete for
+    hamming < n_bands (8) — then exact hamming verifies.  Shape: one
+    posexplode + equi-join keyed by (band_idx, band_val) + an id join
+    back; no all-pairs stage anywhere."""
+    keyed = bands.select(
+        "media_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = keyed.select(
+        F.col("media_id").alias("id_a"), "band_idx", "band_val"
+    )
+    b = keyed.select(
+        F.col("media_id").alias("id_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with("ba", "bb", lambda p, q: F.bit_count(p.bitwiseXOR(q))),
+        F.lit(0),
+        lambda acc, h: acc + h,
+    )
+    return (
+        cand.join(bands.select(F.col("media_id").alias("id_a"), F.col("bands").alias("ba")), "id_a")
+        .join(bands.select(F.col("media_id").alias("id_b"), F.col("bands").alias("bb")), "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

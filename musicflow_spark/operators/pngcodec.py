@@ -165,6 +165,29 @@ def _nearest_resize(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[rows][:, cols]
 
 
+def dhash_bands(pixels: np.ndarray, rows: int = 8, cols: int = 8) -> list[int]:
+    """Difference-hash (dHash) as per-row BANDS: luminance plane,
+    nearest-resize to (rows, cols+1), band y = one byte with bit x set
+    when p[y][x] > p[y][x+1] — the classic 64-bit perceptual hash kept
+    as 8 byte-bands so hamming-LSH banding needs no 64-bit sign
+    gymnastics.  Uniform brightness shifts leave every bit unchanged
+    (gradients are translation-invariant); a small local edit flips
+    at most a couple of bits.  Integer comparisons only on greyscale
+    input, so an integer-grid oracle can replay it exactly."""
+    arr = np.asarray(pixels, dtype=np.int64)
+    if arr.ndim == 3:
+        arr = arr.sum(axis=2) // arr.shape[2]  # integer luminance
+    small = _nearest_resize(arr, cols + 1, rows)
+    out: list[int] = []
+    for y in range(rows):
+        v = 0
+        for x in range(cols):
+            if small[y, x] > small[y, x + 1]:
+                v |= 1 << x
+        out.append(v)
+    return out
+
+
 @dataclass(frozen=True)
 class PngCodec:
     """Codec implementation (operators/multimodal.py contract) backed

@@ -339,3 +339,102 @@ def test_wilson_bound_ranks_small_samples_down(spark, tmp_path):
     assert a["wilson_lo"] < b["wilson_lo"]
     for r in got.values():
         assert 0.0 <= r["wilson_lo"] <= r["conv_rate"]
+
+
+# ------------------------------------------ perceptual near-dup (dHash)
+def test_dhash_invariant_to_brightness_sensitive_to_content():
+    import numpy as np
+
+    from musicflow_spark.operators.pngcodec import dhash_bands
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(36, 32), dtype=np.int64)
+    # uniform brightness shift: every gradient comparison unchanged
+    assert dhash_bands(base) == dhash_bands(base + 40)
+    # 1-px edit: at most 2 bits flip (the two gradients touching it)
+    edited = base.copy()
+    edited[9, 9] += 55
+    diff = sum(
+        bin(a ^ b).count("1")
+        for a, b in zip(dhash_bands(base), dhash_bands(edited))
+    )
+    assert diff <= 2
+    # unrelated image: far away
+    other = rng.integers(0, 200, size=(36, 32), dtype=np.int64)
+    far = sum(
+        bin(a ^ b).count("1")
+        for a, b in zip(dhash_bands(base), dhash_bands(other))
+    )
+    assert far > 7
+
+
+def test_phash_neardup_finds_crafted_copies_only(spark):
+    import numpy as np
+
+    from musicflow_spark.operators.multimodal import (
+        phash_bands,
+        phash_neardup_pairs,
+    )
+    from musicflow_spark.operators.pngcodec import encode_png
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 200, size=(36, 32), dtype=np.int64)
+    bright = base + 40          # brightness-shifted copy: hamming 0
+    cropped = base.copy()
+    cropped[0, :] = 0           # top-row wipe: a few bits
+    unrelated = rng.integers(0, 200, size=(36, 32), dtype=np.int64)
+    rows = [
+        (0, encode_png(base.astype("uint8"))),
+        (1, encode_png(bright.astype("uint8"))),
+        (2, encode_png(cropped.astype("uint8"))),
+        (3, encode_png(unrelated.astype("uint8"))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(phash_bands(media), max_hamming=7).collect()
+    }
+    assert pairs.get((0, 1)) == 0           # brightness shift is invisible
+    assert (0, 2) in pairs                  # local edit survives
+    assert all(3 not in p for p in pairs)   # unrelated never pairs
+
+
+def test_phash_plan_is_banded_not_allpairs(spark):
+    # the candidate stage must be an equi-join on (band_idx, band_val),
+    # never a cartesian
+    from musicflow_spark.operators.multimodal import (
+        phash_bands,
+        phash_neardup_pairs,
+        png_media_from_documents,
+    )
+
+    docs = spark.range(64).select(F.col("id").alias("doc_id"))
+    plan = (
+        phash_neardup_pairs(phash_bands(png_media_from_documents(docs)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_fixture_groups_are_neardups(spark):
+    # consecutive ids in a PHASH_GROUP must pair within the hamming
+    # budget through the REAL png encode/decode path
+    from musicflow_spark.operators.multimodal import (
+        phash_bands,
+        phash_neardup_pairs,
+        png_media_from_documents,
+    )
+
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_neardup_pairs(
+            phash_bands(png_media_from_documents(docs))
+        ).collect()
+    }
+    for g in (0, 1):
+        ids = [g * 4 + i for i in range(4)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert (a, b) in got
