@@ -57,7 +57,30 @@ def naive_bayes_scores(
     class's token terms); a fully token-free training corpus takes
     vocabulary size max(V, 1) so the floor stays finite — the one
     degenerate case add-1 smoothing leaves undefined.
+
+    Input contract (ADVICE r06 — asserted below, not just assumed):
+    ``test`` ids must be UNIQUE (a duplicated id would double-count
+    through the final prior cross join) and ``test`` token arrays
+    must be NON-NULL (explode drops a NULL array's rows but the cross
+    join would still emit prior-only scores, silently conflating NULL
+    with empty — callers must decide, e.g. coalesce to array()).
+    Both are cheap metadata-level checks: one aggregate over the test
+    frame, no extra shuffle of the data path.
     """
+    bad = test.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias("dups"),
+        (F.count(F.lit(1)) - F.count(tokens_col)).alias("nulls"),
+    ).collect()[0]
+    if bad["dups"]:
+        raise ValueError(
+            f"naive_bayes_scores: {bad['dups']} duplicate test {id_col} values"
+            " (scores would double-count through the prior cross join)"
+        )
+    if bad["nulls"]:
+        raise ValueError(
+            f"naive_bayes_scores: {bad['nulls']} NULL {tokens_col} arrays in"
+            " test (coalesce to array() to score them as empty docs)"
+        )
     classes = train.groupBy(F.col(label_col).alias("cls")).agg(
         F.count(F.lit(1)).alias("docs_c")
     )

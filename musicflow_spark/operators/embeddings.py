@@ -296,7 +296,9 @@ def kmeans_lloyd(
 ) -> DataFrame:
     """Lloyd's k-means on the integer grid, exactly replayable: the
     vectors are quantized (``quantized``, round(x·scale)), centroids
-    stay integer via element-wise floor-mean (``sum div count``), and
+    stay integer via element-wise truncated (toward-zero) integer
+    mean (``sum div count`` — Spark's div and DuckDB's // both truncate
+    toward zero, NOT floor, for negative sums; ADVICE r06), and
     assignment is argmin of INTEGER squared L2 with cluster-id
     tiebreak — every operation is engine-portable integer arithmetic,
     so a DuckDB oracle unrolling the same ``n_iter`` rounds
@@ -410,7 +412,7 @@ def kmeans_oracle_sql(
     scale: int = DEFAULT_SCALE,
 ) -> str:
     """Unrolled replay of ``kmeans_lloyd``: same quantization, same
-    floor-mean update, same (d2, cid) argmin, same round count.  All
+    truncated-mean update, same (d2, cid) argmin, same round count.  All
     round CTEs MATERIALIZED (each is referenced multiple times)."""
     parts = kmeans_oracle_parts(
         table, dim, k, n_iter, id_col=id_col, vec_col=vec_col, scale=scale,
@@ -486,7 +488,8 @@ def nearest_centroid_classify(
     scale: int = DEFAULT_SCALE,
 ) -> DataFrame:
     """Nearest-centroid (Rocchio) classification on the integer grid:
-    per-label centroids are element-wise floor-means of the quantized
+    per-label centroids are element-wise truncated (toward-zero)
+    integer means of the quantized
     training vectors (ONE pass — the degenerate k-means where the
     assignment is given by the label), test vectors take the label of
     the integer-L2-nearest centroid with label-id tiebreak.  Exactly

@@ -414,14 +414,37 @@ def weighted_systematic_sample(
     )
     sums = (
         ordered.groupBy("__pid__")
-        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w__"))
+        .agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__w__"),
+            F.count(F.lit(1)).alias("__n__"),
+            F.count(weight_col).alias("__nw__"),
+            F.min(F.col(weight_col).cast("long")).alias("__min__"),
+        )
         .collect()
     )
+    # ADVICE r06: a zero/negative/NULL-laden weight column previously
+    # produced a NULL stride divisor that silently filtered every row —
+    # fail loudly instead, and assert the documented W*k < 2^63
+    # overflow precondition rather than trusting the docstring.
+    if any(r["__nw__"] != r["__n__"] for r in sums):
+        raise ValueError(f"weight column {weight_col!r} contains NULLs")
+    if sums and min(r["__min__"] for r in sums) < 0:
+        raise ValueError(f"weight column {weight_col!r} contains negative weights")
     offsets, acc = [], 0
     for pid, w in sorted((r["__pid__"], r["__w__"]) for r in sums):
         offsets.append((pid, acc))
         acc += w
     total_w = acc
+    if total_w <= 0:
+        raise ValueError(
+            f"total weight of {weight_col!r} is {total_w}; systematic PPS "
+            "needs a positive total"
+        )
+    if total_w > (2**63 - 1) // max(k, 1):
+        raise ValueError(
+            f"W*k = {total_w}*{k} overflows int64; rescale weights or "
+            "aggregate the cumulative sums as DECIMAL(38,0)"
+        )
     omap = df.sparkSession.createDataFrame(offsets, "__pid__ int, __off__ long")
     cw = Window.partitionBy("__pid__").orderBy("__h__", id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -120,6 +120,14 @@ def salted_topk(
     identically; correctness holds under ANY row partition,
     determinism of the salt just keeps stage retries byte-stable
     (the datasource sink precondition)."""
+    # ADVICE r06: withColumn would silently OVERWRITE a pre-existing
+    # 'rank' / internal column instead of ranking next to it
+    taken = {"rank", "__salt__", "__pr__"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"salted_topk output columns collide with input columns "
+            f"{sorted(taken)}; rename them before calling"
+        )
     salt_cols = salt_on if salt_on is not None else list(df.columns)
     salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).alias("__salt__")
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]

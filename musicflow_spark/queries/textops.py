@@ -1540,12 +1540,18 @@ def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_canonical_selection), so this query certifies their
     COMPOSITION, not new logic.
 
-    Stage order is the cheap-to-expensive production order: per-row
-    predicates first (lang, quality — map-only), corpus-relative
-    stats next (perplexity), pairwise stages last (exact and near
-    dedup) — at 100 TB the early map-side drops shrink every later
-    shuffle.  All stage outputs join back on doc_id (one shuffle
-    each, AQE-broadcast when small)."""
+    Stage order in the PLAN is audit-faithful, not cost-minimal: the
+    spec emits the first-reject stage for EVERY document, so every
+    stage runs over the FULL corpus and its flags join back on doc_id
+    (one shuffle each, AQE-broadcast when small) — a rejected doc
+    still needs its later-stage flags evaluated to be attributable.
+    A production pipeline that only needs the survivors would instead
+    thread each stage's survivors into the next (map-side drops
+    shrinking every later shuffle) — note that doing so CHANGES the
+    dedup keepers (a first-occurrence keeper deleted by an earlier
+    stage promotes the next occurrence), which is why that variant is
+    a different query with different semantics, not an optimization
+    of this one (VERDICT r06 docstring fix)."""
     from musicflow_spark.operators.textstats import (
         lang_id,
         normalize_for_fingerprint,
@@ -1694,10 +1700,18 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("pmi_micro"),
         )
     )
-    w = Window.orderBy(F.desc("pmi_micro"), "w1", "w2")
+    # ADVICE r06: bound the global sort FIRST (TakeOrderedAndProject,
+    # k rows by the literal — the corpus_zipf_fit pattern); the
+    # row_number window then runs on the k-row frame only, instead of
+    # relying on WindowGroupLimit to rescue a full single-partition
+    # sort of the scored table.
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PMI_TOP_K)
+        scored.orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(PMI_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("pmi_micro"), "w1", "w2")),
+        )
         .select("w1", "w2", "c2", "pmi_micro", "rank")
     )
 

@@ -929,7 +929,8 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means clustering of the embedding corpus (ext:
     operators/embeddings.py::kmeans_lloyd): 8 clusters, 3 update
     rounds, integer-grid arithmetic end to end — quantized vectors,
-    floor-mean centroid updates, integer squared-L2 argmin — so the
+    truncated-integer-mean centroid updates (div truncates toward
+    zero on both engines), integer squared-L2 argmin — so the
     unrolled DuckDB oracle replays every round bit-for-bit.  This is
     the trainable-quantizer tier the IVF coarse index assumes
     (knn_ivf seeds centroids statically; k-means is how a production
@@ -951,7 +952,7 @@ def _embedding_kmeans_oracle_sql() -> str:
 
 def embedding_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid (Rocchio) label prediction (ext: operators/
-    embeddings.py::nearest_centroid_classify): per-label floor-mean
+    embeddings.py::nearest_centroid_classify): per-label truncated-mean
     centroids from the even-vec_id half, integer-L2 assignment of the
     odd half — the vector-side sibling of the naive-Bayes text router
     (doc_lang_nb_classifier), completing the supervised tier: text
@@ -1174,7 +1175,7 @@ WHERE rank <= {TOP_K}
 QUERIES = [
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
-    Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (floor-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
+    Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (truncated-integer-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),
     Query("embedding_label_stats", "ext: vector stats; A1", embedding_label_stats, EMBEDDING_LABEL_STATS_SQL),
@@ -1195,7 +1196,7 @@ QUERIES = [
     ),
     Query(
         "embedding_kmeans",
-        "ext: Lloyd k-means on the integer grid (floor-mean centroids, exact per-round SQL replay)",
+        "ext: Lloyd k-means on the integer grid (truncated-integer-mean centroids, exact per-round SQL replay)",
         embedding_kmeans,
         _embedding_kmeans_oracle_sql(),
     ),
