@@ -167,3 +167,156 @@ def naive_bayes_predict(
         .filter(F.col("rk") == 1)
         .select(id_col, F.col("cls").alias("pred"), "score_micro")
     )
+
+
+# ------------------------------------------- logistic regression (GD)
+#: shared integer micro-unit grid for weights and sigmoid outputs
+LR_SCALE = 1_000_000
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Toward-zero integer division — Spark's ``div`` and DuckDB's
+    ``//`` semantics (Python's ``//`` floors, which differs on
+    negative gradients)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def logreg_train_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_rounds: int = 8,
+    lr_den: int = 64,
+) -> DataFrame:
+    """Binary logistic regression trained by FULL-BATCH gradient
+    descent on the integer micro-grid — the one iterative
+    gradient-trained model of the supervised tier (VERDICT r06 item
+    8: NB/Rocchio/OLS are closed-form; a descent loop certifies the
+    training shape a quality-classifier pipeline actually runs).
+
+    Exactness contract (the unrolled-round oracle replays all of it):
+
+    - features are INTEGER columns, weights live in micro-units
+      (int64, LR_SCALE); the logit ``z = (w . x) / 1e6`` is one
+      BIGINT dot product divided once into double — identical on
+      both engines;
+    - the sigmoid is the only transcendental: its output is rounded
+      to the micro grid ``s = round(1e6 / (1 + exp(-z)))`` BEFORE any
+      aggregation, the same 1-ulp-tolerant discipline as the
+      micro-nat ``ln`` in doc_perplexity_filter / PMI;
+    - the gradient is then EXACT integer arithmetic:
+      ``g_j = sum((s_i - y_i*1e6) * x_ij)`` in int64, and the update
+      ``w_j -= g_j div (n * lr_den)`` (learning rate 1/lr_den)
+      truncates toward zero on both engines;
+    - rounds are fixed at ``n_rounds`` — no data-dependent stopping.
+
+    The per-round driver step collects ONE (d+1)-value gradient row
+    (the bounded-collect contract of kmeans seeds / MMR: O(d), never
+    data) so the logit stays a literal expression under codegen; the
+    feature frame is localCheckpointed once and re-scanned per round.
+
+    Scale shape per round: one map stage (logit + sigmoid) + one
+    map-side-combinable scalar aggregate over d+2 sums.  At 100 TB:
+    |g_j| <= n * 1e6 * max|x| must stay inside int64 — with
+    max|x| <= 32 (the caller's feature clamp) that holds to ~9e9
+    rows; past that aggregate the gradient as DECIMAL(38,0).
+
+    Returns ONE row: n, n_correct (training accuracy of the final
+    weights, prediction = z >= 0), and the final micro-unit weights
+    w0..w{d-1} in feature_cols order."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if lr_den < 1:
+        raise ValueError(f"lr_den must be >= 1, got {lr_den}")
+    feats = df.select(
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+        F.col(label_col).cast("long").alias("__y__"),
+    ).localCheckpoint(eager=True)
+    d = len(feature_cols)
+    w = [0] * d
+    for _ in range(n_rounds):
+        z_int = sum(
+            (F.col(c) * F.lit(w[j]) for j, c in enumerate(feature_cols)),
+            F.lit(0).cast("long"),
+        )
+        zd = z_int.cast("double") / F.lit(float(LR_SCALE))
+        s = F.round(F.lit(float(LR_SCALE)) / (F.lit(1.0) + F.exp(-zd)), 0).cast(
+            "long"
+        )
+        err = s - F.col("__y__") * F.lit(LR_SCALE)
+        grad = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(err * F.col(c)).alias(f"g{j}")
+                for j, c in enumerate(feature_cols)
+            ],
+        ).collect()[0]
+        n = grad["n"]
+        w = [w[j] - _trunc_div(grad[f"g{j}"], n * lr_den) for j in range(d)]
+    z_int = sum(
+        (F.col(c) * F.lit(w[j]) for j, c in enumerate(feature_cols)),
+        F.lit(0).cast("long"),
+    )
+    pred = (z_int >= 0).cast("long")
+    out = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((pred == F.col("__y__")).cast("long")).alias("n_correct"),
+    )
+    for j in range(d):
+        out = out.withColumn(f"w{j}", F.lit(int(w[j])).cast("long"))
+    return out
+
+
+def logreg_oracle_sql(
+    feats_sql: str,
+    feature_exprs: list[str],
+    n_rounds: int = 8,
+    lr_den: int = 64,
+) -> str:
+    """Unrolled-round DuckDB replay of :func:`logreg_train_gd`:
+    ``feats_sql`` must yield the SAME integer feature columns
+    (``feature_exprs`` names them) plus ``__y__``; each round k
+    materializes the sigmoid frame, the 1-row gradient, and the next
+    weight row — the kmeans_oracle_sql pattern."""
+    d = len(feature_exprs)
+    s = LR_SCALE
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(d))
+    ctes = [
+        f"feats AS MATERIALIZED ({feats_sql})",
+        f"w0 AS MATERIALIZED (SELECT {zeros})",
+    ]
+    dot = lambda: " + ".join(  # noqa: E731
+        f"w.w{j} * f.{c}" for j, c in enumerate(feature_exprs)
+    )
+    for k in range(n_rounds):
+        ctes.append(f"""s{k} AS MATERIALIZED (
+  SELECT f.*, cast(round({s}.0 / (1.0 + exp(-(({dot()}) / {s}.0)))) AS bigint) AS sg
+  FROM feats f, w{k} w)""")
+        gsums = ", ".join(
+            f"cast(sum((sg - __y__ * {s}) * {c}) AS bigint) AS g{j}"
+            for j, c in enumerate(feature_exprs)
+        )
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT count(*) AS n, {gsums} FROM s{k})"
+        )
+        wnew = ", ".join(
+            f"w.w{j} - g.g{j} // (g.n * {lr_den}) AS w{j}" for j in range(d)
+        )
+        ctes.append(
+            f"w{k + 1} AS MATERIALIZED (SELECT {wnew} FROM w{k} w, g{k} g)"
+        )
+    final_dot = dot()
+    wcols = ", ".join(f"w.w{j}" for j in range(d))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT count(*) AS n,
+       cast(sum(CASE WHEN (CASE WHEN ({final_dot}) >= 0 THEN 1 ELSE 0 END) = f.__y__
+                THEN 1 ELSE 0 END) AS bigint) AS n_correct,
+       {wcols}
+FROM feats f, w{n_rounds} w
+GROUP BY {wcols}
+"""
+    )

@@ -27,6 +27,7 @@ from musicflow_spark.operators.dedup import (
     simhash_near_pairs,
     with_shingles,
 )
+from musicflow_spark.operators.classify import logreg_oracle_sql, logreg_train_gd
 from musicflow_spark.operators.textstats import (
     LANG_MARKERS,
     STOPWORDS,
@@ -1385,6 +1386,57 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, BPE_N_MERGES)
 
 
+# ---------------------------------------------- logistic quality gate
+LOGREG_ROUNDS = 8
+LOGREG_LR_DEN = 256
+
+
+def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-TRAINED quality classifier (ext — VERDICT r06 item 8):
+    binary logistic regression by 8 rounds of full-batch gradient
+    descent on the integer micro-grid
+    (operators/classify.py::logreg_train_gd), over four integer doc
+    features (bias, CENTERED token-count bucket, centered
+    distinct-token count, a centered length-mod noise feature — the
+    centering keeps the decision boundary near the origin so 8
+    rounds at lr 1/256 actually converge) with the lexical-diversity
+    label
+    ``y = (n_uniq >= 25)``.  Returns one row: n, training accuracy of
+    the final weights, and the four micro-unit weights — so the
+    driver hash certifies every descent round end-to-end (the DuckDB
+    oracle unrolls all 8: sigmoid frame, 1-row integer gradient,
+    truncated-division weight update)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    nt = F.size(tk)
+    nu = F.size(F.array_distinct(tk))
+    feats = docs.select(
+        F.lit(1).alias("x0"),
+        ((nt / 8).cast("long") - 7).alias("x1"),
+        (nu.cast("long") - 25).alias("x2"),
+        ((nt % 13).cast("long") - 6).alias("x3"),
+        (nu >= 25).cast("long").alias("y"),
+    )
+    return logreg_train_gd(
+        feats, ["x0", "x1", "x2", "x3"], "y", LOGREG_ROUNDS, LOGREG_LR_DEN
+    )
+
+
+def _doc_quality_logreg_oracle_sql() -> str:
+    toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    feats = f"""
+  SELECT 1 AS x0,
+         nt // 8 - 7 AS x1,
+         nu - 25 AS x2,
+         nt % 13 - 6 AS x3,
+         CASE WHEN nu >= 25 THEN 1 ELSE 0 END AS __y__
+  FROM (SELECT len({toks}) AS nt, len(list_distinct({toks})) AS nu
+        FROM documents)"""
+    return logreg_oracle_sql(
+        feats, ["x0", "x1", "x2", "x3"], LOGREG_ROUNDS, LOGREG_LR_DEN
+    )
+
+
 # ------------------------------------------------- unigram rarity score
 def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model-free quality signal (ext): per-document mean
@@ -2368,5 +2420,6 @@ QUERIES = [
     Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),
     Query("corpus_bpe_merges", "ext: BPE tokenizer TRAINING — greedy merge learning over the word-type histogram, 12 unrolled rounds hash-replayed", corpus_bpe_merges, bpe_oracle_sql(BPE_N_MERGES)),
+    Query("doc_quality_logreg", "ext: gradient-TRAINED logistic quality classifier — 8 full-batch GD rounds on the integer micro-grid, unrolled SQL replay", doc_quality_logreg, _doc_quality_logreg_oracle_sql()),
     Query("doc_canonical_selection", "ext: longest-member canonical doc per dedup cluster", doc_canonical_selection, _doc_canonical_selection_oracle_sql()),
 ]

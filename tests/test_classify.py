@@ -6,10 +6,12 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from musicflow_spark.operators.classify import (
     NB_SCALE,
+    logreg_train_gd,
     naive_bayes_predict,
     naive_bayes_scores,
 )
@@ -172,3 +174,60 @@ def test_zipf_fit_matches_numpy(spark, sf_dir):
     assert abs(r["zipf_slope"] - slope) < 1e-6
     assert r["zipf_slope"] < 0
     assert 0 <= r["r2"] <= 1
+
+
+# ------------------------------------------- logistic regression (GD)
+def _python_logreg(rows, d, n_rounds, lr_den, scale=1_000_000):
+    """Pure-python replica of logreg_train_gd's integer arithmetic."""
+    import math
+
+    from musicflow_spark.operators.classify import _trunc_div
+
+    w = [0] * d
+    n = len(rows)
+    for _ in range(n_rounds):
+        g = [0] * d
+        for r in rows:
+            z = sum(w[j] * r[j] for j in range(d)) / scale
+            s = int(round(scale / (1.0 + math.exp(-z))))
+            err = s - r[d] * scale
+            for j in range(d):
+                g[j] += err * r[j]
+        w = [w[j] - _trunc_div(g[j], n * lr_den) for j in range(d)]
+    correct = sum(
+        1
+        for r in rows
+        if (sum(w[j] * r[j] for j in range(d)) >= 0) == (r[d] == 1)
+    )
+    return w, correct
+
+
+def test_logreg_matches_python_reference(spark):
+    rows = [
+        (1, x1, x2, (x1 * 3 + x2) % 5 - 2, 1 if x1 + 2 * x2 > 0 else 0)
+        for x1 in range(-6, 7)
+        for x2 in range(-6, 7)
+    ]
+    df = spark.createDataFrame(rows, "x0 long, x1 long, x2 long, x3 long, y long")
+    got = logreg_train_gd(df, ["x0", "x1", "x2", "x3"], "y", 8, 64).collect()[0]
+    w, correct = _python_logreg(rows, 4, 8, 64)
+    assert [got[f"w{j}"] for j in range(4)] == w
+    assert got["n_correct"] == correct
+    assert got["n"] == len(rows)
+
+
+def test_logreg_learns_separable_data(spark):
+    # linearly separable by x1: training accuracy must be near-perfect
+    rows = [(1, v, (v * 7) % 3 - 1, 1 if v > 0 else 0) for v in range(-20, 21) if v != 0]
+    df = spark.createDataFrame(rows, "x0 long, x1 long, x2 long, y long")
+    got = logreg_train_gd(df, ["x0", "x1", "x2"], "y", 10, 32).collect()[0]
+    assert got["n_correct"] >= int(0.95 * got["n"])
+    assert got["w1"] > 0  # the separating direction
+
+
+def test_logreg_validation(spark):
+    df = spark.createDataFrame([(1, 0)], "x0 long, y long")
+    with pytest.raises(ValueError, match="n_rounds"):
+        logreg_train_gd(df, ["x0"], "y", 0)
+    with pytest.raises(ValueError, match="lr_den"):
+        logreg_train_gd(df, ["x0"], "y", 2, 0)
