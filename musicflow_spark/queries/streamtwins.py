@@ -552,6 +552,78 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def stream_click_purchase_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stream-stream interval join, LEFT-OUTER form
+    (VERDICT r06 item 7 — the remaining native stateful surface): the
+    inner twin emits a row when both sides arrive; the left-outer
+    twin must ADDITIONALLY emit every unmatched click null-padded,
+    and may do so only once its join window [c_ts, c_ts + 1 h] has
+    expired under the watermark — emitting earlier could contradict a
+    late-arriving purchase.  That makes this the one query whose
+    OUTPUT (not just its state size) depends on watermark passage.
+
+    Sentinel contract: the far-future flush row must reach BOTH sides
+    of the join (the global join watermark is the min of the two), so
+    each side's filter keeps event_type 'flush' alongside its real
+    type; the sentinel's own rows (and its self-match) are dropped
+    from the OUTPUT by user id.  Oracle: the identical batch LEFT
+    theta-join with the purchase predicates in the ON clause."""
+    src = _events_replay_dir(spark, sf_dir, sentinel=True)
+    clicks = (
+        _file_stream(spark, src)
+        .filter(F.col("event_type").isin("click", "flush"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _file_stream(spark, src)
+        .filter(F.col("event_type").isin("purchase", "flush"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts"
+            f" AND p_ts <= c_ts + INTERVAL {CLICK_JOIN_HORIZON}"
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
+    )
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/clickleftjoin"
+    _run_available_now(
+        joined,
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    return spark.read.parquet(out).filter(F.col("user_id") != SENTINEL_USER)
+
+
+STREAM_CLICK_PURCHASE_LEFTJOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+"""
+
+
 # ------------------------------------- stream-stream as-of (time join)
 ASOF_HORIZON_DAYS = 7
 
@@ -778,6 +850,7 @@ QUERIES = [
     Query("stream_session_stats", "ext: streaming twin — merging session windows under watermark (append mode)", stream_session_stats, _stream_session_stats_sql()),
     Query("stream_sliding_event_stats", "ext: streaming twin — overlapping sliding windows under watermark (append mode)", stream_sliding_event_stats, STREAM_SLIDING_EVENT_STATS_SQL),
     Query("stream_click_purchase_join", "ext: streaming twin — NATIVE stream-stream interval inner join (dual watermarks, evictable join state)", stream_click_purchase_join, STREAM_CLICK_PURCHASE_JOIN_SQL),
+    Query("stream_click_purchase_leftjoin", "ext: streaming twin — NATIVE stream-stream interval LEFT-OUTER join (null-padded emission at watermark expiry)", stream_click_purchase_leftjoin, STREAM_CLICK_PURCHASE_LEFTJOIN_SQL),
     Query("stream_asof_purchase", "ext: streaming twin — stream-stream as-of join (time-range join state + max_by agg, deterministic tiebreak)", stream_asof_purchase, STREAM_ASOF_PURCHASE_SQL),
 ]
 
