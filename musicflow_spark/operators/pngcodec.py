@@ -82,6 +82,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data has wrong length")
+    # fast path: all scanlines filter 0 (what encode_png emits) — one
+    # vectorized reshape/slice instead of the per-row defilter loop
+    # (the loop costs ~1 ms per 36x32 image; a 5000-image Arrow batch
+    # pipeline spends most of its decode budget there)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if not mat[:, 0].any():
+        return mat[:, 1:].reshape(height, width, ch).copy()
     out = np.empty((height, stride), dtype=np.uint8)
     prev = bytearray(stride)
     for y in range(height):

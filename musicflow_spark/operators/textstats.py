@@ -184,13 +184,17 @@ def bpe_word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _bpe_pairs(state: DataFrame) -> DataFrame:
     """(lhs, rhs, cnt) adjacent-symbol-pair counts of a BPE state frame
-    (s = '|'-prefixed symbol string, freq).  split('|') yields a
-    leading empty element, so symbols live at indices 1..n-1 and the
-    0-based adjacent pairs are (sy[i], sy[i+1]) for i in 1..n-2."""
+    (s = '|s1.|s2.|...' — every symbol '|'-prefixed and '.'-terminated,
+    see bpe_train_state).  split('|') yields a leading empty element,
+    so symbols live at indices 1..n-1 ('at.' forms); the emitted
+    lhs/rhs strip the terminator."""
     sy = F.split("s", r"\|")
     pairs = F.expr(
         "transform(sequence(1, size(split(s, '\\\\|')) - 2), "
-        "i -> struct(split(s, '\\\\|')[i] AS lhs, split(s, '\\\\|')[i + 1] AS rhs))"
+        "i -> struct(substring(split(s, '\\\\|')[i], 1,"
+        " length(split(s, '\\\\|')[i]) - 1) AS lhs,"
+        " substring(split(s, '\\\\|')[i + 1], 1,"
+        " length(split(s, '\\\\|')[i + 1]) - 1) AS rhs))"
     )
     return (
         state.filter(F.size(sy) >= 3)
@@ -216,14 +220,22 @@ def bpe_train_merges(
       lowercase ASCII, so lexicographic tie-breaks agree across
       engines and the ``|`` delimiter can never collide;
     - a state row is the word's symbol sequence rendered as
-      ``|s1|s2|...`` (every symbol '|'-PREFIXED).  Applying merge
+      ``|s1.|s2.|...`` — every symbol '|'-PREFIXED and '.'-TERMINATED
+      ('.' is outside the [a-z] symbol alphabet).  Applying merge
       (l, r) is then the plain (non-regex) string replace
-      ``'|l|r' -> '|lr'``: leftmost-first non-overlapping replacement
-      is exactly the greedy left-to-right BPE merge pass, and the
-      leading-delimiter representation makes a cross-symbol false
-      match impossible (the pattern must start at a symbol boundary,
-      and consuming no trailing delimiter preserves the next
-      candidate's leading one — ``|a|a|a|a`` → ``|aa|aa``);
+      ``'|l.|r.' -> '|lr.'``: leftmost-first non-overlapping
+      replacement is exactly the greedy left-to-right BPE merge pass.
+      BOTH delimiters are load-bearing: the leading '|' anchors the
+      match to a symbol start, and the '.' terminators force l and r
+      to match COMPLETE symbols — without r's terminator the pattern
+      also fires when the next symbol merely STARTS with r
+      (``|c.|atter.`` must not match merge (c, at); it did in the
+      first leading-only encoding — caught by the pure-python
+      reference test, invisible to the oracle since both engines
+      shared the flaw).  The pattern's final char is the second
+      symbol's own terminator, never the NEXT symbol's lead, so
+      adjacent candidates stay matchable: ``|a.|a.|a.|a.`` ->
+      ``|aa.|aa.``;
     - per round the winning pair is argmax(count) with
       (lhs, rhs) ascending tie-break — a 2-column orderBy + limit 1,
       never a global window;
@@ -237,12 +249,27 @@ def bpe_train_merges(
     VOCABULARY-sized type table (at 100 TB: millions of rows, not
     petabytes) and a map-side replace.  Rounds are fixed at
     ``n_merges`` — no data-dependent iteration count."""
+    merges, _ = bpe_train_state(df, n_merges, text_col)
+    return merges
+
+
+def bpe_train_state(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`bpe_train_merges` plus the post-training WORD-TYPE state
+    — (merges, state) where state is (word, s, freq) with ``s`` the
+    word's final '|'-prefixed symbol string.  The state is what the
+    ENCODE side needs: per-word piece counts come straight off it, so
+    applying the learned tokenizer to the corpus is a vocab-sized
+    join, never a per-document merge replay."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     state = (
         bpe_word_types(df, text_col)
         .select(
-            F.regexp_replace("word", "(.)", r"|$1").alias("s"), "freq"
+            "word",
+            F.regexp_replace("word", "(.)", r"|$1.").alias("s"),
+            "freq",
         )
         .localCheckpoint(eager=True)
     )
@@ -261,27 +288,32 @@ def bpe_train_merges(
             .localCheckpoint(eager=True)
         )
         winners.append(top)
-        pat = F.concat(F.lit("|"), F.col("lhs"), F.lit("|"), F.col("rhs"))
-        rep = F.concat(F.lit("|"), F.col("lhs"), F.col("rhs"))
+        pat = F.concat(
+            F.lit("|"), F.col("lhs"), F.lit(".|"), F.col("rhs"), F.lit(".")
+        )
+        rep = F.concat(F.lit("|"), F.col("lhs"), F.col("rhs"), F.lit("."))
         state = (
             state.crossJoin(F.broadcast(top))
-            .select(F.replace(F.col("s"), pat, rep).alias("s"), "freq")
+            .select("word", F.replace(F.col("s"), pat, rep).alias("s"), "freq")
             .localCheckpoint(eager=True)
         )
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)
-    return out
+    return out, state
 
 
-def bpe_oracle_sql(n_merges: int, table: str = "documents") -> str:
-    """Unrolled-round DuckDB replay of :func:`bpe_train_merges` (the
-    kmeans_oracle_sql pattern): each round k materializes the pair
-    counts of state k, its (count desc, lhs, rhs) winner, and the
-    replaced state k+1; the result unions the winners."""
+def bpe_cte_parts(n_merges: int, table: str = "documents") -> list[str]:
+    """The shared unrolled-round CTE list replaying
+    :func:`bpe_train_state` in DuckDB: s0 (char-split word types),
+    then per round k the pair counts p{k}, the winner t{k}, and the
+    replaced state s{k+1}.  The FINAL state CTE is ``s{n_merges}``
+    (word, s, freq) — the encode oracle joins off it; the train
+    oracle unions the t{k} winners.  Both consumers compose these
+    parts, so train and encode replays can never drift apart."""
     ctes = [
         f"""s0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS s, freq FROM (
+  SELECT word, regexp_replace(word, '(.)', '|\\1.', 'g') AS s, freq FROM (
     SELECT word, count(*) AS freq FROM (
       SELECT unnest(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS word
       FROM {table}) GROUP BY word))"""
@@ -290,20 +322,31 @@ def bpe_oracle_sql(n_merges: int, table: str = "documents") -> str:
         ctes.append(f"""p{k} AS MATERIALIZED (
   SELECT pr.lhs AS lhs, pr.rhs AS rhs, cast(sum(freq) AS bigint) AS cnt FROM (
     SELECT unnest(list_transform(range(2, len(string_split(s, '|'))),
-                  i -> struct_pack(lhs := string_split(s, '|')[i],
-                                   rhs := string_split(s, '|')[i + 1]))) AS pr,
+                  i -> struct_pack(
+                    lhs := substr(string_split(s, '|')[i], 1,
+                                  len(string_split(s, '|')[i]) - 1),
+                    rhs := substr(string_split(s, '|')[i + 1], 1,
+                                  len(string_split(s, '|')[i + 1]) - 1)))) AS pr,
            freq
     FROM s{k} WHERE len(string_split(s, '|')) >= 3)
   GROUP BY pr.lhs, pr.rhs)""")
         ctes.append(f"""t{k} AS MATERIALIZED (
   SELECT {k} AS merge_rank, lhs, rhs, cnt AS pair_count
   FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1)""")
-        if k + 1 < n_merges:
-            ctes.append(f"""s{k + 1} AS MATERIALIZED (
-  SELECT replace(s, '|' || t.lhs || '|' || t.rhs, '|' || t.lhs || t.rhs) AS s, freq
+        ctes.append(f"""s{k + 1} AS MATERIALIZED (
+  SELECT word, replace(s, '|' || t.lhs || '.|' || t.rhs || '.',
+                 '|' || t.lhs || t.rhs || '.') AS s, freq
   FROM s{k}, t{k} t)""")
+    return ctes
+
+
+def bpe_oracle_sql(n_merges: int, table: str = "documents") -> str:
+    """Unrolled-round DuckDB replay of :func:`bpe_train_merges` (the
+    kmeans_oracle_sql pattern): each round k materializes the pair
+    counts of state k, its (count desc, lhs, rhs) winner, and the
+    replaced state k+1; the result unions the winners."""
     union = "\nUNION ALL\n".join(
         f"SELECT merge_rank, lhs, rhs, pair_count FROM t{k}"
         for k in range(n_merges)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(bpe_cte_parts(n_merges, table)) + "\n" + union

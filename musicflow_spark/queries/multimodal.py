@@ -234,5 +234,6 @@ QUERIES = [
         "ext: perceptual image near-dup — real PNG encode/decode, dHash byte bands, hamming-LSH candidates, exact verify",
         media_phash_neardup,
         _media_phash_neardup_oracle_sql(),
+        bench=True,
     ),
 ]

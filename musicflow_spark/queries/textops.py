@@ -1422,6 +1422,75 @@ def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (ext): encode every document with the
+    12-merge vocabulary learned by ``corpus_bpe_merges`` and report
+    per-doc word count, LEARNED-BPE piece count, and compression
+    (pieces per word) — the train → encode lifecycle a real tokenizer
+    pipeline runs, certified end to end because the oracle nests the
+    SAME unrolled training CTEs (operators/textstats.py::
+    bpe_cte_parts) before the encode join.
+
+    Scale shape: piece counts come off the post-training WORD-TYPE
+    state (vocab-sized), so encoding the corpus is one explode + one
+    word-keyed equi-join + one per-doc agg — the per-document merge
+    loop is never replayed.  Docs with zero [a-z]+ words emit no row
+    (explode semantics, mirrored by the oracle's inner join)."""
+    from musicflow_spark.operators.textstats import bpe_train_state
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, state = bpe_train_state(docs, BPE_N_MERGES)
+    pieces = state.select(
+        "word", (F.size(F.split("s", r"\|")) - 1).alias("np")
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word"),
+    )
+    return (
+        words.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            pround(
+                F.col("n_pieces").cast("double") / F.col("n_words"), 4
+            ).alias("pieces_per_word"),
+        )
+    )
+
+
+def _doc_bpe_encode_oracle_sql() -> str:
+    from musicflow_spark.operators.textstats import bpe_cte_parts
+
+    parts = bpe_cte_parts(BPE_N_MERGES)
+    parts.append(f"""wp AS MATERIALIZED (
+  SELECT word, len(string_split(s, '|')) - 1 AS np FROM s{BPE_N_MERGES})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + r"""
+, dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents)
+SELECT dw.doc_id,
+       count(*) AS n_words,
+       cast(sum(wp.np) AS bigint) AS n_pieces,
+       round(cast(sum(wp.np) AS double) / count(*) * 10000.0) / 10000.0
+         AS pieces_per_word
+FROM dw JOIN wp USING (word)
+GROUP BY dw.doc_id
+"""
+    )
+
+
 def _doc_quality_logreg_oracle_sql() -> str:
     toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
     feats = f"""
@@ -2421,5 +2490,6 @@ QUERIES = [
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),
     Query("corpus_bpe_merges", "ext: BPE tokenizer TRAINING — greedy merge learning over the word-type histogram, 12 unrolled rounds hash-replayed", corpus_bpe_merges, bpe_oracle_sql(BPE_N_MERGES)),
     Query("doc_quality_logreg", "ext: gradient-TRAINED logistic quality classifier — 8 full-batch GD rounds on the integer micro-grid, unrolled SQL replay", doc_quality_logreg, _doc_quality_logreg_oracle_sql()),
+    Query("doc_bpe_encode", "ext: BPE tokenizer APPLY — encode the corpus with the learned 12-merge vocabulary via the vocab-sized word-type state join; oracle nests the training CTEs", doc_bpe_encode, _doc_bpe_encode_oracle_sql()),
     Query("doc_canonical_selection", "ext: longest-member canonical doc per dedup cluster", doc_canonical_selection, _doc_canonical_selection_oracle_sql()),
 ]

@@ -115,3 +115,49 @@ def test_validation(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train_merges(df, 0)
+
+
+def python_bpe_piece_counts(texts: list[str], n_merges: int) -> dict[str, int]:
+    """Word -> piece count after applying the reference trainer's
+    merges (reuses python_bpe's greedy application)."""
+    freqs = Counter(
+        w for t in texts for w in re.findall(BPE_WORD_RE, t.lower())
+    )
+    words = {w: list(w) for w in freqs}
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freqs[w]
+        if not pairs:
+            break
+        (lhs, rhs), _ = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return {w: len(s) for w, s in words.items()}
+
+
+def test_encode_state_matches_python_reference(spark):
+    from musicflow_spark.operators.textstats import bpe_train_state
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    _, state = bpe_train_state(df, 10)
+    got = {
+        r["word"]: len([x for x in r["s"].split("|") if x])
+        for r in state.collect()
+    }
+    assert got == python_bpe_piece_counts(CORPUS, 10)
+    # encoding compresses: every multi-char word has fewer pieces than chars
+    assert any(got[w] < len(w) for w in got if len(w) > 1)

@@ -176,6 +176,9 @@ SINGLE_OK = {
     "orders_benford_screen",   # scalar digit-total fold (1 row by construction)
     "embedding_pca_scores_2d", # 1-row global moments aggregate (6 sums, 1 row
                                # by construction) feeding the closed-form axes
+    "doc_quality_logreg",      # final 1-row accuracy aggregate (n, n_correct)
+                               # by construction; per-round gradients are the
+                               # same O(d) scalar shape
 }
 
 

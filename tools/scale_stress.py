@@ -144,6 +144,12 @@ QUERY_TABLES = {
     # so blocking/clustering decompose into N disjoint problems; star
     # rounds fixed (component diameter unchanged)
     "customer_entity_mart": ["customer"],
+    # corpus selection mart: every stage inherits its component's
+    # linear shape (replica-prefixed tokens keep jaccard/cluster
+    # buckets and the fingerprint window replica-disjoint; perplexity
+    # vocab grows ~N; lang/quality are map-only); flags join back on
+    # the replica-shifted doc_id
+    "corpus_training_selection": ["documents"],
     # BFS: the stride is a multiple of 100, so every replica keeps its
     # proportional seed set; co-purchase edges stay within an order's
     # replica; fixed 4 relaxation rounds, edge-linear each
