@@ -8,7 +8,7 @@ lengths — which is exactly what must not break at scale."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from musicflow_spark.operators.multimodal import (
@@ -110,11 +110,11 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(phash_bands(media), PHASH_MAX_HAMMING)
 
 
-def _media_phash_neardup_oracle_sql() -> str:
-    """SQL replay of phash_fixture_pixels -> dhash_bands ->
-    phash_neardup_pairs: the resized 8x9 luminance grid is indexed at
-    Y = (y*H)//8, X = (x*W)//9 and every cell / bit / band byte is
-    integer arithmetic."""
+def _phash_pairs_cte_parts() -> str:
+    """Shared CTE body replaying phash_fixture_pixels -> dhash_bands
+    -> phash_neardup_pairs up to a ``ppairs`` CTE (id_a, id_b,
+    hamming) — composed by both the pair oracle and the grouping
+    oracle so the two replays cannot drift."""
     n_rows, n_cols = 8, 8
 
     def cell(y: int, x: int) -> str:
@@ -135,8 +135,7 @@ def _media_phash_neardup_oracle_sql() -> str:
         )
         band_exprs.append(f"({bits})")
     bands_list = "[" + ", ".join(band_exprs) + "]"
-    return f"""
-WITH px AS (
+    return f"""px AS (
   SELECT doc_id, doc_id // {PHASH_GROUP} AS g,
          doc_id % {PHASH_H * PHASH_W} AS pos
   FROM documents),
@@ -152,15 +151,73 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM keyed a JOIN keyed b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-  WHERE a.doc_id < b.doc_id)
-SELECT c.id_a, c.id_b,
-       cast(list_sum(list_transform(range(1, {n_rows + 1}),
-            i -> bit_count(xor(ba.bands[i], bb.bands[i])))) AS integer) AS hamming
-FROM cand c
-JOIN bands ba ON ba.doc_id = c.id_a
-JOIN bands bb ON bb.doc_id = c.id_b
-WHERE list_sum(list_transform(range(1, {n_rows + 1}),
-      i -> bit_count(xor(ba.bands[i], bb.bands[i])))) <= {PHASH_MAX_HAMMING}
+  WHERE a.doc_id < b.doc_id),
+ppairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         cast(list_sum(list_transform(range(1, {n_rows + 1}),
+              i -> bit_count(xor(ba.bands[i], bb.bands[i])))) AS integer) AS hamming
+  FROM cand c
+  JOIN bands ba ON ba.doc_id = c.id_a
+  JOIN bands bb ON bb.doc_id = c.id_b
+  WHERE list_sum(list_transform(range(1, {n_rows + 1}),
+        i -> bit_count(xor(ba.bands[i], bb.bands[i])))) <= {PHASH_MAX_HAMMING})"""
+
+
+def _media_phash_neardup_oracle_sql() -> str:
+    """SQL replay of phash_fixture_pixels -> dhash_bands ->
+    phash_neardup_pairs: the resized 8x9 luminance grid is indexed at
+    Y = (y*H)//8, X = (x*W)//9 and every cell / bit / band byte is
+    integer arithmetic."""
+    return f"""
+WITH {_phash_pairs_cte_parts()}
+SELECT id_a, id_b, hamming FROM ppairs
+"""
+
+
+def media_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dedup GROUPS (ext): the decision layer on top of
+    ``media_phash_neardup`` — near-dup pairs contracted to connected
+    components (operators/graph.py::star_components, the O(log² n)
+    MapReduce algorithm), min-id group label, first-occurrence keeper,
+    and the group size every sampling/keep-rate report needs.  This is
+    for images what doc_canonical_selection is for text: pairs are
+    evidence, groups are the dedup decision.  Oracle: the SAME pair
+    CTEs (shared generator) closed transitively with a recursive CTE —
+    proving the star-contraction algebra equals the declarative
+    transitive closure on the perceptual edge set too."""
+    docs = read_table(spark, sf_dir, "documents")
+    from musicflow_spark.operators.graph import star_components
+
+    pairs = phash_neardup_pairs(
+        phash_bands(png_media_from_documents(docs)), PHASH_MAX_HAMMING
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = star_components(docs.select("doc_id"), pairs)
+    wc = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("cluster_id").alias("group_id"),
+        F.col("keep").alias("is_keeper"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+    )
+
+
+def _media_phash_groups_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_phash_pairs_cte_parts()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM ppairs
+  UNION ALL
+  SELECT id_b, id_a FROM ppairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+comp AS (
+  SELECT id AS media_id, min(r) AS group_id, min(r) = id AS is_keeper
+  FROM reach GROUP BY id)
+SELECT media_id, group_id, is_keeper,
+       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
+FROM comp
 """
 
 
@@ -235,5 +292,11 @@ QUERIES = [
         media_phash_neardup,
         _media_phash_neardup_oracle_sql(),
         bench=True,
+    ),
+    Query(
+        "media_phash_groups",
+        "ext: perceptual dedup groups — star-contraction components over the dHash near-dup pairs, min-id keeper, group sizes",
+        media_phash_groups,
+        _media_phash_groups_oracle_sql(),
     ),
 ]
