@@ -469,3 +469,61 @@ def phash_neardup_pairs(bands: DataFrame, max_hamming: int = 7) -> DataFrame:
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def phash_neardup_ingest(
+    bands: DataFrame, is_delta, max_hamming: int = 7
+) -> DataFrame:
+    """Daily-ingest perceptual near-dup: pairs TOUCHING the delta
+    found without the base x base pairing a full re-run pays — the
+    image-side sibling of operators/dedup.py::minhash_dedup_ingest.
+    ``bands`` is a phash_bands output; ``is_delta`` a boolean Column
+    marking today's batch (base band tables persist bucketed on
+    (band_idx, band_val) at scale, so the probe is shuffle-free).
+
+    Shape: only DELTA band rows drive the candidate join (base rows
+    are probe targets), so per-ingest cost is O(|delta| x bucket
+    width); delta x delta pairs canonicalize id_a < id_b, delta x
+    base pairs orient delta-first.  Output adds ``partner_in_delta``
+    so downstream keep/suppress policy can distinguish new-vs-new
+    from new-vs-corpus."""
+    flagged = bands.withColumn("is_delta", is_delta)
+    keyed = flagged.select(
+        "media_id", "is_delta", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    d = keyed.filter(F.col("is_delta")).select(
+        F.col("media_id").alias("id_a"), "band_idx", "band_val"
+    )
+    c = keyed.select(
+        F.col("media_id").alias("id_b"),
+        "band_idx",
+        "band_val",
+        F.col("is_delta").alias("partner_in_delta"),
+    )
+    cand = (
+        d.join(c, ["band_idx", "band_val"])
+        .filter(
+            F.when(
+                F.col("partner_in_delta"), F.col("id_a") < F.col("id_b")
+            ).otherwise(F.col("id_a") != F.col("id_b"))
+        )
+        .select("id_a", "id_b", "partner_in_delta")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with("ba", "bb", lambda p, q: F.bit_count(p.bitwiseXOR(q))),
+        F.lit(0),
+        lambda acc, h: acc + h,
+    )
+    return (
+        cand.join(
+            bands.select(F.col("media_id").alias("id_a"), F.col("bands").alias("ba")),
+            "id_a",
+        )
+        .join(
+            bands.select(F.col("media_id").alias("id_b"), F.col("bands").alias("bb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", ham.alias("hamming"), "partner_in_delta")
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -22,6 +22,7 @@ from musicflow_spark.operators.multimodal import (
     extract_features,
     fake_media_from_documents,
     phash_bands,
+    phash_neardup_ingest,
     phash_neardup_pairs,
     png_media_from_documents,
     sample_frames,
@@ -174,6 +175,34 @@ SELECT id_a, id_b, hamming FROM ppairs
 """
 
 
+def media_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual dedup (ext): near-dup pairs TOUCHING
+    today's image batch (every 5th media_id stands in for the
+    ingest, mirroring doc_incremental_dedup) found in O(|delta| x
+    bucket) — base x base never pairs
+    (operators/multimodal.py::phash_neardup_ingest).  delta x delta
+    canonicalizes id_a < id_b; delta x base orients delta-first.
+    Oracle: the full perceptual pair replay restricted to
+    delta-touching pairs with the same orientation rules."""
+    docs = read_table(spark, sf_dir, "documents")
+    bands = phash_bands(png_media_from_documents(docs))
+    return phash_neardup_ingest(
+        bands, (F.col("media_id") % 5) == 0, PHASH_MAX_HAMMING
+    )
+
+
+def _media_phash_ingest_oracle_sql() -> str:
+    return f"""
+WITH {_phash_pairs_cte_parts()}
+SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS id_a,
+       CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS id_b,
+       hamming,
+       (id_a % 5 = 0 AND id_b % 5 = 0) AS partner_in_delta
+FROM ppairs
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""
+
+
 def media_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual dedup GROUPS (ext): the decision layer on top of
     ``media_phash_neardup`` — near-dup pairs contracted to connected
@@ -292,6 +321,12 @@ QUERIES = [
         media_phash_neardup,
         _media_phash_neardup_oracle_sql(),
         bench=True,
+    ),
+    Query(
+        "media_phash_ingest",
+        "ext: incremental perceptual dedup — delta-probe band join, base x base never pairs, delta-first orientation",
+        media_phash_ingest,
+        _media_phash_ingest_oracle_sql(),
     ),
     Query(
         "media_phash_groups",

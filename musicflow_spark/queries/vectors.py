@@ -719,15 +719,12 @@ def embedding_pca_scores_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca2_scores_closed_form(emb, "vec_id", "embedding")
 
 
-def _embedding_pca_scores_2d_oracle_sql() -> str:
-    """Line-for-line replay of pca2_scores_closed_form: identical
-    integer moments, identical IEEE-754 operation tree (every + - * /
-    sqrt is correctly rounded, so bit-identical on exact inputs),
-    identical sign conventions, identical 6-dp portable round with
-    the ``+ 0.0`` negative-zero fold."""
+def _pca2_cte_parts() -> str:
+    """Shared CTE body replaying pca2_scores_closed_form up to a
+    ``pca2`` CTE (vec_id, pc1, pc2) — composed by the scores oracle
+    and the whitened-ANN oracle so the replays cannot drift."""
     s = DEFAULT_SCALE
-    return f"""
-WITH pts AS (
+    return f"""pts AS (
   SELECT vec_id,
          cast(round(cast(embedding[1] AS double) * {s}) AS bigint) AS qx,
          cast(round(cast(embedding[2] AS double) * {s}) AS bigint) AS qy
@@ -772,15 +769,84 @@ axes AS (
                THEN -1.0 ELSE 1.0 END) * (-uy) AS u2x,
          (CASE WHEN (CASE WHEN abs(-uy) >= abs(ux) THEN -uy ELSE ux END) < 0
                THEN -1.0 ELSE 1.0 END) * ux AS u2y
-  FROM unit)
-SELECT p.vec_id,
-       round((cast(x.n * p.qx - x.sx AS double) * x.u1x
-              + cast(x.n * p.qy - x.sy AS double) * x.u1y)
-             / cast(x.n * {s} AS double) * 1000000.0) / 1000000.0 + 0.0 AS pc1,
-       round((cast(x.n * p.qx - x.sx AS double) * x.u2x
-              + cast(x.n * p.qy - x.sy AS double) * x.u2y)
-             / cast(x.n * {s} AS double) * 1000000.0) / 1000000.0 + 0.0 AS pc2
-FROM pts p CROSS JOIN axes x
+  FROM unit),
+pca2 AS MATERIALIZED (
+  SELECT p.vec_id,
+         round((cast(x.n * p.qx - x.sx AS double) * x.u1x
+                + cast(x.n * p.qy - x.sy AS double) * x.u1y)
+               / cast(x.n * {s} AS double) * 1000000.0) / 1000000.0 + 0.0 AS pc1,
+         round((cast(x.n * p.qx - x.sx AS double) * x.u2x
+                + cast(x.n * p.qy - x.sy AS double) * x.u2y)
+               / cast(x.n * {s} AS double) * 1000000.0) / 1000000.0 + 0.0 AS pc2
+  FROM pts p CROSS JOIN axes x)"""
+
+
+def _embedding_pca_scores_2d_oracle_sql() -> str:
+    """Line-for-line replay of pca2_scores_closed_form: identical
+    integer moments, identical IEEE-754 operation tree (every + - * /
+    sqrt is correctly rounded, so bit-identical on exact inputs),
+    identical sign conventions, identical 6-dp portable round with
+    the ``+ 0.0`` negative-zero fold."""
+    return f"""
+WITH {_pca2_cte_parts()}
+SELECT vec_id, pc1, pc2 FROM pca2
+"""
+
+
+def knn_pca2_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-reduced exact kNN (ext): the PCA-then-search
+    composition a 100 TB ANN pipeline runs — project every vector
+    onto the closed-form 2-D principal axes
+    (``embedding_pca_scores_2d``), then exact squared-L2 top-k in the
+    REDUCED space against the 8 lowest-id queries.  The scan costs
+    O(N·2) instead of O(N·64); the trade is recall vs the full-space
+    ranking, which tests measure against knn_bruteforce.  Everything
+    is hash-checkable: the projected scores are bit-identical doubles
+    on both engines (the pca2 contract), so the distance ranking —
+    d2 = (pc1-q1)² + (pc2-q2)², ties by neighbor id — cannot flip
+    across engines.  Shape: one moments aggregate + 1-row broadcast
+    (the projection), an 8-row query broadcast, a per-query top-k
+    window — same plan family as knn_bruteforce."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    scores = pca2_scores_closed_form(emb, "vec_id", "embedding")
+    q = scores.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pc1").alias("q1"),
+        F.col("pc2").alias("q2"),
+    )
+    d2 = (F.col("pc1") - F.col("q1")) * (F.col("pc1") - F.col("q1")) + (
+        F.col("pc2") - F.col("q2")
+    ) * (F.col("pc2") - F.col("q2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scores.select(F.col("vec_id").alias("neighbor_id"), "pc1", "pc2")
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", (pround(d2, 6) + F.lit(0.0)).alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _knn_pca2_whitened_oracle_sql() -> str:
+    """Composes the shared pca2 CTEs with the identical reduced-space
+    distance ranking — same operation tree, same tiebreak."""
+    return f"""
+WITH {_pca2_cte_parts()},
+q AS (SELECT vec_id AS query_id, pc1 AS q1, pc2 AS q2 FROM pca2
+      WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(((c.pc1 - q.q1) * (c.pc1 - q.q1)
+                + (c.pc2 - q.q2) * (c.pc2 - q.q2)) * 1000000.0)
+           / 1000000.0 + 0.0 AS d2
+  FROM pca2 c CROSS JOIN q)
+SELECT query_id, neighbor_id, d2, rank FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2, neighbor_id) AS integer) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
 """
 
 
@@ -1201,5 +1267,6 @@ QUERIES = [
         _embedding_kmeans_oracle_sql(),
     ),
     Query("embedding_pca_scores_2d", "ext: PCA projection, fully hash-proven — closed-form 2x2 eigendecomposition (quadratic formula) over exact integer covariance numerators", embedding_pca_scores_2d, _embedding_pca_scores_2d_oracle_sql()),
+    Query("knn_pca2_whitened", "ext: dimensionality-reduced exact kNN — closed-form 2-D PCA projection then squared-L2 top-k in the reduced space", knn_pca2_whitened, _knn_pca2_whitened_oracle_sql()),
     Query("embedding_pca_invariants", "ext: PCA driver gate — centering/eigenvalue/orthogonality invariants vs a literal expectation oracle", embedding_pca_invariants, EMBEDDING_PCA_INVARIANTS_SQL),
 ]

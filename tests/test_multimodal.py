@@ -438,3 +438,32 @@ def test_phash_fixture_groups_are_neardups(spark):
         for i, a in enumerate(ids):
             for b in ids[i + 1 :]:
                 assert (a, b) in got
+
+
+def test_phash_ingest_never_pairs_base_with_base(spark):
+    import numpy as np
+
+    from musicflow_spark.operators.multimodal import (
+        phash_bands,
+        phash_neardup_ingest,
+    )
+    from musicflow_spark.operators.pngcodec import encode_png
+
+    rng = np.random.default_rng(9)
+    base_img = rng.integers(0, 200, size=(36, 32), dtype=np.int64)
+    rows = [
+        (0, encode_png(base_img.astype("uint8"))),           # base
+        (1, encode_png((base_img + 10).astype("uint8"))),    # base (near-dup of 0)
+        (2, encode_png((base_img + 20).astype("uint8"))),    # delta (near-dup of both)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    bands = phash_bands(media)
+    got = {
+        (r["id_a"], r["id_b"]): r["partner_in_delta"]
+        for r in phash_neardup_ingest(
+            bands, F.col("media_id") == 2, max_hamming=7
+        ).collect()
+    }
+    # delta id 2 pairs with both base images, delta-first orientation
+    assert got == {(2, 0): False, (2, 1): False}
+    # the (0, 1) base x base near-dup pair must NOT appear
