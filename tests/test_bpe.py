@@ -161,3 +161,37 @@ def test_encode_state_matches_python_reference(spark):
     assert got == python_bpe_piece_counts(CORPUS, 10)
     # encoding compresses: every multi-char word has fewer pieces than chars
     assert any(got[w] < len(w) for w in got if len(w) > 1)
+
+
+# ------------------------------------------------ representation property
+from hypothesis import given, settings, strategies as st
+
+_syms = st.text(alphabet="ab", min_size=1, max_size=3)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(_syms, min_size=1, max_size=10),
+    _syms,
+    _syms,
+)
+def test_replace_encoding_equals_greedy_merge(seq, lhs, rhs):
+    """The '|l.|r.' -> '|lr.' string replace (python str.replace has
+    the same leftmost non-overlapping semantics as Spark's F.replace
+    and DuckDB's replace) must equal the greedy left-to-right scan
+    for ANY symbol sequence and pair — including prefix-sharing
+    symbols like ('a', 'ab'), the class that broke the
+    leading-delimiter-only encoding."""
+    enc = "".join(f"|{x}." for x in seq)
+    out = enc.replace(f"|{lhs}.|{rhs}.", f"|{lhs}{rhs}.")
+    via_replace = [x[:-1] for x in out.split("|") if x]
+
+    res, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == lhs and seq[i + 1] == rhs:
+            res.append(lhs + rhs)
+            i += 2
+        else:
+            res.append(seq[i])
+            i += 1
+    assert via_replace == res

@@ -279,3 +279,38 @@ def test_nearest_centroid_separable_and_tiebreak(spark):
     # centroids are (10000,1) and (1,10000) on the milli grid; the
     # diagonal point is equidistant -> label-id tiebreak picks 0
     assert got[102] == 0
+
+
+def test_pca2_whitened_knn_recovers_structured_neighbors(spark):
+    # data whose signal lives entirely in the projected plane: the
+    # reduced-space squared-L2 ranking must equal the full-space one
+    # (rotation + centering preserve distances)
+    import numpy as np
+
+    from musicflow_spark.queries.vectors import knn_pca2_whitened
+
+    rng = np.random.default_rng(3)
+    n, dim = 120, 8
+    sig = rng.normal(size=(n, 2)) * [4.0, 1.5]
+    mat = np.zeros((n, dim))
+    mat[:, :2] = sig
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="mf_pca2knn_") 
+    df.write.mode("overwrite").parquet(path + "/embeddings.parquet")
+    got = knn_pca2_whitened(spark, path)
+    got_sets = {}
+    for r in got.collect():
+        got_sets.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    # numpy reference: full-space L2 on the QUANTIZED float32 grid the
+    # operator sees (round(x*1000)/1000 of the float32 cast)
+    q = np.round(mat.astype(np.float32).astype(np.float64) * 1000) / 1000
+    for qid in range(8):
+        d2 = ((q - q[qid]) ** 2).sum(axis=1)
+        want = sorted(range(n), key=lambda i: (d2[i], i))[:10]
+        gotlist = [nid for _, nid in sorted(got_sets[qid])]
+        assert gotlist == want, f"query {qid}"

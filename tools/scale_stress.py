@@ -150,6 +150,23 @@ QUERY_TABLES = {
     # vocab grows ~N; lang/quality are map-only); flags join back on
     # the replica-shifted doc_id
     "corpus_training_selection": ["documents"],
+    # BPE training: the word-type histogram grows ~N (replica
+    # prefixes), per-round pair agg + replace are vocab-linear, round
+    # count fixed at 12
+    "corpus_bpe_merges": ["documents"],
+    # BPE apply: one corpus explode + a vocab-sized word-keyed join
+    "doc_bpe_encode": ["documents"],
+    # logreg GD: per-round map + O(d) scalar gradient agg; 8 fixed
+    # rounds regardless of N
+    "doc_quality_logreg": ["documents"],
+    # media_phash_* are deliberately absent (the match_cascade rule):
+    # the fixture texture is periodic mod 20099 groups and the replica
+    # stride folds some replicas' group classes onto the base's
+    # (shift*7 mod 20099 = 169 < the 1250-group span), so replicated
+    # runs would measure fixture collisions, not the banding join's
+    # shape — which is the same simhash-band machinery already
+    # stress-rowed.
+    "media_binary_dedup": ["documents"],
     # BFS: the stride is a multiple of 100, so every replica keeps its
     # proportional seed set; co-purchase edges stay within an order's
     # replica; fixed 4 relaxation rounds, edge-linear each
