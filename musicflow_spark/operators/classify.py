@@ -30,6 +30,7 @@ def naive_bayes_scores(
     label_col: str,
     tokens_col: str = "tk",
     id_col: str = "doc_id",
+    validate: bool = True,
 ) -> DataFrame:
     """Multinomial naive Bayes with add-1 (Laplace) smoothing.
 
@@ -64,9 +65,13 @@ def naive_bayes_scores(
     must be NON-NULL (explode drops a NULL array's rows but the cross
     join would still emit prior-only scores, silently conflating NULL
     with empty — callers must decide, e.g. coalesce to array()).
-    Both are cheap metadata-level checks: one aggregate over the test
-    frame, no extra shuffle of the data path.
+    The check is one EXTRA aggregate-only pass over the test frame
+    (no shuffle, but it does execute the frame's lineage once more);
+    pass ``validate=False`` on a hot path whose inputs are already
+    contract-proven.
     """
+    if not validate:
+        return _nb_scores_body(train, test, label_col, tokens_col, id_col)
     bad = test.agg(
         (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias("dups"),
         (F.count(F.lit(1)) - F.count(tokens_col)).alias("nulls"),
@@ -81,6 +86,16 @@ def naive_bayes_scores(
             f"naive_bayes_scores: {bad['nulls']} NULL {tokens_col} arrays in"
             " test (coalesce to array() to score them as empty docs)"
         )
+    return _nb_scores_body(train, test, label_col, tokens_col, id_col)
+
+
+def _nb_scores_body(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str,
+    tokens_col: str,
+    id_col: str,
+) -> DataFrame:
     classes = train.groupBy(F.col(label_col).alias("cls")).agg(
         F.count(F.lit(1)).alias("docs_c")
     )
@@ -218,9 +233,12 @@ def logreg_train_gd(
 
     Scale shape per round: one map stage (logit + sigmoid) + one
     map-side-combinable scalar aggregate over d+2 sums.  At 100 TB:
-    |g_j| <= n * 1e6 * max|x| must stay inside int64 — with
-    max|x| <= 32 (the caller's feature clamp) that holds to ~9e9
-    rows; past that aggregate the gradient as DECIMAL(38,0).
+    |g_j| <= n * 1e6 * max|x| must stay inside int64 — the CALLER is
+    responsible for clamping features (doc_quality_logreg clamps to
+    |x| <= 32, which holds to ~9e9 rows); an unclamped long feature
+    would wrap Spark's non-ANSI long sum silently while the DuckDB
+    HUGEINT path errors.  Past the bound, aggregate the gradient as
+    DECIMAL(38,0).
 
     Returns ONE row: n, n_correct (training accuracy of the final
     weights, prediction = z >= 0), and the final micro-unit weights

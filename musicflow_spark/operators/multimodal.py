@@ -443,6 +443,11 @@ def phash_neardup_pairs(bands: DataFrame, max_hamming: int = 7) -> DataFrame:
     hamming < n_bands (8) — then exact hamming verifies.  Shape: one
     posexplode + equi-join keyed by (band_idx, band_val) + an id join
     back; no all-pairs stage anywhere."""
+    # the bands frame sits on TWO chained Python stages (PNG encode +
+    # decode/dHash); it is referenced three times below (banding + two
+    # join-backs), so pin it once — without this every reference
+    # re-runs the whole codec pipeline (review r07)
+    bands = bands.localCheckpoint(eager=True)
     keyed = bands.select(
         "media_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
@@ -487,6 +492,9 @@ def phash_neardup_ingest(
     base pairs orient delta-first.  Output adds ``partner_in_delta``
     so downstream keep/suppress policy can distinguish new-vs-new
     from new-vs-corpus."""
+    # same three-reference shape as phash_neardup_pairs: pin the
+    # codec output once (review r07)
+    bands = bands.localCheckpoint(eager=True)
     flagged = bands.withColumn("is_delta", is_delta)
     keyed = flagged.select(
         "media_id", "is_delta", F.posexplode("bands").alias("band_idx", "band_val")

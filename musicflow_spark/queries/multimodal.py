@@ -192,14 +192,20 @@ def media_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_phash_ingest_oracle_sql() -> str:
+    # inner alias rename first: re-binding id_a/id_b in the SAME
+    # select would lean on DuckDB resolving the base column over the
+    # lateral alias (review r07) — the wrapper makes it unambiguous
     return f"""
 WITH {_phash_pairs_cte_parts()}
-SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS id_a,
-       CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS id_b,
+SELECT CASE WHEN a_in THEN pa ELSE pb END AS id_a,
+       CASE WHEN a_in THEN pb ELSE pa END AS id_b,
        hamming,
-       (id_a % 5 = 0 AND id_b % 5 = 0) AS partner_in_delta
-FROM ppairs
-WHERE id_a % 5 = 0 OR id_b % 5 = 0
+       (a_in AND b_in) AS partner_in_delta
+FROM (
+  SELECT id_a AS pa, id_b AS pb, hamming,
+         id_a % 5 = 0 AS a_in, id_b % 5 = 0 AS b_in
+  FROM ppairs)
+WHERE a_in OR b_in
 """
 
 

@@ -1410,11 +1410,17 @@ def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = tokens("text")
     nt = F.size(tk)
     nu = F.size(F.array_distinct(tk))
+    def clamp(c):
+        # establishes logreg_train_gd's documented max|x| <= 32
+        # int64-headroom precondition (no-op on this corpus: token
+        # counts max out at 99, distinct tokens at 31)
+        return F.greatest(F.least(c, F.lit(32)), F.lit(-32))
+
     feats = docs.select(
         F.lit(1).alias("x0"),
-        ((nt / 8).cast("long") - 7).alias("x1"),
-        (nu.cast("long") - 25).alias("x2"),
-        ((nt % 13).cast("long") - 6).alias("x3"),
+        clamp((nt / 8).cast("long") - 7).alias("x1"),
+        clamp(nu.cast("long") - 25).alias("x2"),
+        clamp((nt % 13).cast("long") - 6).alias("x3"),
         (nu >= 25).cast("long").alias("y"),
     )
     return logreg_train_gd(
@@ -1495,9 +1501,9 @@ def _doc_quality_logreg_oracle_sql() -> str:
     toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
     feats = f"""
   SELECT 1 AS x0,
-         nt // 8 - 7 AS x1,
-         nu - 25 AS x2,
-         nt % 13 - 6 AS x3,
+         greatest(least(nt // 8 - 7, 32), -32) AS x1,
+         greatest(least(nu - 25, 32), -32) AS x2,
+         greatest(least(nt % 13 - 6, 32), -32) AS x3,
          CASE WHEN nu >= 25 THEN 1 ELSE 0 END AS __y__
   FROM (SELECT len({toks}) AS nt, len(list_distinct({toks})) AS nu
         FROM documents)"""

@@ -722,7 +722,7 @@ def embedding_pca_scores_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pca2_cte_parts() -> str:
     """Shared CTE body replaying pca2_scores_closed_form up to a
     ``pca2`` CTE (vec_id, pc1, pc2) — composed by the scores oracle
-    and the whitened-ANN oracle so the replays cannot drift."""
+    and the reduced-space ANN oracle so the replays cannot drift."""
     s = DEFAULT_SCALE
     return f"""pts AS (
   SELECT vec_id,
@@ -793,11 +793,14 @@ SELECT vec_id, pc1, pc2 FROM pca2
 """
 
 
-def knn_pca2_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_pca2_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensionality-reduced exact kNN (ext): the PCA-then-search
     composition a 100 TB ANN pipeline runs — project every vector
     onto the closed-form 2-D principal axes
-    (``embedding_pca_scores_2d``), then exact squared-L2 top-k in the
+    (``embedding_pca_scores_2d``; NOT whitened — axes are rotated and
+    centered but keep their variances, so on structure-in-plane data
+    reduced-space L2 ranking equals full-space ranking, which the
+    test asserts), then exact squared-L2 top-k in the
     REDUCED space against the 8 lowest-id queries.  The scan costs
     O(N·2) instead of O(N·64); the trade is recall vs the full-space
     ranking, which tests measure against knn_bruteforce.  Everything
@@ -829,7 +832,7 @@ def knn_pca2_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_pca2_whitened_oracle_sql() -> str:
+def _knn_pca2_reduced_oracle_sql() -> str:
     """Composes the shared pca2 CTEs with the identical reduced-space
     distance ranking — same operation tree, same tiebreak."""
     return f"""
@@ -1267,6 +1270,6 @@ QUERIES = [
         _embedding_kmeans_oracle_sql(),
     ),
     Query("embedding_pca_scores_2d", "ext: PCA projection, fully hash-proven — closed-form 2x2 eigendecomposition (quadratic formula) over exact integer covariance numerators", embedding_pca_scores_2d, _embedding_pca_scores_2d_oracle_sql()),
-    Query("knn_pca2_whitened", "ext: dimensionality-reduced exact kNN — closed-form 2-D PCA projection then squared-L2 top-k in the reduced space", knn_pca2_whitened, _knn_pca2_whitened_oracle_sql()),
+    Query("knn_pca2_reduced", "ext: dimensionality-reduced exact kNN — closed-form 2-D PCA projection (rotation, not whitening) then squared-L2 top-k in the reduced space", knn_pca2_reduced, _knn_pca2_reduced_oracle_sql()),
     Query("embedding_pca_invariants", "ext: PCA driver gate — centering/eigenvalue/orthogonality invariants vs a literal expectation oracle", embedding_pca_invariants, EMBEDDING_PCA_INVARIANTS_SQL),
 ]

@@ -110,15 +110,12 @@ def test_pca2_closed_form_matches_numpy(vecs):
     cov = np.cov(q, rowvar=False)
     vals, vecs_ = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1]
-    axes = vecs_[:, order].T
-    for row in axes:
-        if row[np.argmax(np.abs(row))] < 0:
-            row *= -1
-    ref = centered @ axes.T
-    # numpy's second axis may be the quarter-turn's negation: both are
-    # valid under the largest-|coord|-positive convention only when the
-    # pivots coincide — re-fix the reference to the operator's u2 rule
-    u1 = axes[0]
+    u1 = vecs_[:, order].T[0]
+    if u1[np.argmax(np.abs(u1))] < 0:
+        u1 = -u1
+    # the operator's second axis is the quarter-turn of u1 under the
+    # same largest-|coord|-positive sign rule (numpy's own second
+    # eigenvector may be its negation)
     u2 = np.array([-u1[1], u1[0]])
     if u2[np.argmax(np.abs(u2))] < 0:
         u2 = -u2
@@ -281,13 +278,13 @@ def test_nearest_centroid_separable_and_tiebreak(spark):
     assert got[102] == 0
 
 
-def test_pca2_whitened_knn_recovers_structured_neighbors(spark):
+def test_pca2_reduced_knn_recovers_structured_neighbors(spark):
     # data whose signal lives entirely in the projected plane: the
     # reduced-space squared-L2 ranking must equal the full-space one
     # (rotation + centering preserve distances)
     import numpy as np
 
-    from musicflow_spark.queries.vectors import knn_pca2_whitened
+    from musicflow_spark.queries.vectors import knn_pca2_reduced
 
     rng = np.random.default_rng(3)
     n, dim = 120, 8
@@ -301,7 +298,7 @@ def test_pca2_whitened_knn_recovers_structured_neighbors(spark):
 
     path = tempfile.mkdtemp(prefix="mf_pca2knn_") 
     df.write.mode("overwrite").parquet(path + "/embeddings.parquet")
-    got = knn_pca2_whitened(spark, path)
+    got = knn_pca2_reduced(spark, path)
     got_sets = {}
     for r in got.collect():
         got_sets.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))

@@ -99,7 +99,7 @@ CARTESIAN_OK = {
     "orders_benford_screen",   # 1-row digit-total broadcast into the 9-cell table
     "embedding_pca_scores_2d", # 1-row moments/eigenvector broadcast into the
                                # projection scan (closed-form 2x2 PCA)
-    "knn_pca2_whitened",       # same 1-row projection broadcast + the 8-row
+    "knn_pca2_reduced",       # same 1-row projection broadcast + the 8-row
                                # query broadcast (the knn_bruteforce contract)
     "corpus_bpe_merges",       # 1-row per-round winning-pair broadcast into the
                                # vocabulary-sized merge replace
@@ -181,7 +181,7 @@ SINGLE_OK = {
     "doc_quality_logreg",      # final 1-row accuracy aggregate (n, n_correct)
                                # by construction; per-round gradients are the
                                # same O(d) scalar shape
-    "knn_pca2_whitened",       # inherits pca2's 1-row global moments aggregate
+    "knn_pca2_reduced",       # inherits pca2's 1-row global moments aggregate
 }
 
 

@@ -91,7 +91,8 @@ QUERY_TABLES = {
     "shipment_overlap_pairs": ["lineitem"],
     # map-agg moment passes: replicated vectors are fine (no pairing)
     "embedding_gram_moments": ["embeddings"],
-    "embedding_pca_scores": ["embeddings"],
+    # closed-form 2-D PCA: one 6-sum moments agg + a map projection
+    "embedding_pca_scores_2d": ["embeddings"],
     # bloom build scales with keys, probe with facts; bitmap stays
     # m_bits/64 words regardless of N
     "bloom_filtered_revenue": ["orders", "customer"],
