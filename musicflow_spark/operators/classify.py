@@ -219,7 +219,14 @@ def logreg_train_gd(
     - the sigmoid is the only transcendental: its output is rounded
       to the micro grid ``s = round(1e6 / (1 + exp(-z)))`` BEFORE any
       aggregation, the same 1-ulp-tolerant discipline as the
-      micro-nat ``ln`` in doc_perplexity_filter / PMI;
+      micro-nat ``ln`` in doc_perplexity_filter / PMI.  UNLIKE the
+      ln queries, the rounded value feeds back into the integer
+      weight state each round, so a 1-ulp JVM-vs-DuckDB libm
+      difference landing exactly on a .5 micro-unit boundary would
+      be AMPLIFIED through every subsequent round rather than
+      tolerated at the output — callers pinning a hash oracle should
+      keep a boundary canary on their fixture corpus (see
+      tests/test_classify.py::test_logreg_sigmoid_boundary_canary);
     - the gradient is then EXACT integer arithmetic:
       ``g_j = sum((s_i - y_i*1e6) * x_ij)`` in int64, and the update
       ``w_j -= g_j div (n * lr_den)`` (learning rate 1/lr_den)
@@ -271,6 +278,11 @@ def logreg_train_gd(
             ],
         ).collect()[0]
         n = grad["n"]
+        if n == 0:
+            # an empty frame would otherwise fail opaquely inside
+            # _trunc_div (g_j is NULL); mirror the n_rounds/lr_den
+            # validation with a clear contract error instead
+            raise ValueError("empty training frame")
         w = [w[j] - _trunc_div(grad[f"g{j}"], n * lr_den) for j in range(d)]
     z_int = sum(
         (F.col(c) * F.lit(w[j]) for j, c in enumerate(feature_cols)),

@@ -348,6 +348,10 @@ PHASH_H, PHASH_W = 36, 32
 PHASH_GROUP = 4
 PHASH_BASE_MOD = 199
 PHASH_BUMP = 56
+# the bumped pixel (max base PHASH_BASE_MOD-1, plus PHASH_BUMP) must fit
+# uint8: a silent mod-256 wrap on the Python side would NOT be replayed
+# by the SQL oracle and the hash mismatch would surface far from here
+assert PHASH_BASE_MOD - 1 + PHASH_BUMP <= 255
 
 
 def phash_fixture_pixels(doc_id: int) -> "np.ndarray":

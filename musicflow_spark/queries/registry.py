@@ -131,7 +131,24 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "customer_entity_mart", "skew_salted_topk", "customer_rfm_segments",
     "part_copurchase_reach", "knn_graph_triangles", "knn_link_prediction",
     "part_copurchase_kcore",
+    # green in CORRECTNESS_r07.json (50/50, first round with no grey row)
+    "stream_click_purchase_leftjoin", "corpus_bpe_merges",
+    "doc_quality_logreg", "doc_bpe_encode", "embedding_pca_scores_2d",
+    "knn_pca2_reduced", "media_phash_neardup", "media_phash_ingest",
+    "media_phash_groups",
 )
+
+#: Current build round — bump when rotating the previous round's greens
+#: into ``_DRIVER_PROVEN``.  Drives the proven-tier window fill: the
+#: driver correctness-checks the FIRST 50 registry entries each round,
+#: and after tier 0/1 (never-proven queries) the remaining slots are
+#: filled from ``_DRIVER_PROVEN`` starting at a round-keyed offset —
+#: ``(_ROUND * _FILL_STRIDE) % len(_DRIVER_PROVEN)`` — so the WHOLE
+#: proven tier re-earns a driver-green row every ~len/stride rounds
+#: instead of the same module-order prefix being re-checked forever
+#: (VERDICT r07 item 1).
+_ROUND = 8
+_FILL_STRIDE = 41
 
 # Queries added AFTER the current round's 50-query window was frozen.
 # They sort after the window but before the proven tail, so they enter
@@ -185,11 +202,20 @@ def get_queries() -> list[Query]:
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:
         raise ValueError(f"duplicate query names: {dupes}")
-    proven = set(_DRIVER_PROVEN)
+    proven_pos = {n: i for i, n in enumerate(_DRIVER_PROVEN)}
     fresh = set(_NEW_THIS_ROUND)
+    n_proven = len(_DRIVER_PROVEN)
+    offset = (_ROUND * _FILL_STRIDE) % n_proven
     # tier 0: never proven, in the driver window; tier 1: added after
-    # the window froze; tier 2: driver-proven.  Stable within tiers.
-    out.sort(key=lambda q: 2 if q.name in proven else (1 if q.name in fresh else 0))
+    # the window froze; tier 2: driver-proven, ROTATED by round so the
+    # window fill re-certifies a different proven slice each round.
+    # Stable within tiers 0/1 (module order).
+    def _key(q: Query) -> tuple[int, int]:
+        if q.name in proven_pos:
+            return (2, (proven_pos[q.name] - offset) % n_proven)
+        return (1 if q.name in fresh else 0, 0)
+
+    out.sort(key=_key)
     return out
 
 

@@ -177,8 +177,17 @@ def test_zipf_fit_matches_numpy(spark, sf_dir):
 
 
 # ------------------------------------------- logistic regression (GD)
-def _python_logreg(rows, d, n_rounds, lr_den, scale=1_000_000):
-    """Pure-python replica of logreg_train_gd's integer arithmetic."""
+def _python_logreg(rows, d, n_rounds, lr_den, scale=1_000_000, boundary_gap=None):
+    """Pure-python replica of logreg_train_gd's integer arithmetic.
+
+    Rounding must match Spark's F.round on doubles, which is HALF_UP
+    (half-away-from-zero) — Python round() is banker's rounding and
+    would diverge on an exact .5 micro boundary.  The sigmoid output
+    is always positive, so floor(x + 0.5) IS half-up here.
+
+    boundary_gap, if given, is a list the replica appends each
+    sigmoid's distance to the nearest .5 micro-unit boundary to —
+    the canary input for test_logreg_sigmoid_boundary_canary."""
     import math
 
     from musicflow_spark.operators.classify import _trunc_div
@@ -189,7 +198,10 @@ def _python_logreg(rows, d, n_rounds, lr_den, scale=1_000_000):
         g = [0] * d
         for r in rows:
             z = sum(w[j] * r[j] for j in range(d)) / scale
-            s = int(round(scale / (1.0 + math.exp(-z))))
+            sval = scale / (1.0 + math.exp(-z))
+            if boundary_gap is not None:
+                boundary_gap.append(abs(sval - math.floor(sval) - 0.5))
+            s = int(math.floor(sval + 0.5))
             err = s - r[d] * scale
             for j in range(d):
                 g[j] += err * r[j]
@@ -231,3 +243,46 @@ def test_logreg_validation(spark):
         logreg_train_gd(df, ["x0"], "y", 0)
     with pytest.raises(ValueError, match="lr_den"):
         logreg_train_gd(df, ["x0"], "y", 2, 0)
+    empty = df.filter("x0 > 1")
+    with pytest.raises(ValueError, match="empty training frame"):
+        logreg_train_gd(empty, ["x0"], "y", 2)
+
+
+def test_logreg_sigmoid_boundary_canary(spark, sf_dir):
+    """ADVICE r07: the sigmoid is the only transcendental in the
+    logreg hash replay, and its micro-grid rounding feeds back into
+    the integer weight state for 8 rounds — a 1-ulp JVM-vs-DuckDB
+    libm difference landing exactly on a .5 micro-unit boundary
+    would diverge every subsequent round.  Canary: on the fixture
+    corpus doc_quality_logreg trains over, no per-round sigmoid
+    value may sit within 1e-9 of a boundary."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries.textops import (
+        LOGREG_LR_DEN,
+        LOGREG_ROUNDS,
+        tokens,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    nt, nu = F.size(tk), F.size(F.array_distinct(tk))
+
+    def clamp(c):
+        return F.greatest(F.least(c, F.lit(32)), F.lit(-32))
+
+    rows = [
+        tuple(r)
+        for r in docs.select(
+            F.lit(1),
+            clamp((nt / 8).cast("long") - 7),
+            clamp(nu.cast("long") - 25),
+            clamp((nt % 13).cast("long") - 6),
+            (nu >= 25).cast("long"),
+        ).collect()
+    ]
+    gaps: list[float] = []
+    _python_logreg(rows, 4, LOGREG_ROUNDS, LOGREG_LR_DEN, boundary_gap=gaps)
+    assert gaps, "fixture corpus produced no sigmoid evaluations"
+    assert min(gaps) > 1e-9, min(gaps)

@@ -7,7 +7,9 @@ from __future__ import annotations
 
 from musicflow_spark.queries.registry import (
     _DRIVER_PROVEN,
+    _FILL_STRIDE,
     _NEW_THIS_ROUND,
+    _ROUND,
     get_queries,
 )
 
@@ -43,6 +45,30 @@ def test_names_unique_and_window_is_tier0():
     # and tiers are contiguous: tier-0, then tier-1, then proven
     tiers = [2 if n in proven else (1 if n in fresh else 0) for n in names]
     assert tiers == sorted(tiers)
+
+
+def test_proven_fill_rotates_by_round():
+    """VERDICT r07 item 1: the proven tier must enter the registry in
+    round-keyed rotated order — offset (_ROUND * _FILL_STRIDE) %
+    len(_DRIVER_PROVEN) — so the driver window's proven fill
+    re-certifies a different slice each round instead of the same
+    module-order prefix forever."""
+    names = [q.name for q in get_queries()]
+    proven_names = [n for n in names if n in set(_DRIVER_PROVEN)]
+    n = len(_DRIVER_PROVEN)
+    offset = (_ROUND * _FILL_STRIDE) % n
+    expected = [
+        _DRIVER_PROVEN[(offset + i) % n] for i in range(n)
+    ]
+    assert proven_names == expected
+    # the fill visible in this round's driver window must NOT be the
+    # fixed head of _DRIVER_PROVEN (the pre-rotation failure mode),
+    # unless the offset happens to be 0 this round
+    if offset:
+        n_nonproven = len(names) - n
+        fill = proven_names[: DRIVER_WINDOW - n_nonproven]
+        assert fill and fill[0] == _DRIVER_PROVEN[offset]
+        assert fill[0] != _DRIVER_PROVEN[0]
 
 
 def test_oracles_present_or_documented_rows_only():
