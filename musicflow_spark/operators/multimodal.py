@@ -16,13 +16,15 @@ Design contract (the part that must be right at 100 TB):
   expensive per-frame decode fans out AFTER the explode, so it
   parallelizes across the cluster.
 
-The actual codec work is STUBBED: no image/audio library ships in
-this container.  ``Codec`` is the injection point — production swaps
-in a Pillow/ffmpeg-backed codec; tests and this environment use
-``FakeCodec`` (deterministic bytes -> features) or ``LibraryCodec``
+``Codec`` is the injection point — production swaps in a
+Pillow/ffmpeg-backed codec; this environment uses ``FakeCodec``
+(deterministic bytes -> features), the REAL stdlib PNG tier
+(operators/pngcodec.py — actual encode/decode, dHash, perceptual
+near-dup), the REAL stdlib WAV/PCM16 tier (operators/wavcodec.py —
+frame features + energy-fingerprint near-dup), or ``LibraryCodec``
 which raises NotImplementedError at call time if its import is
 missing.  The Spark-side plumbing (schemas, batching, partitioning,
-UDF signatures) is real and tested either way.
+UDF signatures) is identical across tiers.
 """
 
 from __future__ import annotations
@@ -408,7 +410,21 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema)
 
 
-def phash_bands(media: DataFrame, rows: int = 8, cols: int = 8) -> DataFrame:
+#: dHash geometry: 16 rows x 8 cols = 128 hash bits as 16 byte bands.
+#: Band PAIRS form the 8 LSH keys (two bytes = 16 bits each), so the
+#: candidate bucket factor is 65536 rather than the 256 a single byte
+#: band gives — the difference between O(n^2/256) and O(n^2/65536)
+#: accidental candidates, i.e. the 100x-corpus survival margin.
+#: Pigeonhole completeness is unchanged: 8 keys, so any pair with
+#: hamming <= 7 (< 8 keys) leaves at least one key byte-identical.
+PHASH_ROWS = 16
+PHASH_COLS = 8
+PHASH_N_KEYS = PHASH_ROWS // 2
+
+
+def phash_bands(
+    media: DataFrame, rows: int = PHASH_ROWS, cols: int = PHASH_COLS
+) -> DataFrame:
     """(media_id, bands array<int>): dHash of each DECODED payload as
     per-row byte bands (operators/pngcodec.py::dhash_bands).  This is
     the perceptual twin of the exact-digest pass: decode + hash runs
@@ -440,20 +456,35 @@ def phash_bands(media: DataFrame, rows: int = 8, cols: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema)
 
 
+#: LSH key construction shared by the pair/ingest tiers: adjacent
+#: byte-band PAIRS packed into 16-bit keys.  Works for any even band
+#: count (16 for images, the audio fingerprint reuses it).  The HOF
+#: lambda evaluates interpreted, but over size/2 elements per asset —
+#: nowhere near the hot path.
+_BAND_KEYS = (
+    "transform(sequence(0, cast(size(bands) / 2 AS int) - 1),"
+    " i -> bands[2*i] * 256 + bands[2*i + 1])"
+)
+
+
 def phash_neardup_pairs(bands: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Hamming-LSH near-dup pairs over dHash bands (the
     simhash_near_pairs machinery on byte bands): candidates share at
-    least one (band_idx, band_val) bucket — pigeonhole-complete for
-    hamming < n_bands (8) — then exact hamming verifies.  Shape: one
-    posexplode + equi-join keyed by (band_idx, band_val) + an id join
-    back; no all-pairs stage anywhere."""
+    least one 16-bit (key_idx, key_val) bucket — two adjacent byte
+    bands packed per key, pigeonhole-complete for hamming < n_keys
+    (8) over the 128-bit hash — then exact hamming verifies.  Shape:
+    one posexplode + equi-join keyed by (key_idx, key_val) + an id
+    join back; no all-pairs stage anywhere.  The 16-bit keys keep
+    accidental candidates at O(n^2/65536): at 50k assets that is
+    ~3e5 candidate rows where single-byte keys would generate ~4e7 —
+    the margin that makes the banding join survive a 100x corpus."""
     # the bands frame sits on TWO chained Python stages (PNG encode +
     # decode/dHash); it is referenced three times below (banding + two
     # join-backs), so pin it once — without this every reference
     # re-runs the whole codec pipeline (review r07)
     bands = bands.localCheckpoint(eager=True)
     keyed = bands.select(
-        "media_id", F.posexplode("bands").alias("band_idx", "band_val")
+        "media_id", F.posexplode(F.expr(_BAND_KEYS)).alias("band_idx", "band_val")
     )
     a = keyed.select(
         F.col("media_id").alias("id_a"), "band_idx", "band_val"
@@ -501,7 +532,9 @@ def phash_neardup_ingest(
     bands = bands.localCheckpoint(eager=True)
     flagged = bands.withColumn("is_delta", is_delta)
     keyed = flagged.select(
-        "media_id", "is_delta", F.posexplode("bands").alias("band_idx", "band_val")
+        "media_id",
+        "is_delta",
+        F.posexplode(F.expr(_BAND_KEYS)).alias("band_idx", "band_val"),
     )
     d = keyed.filter(F.col("is_delta")).select(
         F.col("media_id").alias("id_a"), "band_idx", "band_val"
@@ -539,3 +572,146 @@ def phash_neardup_ingest(
         .select("id_a", "id_b", ham.alias("hamming"), "partner_in_delta")
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------ audio tier (WAV/PCM16)
+#: deterministic PCM fixture (wav_media_from_documents): 2304-sample
+#: mono clip per document, 4 consecutive doc_ids per near-dup group,
+#: one +777 single-sample perturbation at (doc_id % 2304)
+AUDIO_GROUP = 4
+AUDIO_N_SAMPLES = 2304  # 16 bands x 9 frames x 16 samples
+AUDIO_BASE_MOD = 4001   # prime; values centered to [-2000, 2000]
+AUDIO_HALF = 2000
+AUDIO_BUMP = 777
+AUDIO_RATE = 8000
+# the bumped sample (max base +2000, plus AUDIO_BUMP) must fit int16:
+# a silent wrap on the Python side would not be replayed by the SQL
+# oracle (same guard as the PHASH constants above)
+assert AUDIO_HALF + AUDIO_BUMP <= 32767
+
+
+def audio_fixture_samples(doc_id: int) -> "np.ndarray":
+    """The deterministic PCM16 signal the WAV fixture encodes:
+    s(i) = ((g+1)*(i+1)*(i+3) + (g%101)*(i+5)*17) % 4001 - 2000
+    with g = doc_id // AUDIO_GROUP (consecutive ids share a base
+    clip), plus a +777 bump at one doc-specific sample — so ids in a
+    group are NEAR-duplicates (energy-fingerprint hamming <= 4: at
+    most 2 bits per perturbed frame) while across groups the
+    quadratic texture de-correlates the envelope (class period
+    4001 x 101 = 404101 groups).  Everything is integer arithmetic a
+    SQL oracle replays verbatim."""
+    import numpy as np
+
+    g = doc_id // AUDIO_GROUP
+    i = np.arange(AUDIO_N_SAMPLES, dtype=np.int64)
+    s = ((g + 1) * (i + 1) * (i + 3) + (g % 101) * (i + 5) * 17) % AUDIO_BASE_MOD - AUDIO_HALF
+    s[doc_id % AUDIO_N_SAMPLES] += AUDIO_BUMP
+    return s.astype(np.int16)
+
+
+def wav_media_from_documents(docs: DataFrame) -> DataFrame:
+    """REAL WAV payloads (stdlib PCM16 encoder) of the deterministic
+    fixture signal, one per document — the audio twin of
+    ``png_media_from_documents``.  Encode runs Arrow-batched;
+    downstream consumers must decode the payload to see the samples,
+    so the full codec path is exercised."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.wavcodec import encode_wav
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_wav(audio_fixture_samples(int(d)), AUDIO_RATE)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def audio_feature_frame(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, n_samples, peak_abs, n_clipped,
+    n_zero_cross, energy_sum, frame_e_min, frame_e_max): decode each
+    WAV payload in an Arrow batch and compute the integer feature
+    report (operators/wavcodec.py::audio_features).  One map pass at
+    any scale; every output is exact int64 arithmetic."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [
+            T.StructField(c, T.LongType(), False)
+            for c in (
+                "sample_rate",
+                "n_samples",
+                "peak_abs",
+                "n_clipped",
+                "n_zero_cross",
+                "energy_sum",
+                "frame_e_min",
+                "frame_e_max",
+            )
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.wavcodec import audio_features, mono_samples
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = mono_samples(bytes(payload))
+                rows.append(
+                    {"media_id": int(mid), "sample_rate": rate, **audio_features(s)}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def audio_energy_bands(media: DataFrame) -> DataFrame:
+    """(media_id, bands array<int>): energy-envelope fingerprint of
+    each DECODED WAV payload as 16 byte bands
+    (operators/wavcodec.py::energy_fingerprint_bands) — the same band
+    algebra as the image dHash, so ``phash_neardup_pairs`` /
+    ``phash_neardup_ingest`` consume the output unchanged (16-bit
+    keys, pigeonhole-complete hamming <= 7)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("bands", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.wavcodec import (
+            energy_fingerprint_bands,
+            mono_samples,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "bands": [
+                        energy_fingerprint_bands(mono_samples(bytes(p))[0])
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -96,9 +96,11 @@ PHASH_MAX_HAMMING = 7
 def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup (ext — VERDICT r06 item 4): encode a
     REAL greyscale PNG per document (stdlib encoder, deterministic
-    fixture pixels), decode it back, dHash the pixels into 8 byte
-    bands, find candidates by hamming-LSH band buckets, verify with
-    exact hamming <= 7 — pigeonhole-complete recall at 8 bands.  The
+    fixture pixels), decode it back, dHash the pixels into 16 byte
+    bands (128-bit hash), find candidates by hamming-LSH over 16-bit
+    keys (adjacent band pairs), verify with exact hamming <= 7 —
+    pigeonhole-complete recall at 8 keys, and a 65536x bucket factor
+    so accidental candidates stay linear at corpus scale.  The
     exact-digest pass (media_binary_dedup) catches bit-identical
     re-uploads; THIS tier catches the re-encoded/brightness-shifted/
     locally-edited copies, the way MinHash does for text.  The oracle
@@ -115,8 +117,13 @@ def _phash_pairs_cte_parts() -> str:
     """Shared CTE body replaying phash_fixture_pixels -> dhash_bands
     -> phash_neardup_pairs up to a ``ppairs`` CTE (id_a, id_b,
     hamming) — composed by both the pair oracle and the grouping
-    oracle so the two replays cannot drift."""
-    n_rows, n_cols = 8, 8
+    oracle so the two replays cannot drift.  Geometry matches the
+    operator's scale constants: 16 byte bands (128-bit dHash), LSH
+    keys = adjacent band pairs packed into 16 bits."""
+    from musicflow_spark.operators.multimodal import PHASH_COLS, PHASH_ROWS
+
+    n_rows, n_cols = PHASH_ROWS, PHASH_COLS
+    n_keys = n_rows // 2
 
     def cell(y: int, x: int) -> str:
         yy = (y * PHASH_H) // n_rows
@@ -143,10 +150,12 @@ def _phash_pairs_cte_parts() -> str:
 bands AS MATERIALIZED (
   SELECT doc_id, {bands_list} AS bands FROM px),
 keyed AS (
+  -- 16-bit LSH keys: bands[2i-1]*256 + bands[2i] (1-based lists)
   SELECT doc_id, u.band_idx AS band_idx, u.band_val AS band_val FROM (
     SELECT doc_id,
-           unnest(list_transform(range(1, {n_rows + 1}),
-                  i -> struct_pack(band_idx := i - 1, band_val := bands[i]))) AS u
+           unnest(list_transform(range(1, {n_keys + 1}),
+                  i -> struct_pack(band_idx := i - 1,
+                                   band_val := bands[2*i - 1] * 256 + bands[2*i]))) AS u
     FROM bands)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -166,9 +175,9 @@ ppairs AS MATERIALIZED (
 
 def _media_phash_neardup_oracle_sql() -> str:
     """SQL replay of phash_fixture_pixels -> dhash_bands ->
-    phash_neardup_pairs: the resized 8x9 luminance grid is indexed at
-    Y = (y*H)//8, X = (x*W)//9 and every cell / bit / band byte is
-    integer arithmetic."""
+    phash_neardup_pairs: the resized 16x9 luminance grid is indexed
+    at Y = (y*H)//16, X = (x*W)//9 and every cell / bit / band byte
+    is integer arithmetic."""
     return f"""
 WITH {_phash_pairs_cte_parts()}
 SELECT id_a, id_b, hamming FROM ppairs
@@ -256,6 +265,149 @@ FROM comp
 """
 
 
+# ------------------------------------------ audio tier (WAV/PCM16)
+AUDIO_MAX_HAMMING = 7
+
+
+def _audio_frames_cte_parts() -> str:
+    """Shared CTE body replaying audio_fixture_samples ->
+    frame_energies up to an ``fr`` CTE (doc_id, f, e) — composed by
+    both audio oracles so the sample/envelope replays cannot drift.
+    The sample formula, frame length, and constants come from
+    operators/multimodal.py's AUDIO_* fixture spec."""
+    from musicflow_spark.operators.multimodal import (
+        AUDIO_BASE_MOD,
+        AUDIO_BUMP,
+        AUDIO_GROUP,
+        AUDIO_HALF,
+        AUDIO_N_SAMPLES,
+    )
+    from musicflow_spark.operators.wavcodec import AUDIO_FRAME_LEN
+
+    return f"""px AS (
+  SELECT doc_id, doc_id // {AUDIO_GROUP} AS g,
+         doc_id % {AUDIO_N_SAMPLES} AS pos
+  FROM documents),
+samp AS MATERIALIZED (
+  SELECT px.doc_id AS doc_id, t.i AS i,
+         ((px.g + 1) * (t.i + 1) * (t.i + 3)
+          + (px.g % 101) * (t.i + 5) * 17) % {AUDIO_BASE_MOD} - {AUDIO_HALF}
+           + CASE WHEN t.i = px.pos THEN {AUDIO_BUMP} ELSE 0 END AS s
+  FROM px, range({AUDIO_N_SAMPLES}) AS t(i)),
+fr AS MATERIALIZED (
+  SELECT doc_id, i // {AUDIO_FRAME_LEN} AS f,
+         cast(sum(s * s) AS bigint) AS e
+  FROM samp GROUP BY 1, 2)"""
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame features (ext — VERDICT r07 item 2): encode a REAL
+    mono PCM16 WAV per document (stdlib RIFF encoder, deterministic
+    fixture signal), decode it back, and report the integer feature
+    grid — sample count, peak amplitude, clipping count, strict
+    zero-crossing count, total energy, per-frame energy extremes
+    (operators/wavcodec.py::audio_features).  The multimodal claim
+    stops being image-specific here: a second modality runs the same
+    encode -> Arrow batch -> decode -> integer-feature path, and the
+    oracle replays the sample arithmetic, framing, and every feature
+    entirely in SQL."""
+    from musicflow_spark.operators.multimodal import (
+        audio_feature_frame,
+        wav_media_from_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_feature_frame(wav_media_from_documents(docs))
+
+
+def _media_audio_features_oracle_sql() -> str:
+    from musicflow_spark.operators.multimodal import AUDIO_RATE
+    from musicflow_spark.operators.wavcodec import AUDIO_CLIP_ABS
+
+    return f"""
+WITH {_audio_frames_cte_parts()},
+sc AS (
+  SELECT doc_id,
+         cast(count(*) AS bigint) AS n_samples,
+         cast(max(abs(s)) AS bigint) AS peak_abs,
+         cast(sum(CASE WHEN abs(s) >= {AUDIO_CLIP_ABS} THEN 1 ELSE 0 END) AS bigint) AS n_clipped,
+         cast(sum(CASE WHEN s * prev < 0 THEN 1 ELSE 0 END) AS bigint) AS n_zero_cross,
+         cast(sum(s * s) AS bigint) AS energy_sum
+  FROM (SELECT doc_id, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samp)
+  GROUP BY doc_id),
+fe AS (
+  SELECT doc_id, min(e) AS frame_e_min, max(e) AS frame_e_max
+  FROM fr GROUP BY doc_id)
+SELECT sc.doc_id AS media_id,
+       cast({AUDIO_RATE} AS bigint) AS sample_rate,
+       n_samples, peak_abs, n_clipped, n_zero_cross, energy_sum,
+       frame_e_min, frame_e_max
+FROM sc JOIN fe USING (doc_id)
+"""
+
+
+def media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup (ext — VERDICT r07 item 2): decode
+    each WAV payload, fingerprint the frame-energy envelope as 16
+    byte bands (operators/wavcodec.py::energy_fingerprint_bands — the
+    dHash algebra on the envelope, gain-invariant the way dHash is
+    brightness-invariant), then reuse the IMAGE tier's hamming-LSH
+    join unchanged (16-bit keys, exact hamming <= 7 verify,
+    pigeonhole-complete at 8 keys).  One banding machinery, two
+    modalities — the point of keeping the band algebra shared.  The
+    oracle replays samples -> framing -> envelope bits -> band join
+    entirely in SQL."""
+    from musicflow_spark.operators.multimodal import (
+        audio_energy_bands,
+        phash_neardup_pairs,
+        wav_media_from_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = wav_media_from_documents(docs)
+    return phash_neardup_pairs(audio_energy_bands(media), AUDIO_MAX_HAMMING)
+
+
+def _media_audio_neardup_oracle_sql() -> str:
+    n_rows = 16
+    n_keys = n_rows // 2
+    return f"""
+WITH {_audio_frames_cte_parts()},
+bits AS (
+  SELECT a.doc_id AS doc_id, a.f // 9 AS y,
+         CASE WHEN a.e > b.e THEN 1 << cast(a.f % 9 AS int) ELSE 0 END AS bit
+  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f % 9 < 8),
+b0 AS (
+  SELECT doc_id, y, cast(sum(bit) AS int) AS band_val
+  FROM bits GROUP BY 1, 2),
+bands AS MATERIALIZED (
+  SELECT doc_id, list(band_val ORDER BY y) AS bands FROM b0 GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, u.band_idx AS band_idx, u.band_val AS band_val FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, {n_keys + 1}),
+                  i -> struct_pack(band_idx := i - 1,
+                                   band_val := bands[2*i - 1] * 256 + bands[2*i]))) AS u
+    FROM bands)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+       cast(list_sum(list_transform(range(1, {n_rows + 1}),
+            i -> bit_count(xor(ba.bands[i], bb.bands[i])))) AS integer) AS hamming
+FROM cand c
+JOIN bands ba ON ba.doc_id = c.id_a
+JOIN bands bb ON bb.doc_id = c.id_b
+WHERE list_sum(list_transform(range(1, {n_rows + 1}),
+      i -> bit_count(xor(ba.bands[i], bb.bands[i])))) <= {AUDIO_MAX_HAMMING}
+"""
+
+
 FEATURE_DIM = 4
 
 
@@ -333,6 +485,19 @@ QUERIES = [
         "ext: incremental perceptual dedup — delta-probe band join, base x base never pairs, delta-first orientation",
         media_phash_ingest,
         _media_phash_ingest_oracle_sql(),
+    ),
+    Query(
+        "media_audio_features",
+        "ext: audio modality — real WAV/PCM16 encode/decode, integer frame features (peak/clip/zero-cross/energy)",
+        media_audio_features,
+        _media_audio_features_oracle_sql(),
+    ),
+    Query(
+        "media_audio_neardup",
+        "ext: perceptual audio near-dup — energy-envelope fingerprint through the shared hamming-LSH banding machinery",
+        media_audio_neardup,
+        _media_audio_neardup_oracle_sql(),
+        bench=True,
     ),
     Query(
         "media_phash_groups",
