@@ -962,6 +962,115 @@ def paragraph_dedup(
     )
 
 
+def span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_span: int = 8,
+) -> DataFrame:
+    """Duplicated-span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the
+    deduplicate-text-datasets operation a pretraining pipeline runs
+    AFTER span detection): emit every document's cleaned text with
+    cross-document repeated token spans of >= ``min_span`` tokens cut,
+    keeping only each span's globally FIRST occurrence.
+
+    Semantics (the scalable gram-island approximation of the paper's
+    suffix-array formulation): a positional n-gram occurrence is
+    REMOVABLE when the same (lowercased) gram appears in >= 2 distinct
+    documents and this occurrence is not the corpus-wide first
+    (minimum (doc_id, pos) — the keep-first rule paragraph_dedup uses
+    at segment granularity).  Per document, maximal runs of
+    consecutive removable gram positions of length >=
+    ``min_span - n + 1`` (i.e. covering >= min_span tokens) are cut;
+    surviving original-case tokens are reassembled in order.  Shorter
+    removable runs are kept — incidental shared trigrams are not
+    boilerplate.  Within-document repeats with no second document do
+    not qualify (cross-document flag), matching the training-data
+    use case; the keeper document keeps its span verbatim.
+
+    Returns (doc_id, n_tokens, n_kept, n_removed, clean_text) —
+    documents scrubbed to nothing keep a row with clean_text = ''.
+
+    Scale shape: corpus-sized gram table -> ONE map-side-combinable
+    groupBy(gram) for (first-occurrence, distinct-doc) stats -> one
+    gram-keyed join back -> one per-doc window (gaps-and-islands) ->
+    interval explode bounded by doc length -> (doc, pos) anti-join ->
+    per-doc reassembly.  Every stage keys on gram or doc_id; no pair
+    enumeration, no quadratic stage, no driver collect.  Gram keys
+    stay strings for oracle replay; at 100 TB swap in
+    ``portable_hash60``/xxhash64 keys to fix shuffle width (identical
+    set semantics, documented collision rate)."""
+    if min_span < n:
+        raise ValueError(f"min_span ({min_span}) must be >= n ({n})")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks__")
+    )
+    grams = positional_shingle_table(df, text_col, id_col, n)
+    gstats = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    removable = (
+        grams.join(gstats, "gram")
+        .filter(
+            (F.col("n_docs") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        removable.withColumn("__isl__", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "__isl__")
+        .agg(F.min("pos").alias("start"), F.count(F.lit(1)).alias("run_grams"))
+        .filter(F.col("run_grams") >= min_span - n + 1)
+    )
+    # token interval [start, start + run_grams + n - 2]; adjacent
+    # islands < n grams apart can overlap in token coverage, which the
+    # anti-join below absorbs without a distinct
+    covered = runs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("start").cast("long"),
+                F.col("start") + F.col("run_grams") + F.lit(n - 2),
+            )
+        ).alias("tpos"),
+    )
+    toks_pos = base.select(
+        "doc_id", F.posexplode("__toks__").alias("tpos", "tok")
+    ).withColumn("tpos", F.col("tpos").cast("long"))
+    kept = toks_pos.join(covered, ["doc_id", "tpos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("__toks__").cast("long").alias("n_tokens"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 # -------------------------------------------- prefix filter (AllPairs)
 def prefix_filter_pairs(
     df: DataFrame,

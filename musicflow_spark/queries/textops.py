@@ -25,6 +25,7 @@ from musicflow_spark.operators.dedup import (
     positional_shingle_table,
     shared_span_stats,
     simhash_near_pairs,
+    span_scrub,
     with_shingles,
 )
 from musicflow_spark.operators.classify import logreg_oracle_sql, logreg_train_gd
@@ -1263,6 +1264,80 @@ GROUP BY doc_a, doc_b
 """
 
 
+# ------------------------------------------- duplicated-span REMOVAL
+SPAN_SCRUB_N = 3
+SPAN_SCRUB_MIN = 8
+
+
+def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal (ext — VERDICT r07 item 3): the
+    operation a pretraining pipeline runs AFTER span detection —
+    ``doc_dup_spans`` measures cross-document repeated spans, THIS
+    query emits the cleaned corpus with every >= 8-token
+    cross-document span cut except its globally first occurrence
+    (operators/dedup.py::span_scrub; Lee et al. 2022 gram-island
+    form).  Returns per doc: token count, kept count, removed count,
+    and the reassembled clean text — so the driver hash certifies the
+    span selection AND the byte-exact reassembly."""
+    docs = read_table(spark, sf_dir, "documents")
+    return span_scrub(docs, n=SPAN_SCRUB_N, min_span=SPAN_SCRUB_MIN)
+
+
+#: (doc_id, pos) encoding for the first-occurrence rule: pos < 2^20
+#: (fixture docs are ~100 tokens; any doc under a million tokens fits)
+_SPAN_POS_ENC = 1 << 20
+
+DOC_SPAN_SCRUB_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+low AS (
+  SELECT doc_id, list_transform(t, x -> lower(x)) AS lt FROM toks),
+pgrams AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, array_to_string(lt[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, lt, unnest(range(1, greatest(len(lt) - 1, 1))) AS i
+        FROM low)),
+gs AS (
+  SELECT gram,
+         min(doc_id * {_SPAN_POS_ENC} + pos) AS fo,
+         count(DISTINCT doc_id) AS n_docs
+  FROM pgrams GROUP BY gram),
+rem AS (
+  SELECT p.doc_id, p.pos
+  FROM pgrams p JOIN gs ON gs.gram = p.gram
+  WHERE gs.n_docs >= 2 AND p.doc_id * {_SPAN_POS_ENC} + p.pos <> gs.fo),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM rem),
+runs AS (
+  SELECT doc_id, min(pos) AS s, count(*) AS run_grams
+  FROM isl GROUP BY doc_id, g
+  HAVING count(*) >= {SPAN_SCRUB_MIN - SPAN_SCRUB_N + 1}),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(s, s + run_grams + {SPAN_SCRUB_N - 1})) AS tpos
+  FROM runs),
+tp AS (
+  SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+kept AS (
+  SELECT tp.doc_id, tp.tpos, tp.tok
+  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.tpos = tp.tpos
+  WHERE cov.doc_id IS NULL),
+ag AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT toks.doc_id AS doc_id,
+       cast(len(t) AS bigint) AS n_tokens,
+       cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
+       cast(len(t) - coalesce(n_kept, 0) AS bigint) AS n_removed,
+       coalesce(clean_text, '') AS clean_text
+FROM toks LEFT JOIN ag USING (doc_id)
+"""
+
+
 # ------------------------------------------------- vocabulary coverage
 VOCAB_K = 100
 
@@ -2491,6 +2566,7 @@ QUERIES = [
     Query("doc_tfidf_topk", "ext: tf-idf keyword extraction", doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
     Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),
     Query("doc_dup_spans", "ext: longest duplicated token span per near-dup pair", doc_dup_spans, DOC_DUP_SPANS_SQL),
+    Query("doc_span_scrub", "ext: duplicated-span REMOVAL — cross-doc >=8-token spans cut, first occurrence kept, clean text reassembled", doc_span_scrub, DOC_SPAN_SCRUB_SQL),
     Query("corpus_vocab_topk", "ext: vocabulary coverage curve (top-k unigrams + cum share)", corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
     Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),

@@ -572,6 +572,90 @@ def test_paragraph_dedup_all_dup_doc_keeps_empty_text(spark):
     assert out[1]["n_kept"] == 1 and out[1]["kept_text"] == "a b"
 
 
+def test_span_scrub_keeps_first_cuts_later(spark):
+    from musicflow_spark.operators.dedup import span_scrub
+
+    span = "the quick brown fox jumps over the lazy sleeping dog"  # 10 tokens
+    rows = [
+        (1, f"intro words here {span} tail one"),
+        (2, f"other opening {span} different ending text"),
+        (3, "completely unrelated content with no shared spans at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_scrub(df, n=3, min_span=8).collect()}
+    # first occurrence (doc 1) keeps the span verbatim
+    assert span in out[1]["clean_text"]
+    assert out[1]["n_removed"] == 0
+    # later occurrence loses exactly the span
+    assert span not in out[2]["clean_text"]
+    assert out[2]["n_removed"] == 10
+    assert out[2]["clean_text"] == "other opening different ending text"
+    # untouched doc unchanged
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+
+
+def test_span_scrub_short_shared_runs_survive(spark):
+    from musicflow_spark.operators.dedup import span_scrub
+
+    # 4 shared tokens < min_span=8: incidental overlap is NOT boilerplate
+    rows = [
+        (1, "alpha beta gamma delta unique one two three"),
+        (2, "alpha beta gamma delta other words follow here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_scrub(df, n=3, min_span=8).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 0
+
+
+def test_span_scrub_no_long_span_appears_twice(spark):
+    """The deduplicate-text-datasets guarantee: after scrubbing, no
+    >= min_span-token window occurs in two different cleaned
+    documents."""
+    from musicflow_spark.operators.dedup import span_scrub
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (i, f"u{i}a u{i}b {boiler} u{i}c u{i}d u{i}e")
+        for i in range(6)
+    ] + [(6, "no boilerplate here only fresh tokens appear")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    min_span = 8
+    cleaned = {
+        r["doc_id"]: r["clean_text"].split()
+        for r in span_scrub(df, n=3, min_span=min_span).collect()
+    }
+    windows: dict[tuple, int] = {}
+    for d, toks in cleaned.items():
+        for i in range(len(toks) - min_span + 1):
+            w = tuple(toks[i : i + min_span])
+            assert windows.setdefault(w, d) == d, (w, d, windows[w])
+    # and the first occurrence did keep the boilerplate
+    assert boiler in " ".join(cleaned[0])
+
+
+def test_span_scrub_fully_scrubbed_doc_keeps_empty_row(spark):
+    from musicflow_spark.operators.dedup import span_scrub
+
+    text = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in span_scrub(df, n=3, min_span=8).collect()}
+    assert out[1]["clean_text"] == text
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+    assert out[2]["n_removed"] == 10
+
+
+def test_span_scrub_validation(spark):
+    from musicflow_spark.operators.dedup import span_scrub
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_span"):
+        span_scrub(df, n=3, min_span=2)
+
+
 def test_ntile_scaled_equals_native_ntile(spark):
     """Closed-form NTILE over surrogate ids must equal the engine's
     global-window ntile for divisible AND non-divisible row counts
