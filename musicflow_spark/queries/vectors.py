@@ -1167,6 +1167,165 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --------------------------- vector-index lifecycle composition mart
+RETR_CHUNK_LEN, RETR_CHUNK_STRIDE = 200, 150
+RETR_ID_STRIDE = 16  # max chunks/doc (577-char fixture docs yield <= 4)
+RETR_DIM = 64
+RETR_K = 8
+RETR_ITERS = 2
+RETR_PROBE = 3
+RETR_TOPK = 5
+RETR_QUERY_DOCS = 3
+
+
+def corpus_retrieval_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index LIFECYCLE mart (ext — VERDICT r07 item 4): the
+    full retrieval path composed as ONE query, the way
+    corpus_training_selection composes the filter ladder —
+    chunk (200-char windows, stride 150) -> feature-hash embed
+    (64-dim signed-count vectors) -> kmeans-TRAIN the IVF coarse
+    quantizer (2 Lloyd rounds on the integer grid) -> index build
+    (nearest-centroid assignment) -> query (every chunk of the first
+    3 documents probes its 3 nearest clusters) -> exact cosine rerank
+    of the probed lists, own-document chunks excluded (the retrieval
+    dedup every RAG pipeline applies).  Each stage is individually
+    hash-proven (doc_chunks, doc_hash_embedding, embedding_kmeans,
+    knn_ivf_trained); this mart certifies their composition, so
+    retrieval-path composition decay is measured, not assumed.
+
+    Scale shape: chunking/embedding are map-only; training shuffles
+    are k*dim-bounded; assignment is a k-row broadcast scan; probes
+    prune ~probe/k of the lists; rerank touches candidates only.
+    Chunk ids pack as doc_id * 16 + chunk_idx (documents are bounded
+    at 16 chunks here; widen the stride for longer corpora)."""
+    from musicflow_spark.operators.embeddings import kmeans_centroids, quantized
+    from musicflow_spark.operators.sampling import chunk_documents
+    from musicflow_spark.operators.similarity import (
+        _exact_rerank,
+        feature_hash_embedding,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "text", "doc_id", RETR_CHUNK_LEN, RETR_CHUNK_STRIDE
+    ).select(
+        (F.col("doc_id") * RETR_ID_STRIDE + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    emb = feature_hash_embedding(
+        chunks, text_col="chunk_text", id_col="chunk_id", dim=RETR_DIM
+    ).select(F.col("doc_id").alias("chunk_id"), "embedding")
+    # zero-vector chunks carry no signal and make cosine undefined —
+    # filter before training, identically on both engines; pin the
+    # embedding pass (referenced by train, index, and rerank)
+    nz = emb.filter(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
+    ).localCheckpoint(eager=True)
+    cent = kmeans_centroids(nz, k=RETR_K, n_iter=RETR_ITERS, id_col="chunk_id")
+    qq = nz.select(F.col("chunk_id").alias("id"), quantized("embedding").alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = qq.crossJoin(F.broadcast(cent)).select("id", "cid", d2.alias("d2"))
+    w = Window.partitionBy("id").orderBy("d2", "cid")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("id").alias("neighbor_id"), "cid"
+    )
+    q_bound = RETR_QUERY_DOCS * RETR_ID_STRIDE
+    probes = ranked.filter(
+        (F.col("id") < q_bound) & (F.col("rn") <= RETR_PROBE)
+    ).select(F.col("id").alias("query_id"), "cid")
+    cands = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(
+            F.expr(f"neighbor_id div {RETR_ID_STRIDE}")
+            != F.expr(f"query_id div {RETR_ID_STRIDE}")
+        )
+        .select("query_id", "neighbor_id")
+    )
+    queries = nz.filter(F.col("chunk_id") < q_bound)
+    topk = _exact_rerank(nz, queries, cands, "chunk_id", "embedding", RETR_TOPK)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+def _corpus_retrieval_mart_oracle_sql() -> str:
+    from musicflow_spark.operators.embeddings import kmeans_oracle_parts
+
+    sign_bit = RETR_DIM.bit_length() - 1
+    q_bound = RETR_QUERY_DOCS * RETR_ID_STRIDE
+    t = RETR_ITERS
+    kparts = ",\n".join(
+        kmeans_oracle_parts(
+            "nz", dim=RETR_DIM, k=RETR_K, n_iter=RETR_ITERS,
+            id_col="chunk_id", vec_col="e", final_assign=True,
+        )
+    )
+    return rf"""
+WITH ch AS (
+  SELECT doc_id * {RETR_ID_STRIDE} + chunk_idx AS chunk_id,
+         substr(text, cast(chunk_idx * {RETR_CHUNK_STRIDE} + 1 AS int),
+                {RETR_CHUNK_LEN}) AS chunk_text
+  FROM (SELECT doc_id, text,
+               unnest(range(greatest(cast(ceil((length(text) - {RETR_CHUNK_LEN}) / {RETR_CHUNK_STRIDE}.0) AS BIGINT), 0) + 1)) AS chunk_idx
+        FROM documents)),
+toksc AS (
+  SELECT chunk_id,
+         list_transform(list_filter(string_split_regex(trim(chunk_text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS tk
+  FROM ch),
+hh AS (
+  SELECT chunk_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT chunk_id, unnest(tk) AS tok FROM toksc)),
+cells AS (
+  SELECT chunk_id, h % {RETR_DIM} AS dim,
+         CASE WHEN ((h >> {sign_bit}) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
+  FROM hh),
+aggc AS (SELECT chunk_id, dim, sum(s) AS v FROM cells GROUP BY chunk_id, dim),
+grid AS (
+  SELECT ch.chunk_id, g.dim
+  FROM ch CROSS JOIN (SELECT unnest(range({RETR_DIM})) AS dim) g),
+filled AS (
+  SELECT grid.chunk_id, grid.dim, coalesce(aggc.v, 0.0) AS v
+  FROM grid LEFT JOIN aggc ON aggc.chunk_id = grid.chunk_id AND aggc.dim = grid.dim),
+cemb AS (SELECT chunk_id, list(v ORDER BY dim) AS e FROM filled GROUP BY chunk_id),
+nz AS MATERIALIZED (
+  SELECT * FROM cemb
+  WHERE list_sum(list_transform(e, x -> x * x)) > 0),
+{kparts},
+probes AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d{t} WHERE id < {q_bound})
+  WHERE rn <= {RETR_PROBE}),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM a{t} a JOIN probes p ON a.cid = p.cid
+  WHERE a.id // {RETR_ID_STRIDE} <> p.query_id // {RETR_ID_STRIDE}),
+rscored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, {RETR_DIM} + 1), i -> q.e[i] * n.e[i]))
+         / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(n.e, x -> x * x)))) AS cos_sim
+  FROM cand
+  JOIN nz q ON q.chunk_id = cand.query_id
+  JOIN nz n ON n.chunk_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rscored)
+WHERE rank <= {RETR_TOPK}
+"""
+
+
 SQ_LEVELS, SQ_CAND = 255, 40
 
 
@@ -1242,6 +1401,7 @@ WHERE rank <= {TOP_K}
 
 
 QUERIES = [
+    Query("corpus_retrieval_mart", "ext: vector-index LIFECYCLE mart — chunk -> hash-embed -> kmeans-train IVF -> index -> probe -> exact rerank, one composed query", corpus_retrieval_mart, _corpus_retrieval_mart_oracle_sql(), bench=True),
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (truncated-integer-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),

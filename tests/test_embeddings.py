@@ -311,3 +311,29 @@ def test_pca2_reduced_knn_recovers_structured_neighbors(spark):
         want = sorted(range(n), key=lambda i: (d2[i], i))[:10]
         gotlist = [nid for _, nid in sorted(got_sets[qid])]
         assert gotlist == want, f"query {qid}"
+
+
+# ------------------------------ vector-index lifecycle composition
+def test_corpus_retrieval_mart_contract(spark):
+    """The composed retrieval mart: per-query ranks are dense from 1,
+    own-document chunks never retrieved, cosine within [-1, 1] and
+    non-increasing by rank."""
+    from musicflow_spark.queries.vectors import (
+        RETR_ID_STRIDE,
+        RETR_TOPK,
+        corpus_retrieval_mart,
+    )
+
+    rows = corpus_retrieval_mart(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_id"] // RETR_ID_STRIDE != r["neighbor_id"] // RETR_ID_STRIDE
+        assert -1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RETR_TOPK
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
