@@ -38,6 +38,7 @@ from musicflow_spark.operators.textstats import (
     lang_scores,
     quality_features,
     tokens,
+    unigram_oracle_sql,
 )
 from musicflow_spark.queries.portable import pround
 from musicflow_spark.queries.registry import Query
@@ -1461,6 +1462,29 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, BPE_N_MERGES)
 
 
+UNI_N_PRUNES = 8
+
+
+def corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (ext — VERDICT r07 item 5): the
+    second trained-tokenizer shape — where ``corpus_bpe_merges``
+    certifies the MERGE-training loop (vocabulary grows), this
+    certifies the PRUNE-training loop (vocabulary shrinks,
+    SentencePiece-style): start from the full short-substring
+    candidate vocabulary, then 8 fixed hard-EM rounds of greedy
+    longest-match segmentation (E: keyed join + aggs + one closed-form
+    walk map stage) and least-used-piece pruning (M: 1-row broadcast
+    loser) — operators/textstats.py::unigram_prune_state.  Returns
+    (prune_rank, piece, usage), one row per round; the DuckDB oracle
+    unrolls every round CTE-by-CTE so segmentation re-routing, usage
+    counts, and tie-breaks are hash-checked end to end."""
+    from musicflow_spark.operators.textstats import unigram_prune_state
+
+    docs = read_table(spark, sf_dir, "documents")
+    losers, _ = unigram_prune_state(docs, UNI_N_PRUNES)
+    return losers
+
+
 # ---------------------------------------------- logistic quality gate
 LOGREG_ROUNDS = 8
 LOGREG_LR_DEN = 256
@@ -2571,6 +2595,7 @@ QUERIES = [
     Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),
     Query("corpus_bpe_merges", "ext: BPE tokenizer TRAINING — greedy merge learning over the word-type histogram, 12 unrolled rounds hash-replayed", corpus_bpe_merges, bpe_oracle_sql(BPE_N_MERGES)),
+    Query("corpus_unigram_vocab", "ext: unigram-LM tokenizer TRAINING — SentencePiece-style prune loop, 8 unrolled hard-EM rounds hash-replayed", corpus_unigram_vocab, unigram_oracle_sql(UNI_N_PRUNES)),
     Query("doc_quality_logreg", "ext: gradient-TRAINED logistic quality classifier — 8 full-batch GD rounds on the integer micro-grid, unrolled SQL replay", doc_quality_logreg, _doc_quality_logreg_oracle_sql()),
     Query("doc_bpe_encode", "ext: BPE tokenizer APPLY — encode the corpus with the learned 12-merge vocabulary via the vocab-sized word-type state join; oracle nests the training CTEs", doc_bpe_encode, _doc_bpe_encode_oracle_sql()),
     Query("doc_canonical_selection", "ext: longest-member canonical doc per dedup cluster", doc_canonical_selection, _doc_canonical_selection_oracle_sql()),
