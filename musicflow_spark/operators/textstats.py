@@ -368,14 +368,19 @@ def unigram_occ_table(types: DataFrame) -> DataFrame:
     )
 
 
-def _greedy_usage(
+def unigram_walk(
     types: DataFrame, occ: DataFrame, vocab: DataFrame
 ) -> DataFrame:
-    """One hard-EM E-step: greedy longest-match segmentation of every
-    word type against ``vocab`` (per-position max piece length
-    aggregated into an array, then the closed-form UNI_MAX_WORD-step
-    walk as chained expressions), returning frequency-weighted piece
-    usage (piece, n_used)."""
+    """Greedy longest-match segmentation walk of every word type
+    against ``vocab``: per-position max piece length aggregated into
+    an array, then the closed-form UNI_MAX_WORD-step walk as chained
+    expressions — ONE keyed join + two keyed aggs + one map stage, no
+    per-word loop.  Every position always advances because length-1
+    pieces are never pruned (coverage).  Returns the types frame plus
+    ``piece0..piece{UNI_MAX_WORD-1}`` (NULL past the word's end) —
+    the shared E-step core of training usage counts
+    (:func:`_greedy_usage`) and corpus encoding
+    (:func:`unigram_piece_counts`)."""
     lmax = (
         occ.join(vocab, "piece").groupBy("word", "i").agg(F.max("j").alias("l"))
     )
@@ -400,8 +405,36 @@ def _greedy_usage(
                 f"p{s} + element_at(larr, p{s} + 1) ELSE p{s} END"
             ),
         )
+    return walk
+
+
+def unigram_piece_counts(
+    types: DataFrame, occ: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """(word, np): how many pieces the greedy longest-match
+    segmentation against ``vocab`` splits each word type into — the
+    vocab-sized ENCODE state (the bpe_train_state analog for the
+    unigram tokenizer; corpus encoding is then one word-keyed
+    equi-join, never a per-document walk)."""
+    walk = unigram_walk(types, occ, vocab)
+    np_col = sum(
+        (
+            F.when(F.col(f"piece{s}").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            for s in range(UNI_MAX_WORD)
+        ),
+        F.lit(0),
+    )
+    return walk.select("word", np_col.cast("long").alias("np"))
+
+
+def _greedy_usage(
+    types: DataFrame, occ: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """One hard-EM E-step: greedy longest-match segmentation via
+    :func:`unigram_walk`, returning frequency-weighted piece usage
+    (piece, n_used)."""
     return (
-        walk.select(
+        unigram_walk(types, occ, vocab).select(
             "freq",
             F.explode(
                 F.array(*[F.col(f"piece{s}") for s in range(UNI_MAX_WORD)])
@@ -504,16 +537,12 @@ def unigram_prune_state(
     return out, vocab
 
 
-def unigram_cte_parts(n_prunes: int, table: str = "documents") -> list[str]:
-    """Unrolled-round DuckDB replay of :func:`unigram_prune_state`
-    (the bpe_cte_parts pattern): the static type/occurrence CTEs, the
-    seed stage (usage under the full lattice -> v0), then per round k
-    the longest-match array la{k}, the greedy-walk usage u{k}, the
-    pruned loser t{k}, and the shrunk vocabulary v{k+1}.  The walk
-    uses DuckDB lateral column aliases (p0 feeds piece0 feeds p1 ...)
-    — one SELECT per stage, exactly the single map stage the Spark
-    side runs."""
-    mp, mw = UNI_MAX_PIECE, UNI_MAX_WORD
+def _unigram_walk_sql() -> tuple[list[str], str]:
+    """(walk_cols, pieces_list): the DuckDB lateral-alias rendering of
+    the closed-form greedy walk (p0 feeds piece0 feeds p1 ...) —
+    shared by the training replay (:func:`unigram_cte_parts`) and the
+    encode replay (:func:`unigram_encode_cte_parts`)."""
+    mw = UNI_MAX_WORD
     walk_cols = ["0 AS p0"]
     for s in range(mw):
         walk_cols.append(
@@ -526,6 +555,41 @@ def unigram_cte_parts(n_prunes: int, table: str = "documents") -> list[str]:
             f"ELSE p{s} END AS p{s + 1}"
         )
     pieces_list = "[" + ", ".join(f"piece{s}" for s in range(mw)) + "]"
+    return walk_cols, pieces_list
+
+
+def unigram_encode_cte_parts(n_prunes: int, table: str = "documents") -> list[str]:
+    """Training CTEs (:func:`unigram_cte_parts`) plus the ENCODE
+    state: ``laf`` (per-position longest match against the FINAL
+    pruned vocabulary v{n_prunes}) and ``wpf`` (word -> piece count
+    under the greedy walk) — the DuckDB replay of
+    :func:`unigram_piece_counts` on the trained vocabulary."""
+    walk_cols, pieces_list = _unigram_walk_sql()
+    parts = unigram_cte_parts(n_prunes, table)
+    parts.append(f"""laf AS MATERIALIZED (
+  SELECT word, list(l ORDER BY i) AS larr FROM (
+    SELECT o.word, o.i, max(o.j) AS l
+    FROM occ o JOIN v{n_prunes} v ON v.piece = o.piece
+    GROUP BY o.word, o.i)
+  GROUP BY word)""")
+    parts.append(f"""wpf AS MATERIALIZED (
+  SELECT word, cast(len(list_filter({pieces_list}, x -> x IS NOT NULL)) AS bigint) AS np
+  FROM (SELECT ty.word AS word, larr, {", ".join(walk_cols)}
+        FROM ty JOIN laf USING (word)))""")
+    return parts
+
+
+def unigram_cte_parts(n_prunes: int, table: str = "documents") -> list[str]:
+    """Unrolled-round DuckDB replay of :func:`unigram_prune_state`
+    (the bpe_cte_parts pattern): the static type/occurrence CTEs, the
+    seed stage (usage under the full lattice -> v0), then per round k
+    the longest-match array la{k}, the greedy-walk usage u{k}, the
+    pruned loser t{k}, and the shrunk vocabulary v{k+1}.  The walk
+    uses DuckDB lateral column aliases (p0 feeds piece0 feeds p1 ...)
+    — one SELECT per stage, exactly the single map stage the Spark
+    side runs."""
+    mp, mw = UNI_MAX_PIECE, UNI_MAX_WORD
+    walk_cols, pieces_list = _unigram_walk_sql()
 
     def usage_ctes(suffix: str, vocab_cte: str) -> list[str]:
         return [

@@ -1485,6 +1485,90 @@ def corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return losers
 
 
+def doc_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer APPLY (ext): encode every document with the
+    vocabulary learned by ``corpus_unigram_vocab`` (8 prune rounds)
+    and report per-doc encodable-word count, piece count, and
+    compression — the prune-train -> encode lifecycle next to BPE's
+    merge-train -> encode (``doc_bpe_encode``), certified end to end
+    because the oracle nests the SAME unrolled training CTEs before
+    the encode join (operators/textstats.py::unigram_encode_cte_parts).
+
+    Scale shape: piece counts come off the post-training WORD-TYPE
+    state via one greedy-walk map stage (vocab-sized —
+    unigram_piece_counts), so encoding the corpus is one explode +
+    one word-keyed equi-join + one per-doc agg; the per-document walk
+    is never replayed.  Words longer than UNI_MAX_WORD are outside
+    the trained vocabulary's domain and drop out of the inner join
+    (mirrored by the oracle); docs with no encodable word emit no
+    row."""
+    from musicflow_spark.operators.textstats import (
+        UNI_MAX_WORD,
+        bpe_word_types,
+        unigram_occ_table,
+        unigram_piece_counts,
+        unigram_prune_state,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, vocab = unigram_prune_state(docs, UNI_N_PRUNES)
+    types = (
+        bpe_word_types(docs)
+        .filter(F.length("word") <= UNI_MAX_WORD)
+        .localCheckpoint(eager=True)
+    )
+    pieces = unigram_piece_counts(types, unigram_occ_table(types), vocab)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word"),
+    ).filter(F.length("word") <= UNI_MAX_WORD)
+    return (
+        words.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            pround(
+                F.col("n_pieces").cast("double") / F.col("n_words"), 4
+            ).alias("pieces_per_word"),
+        )
+    )
+
+
+def _doc_unigram_encode_oracle_sql() -> str:
+    from musicflow_spark.operators.textstats import (
+        UNI_MAX_WORD,
+        unigram_encode_cte_parts,
+    )
+
+    parts = unigram_encode_cte_parts(UNI_N_PRUNES)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + rf"""
+, dw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  WHERE len(word) <= {UNI_MAX_WORD})
+SELECT dw.doc_id,
+       count(*) AS n_words,
+       cast(sum(wpf.np) AS bigint) AS n_pieces,
+       round(cast(sum(wpf.np) AS double) / count(*) * 10000.0) / 10000.0
+         AS pieces_per_word
+FROM dw JOIN wpf USING (word)
+GROUP BY dw.doc_id
+"""
+    )
+
+
 # ---------------------------------------------- logistic quality gate
 LOGREG_ROUNDS = 8
 LOGREG_LR_DEN = 256
@@ -2596,6 +2680,7 @@ QUERIES = [
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),
     Query("corpus_bpe_merges", "ext: BPE tokenizer TRAINING — greedy merge learning over the word-type histogram, 12 unrolled rounds hash-replayed", corpus_bpe_merges, bpe_oracle_sql(BPE_N_MERGES)),
     Query("corpus_unigram_vocab", "ext: unigram-LM tokenizer TRAINING — SentencePiece-style prune loop, 8 unrolled hard-EM rounds hash-replayed", corpus_unigram_vocab, unigram_oracle_sql(UNI_N_PRUNES)),
+    Query("doc_unigram_encode", "ext: unigram tokenizer APPLY — greedy-walk encode off the vocab-sized word-type state; oracle nests the 8 prune-training rounds", doc_unigram_encode, _doc_unigram_encode_oracle_sql()),
     Query("doc_quality_logreg", "ext: gradient-TRAINED logistic quality classifier — 8 full-batch GD rounds on the integer micro-grid, unrolled SQL replay", doc_quality_logreg, _doc_quality_logreg_oracle_sql()),
     Query("doc_bpe_encode", "ext: BPE tokenizer APPLY — encode the corpus with the learned 12-merge vocabulary via the vocab-sized word-type state join; oracle nests the training CTEs", doc_bpe_encode, _doc_bpe_encode_oracle_sql()),
     Query("doc_canonical_selection", "ext: longest-member canonical doc per dedup cluster", doc_canonical_selection, _doc_canonical_selection_oracle_sql()),

@@ -1337,8 +1337,11 @@ def customer_entity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     three hash-proven components into one mart: (1) BLOCKING, the
     symmetric-deletion edit-distance-1 name join
     (operators/fuzzyjoin.py, proven complete by fuzzy_customer_pairs'
-    quadratic oracle), gated by a second attribute (same nation —
-    matching on one noisy field alone is how ER pipelines over-merge);
+    quadratic oracle), with a second attribute IN the blocking key
+    (same nation — matching on one noisy field alone is how ER
+    pipelines over-merge, and carrying the gate inside the join key
+    rather than as a post-join filter divides candidate fan-out by
+    |nations|);
     (2) CLUSTERING, large-star/small-star connected components over
     the match edges (operators/graph.py::star_components); (3)
     SURVIVORSHIP, one golden record per entity — representative =
@@ -1355,25 +1358,18 @@ def customer_entity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.operators.graph import star_components
 
     cust = read_table(spark, sf_dir, "customer")
+    # nation rides INSIDE the blocking key (block_col), not as a
+    # post-join filter: the match rule requires same-nation anyway, so
+    # pre-gating loses nothing and divides per-deletion-key candidate
+    # fan-out by |nations| — the x100 stress lever (VERDICT r07 item 6)
     pairs = fuzzy_pairs_dist1(
-        cust.select("c_custkey", "c_name"), "c_custkey", "c_name"
+        cust.select("c_custkey", "c_name", "c_nationkey"),
+        "c_custkey",
+        "c_name",
+        block_col="c_nationkey",
     )
-    nat = cust.select("c_custkey", "c_nationkey")
-    edges = (
-        pairs.join(
-            nat.select(
-                F.col("c_custkey").alias("id_a"), F.col("c_nationkey").alias("nat_a")
-            ),
-            "id_a",
-        )
-        .join(
-            nat.select(
-                F.col("c_custkey").alias("id_b"), F.col("c_nationkey").alias("nat_b")
-            ),
-            "id_b",
-        )
-        .filter(F.col("nat_a") == F.col("nat_b"))
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    edges = pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     clusters = star_components(
         cust.select("c_custkey"), edges, id_col="c_custkey"

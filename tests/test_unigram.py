@@ -122,3 +122,31 @@ def test_validation(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError, match="n_prunes"):
         unigram_prune_state(df, 0)
+
+
+def test_piece_counts_match_python_reference(spark):
+    # encode state: per-word piece counts under the FINAL pruned
+    # vocabulary must equal the reference greedy segmentation's length
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.operators.textstats import (
+        bpe_word_types,
+        unigram_occ_table,
+        unigram_piece_counts,
+    )
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    _, vocab = unigram_prune_state(df, 6)
+    _, want_vocab = python_unigram(CORPUS, 6)
+    types = bpe_word_types(df).filter(F.length("word") <= UNI_MAX_WORD)
+    got = {
+        r["word"]: r["np"]
+        for r in unigram_piece_counts(
+            types, unigram_occ_table(types), vocab
+        ).collect()
+    }
+    want = {w: len(_greedy(w, want_vocab)) for w in got}
+    assert got == want
+    # every trainable word type got a count (coverage is total)
+    n_types = types.count()
+    assert len(got) == n_types

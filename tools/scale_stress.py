@@ -57,6 +57,26 @@ from pyspark.sql import functions as F
 BASE = "/root/testdata/sf0.1"
 KEY_STRIDE = 10**9
 
+#: stride for the MEDIA fixture profile (VERDICT r07 item 8): the
+#: perceptual fixtures derive group textures from doc_id // 4 with
+#: class periods 199*101 = 20099 (phash) and 4001*101 = 404101
+#: (audio), sharing the factor 101.  A generic 1e9 stride folds some
+#: replicas' class windows onto the base's (2.5e8 mod 20099 lands
+#: inside the 1250-group span), so replicated runs would measure
+#: fixture collisions, not the banding join.  This stride puts every
+#: replica's group range at offset i*2000 inside BOTH periods
+#: (g-stride = 3*lcm(20099, 404101) + 2000): ranges [2000i, 2000i+1250)
+#: are pairwise disjoint for i <= 9, so near-dup structure is exactly
+#: N x base.  Valid for N <= 10 replicas (i = 10 wraps).
+MEDIA_DOC_STRIDE = 4 * (3 * 80_416_099 + 2000)  # = 965_001_188
+MEDIA_QUERIES = {
+    "media_phash_neardup",
+    "media_phash_ingest",
+    "media_phash_groups",
+    "media_audio_neardup",
+    "media_audio_features",
+}
+
 #: per-query table requirements: (scaled fact tables w/ key columns
 #: to shift, text/name transforms), dims copied verbatim
 SCALED_KEYS = {
@@ -160,14 +180,30 @@ QUERY_TABLES = {
     # logreg GD: per-round map + O(d) scalar gradient agg; 8 fixed
     # rounds regardless of N
     "doc_quality_logreg": ["documents"],
-    # media_phash_* are deliberately absent (the match_cascade rule):
-    # the fixture texture is periodic mod 20099 groups and the replica
-    # stride folds some replicas' group classes onto the base's
-    # (shift*7 mod 20099 = 169 < the 1250-group span), so replicated
-    # runs would measure fixture collisions, not the banding join's
-    # shape — which is the same simhash-band machinery already
-    # stress-rowed.
     "media_binary_dedup": ["documents"],
+    # media perceptual queries run under the MEDIA profile (see
+    # MEDIA_DOC_STRIDE): replica group-texture windows stay disjoint
+    # inside both fixture class periods, so the x10 curve measures the
+    # banding join, not fixture collisions; 16-bit LSH keys keep
+    # accidental candidates ~n^2/65536 (sub-linear term at this size)
+    "media_phash_neardup": ["documents"],
+    "media_phash_ingest": ["documents"],
+    "media_phash_groups": ["documents"],
+    "media_audio_neardup": ["documents"],
+    "media_audio_features": ["documents"],
+    # retrieval lifecycle mart: chunk/embed map-only, kmeans shuffles
+    # k*dim-bounded, assignment a k-row broadcast scan, rerank
+    # candidate-bounded; queries stay the base replica's first 3 docs
+    "corpus_retrieval_mart": ["documents"],
+    # span scrub: gram/doc-keyed joins + bounded interval explode;
+    # replica-prefixed tokens keep gram first-occurrence groups and
+    # islands replica-disjoint, so removal is exactly N x base
+    "doc_span_scrub": ["documents"],
+    # unigram prune training: the corpus-sized histogram shuffle grows
+    # ~N; word-type/occ tables stay vocab-bounded ([a-z]+ splits the
+    # replica tag off), per-round work vocab-sized, loser a 1-row
+    # broadcast, rounds fixed at 8
+    "corpus_unigram_vocab": ["documents"],
     # BFS: the stride is a multiple of 100, so every replica keeps its
     # proportional seed set; co-purchase edges stay within an order's
     # replica; fixed 4 relaxation rounds, edge-linear each
@@ -199,10 +235,10 @@ QUERY_TABLES = {
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
 
-def _replica(df, table: str, i: int):
+def _replica(df, table: str, i: int, stride: int = KEY_STRIDE):
     out = df
     for k in SCALED_KEYS[table]:
-        out = out.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
+        out = out.withColumn(k, F.col(k) + F.lit(i * stride))
     if table == "documents":
         # prefix every token with r{i} -> shingles disjoint across
         # replicas: near-dup structure is exactly N copies of sf0.1's
@@ -256,8 +292,19 @@ def _skewed(df, table: str):
     return df
 
 
-def build_scaled(spark, n: int, tables: set[str], skew: bool = False) -> str:
-    root = f"/tmp/scale_stress/{'skew_' if skew else ''}x{n}"
+def build_scaled(
+    spark,
+    n: int,
+    tables: set[str],
+    skew: bool = False,
+    stride: int = KEY_STRIDE,
+    tag: str = "",
+) -> str:
+    if stride == MEDIA_DOC_STRIDE and n > 10:
+        raise SystemExit(
+            "media profile supports <= 10 replicas (class windows wrap)"
+        )
+    root = f"/tmp/scale_stress/{'skew_' if skew else ''}{tag}x{n}"
     os.makedirs(root, exist_ok=True)
     for t in sorted(tables):
         dest = f"{root}/{t}.parquet"
@@ -266,7 +313,7 @@ def build_scaled(spark, n: int, tables: set[str], skew: bool = False) -> str:
         base = spark.read.parquet(f"{BASE}/{t}.parquet")
 
         def one(i: int):
-            rep = _replica(base, t, i)
+            rep = _replica(base, t, i, stride)
             return _skewed(rep, t) if skew else rep
 
         scaled = one(0)
@@ -315,20 +362,36 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     fns = {q.name: q.spark for q in get_queries()}
 
+    media_names = [q for q in names if q in MEDIA_QUERIES]
+    plain_names = [q for q in names if q not in MEDIA_QUERIES]
     need = set()
-    for q in names:
+    for q in plain_names:
         need |= set(QUERY_TABLES[q])
-    scaled_dir = build_scaled(spark, n, need, skew=skew)
+    media_need = set()
+    for q in media_names:
+        media_need |= set(QUERY_TABLES[q])
+    dirs: dict[str, str] = {}
+    if plain_names:
+        dirs.update(dict.fromkeys(plain_names, build_scaled(spark, n, need, skew=skew)))
+    if media_names:
+        # media perceptual fixtures need the class-window-aware stride
+        # (MEDIA_DOC_STRIDE) so replicas never fold in texture space
+        dirs.update(
+            dict.fromkeys(
+                media_names,
+                build_scaled(spark, n, media_need, stride=MEDIA_DOC_STRIDE, tag="media_"),
+            )
+        )
     # under --skew the x1 point carries the SAME hot spot, so the
     # ratio measures the curve under skew, not skew-vs-benign
-    base_dir = build_scaled(spark, 1, need, skew=True) if skew else BASE
+    base_dir = build_scaled(spark, 1, need | media_need, skew=True) if skew else BASE
 
     label = f"t(skew x1)" if skew else "t(sf0.1)"
     print(f"{'query':26s} {label:>10s} {'t(%sx%d)' % ('skew ' if skew else '', n):>12s} {'ratio':>6s}  verdict")
     worst = 0.0
     for q in names:
         t1 = _time(fns[q], spark, base_dir)
-        tn = _time(fns[q], spark, scaled_dir)
+        tn = _time(fns[q], spark, dirs[q])
         r = tn / t1
         worst = max(worst, r)
         verdict = "sub-linear" if r < 0.8 * n else ("~linear" if r <= 1.5 * n else "SUPER-LINEAR!")
