@@ -715,3 +715,127 @@ def audio_energy_bands(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ------------------------------------------- VIDEO modality fixtures
+#: deterministic raw-video fixture: 12 frames of the 8x8 quadratic
+#: texture keyed by scene id 2*doc_id + (frame >= cut), with a HARD
+#: SCENE CUT at frame 3 + doc_id % 7 — within a scene, consecutive
+#: frames shift the texture by +1 (tiny temporal gradient); across
+#: the cut the scene id changes and the quadratic texture
+#: de-correlates, so adjacent-frame absolute difference separates
+#: cleanly (measured over doc_ids 0..599: within-scene <= 458,
+#: cross-scene >= 3479 — tests/test_video.py pins the margin)
+VIDEO_N_FRAMES = 12
+VIDEO_H = 8
+VIDEO_W = 8
+VIDEO_BASE_MOD = 199
+VIDEO_CUT_MIN = 3
+VIDEO_CUT_SPAN = 7
+#: adjacent-frame |diff| above this is a detected scene cut
+VIDEO_CUT_THRESH = 1500
+# max pixel value must fit uint8 (the PHASH/AUDIO constants guard):
+# a silent Python-side wrap would not be replayed by the SQL oracle
+assert VIDEO_BASE_MOD - 1 <= 255
+# every cut frame must have a predecessor and exist
+assert VIDEO_CUT_MIN >= 1
+assert VIDEO_CUT_MIN + VIDEO_CUT_SPAN - 1 < VIDEO_N_FRAMES
+
+
+def video_fixture_frames(doc_id: int) -> "np.ndarray":
+    """The deterministic frame stack the RVID fixture encodes:
+    pix(f, idx) = ((g+1)*(idx+1)*(idx+7) + (g%101)*(idx+3)*31 + f)
+    % 199 with scene id g = 2*doc_id + (f >= cut) and
+    cut = 3 + doc_id % 7.  Everything is integer arithmetic a SQL
+    oracle replays verbatim (queries/multimodal.py::_video_cte)."""
+    import numpy as np
+
+    cut = VIDEO_CUT_MIN + doc_id % VIDEO_CUT_SPAN
+    idx = np.arange(VIDEO_H * VIDEO_W, dtype=np.int64)
+    frames = np.empty((VIDEO_N_FRAMES, VIDEO_H * VIDEO_W), dtype=np.int64)
+    for f in range(VIDEO_N_FRAMES):
+        g = 2 * doc_id + (1 if f >= cut else 0)
+        frames[f] = (
+            (g + 1) * (idx + 1) * (idx + 7) + (g % 101) * (idx + 3) * 31 + f
+        ) % VIDEO_BASE_MOD
+    return frames.reshape(VIDEO_N_FRAMES, VIDEO_H, VIDEO_W).astype("uint8")
+
+
+def rvid_media_from_documents(docs: DataFrame) -> DataFrame:
+    """REAL RVID container payloads (operators/videocodec.py) of the
+    deterministic fixture frames, one video per document — the video
+    twin of ``png_media_from_documents`` / ``wav_media_from_documents``.
+    Encode runs Arrow-batched; downstream consumers must decode the
+    container to see the frames, so the full codec path is
+    exercised."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.videocodec import encode_rvid
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_rvid(video_fixture_frames(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def video_frame_metrics(media: DataFrame) -> DataFrame:
+    """(media_id, f, px_sum, diff_prev): decode each RVID payload in
+    an Arrow batch and emit ONE ROW PER FRAME with its total
+    brightness and the adjacent-frame absolute difference
+    (NULL for frame 0) — the frame-sample/explode primitive every
+    temporal video operator (scene cuts, frame subsampling, per-frame
+    stats) aggregates from.  One map pass at any scale: per-video
+    work is frame-count-bounded, output is frames-per-video rows, and
+    every value is exact int64 arithmetic."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("f", T.IntegerType(), False),
+            T.StructField("px_sum", T.LongType(), False),
+            T.StructField("diff_prev", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.videocodec import (
+            decode_rvid,
+            frame_abs_diffs,
+            frame_pixel_sums,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_rvid(bytes(payload))
+                sums = frame_pixel_sums(frames)
+                diffs = frame_abs_diffs(frames)
+                for f in range(frames.shape[0]):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "f": f,
+                            "px_sum": int(sums[f]),
+                            "diff_prev": int(diffs[f - 1]) if f > 0 else None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema)

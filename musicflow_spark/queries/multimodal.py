@@ -454,6 +454,138 @@ FROM h
 """
 
 
+def _video_cte_parts() -> str:
+    """Shared CTE body replaying video_fixture_frames ->
+    per-frame pixel sums and adjacent-frame absolute diffs up to an
+    ``fm`` CTE (doc_id, f, px_sum, diff_prev) — composed by both
+    video oracles so the frame replays cannot drift.  The pixel
+    formula and constants come from operators/multimodal.py's VIDEO_*
+    fixture spec; scene id g = 2*doc_id + (f >= cut) with
+    cut = VIDEO_CUT_MIN + doc_id % VIDEO_CUT_SPAN."""
+    from musicflow_spark.operators.multimodal import (
+        VIDEO_BASE_MOD,
+        VIDEO_CUT_MIN,
+        VIDEO_CUT_SPAN,
+        VIDEO_H,
+        VIDEO_N_FRAMES,
+        VIDEO_W,
+    )
+
+    npix = VIDEO_H * VIDEO_W
+    return f"""vx AS (
+  SELECT doc_id, {VIDEO_CUT_MIN} + doc_id % {VIDEO_CUT_SPAN} AS cut
+  FROM documents),
+vpix AS MATERIALIZED (
+  SELECT v.doc_id AS doc_id, t.f AS f, u.i AS i,
+         ((2 * v.doc_id + CASE WHEN t.f >= v.cut THEN 1 ELSE 0 END + 1)
+            * (u.i + 1) * (u.i + 7)
+          + ((2 * v.doc_id + CASE WHEN t.f >= v.cut THEN 1 ELSE 0 END) % 101)
+            * (u.i + 3) * 31
+          + t.f) % {VIDEO_BASE_MOD} AS p
+  FROM vx v, range({VIDEO_N_FRAMES}) AS t(f), range({npix}) AS u(i)),
+fm AS MATERIALIZED (
+  SELECT a.doc_id AS doc_id, a.f AS f, a.px_sum AS px_sum,
+         b.diff_prev AS diff_prev
+  FROM (SELECT doc_id, f, cast(sum(p) AS bigint) AS px_sum
+        FROM vpix GROUP BY 1, 2) a
+  LEFT JOIN (SELECT c.doc_id AS doc_id, c.f AS f,
+                    cast(sum(abs(c.p - d.p)) AS bigint) AS diff_prev
+             FROM vpix c JOIN vpix d
+               ON c.doc_id = d.doc_id AND d.f = c.f - 1 AND c.i = d.i
+             GROUP BY 1, 2) b
+    ON a.doc_id = b.doc_id AND a.f = b.f)"""
+
+
+VIDEO_SAMPLE_EVERY = 3
+
+
+def media_video_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame statistics + frame SAMPLING (ext): encode a REAL
+    raw-video container per document (operators/videocodec.py — the
+    pngcodec/wavcodec pattern, third modality of the triad), decode
+    it back frame by frame, and report per-video totals alongside an
+    every-3rd-frame SAMPLE rollup — the frame-subsampling operation a
+    video training pipeline runs so downstream feature extraction
+    touches 1/k of the frames.  Everything after decode is exact
+    int64 arithmetic the oracle replays entirely in SQL (pixel
+    formula -> frame sums -> temporal diffs -> both rollups).
+
+    Scale shape: one Arrow-batched map pass (decode + per-frame
+    metrics, frame-count-bounded per video) + one media_id-keyed agg
+    — no shuffle grows faster than the video count."""
+    from musicflow_spark.operators.multimodal import (
+        rvid_media_from_documents,
+        video_frame_metrics,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    m = video_frame_metrics(rvid_media_from_documents(docs))
+    samp = F.col("f") % VIDEO_SAMPLE_EVERY == 0
+    return m.groupBy(F.col("media_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("px_sum").alias("px_total"),
+        F.max("diff_prev").alias("max_frame_diff"),
+        F.sum(F.when(samp, F.lit(1)).otherwise(F.lit(0))).alias("n_sampled"),
+        F.sum(F.when(samp, F.col("px_sum")).otherwise(F.lit(0))).alias(
+            "sampled_px_total"
+        ),
+    )
+
+
+def _media_video_framestats_oracle_sql() -> str:
+    return f"""
+WITH {_video_cte_parts()}
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_frames,
+       cast(sum(px_sum) AS bigint) AS px_total,
+       cast(max(diff_prev) AS bigint) AS max_frame_diff,
+       cast(sum(CASE WHEN f % {VIDEO_SAMPLE_EVERY} = 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_sampled,
+       cast(sum(CASE WHEN f % {VIDEO_SAMPLE_EVERY} = 0 THEN px_sum ELSE 0 END) AS bigint)
+         AS sampled_px_total
+FROM fm GROUP BY doc_id
+"""
+
+
+def media_video_scenecuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection (ext): decode each video and emit the
+    frames where the adjacent-frame absolute pixel difference exceeds
+    VIDEO_CUT_THRESH — the shot-boundary primitive a video curation
+    pipeline runs before per-scene sampling/dedup.  The fixture
+    plants exactly one hard cut per video at frame
+    3 + doc_id % 7, and the margin is wide (within-scene diff <= 458,
+    cross-scene >= 3479 over the fixture corpus), so the hash check
+    certifies the decode path, the temporal-diff algebra, AND the
+    detection rule end to end.
+
+    Scale shape: the same single map pass as media_video_framestats
+    plus a JVM-side filter — no shuffle at all (the driver's output
+    sort is test scaffolding, not part of the operator)."""
+    from musicflow_spark.operators.multimodal import (
+        VIDEO_CUT_THRESH,
+        rvid_media_from_documents,
+        video_frame_metrics,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    m = video_frame_metrics(rvid_media_from_documents(docs))
+    return m.filter(F.col("diff_prev") > VIDEO_CUT_THRESH).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("f").alias("cut_frame"),
+        F.col("diff_prev").alias("diff"),
+    )
+
+
+def _media_video_scenecuts_oracle_sql() -> str:
+    from musicflow_spark.operators.multimodal import VIDEO_CUT_THRESH
+
+    return f"""
+WITH {_video_cte_parts()}
+SELECT doc_id, cast(f AS int) AS cut_frame, diff_prev AS diff
+FROM fm WHERE diff_prev > {VIDEO_CUT_THRESH}
+"""
+
+
 QUERIES = [
     Query(
         "media_binary_dedup",
@@ -504,5 +636,17 @@ QUERIES = [
         "ext: perceptual dedup groups — star-contraction components over the dHash near-dup pairs, min-id keeper, group sizes",
         media_phash_groups,
         _media_phash_groups_oracle_sql(),
+    ),
+    Query(
+        "media_video_framestats",
+        "ext: video modality — real RVID container encode/decode, per-frame integer stats + every-3rd-frame sampling rollup",
+        media_video_framestats,
+        _media_video_framestats_oracle_sql(),
+    ),
+    Query(
+        "media_video_scenecuts",
+        "ext: scene-cut detection — adjacent-frame absolute-diff threshold over decoded frames, one planted cut per video",
+        media_video_scenecuts,
+        _media_video_scenecuts_oracle_sql(),
     ),
 ]

@@ -191,6 +191,11 @@ QUERY_TABLES = {
     "media_phash_groups": ["documents"],
     "media_audio_neardup": ["documents"],
     "media_audio_features": ["documents"],
+    # video tier: Arrow-batched decode map pass + media_id-keyed agg /
+    # filter; no cross-doc joins, so the plain stride is fine (the
+    # fixture formula is per-doc and int64-safe at replica key range)
+    "media_video_framestats": ["documents"],
+    "media_video_scenecuts": ["documents"],
     # retrieval lifecycle mart: chunk/embed map-only, kmeans shuffles
     # k*dim-bounded, assignment a k-row broadcast scan, rerank
     # candidate-bounded; queries stay the base replica's first 3 docs
