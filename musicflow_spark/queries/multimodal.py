@@ -269,12 +269,15 @@ FROM comp
 AUDIO_MAX_HAMMING = 7
 
 
-def _audio_frames_cte_parts() -> str:
+def _audio_frames_cte_parts(prefix: str = "") -> str:
     """Shared CTE body replaying audio_fixture_samples ->
     frame_energies up to an ``fr`` CTE (doc_id, f, e) — composed by
     both audio oracles so the sample/envelope replays cannot drift.
     The sample formula, frame length, and constants come from
-    operators/multimodal.py's AUDIO_* fixture spec."""
+    operators/multimodal.py's AUDIO_* fixture spec.  ``prefix``
+    renames the CTEs ({prefix}px/{prefix}samp/{prefix}fr) so a
+    composing oracle (corpus_multimodal_mart) can stack this next to
+    the image CTEs, which also use ``px``."""
     from musicflow_spark.operators.multimodal import (
         AUDIO_BASE_MOD,
         AUDIO_BUMP,
@@ -284,20 +287,21 @@ def _audio_frames_cte_parts() -> str:
     )
     from musicflow_spark.operators.wavcodec import AUDIO_FRAME_LEN
 
-    return f"""px AS (
+    p = prefix
+    return f"""{p}px AS (
   SELECT doc_id, doc_id // {AUDIO_GROUP} AS g,
          doc_id % {AUDIO_N_SAMPLES} AS pos
   FROM documents),
-samp AS MATERIALIZED (
-  SELECT px.doc_id AS doc_id, t.i AS i,
-         ((px.g + 1) * (t.i + 1) * (t.i + 3)
-          + (px.g % 101) * (t.i + 5) * 17) % {AUDIO_BASE_MOD} - {AUDIO_HALF}
-           + CASE WHEN t.i = px.pos THEN {AUDIO_BUMP} ELSE 0 END AS s
-  FROM px, range({AUDIO_N_SAMPLES}) AS t(i)),
-fr AS MATERIALIZED (
+{p}samp AS MATERIALIZED (
+  SELECT {p}px.doc_id AS doc_id, t.i AS i,
+         (({p}px.g + 1) * (t.i + 1) * (t.i + 3)
+          + ({p}px.g % 101) * (t.i + 5) * 17) % {AUDIO_BASE_MOD} - {AUDIO_HALF}
+           + CASE WHEN t.i = {p}px.pos THEN {AUDIO_BUMP} ELSE 0 END AS s
+  FROM {p}px, range({AUDIO_N_SAMPLES}) AS t(i)),
+{p}fr AS MATERIALIZED (
   SELECT doc_id, i // {AUDIO_FRAME_LEN} AS f,
          cast(sum(s * s) AS bigint) AS e
-  FROM samp GROUP BY 1, 2)"""
+  FROM {p}samp GROUP BY 1, 2)"""
 
 
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,6 +590,143 @@ FROM fm WHERE diff_prev > {VIDEO_CUT_THRESH}
 """
 
 
+# ------------------------------------- multimodal curation mart
+MM_MIN_TOKENS = 24     # text floor (rejects ~15% of the fixture corpus)
+MM_MIN_CUT = 5         # detected scene cut must be >= frame 5
+MM_MAX_CLIPPED = 120   # audio clipping budget (fixture range 92..148)
+
+
+def corpus_multimodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end MULTIMODAL curation mart (ext): every document
+    routed through a four-modality gate ladder IN ONE PLAN — text
+    floor (token count) → video intro gate (DETECTED scene cut no
+    earlier than frame MM_MIN_CUT) → audio clipping budget (decoded
+    n_clipped) → image near-dup canonical selection (dHash groups,
+    min-id keeper) — emitting keep plus the FIRST rejecting stage
+    (the audit/routing column), the corpus_training_selection shape
+    with the filter ladder swapped for modality gates.  Every stage
+    reuses its hash-proven component verbatim (quality_features,
+    video_frame_metrics + VIDEO_CUT_THRESH, audio_feature_frame,
+    phash_bands → phash_neardup_pairs → star_components), so this
+    query certifies the CROSS-MODALITY composition, not new logic.
+
+    Stage order is audit-faithful (every stage over the full corpus,
+    flags joined back on doc_id) for the same attributability reason
+    corpus_training_selection documents: the first-reject column
+    needs later-stage flags for already-rejected docs, and survivor
+    threading would change the image keepers.
+
+    Scale shape: three Arrow-batched decode map passes (image bands,
+    audio features, video frame metrics — each frame/sample-bounded
+    per doc) + the banded pair join + fixed-round star contraction +
+    five doc_id-keyed flag joins.  No stage pairs across modalities;
+    the only pair generator is the hamming-banded image join already
+    stress-rowed linear."""
+    from musicflow_spark.operators.graph import star_components
+    from musicflow_spark.operators.multimodal import (
+        VIDEO_CUT_THRESH,
+        audio_feature_frame,
+        rvid_media_from_documents,
+        video_frame_metrics,
+        wav_media_from_documents,
+    )
+    from musicflow_spark.operators.textstats import quality_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "n_tokens")
+    cuts = (
+        video_frame_metrics(rvid_media_from_documents(docs))
+        .filter(F.col("diff_prev") > VIDEO_CUT_THRESH)
+        .groupBy(F.col("media_id").alias("doc_id"))
+        .agg(F.min("f").alias("cut_frame"))
+    )
+    clip = audio_feature_frame(wav_media_from_documents(docs)).select(
+        F.col("media_id").alias("doc_id"), "n_clipped"
+    )
+    pairs = phash_neardup_pairs(
+        phash_bands(png_media_from_documents(docs)), PHASH_MAX_HAMMING
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = star_components(docs.select("doc_id"), pairs).select(
+        "doc_id", F.col("cluster_id").alias("group_id"), "keep"
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(cuts, "doc_id")
+        .join(clip, "doc_id")
+        .join(comp, "doc_id")
+    )
+    reason = (
+        F.when(F.col("n_tokens") < MM_MIN_TOKENS, "text")
+        .when(F.col("cut_frame") < MM_MIN_CUT, "video_intro")
+        .when(F.col("n_clipped") > MM_MAX_CLIPPED, "audio_clip")
+        .when(~F.col("keep"), "image_dup")
+        .otherwise("kept")
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "cut_frame",
+        "n_clipped",
+        "group_id",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )
+
+
+def _corpus_multimodal_mart_oracle_sql() -> str:
+    from musicflow_spark.operators.wavcodec import AUDIO_CLIP_ABS
+
+    # the video gate is deliberately CROSS-DERIVED: Spark detects the
+    # cut from decoded container bytes (diff > threshold), the oracle
+    # asserts the planted position 3 + doc_id % 7 — the two agree
+    # because detection is exact on the fixture margin, and the
+    # equality of derivations is itself pinned by
+    # media_video_scenecuts' full pixel-replay oracle
+    from musicflow_spark.operators.multimodal import (
+        VIDEO_CUT_MIN,
+        VIDEO_CUT_SPAN,
+    )
+
+    toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    return f"""
+WITH RECURSIVE {_phash_pairs_cte_parts()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM ppairs
+  UNION ALL
+  SELECT id_b, id_a FROM ppairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+comp AS (
+  SELECT id AS doc_id, min(r) AS group_id, min(r) = id AS keeper
+  FROM reach GROUP BY id),
+{_audio_frames_cte_parts(prefix="a")},
+aclip AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN abs(s) >= {AUDIO_CLIP_ABS} THEN 1 ELSE 0 END) AS bigint)
+           AS n_clipped
+  FROM asamp GROUP BY doc_id),
+toks AS (
+  SELECT doc_id, cast(len({toks}) AS bigint) AS n_tokens,
+         cast({VIDEO_CUT_MIN} + doc_id % {VIDEO_CUT_SPAN} AS int) AS cut_frame
+  FROM documents),
+j AS (
+  SELECT t.doc_id AS doc_id, t.n_tokens, t.cut_frame, a.n_clipped,
+         c.group_id, c.keeper,
+         CASE WHEN t.n_tokens < {MM_MIN_TOKENS} THEN 'text'
+              WHEN t.cut_frame < {MM_MIN_CUT} THEN 'video_intro'
+              WHEN a.n_clipped > {MM_MAX_CLIPPED} THEN 'audio_clip'
+              WHEN NOT c.keeper THEN 'image_dup'
+              ELSE 'kept' END AS reason
+  FROM toks t JOIN aclip a USING (doc_id) JOIN comp c USING (doc_id))
+SELECT doc_id, n_tokens, cut_frame, n_clipped, group_id, reason,
+       reason = 'kept' AS keep
+FROM j
+"""
+
+
 QUERIES = [
     Query(
         "media_binary_dedup",
@@ -648,5 +789,12 @@ QUERIES = [
         "ext: scene-cut detection — adjacent-frame absolute-diff threshold over decoded frames, one planted cut per video",
         media_video_scenecuts,
         _media_video_scenecuts_oracle_sql(),
+    ),
+    Query(
+        "corpus_multimodal_mart",
+        "ext: four-modality curation mart — text floor, detected-scene-cut gate, audio clipping budget, image near-dup canonical; first-reject audit routing",
+        corpus_multimodal_mart,
+        _corpus_multimodal_mart_oracle_sql(),
+        bench=True,
     ),
 ]

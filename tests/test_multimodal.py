@@ -467,3 +467,60 @@ def test_phash_ingest_never_pairs_base_with_base(spark):
     # delta id 2 pairs with both base images, delta-first orientation
     assert got == {(2, 0): False, (2, 1): False}
     # the (0, 1) base x base near-dup pair must NOT appear
+
+
+def test_multimodal_mart_first_reject_routing(spark, sf_dir):
+    # recompute every gate from the fixture formulas in python and
+    # assert the mart's first-reject cascade picks the FIRST failure
+    import numpy as np
+
+    from musicflow_spark.operators.multimodal import (
+        VIDEO_CUT_MIN,
+        VIDEO_CUT_SPAN,
+        audio_fixture_samples,
+    )
+    from musicflow_spark.operators.wavcodec import AUDIO_CLIP_ABS
+    from musicflow_spark.queries.multimodal import (
+        MM_MAX_CLIPPED,
+        MM_MIN_CUT,
+        MM_MIN_TOKENS,
+        corpus_multimodal_mart,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    rows = corpus_multimodal_mart(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    assert len(rows) == len(docs)
+    seen_reasons = set()
+    for r in rows:
+        d = r["doc_id"]
+        n_tokens = len(docs[d].split())
+        cut = VIDEO_CUT_MIN + d % VIDEO_CUT_SPAN
+        n_clipped = int(
+            (np.abs(audio_fixture_samples(d).astype(np.int64)) >= AUDIO_CLIP_ABS).sum()
+        )
+        assert r["n_tokens"] == n_tokens
+        assert r["cut_frame"] == cut
+        assert r["n_clipped"] == n_clipped
+        if n_tokens < MM_MIN_TOKENS:
+            want = "text"
+        elif cut < MM_MIN_CUT:
+            want = "video_intro"
+        elif n_clipped > MM_MAX_CLIPPED:
+            want = "audio_clip"
+        elif not r["keep"] and r["reason"] == "image_dup":
+            want = "image_dup"  # keeper flag checked via group minimum below
+        else:
+            want = "kept"
+        assert r["reason"] == want, (d, r["reason"], want)
+        assert r["keep"] == (want == "kept")
+        seen_reasons.add(r["reason"])
+        # image keeper consistency: a doc rejected as image_dup can
+        # never be its group's minimum id
+        if r["reason"] == "image_dup":
+            assert r["group_id"] < d
+    # the fixture corpus must exercise every stage of the cascade
+    assert seen_reasons == {"text", "video_intro", "audio_clip", "image_dup", "kept"}

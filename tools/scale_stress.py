@@ -75,6 +75,7 @@ MEDIA_QUERIES = {
     "media_phash_groups",
     "media_audio_neardup",
     "media_audio_features",
+    "corpus_multimodal_mart",
 }
 
 #: per-query table requirements: (scaled fact tables w/ key columns
@@ -196,6 +197,10 @@ QUERY_TABLES = {
     # fixture formula is per-doc and int64-safe at replica key range)
     "media_video_framestats": ["documents"],
     "media_video_scenecuts": ["documents"],
+    # multimodal mart: three decode map passes + the image banding
+    # pair join (media profile keeps replica textures disjoint) +
+    # fixed-round star contraction + doc_id-keyed flag joins
+    "corpus_multimodal_mart": ["documents"],
     # retrieval lifecycle mart: chunk/embed map-only, kmeans shuffles
     # k*dim-bounded, assignment a k-row broadcast scan, rerank
     # candidate-bounded; queries stay the base replica's first 3 docs
