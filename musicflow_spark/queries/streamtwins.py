@@ -624,6 +624,82 @@ WHERE c.event_type = 'click'
 """
 
 
+def stream_click_purchase_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stream-stream interval join, FULL-OUTER form —
+    completing the join-mode family (inner: both arrive; left-outer:
+    adds null-padded unmatched clicks at watermark expiry; full-outer
+    must ALSO emit every unmatched purchase null-padded once ITS
+    state expires).  Expiry now gates emission on BOTH sides of the
+    state store, so this twin certifies the symmetric eviction path
+    the left-outer twin only exercises for one side.
+
+    Sentinel contract as in the left-outer twin: the far-future flush
+    row reaches both sides (the global join watermark is the min of
+    the two); sentinel rows are dropped from the OUTPUT by the
+    coalesced user id.  Oracle: the identical batch FULL theta-join
+    over pre-filtered click/purchase subqueries (the predicates must
+    sit in the subqueries, not the WHERE clause, or unmatched rows of
+    the other side would be filtered away)."""
+    src = _events_replay_dir(spark, sf_dir, sentinel=True)
+    clicks = (
+        _file_stream(spark, src)
+        .filter(F.col("event_type").isin("click", "flush"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _file_stream(spark, src)
+        .filter(F.col("event_type").isin("purchase", "flush"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts"
+            f" AND p_ts <= c_ts + INTERVAL {CLICK_JOIN_HORIZON}"
+        ),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
+    )
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/clickfulljoin"
+    _run_available_now(
+        joined,
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    return spark.read.parquet(out).filter(F.col("user_id") != SENTINEL_USER)
+
+
+STREAM_CLICK_PURCHASE_FULLJOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase')
+SELECT c.click_id,
+       p.purchase_id,
+       coalesce(c.user_id, p.user_id) AS user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM c FULL JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 # ------------------------------------- stream-stream as-of (time join)
 ASOF_HORIZON_DAYS = 7
 
@@ -851,6 +927,7 @@ QUERIES = [
     Query("stream_sliding_event_stats", "ext: streaming twin — overlapping sliding windows under watermark (append mode)", stream_sliding_event_stats, STREAM_SLIDING_EVENT_STATS_SQL),
     Query("stream_click_purchase_join", "ext: streaming twin — NATIVE stream-stream interval inner join (dual watermarks, evictable join state)", stream_click_purchase_join, STREAM_CLICK_PURCHASE_JOIN_SQL),
     Query("stream_click_purchase_leftjoin", "ext: streaming twin — NATIVE stream-stream interval LEFT-OUTER join (null-padded emission at watermark expiry)", stream_click_purchase_leftjoin, STREAM_CLICK_PURCHASE_LEFTJOIN_SQL),
+    Query("stream_click_purchase_fulljoin", "ext: streaming twin — NATIVE stream-stream interval FULL-OUTER join (symmetric watermark-expiry emission on both state sides)", stream_click_purchase_fulljoin, STREAM_CLICK_PURCHASE_FULLJOIN_SQL),
     Query("stream_asof_purchase", "ext: streaming twin — stream-stream as-of join (time-range join state + max_by agg, deterministic tiebreak)", stream_asof_purchase, STREAM_ASOF_PURCHASE_SQL),
 ]
 

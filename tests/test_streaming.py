@@ -1135,3 +1135,47 @@ def test_stream_stream_join_matches_batch(spark):
     }
     assert got == want and got
     assert all(0 <= g <= 3_600_000_000 for _, _, g in got)
+
+
+def test_stream_stream_fulljoin_pads_both_sides(spark):
+    """The full-outer interval join twin must emit (a) the inner pair
+    set, (b) every unmatched click null-padded, and (c) every
+    unmatched purchase null-padded — (c) is the emission path only
+    the full-outer mode exercises (symmetric watermark expiry)."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries.streamtwins import (
+        stream_click_purchase_fulljoin,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_click_purchase_fulljoin(spark, sf).collect()
+    inner = {
+        (r["click_id"], r["purchase_id"]) for r in rows
+        if r["click_id"] is not None and r["purchase_id"] is not None
+    }
+    pad_click = {r["click_id"] for r in rows if r["purchase_id"] is None}
+    pad_purch = {r["purchase_id"] for r in rows if r["click_id"] is None}
+    assert inner and pad_click and pad_purch
+
+    ev = read_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    matched_c = {c for c, _ in inner}
+    matched_p = {p for _, p in inner}
+    all_c = {r["event_id"] for r in clicks.collect()}
+    all_p = {r["event_id"] for r in purchases.collect()}
+    # exactly the unmatched ids are padded, each exactly once
+    assert pad_click == all_c - matched_c
+    assert pad_purch == all_p - matched_p
+    n_pad_rows = sum(1 for r in rows if r["purchase_id"] is None) + sum(
+        1 for r in rows if r["click_id"] is None
+    )
+    assert n_pad_rows == len(pad_click) + len(pad_purch)
+    # padded rows carry no gap
+    assert all(
+        r["gap_us"] is None
+        for r in rows
+        if r["click_id"] is None or r["purchase_id"] is None
+    )
