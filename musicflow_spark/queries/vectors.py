@@ -1400,8 +1400,89 @@ WHERE rank <= {TOP_K}
 """
 
 
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality EVAL (ext): per-query recall@k of the IVF
+    tier against the exact brute-force tier, computed IN ONE PLAN —
+    the recall monitor a production vector-search deployment runs on
+    every index rebuild (an index that silently decays below its
+    recall SLO is the characteristic ANN failure mode; both tiers
+    being individually hash-proven is what makes their composed
+    recall deterministic).  Returns (query_id, n_exact, n_overlap,
+    recall); the overlap join is on (query_id, neighbor_id), so ties
+    broken differently by the two tiers count against recall exactly
+    as a user would observe.
+
+    Scale shape: both tiers' existing shapes (broadcast query set,
+    cluster-pruned scan) plus one k-bounded-per-query equi-join and a
+    query_id-keyed agg — eval cost is O(queries x k) past the search
+    itself.
+
+    Oracle: nests the two proven oracle SQLs VERBATIM as derived
+    tables (KNN_BRUTEFORCE_SQL / _knn_ivf_oracle_sql), so the recall
+    replay cannot drift from the tier replays."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = brute_force_topk(emb, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    cent = emb.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    approx = ivf_topk(
+        emb, queries, k=TOP_K, n_probe=IVF_PROBE, centroids=cent
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_overlap = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        n_exact.join(n_overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_overlap",
+            pround(
+                F.col("n_overlap").cast("double") / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _knn_ivf_recall_oracle_sql() -> str:
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL})),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({_knn_ivf_oracle_sql()})),
+ne AS (
+  SELECT query_id, cast(count(*) AS bigint) AS n_exact
+  FROM exact GROUP BY query_id),
+nov AS (
+  SELECT e.query_id AS query_id, cast(count(*) AS bigint) AS n_overlap
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id)
+SELECT ne.query_id, ne.n_exact,
+       coalesce(nov.n_overlap, 0) AS n_overlap,
+       round(cast(coalesce(nov.n_overlap, 0) AS double) / ne.n_exact
+             * 10000.0) / 10000.0 AS recall
+FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
+"""
+
+
 QUERIES = [
     Query("corpus_retrieval_mart", "ext: vector-index LIFECYCLE mart — chunk -> hash-embed -> kmeans-train IVF -> index -> probe -> exact rerank, one composed query", corpus_retrieval_mart, _corpus_retrieval_mart_oracle_sql(), bench=True),
+    Query("knn_ivf_recall", "ext: ANN index-quality eval — per-query recall@k of the IVF tier vs exact, both proven oracles nested verbatim", knn_ivf_recall, _knn_ivf_recall_oracle_sql()),
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (truncated-integer-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
