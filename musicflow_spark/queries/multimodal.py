@@ -374,41 +374,140 @@ def media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(audio_energy_bands(media), AUDIO_MAX_HAMMING)
 
 
-def _media_audio_neardup_oracle_sql() -> str:
+def _audio_pairs_cte_parts() -> str:
+    """Shared CTE body replaying the full audio perceptual pipeline
+    up to an ``apairs`` CTE (id_a, id_b, hamming): fixture samples ->
+    frame energies (_audio_frames_cte_parts) -> envelope dHash bits ->
+    byte bands -> 16-bit LSH keys -> candidates -> exact-hamming
+    verified pairs.  Composed by the neardup, ingest, and groups
+    oracles so the three replays cannot drift (the
+    _phash_pairs_cte_parts pattern); CTE names are a*-prefixed so a
+    composing oracle can stack this next to the image CTEs."""
     n_rows = 16
     n_keys = n_rows // 2
-    return f"""
-WITH {_audio_frames_cte_parts()},
-bits AS (
+    return f"""{_audio_frames_cte_parts()},
+abits AS (
   SELECT a.doc_id AS doc_id, a.f // 9 AS y,
          CASE WHEN a.e > b.e THEN 1 << cast(a.f % 9 AS int) ELSE 0 END AS bit
   FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
   WHERE a.f % 9 < 8),
-b0 AS (
+ab0 AS (
   SELECT doc_id, y, cast(sum(bit) AS int) AS band_val
-  FROM bits GROUP BY 1, 2),
-bands AS MATERIALIZED (
-  SELECT doc_id, list(band_val ORDER BY y) AS bands FROM b0 GROUP BY doc_id),
-keyed AS (
+  FROM abits GROUP BY 1, 2),
+abands AS MATERIALIZED (
+  SELECT doc_id, list(band_val ORDER BY y) AS bands FROM ab0 GROUP BY doc_id),
+akeyed AS (
   SELECT doc_id, u.band_idx AS band_idx, u.band_val AS band_val FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, {n_keys + 1}),
                   i -> struct_pack(band_idx := i - 1,
                                    band_val := bands[2*i - 1] * 256 + bands[2*i]))) AS u
-    FROM bands)),
-cand AS (
+    FROM abands)),
+acand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM keyed a JOIN keyed b
+  FROM akeyed a JOIN akeyed b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-  WHERE a.doc_id < b.doc_id)
-SELECT c.id_a, c.id_b,
-       cast(list_sum(list_transform(range(1, {n_rows + 1}),
-            i -> bit_count(xor(ba.bands[i], bb.bands[i])))) AS integer) AS hamming
-FROM cand c
-JOIN bands ba ON ba.doc_id = c.id_a
-JOIN bands bb ON bb.doc_id = c.id_b
-WHERE list_sum(list_transform(range(1, {n_rows + 1}),
-      i -> bit_count(xor(ba.bands[i], bb.bands[i])))) <= {AUDIO_MAX_HAMMING}
+  WHERE a.doc_id < b.doc_id),
+apairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         cast(list_sum(list_transform(range(1, {n_rows + 1}),
+              i -> bit_count(xor(ba.bands[i], bb.bands[i])))) AS integer) AS hamming
+  FROM acand c
+  JOIN abands ba ON ba.doc_id = c.id_a
+  JOIN abands bb ON bb.doc_id = c.id_b
+  WHERE list_sum(list_transform(range(1, {n_rows + 1}),
+        i -> bit_count(xor(ba.bands[i], bb.bands[i])))) <= {AUDIO_MAX_HAMMING})"""
+
+
+def _media_audio_neardup_oracle_sql() -> str:
+    return f"""
+WITH {_audio_pairs_cte_parts()}
+SELECT id_a, id_b, hamming FROM apairs
+"""
+
+
+def media_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual AUDIO dedup (ext): near-dup pairs
+    touching today's clip batch (every 5th media_id), found in
+    O(|delta| x bucket) by the SAME delta-probe band join as the
+    image tier (operators/multimodal.py::phash_neardup_ingest over
+    the energy-envelope bands) — base x base never pairs.  One
+    banding machinery, two modalities, both ingest-incremental.
+    Oracle: the full audio pair replay restricted to delta-touching
+    pairs with the same orientation rules."""
+    from musicflow_spark.operators.multimodal import (
+        audio_energy_bands,
+        phash_neardup_ingest,
+        wav_media_from_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bands = audio_energy_bands(wav_media_from_documents(docs))
+    return phash_neardup_ingest(
+        bands, (F.col("media_id") % 5) == 0, AUDIO_MAX_HAMMING
+    )
+
+
+def _media_audio_ingest_oracle_sql() -> str:
+    return f"""
+WITH {_audio_pairs_cte_parts()}
+SELECT CASE WHEN a_in THEN pa ELSE pb END AS id_a,
+       CASE WHEN a_in THEN pb ELSE pa END AS id_b,
+       hamming,
+       (a_in AND b_in) AS partner_in_delta
+FROM (
+  SELECT id_a AS pa, id_b AS pb, hamming,
+         id_a % 5 = 0 AS a_in, id_b % 5 = 0 AS b_in
+  FROM apairs)
+WHERE a_in OR b_in
+"""
+
+
+def media_audio_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup GROUPS (ext): star-contraction
+    connected components over the energy-envelope near-dup pairs,
+    min-id keeper and group sizes — the decision layer for audio
+    exactly as media_phash_groups is for images (one contraction
+    algebra, two modalities).  Oracle: the audio pair CTEs closed
+    transitively with a recursive CTE."""
+    from musicflow_spark.operators.graph import star_components
+    from musicflow_spark.operators.multimodal import (
+        audio_energy_bands,
+        phash_neardup_pairs,
+        wav_media_from_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = phash_neardup_pairs(
+        audio_energy_bands(wav_media_from_documents(docs)), AUDIO_MAX_HAMMING
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = star_components(docs.select("doc_id"), pairs)
+    wc = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("cluster_id").alias("group_id"),
+        F.col("keep").alias("is_keeper"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+    )
+
+
+def _media_audio_groups_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_audio_pairs_cte_parts()},
+aedges AS (
+  SELECT id_a AS s, id_b AS d FROM apairs
+  UNION ALL
+  SELECT id_b, id_a FROM apairs),
+areach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT areach.id, e.d FROM areach JOIN aedges e ON areach.r = e.s),
+acomp AS (
+  SELECT id AS media_id, min(r) AS group_id, min(r) = id AS is_keeper
+  FROM areach GROUP BY id)
+SELECT media_id, group_id, is_keeper,
+       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
+FROM acomp
 """
 
 
@@ -789,6 +888,18 @@ QUERIES = [
         "ext: scene-cut detection — adjacent-frame absolute-diff threshold over decoded frames, one planted cut per video",
         media_video_scenecuts,
         _media_video_scenecuts_oracle_sql(),
+    ),
+    Query(
+        "media_audio_ingest",
+        "ext: incremental perceptual audio dedup — delta-probe band join over envelope fingerprints, base x base never pairs",
+        media_audio_ingest,
+        _media_audio_ingest_oracle_sql(),
+    ),
+    Query(
+        "media_audio_groups",
+        "ext: perceptual audio dedup groups — star-contraction components over envelope near-dup pairs, min-id keeper",
+        media_audio_groups,
+        _media_audio_groups_oracle_sql(),
     ),
     Query(
         "corpus_multimodal_mart",

@@ -75,6 +75,8 @@ MEDIA_QUERIES = {
     "media_phash_groups",
     "media_audio_neardup",
     "media_audio_features",
+    "media_audio_ingest",
+    "media_audio_groups",
     "corpus_multimodal_mart",
 }
 
@@ -192,6 +194,10 @@ QUERY_TABLES = {
     "media_phash_groups": ["documents"],
     "media_audio_neardup": ["documents"],
     "media_audio_features": ["documents"],
+    # audio ingest/groups: same delta-probe / star-contraction shapes
+    # as the image tier, media stride keeps replica textures disjoint
+    "media_audio_ingest": ["documents"],
+    "media_audio_groups": ["documents"],
     # video tier: Arrow-batched decode map pass + media_id-keyed agg /
     # filter; no cross-doc joins, so the plain stride is fine (the
     # fixture formula is per-doc and int64-safe at replica key range)
