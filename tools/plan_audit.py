@@ -103,6 +103,13 @@ CARTESIAN_OK = {
                                # query broadcast (the knn_bruteforce contract)
     "corpus_bpe_merges",       # 1-row per-round winning-pair broadcast into the
                                # vocabulary-sized merge replace
+    "corpus_retrieval_mart",   # inherits kmeans's k-row (4) centroid broadcast
+                               # (train/assign/probe) + the bounded query-chunk
+                               # broadcast (3 query docs by the mart contract)
+    "knn_ivf_recall",          # inherits knn_bruteforce's 8-row query broadcast
+                               # AND knn_ivf's 1-row centroid-seed broadcast —
+                               # both tiers run in one plan, so both documented
+                               # bounded cartesians appear (2 per tier)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -182,6 +189,8 @@ SINGLE_OK = {
                                # by construction; per-round gradients are the
                                # same O(d) scalar shape
     "knn_pca2_reduced",       # inherits pca2's 1-row global moments aggregate
+    "corpus_retrieval_mart",   # inherits kmeans's bounded k-row seed collect /
+                               # centroid folds (k = 4 by the mart contract)
 }
 
 

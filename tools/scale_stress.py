@@ -220,6 +220,12 @@ QUERY_TABLES = {
     # replica tag off), per-round work vocab-sized, loser a 1-row
     # broadcast, rounds fixed at 8
     "corpus_unigram_vocab": ["documents"],
+    # unigram encode: corpus explode + vocab-sized word-keyed join +
+    # per-doc agg (the doc_bpe_encode shape; walk state vocab-bounded)
+    "doc_unigram_encode": ["documents"],
+    # recall eval: both ANN tiers' shapes + a k-bounded-per-query join
+    # (queries capped to the base replica by vec_id < 8)
+    "knn_ivf_recall": ["embeddings"],
     # BFS: the stride is a multiple of 100, so every replica keeps its
     # proportional seed set; co-purchase edges stay within an order's
     # replica; fixed 4 relaxation rounds, edge-linear each
