@@ -350,3 +350,176 @@ FROM feats f, w{n_rounds} w
 GROUP BY {wcols}
 """
     )
+
+
+# ----------------------------------------------- AdaBoost (stumps)
+#: total integer weight mass the per-round renormalization targets;
+#: the int64-headroom argument below assumes weights never exceed it
+ADA_TOTAL = 10**9
+
+
+def adaboost_train_stumps(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_rounds: int = 6,
+    thresholds: tuple[int, ...] = (-4, -2, 0, 2, 4),
+) -> DataFrame:
+    """Discrete AdaBoost over decision stumps on the integer grid —
+    the BOOSTING training loop of the supervised tier (NB/Rocchio/OLS
+    are closed-form, logreg certifies gradient descent, kmeans
+    certifies Lloyd, BPE/unigram certify merge/prune training; this
+    certifies the round-coupled reweighting loop), and the one
+    trained loop with NO transcendental anywhere: the classic
+    ``alpha = ln((1-e)/e)/2`` weight update is replaced by the exact
+    rational equivalent — misclassified weights scale by W_cor,
+    correct ones by W_mis, then renormalize to ~ADA_TOTAL by
+    truncated division — which preserves AdaBoost's defining
+    invariant (after the update, the chosen stump's weighted error is
+    exactly 1/2 up to truncation) in pure int64 arithmetic both
+    engines replay bit-identically.
+
+    Per round: ONE scalar aggregate computes every stump candidate's
+    weighted misclassification mass (|features| x |thresholds| x 2
+    conditional sums — the logreg-gradient O(d) collect contract,
+    rows never leave the executors); the winner (w_mis asc, then
+    feature/threshold/polarity asc) becomes plan literals for the
+    weight-update map stage; localCheckpoint flattens lineage.
+
+    int64 headroom: w_i <= ADA_TOTAL (1e9) and W_mis, W_cor <=
+    ADA_TOTAL, so the update product w_i * W_side <= 1e18 < 2^63 and
+    the normalizer U = 2 * W_mis * W_cor <= ADA_TOTAL^2 / 2 = 5e17;
+    U >= 2 * (ADA_TOTAL - n) whenever 1 <= W_mis <= W - 1, so
+    ``U div ADA_TOTAL >= 1`` and the truncated renormalizer never
+    divides by zero.  Degenerate rounds (a stump with zero weighted
+    error, or none better than trivial) raise ValueError rather than
+    silently emitting an undefined update.
+
+    Returns one row per round: (round, feature, threshold, polarity,
+    w_mis, w_total) — all exact int64, no floats at all."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    d = len(feature_cols)
+    cands = [
+        (j, t, p)
+        for j in range(d)
+        for t in thresholds
+        for p in (1, -1)
+    ]
+    n_row = df.count()
+    if n_row == 0:
+        raise ValueError("empty training frame")
+    w0 = ADA_TOTAL // n_row
+    if w0 < 1:
+        raise ValueError(
+            f"training frame too large for ADA_TOTAL grid ({n_row} rows)"
+        )
+    feats = df.select(
+        *[F.col(c).cast("long").alias(f"x{j}") for j, c in enumerate(feature_cols)],
+        (F.col(label_col).cast("long") * 2 - 1).alias("ypm"),
+        F.lit(w0).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+
+    def mis(j: int, t: int, p: int):
+        h = F.when(F.col(f"x{j}") >= F.lit(t), F.lit(p)).otherwise(F.lit(-p))
+        return h != F.col("ypm")
+
+    rounds = []
+    for r in range(n_rounds):
+        agg = feats.agg(
+            F.sum("w").alias("wt"),
+            *[
+                F.sum(F.when(mis(j, t, p), F.col("w")).otherwise(F.lit(0))).alias(
+                    f"m_{i}"
+                )
+                for i, (j, t, p) in enumerate(cands)
+            ],
+        ).collect()[0]
+        wt = agg["wt"]
+        best_i = min(
+            range(len(cands)), key=lambda i: (agg[f"m_{i}"], cands[i])
+        )
+        j, t, p = cands[best_i]
+        w_mis = agg[f"m_{best_i}"]
+        if w_mis == 0 or w_mis >= wt - w_mis:
+            raise ValueError(
+                f"degenerate stump round {r}: w_mis={w_mis}, total={wt}"
+            )
+        w_cor = wt - w_mis
+        u_div = (2 * w_mis * w_cor) // ADA_TOTAL
+        rounds.append((r, j, t, p, int(w_mis), int(wt)))
+        feats = feats.withColumn(
+            "w",
+            F.expr(
+                f"(w * CASE WHEN (CASE WHEN x{j} >= {t} THEN {p} ELSE {-p} END)"
+                f" <> ypm THEN {w_cor} ELSE {w_mis} END) div {u_div}"
+            ).cast("long"),
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rounds,
+        "round int, feature int, threshold int, polarity int, "
+        "w_mis long, w_total long",
+    )
+
+
+def adaboost_oracle_sql(
+    feats_sql: str,
+    feature_exprs: list[str],
+    n_rounds: int = 6,
+    thresholds: tuple[int, ...] = (-4, -2, 0, 2, 4),
+) -> str:
+    """Unrolled-round DuckDB replay of :func:`adaboost_train_stumps`:
+    ``feats_sql`` must yield the integer feature columns named by
+    ``feature_exprs`` plus ``__y__``; each round k materializes the
+    candidate-error table (weights x a VALUES candidate grid), the
+    1-row winner, and the renormalized weight frame."""
+    d = len(feature_exprs)
+    cand_rows = ", ".join(
+        f"({j}, {t}, {p})"
+        for j in range(d)
+        for t in thresholds
+        for p in (1, -1)
+    )
+    xsel = ", ".join(f"{c} AS x{j}" for j, c in enumerate(feature_exprs))
+    pick = "CASE c.j " + " ".join(f"WHEN {j} THEN x{j}" for j in range(d)) + " END"
+    pick_w = (
+        "CASE t.j " + " ".join(f"WHEN {j} THEN x{j}" for j in range(d)) + " END"
+    )
+    ctes = [
+        f"afeats AS MATERIALIZED (SELECT {xsel}, __y__ * 2 - 1 AS ypm "
+        f"FROM ({feats_sql}))",
+        "acand AS MATERIALIZED (SELECT * FROM (VALUES "
+        + cand_rows
+        + ") AS c(j, t, p))",
+        "an AS MATERIALIZED (SELECT count(*) AS n FROM afeats)",
+        f"aw0 AS MATERIALIZED (SELECT afeats.*, "
+        f"cast({ADA_TOTAL} // an.n AS bigint) AS w FROM afeats, an)",
+    ]
+    for k in range(n_rounds):
+        ctes.append(f"""ae{k} AS MATERIALIZED (
+  SELECT c.j AS j, c.t AS t, c.p AS p,
+         cast(sum(CASE WHEN (CASE WHEN ({pick}) >= c.t THEN c.p ELSE -c.p END)
+                       <> ypm THEN w ELSE 0 END) AS bigint) AS w_mis
+  FROM aw{k}, acand c GROUP BY 1, 2, 3)""")
+        ctes.append(f"""awt{k} AS MATERIALIZED (
+  SELECT cast(sum(w) AS bigint) AS wt FROM aw{k})""")
+        ctes.append(f"""at{k} AS MATERIALIZED (
+  SELECT {k} AS round, e.j AS j, e.t AS t, e.p AS p, e.w_mis AS w_mis,
+         awt{k}.wt AS w_total
+  FROM ae{k} e, awt{k}
+  ORDER BY e.w_mis, e.j, e.t, e.p LIMIT 1)""")
+        ctes.append(f"""aw{k + 1} AS MATERIALIZED (
+  SELECT aw.* REPLACE (cast(
+    (aw.w * CASE WHEN (CASE WHEN ({pick_w}) >= t.t THEN t.p ELSE -t.p END)
+                 <> aw.ypm
+            THEN t.w_total - t.w_mis ELSE t.w_mis END)
+    // ((2 * t.w_mis * (t.w_total - t.w_mis)) // {ADA_TOTAL})
+    AS bigint) AS w)
+  FROM aw{k} aw, at{k} t)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT round, j AS feature, t AS threshold, p AS polarity, "
+        f"w_mis, w_total FROM at{k}"
+        for k in range(n_rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union

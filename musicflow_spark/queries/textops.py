@@ -1695,6 +1695,67 @@ def _doc_quality_logreg_oracle_sql() -> str:
     )
 
 
+# ---------------------------------------------- boosted quality gate
+ADA_ROUNDS = 6
+
+
+def doc_quality_adaboost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOSTING-trained quality classifier (ext): discrete AdaBoost
+    over integer decision stumps, 6 rounds
+    (operators/classify.py::adaboost_train_stumps) — the
+    round-coupled reweighting training loop next to logreg's gradient
+    descent, and the one trained loop with NO transcendental: the
+    alpha reweighting is replaced by its exact rational equivalent
+    (misclassified x W_cor, correct x W_mis, truncated-division
+    renormalize), so every emitted number is exact int64.  Features:
+    centered token-count bucket, centered distinct-token count, a
+    length-mod noise feature, centered char-length bucket; label
+    ``y = (nt >= 48 OR nu >= 28)`` — NOT nailable by one stump, so
+    the 6 winners genuinely chain (measured on the fixture corpus:
+    six different stumps, weighted error climbing 0.05 -> 0.34 as
+    weight concentrates on the hard examples).  Returns one row per
+    round: (round, feature, threshold, polarity, w_mis, w_total);
+    the DuckDB oracle unrolls every round (candidate-error table,
+    1-row winner, renormalized weight frame)."""
+    from musicflow_spark.operators.classify import adaboost_train_stumps
+
+    docs = read_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    nt = F.size(tk)
+    nu = F.size(F.array_distinct(tk))
+    nc = F.length("text")
+
+    def clamp(c):
+        return F.greatest(F.least(c, F.lit(32)), F.lit(-32))
+
+    feats = docs.select(
+        clamp((nt / 8).cast("long") - 7).alias("x0"),
+        clamp(nu - 25).alias("x1"),
+        clamp(nt % 13 - 6).alias("x2"),
+        clamp((nc / 100).cast("long") - 5).alias("x3"),
+        ((nt >= 48) | (nu >= 28)).cast("long").alias("y"),
+    )
+    return adaboost_train_stumps(
+        feats, ["x0", "x1", "x2", "x3"], "y", ADA_ROUNDS
+    )
+
+
+def _doc_quality_adaboost_oracle_sql() -> str:
+    from musicflow_spark.operators.classify import adaboost_oracle_sql
+
+    toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    feats = f"""
+  SELECT greatest(least(nt // 8 - 7, 32), -32) AS x0,
+         greatest(least(nu - 25, 32), -32) AS x1,
+         greatest(least(nt % 13 - 6, 32), -32) AS x2,
+         greatest(least(nc // 100 - 5, 32), -32) AS x3,
+         CASE WHEN nt >= 48 OR nu >= 28 THEN 1 ELSE 0 END AS __y__
+  FROM (SELECT len({toks}) AS nt, len(list_distinct({toks})) AS nu,
+               length(text) AS nc
+        FROM documents)"""
+    return adaboost_oracle_sql(feats, ["x0", "x1", "x2", "x3"], ADA_ROUNDS)
+
+
 # ------------------------------------------------- unigram rarity score
 def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model-free quality signal (ext): per-document mean
@@ -2682,6 +2743,7 @@ QUERIES = [
     Query("corpus_unigram_vocab", "ext: unigram-LM tokenizer TRAINING — SentencePiece-style prune loop, 8 unrolled hard-EM rounds hash-replayed", corpus_unigram_vocab, unigram_oracle_sql(UNI_N_PRUNES)),
     Query("doc_unigram_encode", "ext: unigram tokenizer APPLY — greedy-walk encode off the vocab-sized word-type state; oracle nests the 8 prune-training rounds", doc_unigram_encode, _doc_unigram_encode_oracle_sql()),
     Query("doc_quality_logreg", "ext: gradient-TRAINED logistic quality classifier — 8 full-batch GD rounds on the integer micro-grid, unrolled SQL replay", doc_quality_logreg, _doc_quality_logreg_oracle_sql()),
+    Query("doc_quality_adaboost", "ext: BOOSTING-trained quality classifier — discrete AdaBoost over integer stumps, exact rational reweighting (no transcendental), unrolled SQL replay", doc_quality_adaboost, _doc_quality_adaboost_oracle_sql()),
     Query("doc_bpe_encode", "ext: BPE tokenizer APPLY — encode the corpus with the learned 12-merge vocabulary via the vocab-sized word-type state join; oracle nests the training CTEs", doc_bpe_encode, _doc_bpe_encode_oracle_sql()),
     Query("doc_canonical_selection", "ext: longest-member canonical doc per dedup cluster", doc_canonical_selection, _doc_canonical_selection_oracle_sql()),
 ]

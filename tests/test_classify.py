@@ -286,3 +286,92 @@ def test_logreg_sigmoid_boundary_canary(spark, sf_dir):
     _python_logreg(rows, 4, LOGREG_ROUNDS, LOGREG_LR_DEN, boundary_gap=gaps)
     assert gaps, "fixture corpus produced no sigmoid evaluations"
     assert min(gaps) > 1e-9, min(gaps)
+
+
+# ------------------------------------------------- AdaBoost (stumps)
+def _python_adaboost(rows, d, n_rounds, thresholds=(-4, -2, 0, 2, 4)):
+    """Pure-python replica of adaboost_train_stumps' exact integer
+    arithmetic (rational reweighting + truncated-division
+    renormalize; no transcendental to replicate at all)."""
+    from musicflow_spark.operators.classify import ADA_TOTAL
+
+    cands = [
+        (j, t, p) for j in range(d) for t in thresholds for p in (1, -1)
+    ]
+    data = [([r[j] for j in range(d)], 2 * r[d] - 1) for r in rows]
+    n = len(data)
+    w = [ADA_TOTAL // n] * n
+    out = []
+    for r in range(n_rounds):
+        wt = sum(w)
+        errs = {
+            c: sum(
+                wi
+                for (x, ypm), wi in zip(data, w)
+                if (c[2] if x[c[0]] >= c[1] else -c[2]) != ypm
+            )
+            for c in cands
+        }
+        best = min(cands, key=lambda c: (errs[c], c))
+        m = errs[best]
+        j, t, p = best
+        assert 0 < m < wt - m
+        out.append((r, j, t, p, m, wt))
+        wc = wt - m
+        ud = (2 * m * wc) // ADA_TOTAL
+        w = [
+            (wi * (wc if ((p if x[j] >= t else -p) != ypm) else m)) // ud
+            for (x, ypm), wi in zip(data, w)
+        ]
+    return out
+
+
+def test_adaboost_matches_python_reference(spark):
+    from musicflow_spark.operators.classify import adaboost_train_stumps
+
+    rows = [
+        (x1, x2, (x1 * 5 + x2 * 3) % 7 - 3, 1 if (x1 > 2) or (x2 > 3) else 0)
+        for x1 in range(-6, 7)
+        for x2 in range(-6, 7)
+    ]
+    df = spark.createDataFrame(rows, "x0 long, x1 long, x2 long, y long")
+    got = [
+        tuple(r)
+        for r in adaboost_train_stumps(df, ["x0", "x1", "x2"], "y", 5)
+        .orderBy("round")
+        .collect()
+    ]
+    want = _python_adaboost(rows, 3, 5)
+    assert got == want
+
+
+def test_adaboost_rounds_interact(spark):
+    # the winning stump must change across rounds (reweighting works)
+    from musicflow_spark.operators.classify import adaboost_train_stumps
+
+    rows = [
+        (x1, x2, 0, 1 if (x1 > 0) or (x2 > 2) else 0)
+        for x1 in range(-6, 7)
+        for x2 in range(-6, 7)
+    ]
+    df = spark.createDataFrame(rows, "x0 long, x1 long, x2 long, y long")
+    out = adaboost_train_stumps(df, ["x0", "x1", "x2"], "y", 3).collect()
+    stumps = {(r["feature"], r["threshold"], r["polarity"]) for r in out}
+    assert len(stumps) >= 2
+
+
+def test_adaboost_validation(spark):
+    from musicflow_spark.operators.classify import adaboost_train_stumps
+
+    df = spark.createDataFrame([(1, 1)], "x0 long, y long")
+    with pytest.raises(ValueError, match="n_rounds"):
+        adaboost_train_stumps(df, ["x0"], "y", 0)
+    empty = df.filter("x0 > 99")
+    with pytest.raises(ValueError, match="empty training frame"):
+        adaboost_train_stumps(empty, ["x0"], "y", 2)
+    # a perfectly separable frame makes round 0 degenerate (w_mis = 0)
+    sep = spark.createDataFrame(
+        [(-5, 0), (5, 1), (-4, 0), (4, 1)], "x0 long, y long"
+    )
+    with pytest.raises(ValueError, match="degenerate stump round"):
+        adaboost_train_stumps(sep, ["x0"], "y", 2)

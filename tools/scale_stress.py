@@ -183,6 +183,9 @@ QUERY_TABLES = {
     # logreg GD: per-round map + O(d) scalar gradient agg; 8 fixed
     # rounds regardless of N
     "doc_quality_logreg": ["documents"],
+    # AdaBoost: 6 fixed rounds of one map + one O(candidates) scalar
+    # agg; winner/renormalizer are plan literals
+    "doc_quality_adaboost": ["documents"],
     "media_binary_dedup": ["documents"],
     # media perceptual queries run under the MEDIA profile (see
     # MEDIA_DOC_STRIDE): replica group-texture windows stay disjoint
