@@ -639,6 +639,68 @@ WHERE list_sum(list_transform(range(1, {LSH_DIM} + 1), i -> unit_a[i] * unit_b[i
 """
 
 
+def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup index-quality EVAL (ext): pair-level recall and
+    precision of the sketch-then-verify LSH near-dup path against the
+    exact all-pairs baseline, computed IN ONE PLAN — the
+    knn_ivf_recall pattern applied to the dedup ladder.  Unlike the
+    MinHash tier (whose banded candidates + exact verify reproduce
+    the exact pair set, oracle-identical by construction), SRP
+    bucketing genuinely MISSES pairs (recall < 1, per-table miss rate
+    (1 - theta/pi)^n_planes), so this query hash-certifies the
+    actual recall a user would measure before trusting the scale
+    path; precision is 1 by the exact verify, and certifying that is
+    the point of emitting it.  Returns ONE row:
+    (n_exact, n_lsh, n_overlap, recall, precision).
+
+    Oracle: nests the two proven oracle SQLs verbatim as derived
+    tables, so the eval replay cannot drift from the tier replays."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = cosine_neardup_pairs(emb, NEARDUP_THRESHOLD).select("id_a", "id_b")
+    lsh = lsh_neardup_pairs(
+        emb, NEARDUP_THRESHOLD, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=LSH_TABLES, seed=LSH_SEED,
+    ).select("id_a", "id_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nov = exact.join(lsh, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nov)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_overlap",
+            pround(
+                F.col("n_overlap").cast("double") / F.col("n_exact"), 4
+            ).alias("recall"),
+            pround(
+                F.col("n_overlap").cast("double") / F.col("n_lsh"), 4
+            ).alias("precision"),
+        )
+    )
+
+
+def _embedding_lsh_recall_oracle_sql() -> str:
+    return f"""
+WITH ex AS (
+  SELECT id_a, id_b FROM ({EMBEDDING_NEARDUP_PAIRS_SQL})),
+ap AS (
+  SELECT id_a, id_b FROM ({_embedding_lsh_neardup_oracle_sql()})),
+ne AS (SELECT cast(count(*) AS bigint) AS n_exact FROM ex),
+nl AS (SELECT cast(count(*) AS bigint) AS n_lsh FROM ap),
+nov AS (
+  SELECT cast(count(*) AS bigint) AS n_overlap
+  FROM ex JOIN ap USING (id_a, id_b))
+SELECT n_exact, n_lsh, n_overlap,
+       round(cast(n_overlap AS double) / n_exact * 10000.0) / 10000.0 AS recall,
+       round(cast(n_overlap AS double) / n_lsh * 10000.0) / 10000.0 AS precision
+FROM ne, nl, nov
+"""
+
+
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (ext): nearest-centroid
     clustering as the blocking scheme, exact cosine only within a
@@ -1496,6 +1558,7 @@ QUERIES = [
     Query("knn_ivfpq", "ext: similarity search (ANN/IVF-PQ — cluster-pruned ADC scan)", knn_ivfpq, _knn_ivfpq_oracle_sql(), bench=True),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),
+    Query("embedding_lsh_recall", "ext: near-dedup index-quality eval — pair recall/precision of the LSH path vs the exact baseline, both proven oracles nested verbatim", embedding_lsh_recall, _embedding_lsh_recall_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),
     Query("embedding_semantic_dedup", "ext: SemDeDup-style cluster-blocked semantic dedup", embedding_semantic_dedup, _embedding_semantic_dedup_oracle_sql()),
     Query(

@@ -110,6 +110,10 @@ CARTESIAN_OK = {
                                # AND knn_ivf's 1-row centroid-seed broadcast —
                                # both tiers run in one plan, so both documented
                                # bounded cartesians appear (2 per tier)
+    "embedding_lsh_recall",    # inherits embedding_neardup_pairs' documented
+                               # exact all-pairs baseline AND the LSH tier's
+                               # 1-row plane broadcasts, plus three 1-row
+                               # count-aggregate cross joins (the eval row)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -189,6 +193,8 @@ SINGLE_OK = {
                                # by construction; per-round gradients are the
                                # same O(d) scalar shape
     "knn_pca2_reduced",       # inherits pca2's 1-row global moments aggregate
+    "embedding_lsh_recall",    # three scalar count aggregates (1 row each by
+                               # construction) joined into the one eval row
     "corpus_retrieval_mart",   # inherits kmeans's bounded k-row seed collect /
                                # centroid folds (k = 4 by the mart contract)
 }

@@ -229,6 +229,11 @@ QUERY_TABLES = {
     # recall eval: both ANN tiers' shapes + a k-bounded-per-query join
     # (queries capped to the base replica by vec_id < 8)
     "knn_ivf_recall": ["embeddings"],
+    # LSH recall eval: the exact baseline is deliberately quadratic
+    # (the oracle anchor), so the eval inherits its n^2 — the LSH
+    # side and overlap join stay linear; excluded from x10 (the
+    # baseline, not the operator, dominates past certification SF)
+
     # BFS: the stride is a multiple of 100, so every replica keeps its
     # proportional seed set; co-purchase edges stay within an order's
     # replica; fixed 4 relaxation rounds, edge-linear each
