@@ -1229,6 +1229,116 @@ WHERE rank <= {TOP_K}
 """
 
 
+KNN_INGEST_MOD = 5
+
+
+def knn_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-index MAINTENANCE (ext): assign today's
+    ingest batch (every 5th vec_id) to the coarse quantizer trained
+    on the BASE corpus only — no retrain — and report the per-cluster
+    occupancy the retrain trigger watches: (cluster_id, n_base,
+    n_delta, delta_frac).  The index-side twin of the perceptual
+    ingest queries (media_phash_ingest): ingest cost is
+    O(|delta| x k) against a k-row broadcast quantizer, base vectors
+    are never re-scanned past their one indexed assignment, and a
+    cluster whose delta_frac runs hot is the drift signal that
+    schedules retraining.  Training, quantization, and both
+    assignments are the bit-portable integer-grid kmeans machinery
+    (embedding_kmeans / knn_ivf_trained), so the whole maintenance
+    report is hash-replayable."""
+    from musicflow_spark.operators.embeddings import kmeans_centroids, quantized
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % KNN_INGEST_MOD == 0
+    base = emb.filter(~is_delta)
+    delta = emb.filter(is_delta)
+    cent = kmeans_centroids(base, k=KMEANS_K, n_iter=KMEANS_ITERS)
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        qq = df.select(
+            F.col("vec_id").alias("id"), quantized("embedding").alias("qv")
+        )
+        scored = qq.crossJoin(F.broadcast(cent)).select("id", "cid", d2.alias("d2"))
+        w = Window.partitionBy("id").orderBy("d2", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    nb = counts(base, "n_base")
+    nd = counts(delta, "n_delta")
+    tot = F.col("n_base") + F.col("n_delta")
+    return (
+        cent.select("cid")
+        .join(nb, "cid", "left")
+        .join(nd, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.coalesce("n_base", F.lit(0).cast("long")).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0).cast("long")).alias("n_delta"),
+        )
+        .select(
+            "cluster_id",
+            "n_base",
+            "n_delta",
+            F.when(tot == 0, F.lit(None).cast("double"))
+            .otherwise(pround(F.col("n_delta").cast("double") / tot, 4))
+            .alias("delta_frac"),
+        )
+    )
+
+
+def _knn_ivf_ingest_oracle_sql() -> str:
+    from musicflow_spark.operators.embeddings import (
+        DEFAULT_SCALE,
+        kmeans_oracle_parts,
+    )
+
+    base_tbl = f"(SELECT * FROM embeddings WHERE vec_id % {KNN_INGEST_MOD} <> 0)"
+    parts = kmeans_oracle_parts(
+        base_tbl, dim=KMEANS_DIM, k=KMEANS_K, n_iter=KMEANS_ITERS,
+        final_assign=True,
+    )
+    t = KMEANS_ITERS
+    joined = ",\n".join(parts)
+    scale = DEFAULT_SCALE
+    return f"""
+WITH {joined},
+dq AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % {KNN_INGEST_MOD} = 0),
+da AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT dq.id, c.cid,
+           row_number() OVER (PARTITION BY dq.id ORDER BY
+             list_sum(list_transform(range(1, {KMEANS_DIM} + 1),
+               i -> (dq.qv[i] - c.cv[i]) * (dq.qv[i] - c.cv[i]))), c.cid) AS rn
+    FROM dq, cent{t} c)
+  WHERE rn = 1),
+nb AS (SELECT cid, cast(count(*) AS bigint) AS n_base FROM a{t} GROUP BY cid),
+nd AS (SELECT cid, cast(count(*) AS bigint) AS n_delta FROM da GROUP BY cid)
+SELECT c.cid AS cluster_id,
+       coalesce(nb.n_base, 0) AS n_base,
+       coalesce(nd.n_delta, 0) AS n_delta,
+       CASE WHEN coalesce(nb.n_base, 0) + coalesce(nd.n_delta, 0) = 0 THEN NULL
+            ELSE round(cast(coalesce(nd.n_delta, 0) AS double)
+                 / (coalesce(nb.n_base, 0) + coalesce(nd.n_delta, 0))
+                 * 10000.0) / 10000.0 END AS delta_frac
+FROM cent{t} c
+LEFT JOIN nb ON nb.cid = c.cid
+LEFT JOIN nd ON nd.cid = c.cid
+"""
+
+
 # --------------------------- vector-index lifecycle composition mart
 RETR_CHUNK_LEN, RETR_CHUNK_STRIDE = 200, 150
 RETR_ID_STRIDE = 16  # max chunks/doc (577-char fixture docs yield <= 4)
@@ -1545,6 +1655,7 @@ FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
 QUERIES = [
     Query("corpus_retrieval_mart", "ext: vector-index LIFECYCLE mart — chunk -> hash-embed -> kmeans-train IVF -> index -> probe -> exact rerank, one composed query", corpus_retrieval_mart, _corpus_retrieval_mart_oracle_sql(), bench=True),
     Query("knn_ivf_recall", "ext: ANN index-quality eval — per-query recall@k of the IVF tier vs exact, both proven oracles nested verbatim", knn_ivf_recall, _knn_ivf_recall_oracle_sql()),
+    Query("knn_ivf_ingest", "ext: incremental vector-index maintenance — delta batch assigned to the base-trained quantizer, per-cluster occupancy drift report", knn_ivf_ingest, _knn_ivf_ingest_oracle_sql()),
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (truncated-integer-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),

@@ -114,6 +114,8 @@ CARTESIAN_OK = {
                                # exact all-pairs baseline AND the LSH tier's
                                # 1-row plane broadcasts, plus three 1-row
                                # count-aggregate cross joins (the eval row)
+    "knn_ivf_ingest",          # inherits kmeans's k-row (8) centroid broadcast
+                               # for train + both assignment scans
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -195,6 +197,8 @@ SINGLE_OK = {
     "knn_pca2_reduced",       # inherits pca2's 1-row global moments aggregate
     "embedding_lsh_recall",    # three scalar count aggregates (1 row each by
                                # construction) joined into the one eval row
+    "knn_ivf_ingest",          # inherits kmeans's bounded k-row seed collect /
+                               # centroid folds
     "corpus_retrieval_mart",   # inherits kmeans's bounded k-row seed collect /
                                # centroid folds (k = 4 by the mart contract)
 }

@@ -229,6 +229,9 @@ QUERY_TABLES = {
     # recall eval: both ANN tiers' shapes + a k-bounded-per-query join
     # (queries capped to the base replica by vec_id < 8)
     "knn_ivf_recall": ["embeddings"],
+    # IVF ingest: train on base (k*dim-bounded shuffles), two k-row
+    # broadcast assignment scans, k-row occupancy report
+    "knn_ivf_ingest": ["embeddings"],
     # LSH recall eval: the exact baseline is deliberately quadratic
     # (the oracle anchor), so the eval inherits its n^2 — the LSH
     # side and overlap join stay linear; excluded from x10 (the
