@@ -700,6 +700,133 @@ FROM c FULL JOIN p
 """
 
 
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD Type-2 maintenance (15th twin): the dimension
+    history of ``scd2_customer_history`` kept current by a real
+    availableNow writeStream — each micro-batch is one refresh file
+    folded into the materialized history via
+    streaming/events.py::foreach_batch_scd2 (close+reopen changed
+    keys, skip no-ops, stamp versions with the batch's source-defined
+    tick).  Two update batches arrive in order: batch 1 bumps
+    balances for hash-buckets < 3 (buckets 3-4 ship no-op rows that
+    must NOT version); batch 2 bumps buckets < 2 AGAIN (keys with
+    THREE history rows — per-batch fold order is load-bearing) and
+    re-segments buckets 5-6 to 'STREAMED'.  Oracle: the closed-form
+    final history (the scd2_customer_history oracle pattern extended
+    to two batches)."""
+    from musicflow_spark.operators.dedup import portable_hash60
+    from musicflow_spark.operators.scd import scd2_init
+    from musicflow_spark.streaming.events import foreach_batch_scd2
+
+    tmp = tempfile.mkdtemp(prefix="mf_streamtwin_scd2_")
+    hist_dir, upd_dir = f"{tmp}/history", f"{tmp}/updates"
+    dim = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _cents("c_acctbal").alias("bal_cents"),
+        "c_mktsegment",
+    )
+    scd2_init(dim, batch_id=0).write.parquet(hist_dir)
+    b = portable_hash60(F.col("c_custkey").cast("string")) % 10
+    dimb = dim.withColumn("__b__", b)
+    u1 = dimb.filter(F.col("__b__") < 5).select(
+        "c_custkey",
+        F.when(F.col("__b__") < 3, F.col("bal_cents") + 500)
+        .otherwise(F.col("bal_cents"))
+        .alias("bal_cents"),
+        "c_mktsegment",
+        F.lit(1).cast("long").alias("tick"),
+    )
+    u2 = (
+        dimb.filter(F.col("__b__") < 2)
+        .select(
+            "c_custkey",
+            (F.col("bal_cents") + 1200).alias("bal_cents"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            dimb.filter(F.col("__b__").isin(5, 6)).select(
+                "c_custkey",
+                "bal_cents",
+                F.lit("STREAMED").alias("c_mktsegment"),
+            )
+        )
+        .unionByName(
+            # bucket 3 ships its unchanged values AGAIN: a no-op in a
+            # LATER batch must still not version
+            dimb.filter(F.col("__b__") == 3).select(
+                "c_custkey", "bal_cents", "c_mktsegment"
+            )
+        )
+        .select("*", F.lit(2).cast("long").alias("tick"))
+    )
+    seen: set[str] = set()
+    for tick, upd in enumerate((u1, u2), start=1):
+        upd.coalesce(1).write.mode("append").parquet(upd_dir)
+        _bump_mtimes(upd_dir, seen, tick)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(upd_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd_dir)
+    )
+    sink = foreach_batch_scd2(
+        hist_dir, "c_custkey", ["bal_cents", "c_mktsegment"]
+    )
+    _run_available_now(stream, lambda w: w.foreachBatch(sink))
+    return spark.read.parquet(hist_dir)
+
+
+STREAM_SCD2_HISTORY_SQL = """
+WITH dim AS (
+  SELECT c_custkey,
+         cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         c_mktsegment
+  FROM customer),
+bucketed AS (
+  SELECT *, ('0x' || substr(md5(cast(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+  FROM dim)
+-- buckets < 2: changed in batch 1 AND batch 2 -> three rows
+SELECT c_custkey, bal_cents, c_mktsegment,
+       cast(0 AS BIGINT) AS valid_from, cast(1 AS BIGINT) AS valid_to
+FROM bucketed WHERE b < 2
+UNION ALL
+SELECT c_custkey, bal_cents + 500, c_mktsegment,
+       cast(1 AS BIGINT), cast(2 AS BIGINT)
+FROM bucketed WHERE b < 2
+UNION ALL
+SELECT c_custkey, bal_cents + 1200, c_mktsegment,
+       cast(2 AS BIGINT), cast(NULL AS BIGINT)
+FROM bucketed WHERE b < 2
+-- bucket 2: changed in batch 1 only -> two rows
+UNION ALL
+SELECT c_custkey, bal_cents, c_mktsegment,
+       cast(0 AS BIGINT), cast(1 AS BIGINT)
+FROM bucketed WHERE b = 2
+UNION ALL
+SELECT c_custkey, bal_cents + 500, c_mktsegment,
+       cast(1 AS BIGINT), cast(NULL AS BIGINT)
+FROM bucketed WHERE b = 2
+-- buckets 3-4: no-op rows in both batches -> single open row
+UNION ALL
+SELECT c_custkey, bal_cents, c_mktsegment,
+       cast(0 AS BIGINT), cast(NULL AS BIGINT)
+FROM bucketed WHERE b IN (3, 4)
+-- buckets 5-6: re-segmented in batch 2 -> two rows
+UNION ALL
+SELECT c_custkey, bal_cents, c_mktsegment,
+       cast(0 AS BIGINT), cast(2 AS BIGINT)
+FROM bucketed WHERE b IN (5, 6)
+UNION ALL
+SELECT c_custkey, bal_cents, 'STREAMED',
+       cast(2 AS BIGINT), cast(NULL AS BIGINT)
+FROM bucketed WHERE b IN (5, 6)
+-- buckets >= 7: never in any batch -> untouched open row
+UNION ALL
+SELECT c_custkey, bal_cents, c_mktsegment,
+       cast(0 AS BIGINT), cast(NULL AS BIGINT)
+FROM bucketed WHERE b >= 7
+"""
+
+
 # ------------------------------------- stream-stream as-of (time join)
 ASOF_HORIZON_DAYS = 7
 
@@ -928,6 +1055,7 @@ QUERIES = [
     Query("stream_click_purchase_join", "ext: streaming twin — NATIVE stream-stream interval inner join (dual watermarks, evictable join state)", stream_click_purchase_join, STREAM_CLICK_PURCHASE_JOIN_SQL),
     Query("stream_click_purchase_leftjoin", "ext: streaming twin — NATIVE stream-stream interval LEFT-OUTER join (null-padded emission at watermark expiry)", stream_click_purchase_leftjoin, STREAM_CLICK_PURCHASE_LEFTJOIN_SQL),
     Query("stream_click_purchase_fulljoin", "ext: streaming twin — NATIVE stream-stream interval FULL-OUTER join (symmetric watermark-expiry emission on both state sides)", stream_click_purchase_fulljoin, STREAM_CLICK_PURCHASE_FULLJOIN_SQL),
+    Query("stream_scd2_history", "ext: streaming twin — SCD Type-2 maintenance via foreachBatch fold (source-defined version ticks, no-op suppression, repeated-key multi-version history)", stream_scd2_history, STREAM_SCD2_HISTORY_SQL),
     Query("stream_asof_purchase", "ext: streaming twin — stream-stream as-of join (time-range join state + max_by agg, deterministic tiebreak)", stream_asof_purchase, STREAM_ASOF_PURCHASE_SQL),
 ]
 

@@ -395,3 +395,49 @@ def foreach_batch_merge_into(
         os.rename(tmp, path)
 
     return sink
+
+
+def foreach_batch_scd2(
+    path: str,
+    key: str,
+    tracked: list[str],
+    tick_col: str = "tick",
+):
+    """The streaming tier of operators/scd.py::scd2_merge: each
+    micro-batch is one dimension-refresh batch folded into the
+    materialized Type-2 history with the check-strategy rules
+    (changed -> close+reopen, unchanged -> no version, new -> insert,
+    absent -> untouched), then atomically swapped — the
+    foreach_batch_merge_into pattern with history semantics.  The
+    batch's ``tick_col`` column (constant per batch by construction —
+    one refresh file per trigger) becomes the merge's batch_id, so
+    version stamps are source-defined rather than epoch-defined and
+    replay/restart cannot renumber history.
+
+    At 100 TB the history partitions by ``valid_to IS NULL`` and each
+    micro-batch rewrites only the open partition (the scd2_merge
+    contract); the swap becomes a transactional MERGE on a lakehouse
+    format."""
+    from musicflow_spark.operators.scd import scd2_merge
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        # bounded 1-row collect: the batch's constant refresh tick
+        tick = batch.agg(F.max(tick_col).alias("t")).collect()[0]["t"]
+        if tick is None:
+            return
+        history = spark.read.parquet(path)
+        merged = scd2_merge(
+            history,
+            batch.drop(tick_col),
+            key,
+            tracked,
+            batch_id=int(tick),
+        ).localCheckpoint(eager=True)
+        tmp = f"{path}.__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return sink

@@ -1179,3 +1179,72 @@ def test_stream_stream_fulljoin_pads_both_sides(spark):
         for r in rows
         if r["click_id"] is None or r["purchase_id"] is None
     )
+
+
+def test_stream_scd2_equals_sequential_batch_fold(spark):
+    """The streaming SCD-2 twin's final history must equal
+    scd2_apply_batches folding the same two update frames in the
+    same order (streaming micro-batch boundaries == batch refresh
+    boundaries)."""
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.operators.dedup import portable_hash60
+    from musicflow_spark.operators.scd import scd2_apply_batches, scd2_init
+    from musicflow_spark.queries.streamtwins import stream_scd2_history
+    from musicflow_spark.sources.catalog import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in stream_scd2_history(spark, sf)
+        .select("c_custkey", "bal_cents", "c_mktsegment", "valid_from", "valid_to")
+        .collect()
+    }
+    dim = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        "c_mktsegment",
+    )
+    b = portable_hash60(F.col("c_custkey").cast("string")) % 10
+    dimb = dim.withColumn("__b__", b)
+    u1 = dimb.filter(F.col("__b__") < 5).select(
+        "c_custkey",
+        F.when(F.col("__b__") < 3, F.col("bal_cents") + 500)
+        .otherwise(F.col("bal_cents"))
+        .alias("bal_cents"),
+        "c_mktsegment",
+    )
+    u2 = (
+        dimb.filter(F.col("__b__") < 2)
+        .select(
+            "c_custkey",
+            (F.col("bal_cents") + 1200).alias("bal_cents"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            dimb.filter(F.col("__b__").isin(5, 6)).select(
+                "c_custkey", "bal_cents", F.lit("STREAMED").alias("c_mktsegment")
+            )
+        )
+        .unionByName(
+            dimb.filter(F.col("__b__") == 3).select(
+                "c_custkey", "bal_cents", "c_mktsegment"
+            )
+        )
+    )
+    want = {
+        tuple(r)
+        for r in scd2_apply_batches(
+            scd2_init(dim, 0),
+            [(1, u1), (2, u2)],
+            "c_custkey",
+            ["bal_cents", "c_mktsegment"],
+        ).collect()
+    }
+    assert got == want
+    # repeated-change keys carry three versions
+    three = [k for k, *_ in got]
+    from collections import Counter
+
+    c = Counter(three)
+    assert max(c.values()) == 3
