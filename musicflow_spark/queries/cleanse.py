@@ -241,7 +241,61 @@ FROM c GROUP BY host
 """
 
 
+K_ANON = 5
+
+
+def customer_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (ext: data governance next to PII redaction
+    and erasure): group the customer table by its quasi-identifier
+    tuple — market segment, nation, account-balance decile bucket —
+    and flag every group smaller than k=5: rows in such a group are
+    re-identifiable by an adversary who knows only the QI columns,
+    the standard release gate for sharing 'anonymized' extracts.  The
+    balance bucket shifts to a non-negative grid before the integer
+    divide so truncation agrees across engines.  One groupBy shuffle
+    on the QI key at any scale; the flag is a per-row expression."""
+    cust = read_table(spark, sf_dir, "customer")
+    bal_bucket = (
+        (F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(100_000))
+        / F.lit(100_000)
+    ).cast("long")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_nationkey",
+            bal_bucket.alias("bal_bucket"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "bal_bucket",
+            "n",
+            (F.col("n") < K_ANON).alias("is_risky"),
+        )
+    )
+
+
+CUSTOMER_KANONYMITY_AUDIT_SQL = f"""
+SELECT c_mktsegment, c_nationkey, bal_bucket,
+       cast(count(*) AS bigint) AS n,
+       count(*) < {K_ANON} AS is_risky
+FROM (
+  SELECT c_mktsegment, c_nationkey,
+         (cast(round(c_acctbal * 100) AS bigint) + 100000) // 100000 AS bal_bucket
+  FROM customer)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = [
+    Query(
+        "customer_kanonymity_audit",
+        "ext: k-anonymity release gate — QI-tuple group sizes with sub-k risk flags",
+        customer_kanonymity_audit,
+        CUSTOMER_KANONYMITY_AUDIT_SQL,
+    ),
     Query(
         "customer_pii_redact",
         "ext: PII redaction (regex scrub + counts)",
