@@ -399,6 +399,10 @@ def adaboost_train_stumps(
     w_mis, w_total) — all exact int64, no floats at all."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
     d = len(feature_cols)
     cands = [
         (j, t, p)

@@ -40,6 +40,10 @@ def encode_rvid(frames: np.ndarray) -> bytes:
     if frames.dtype != np.uint8:
         raise ValueError(f"frames must be uint8, got {frames.dtype}")
     n, h, w = frames.shape
+    if max(n, h, w) > 0xFFFF:
+        raise ValueError(
+            f"dimension exceeds the container's u16 header: {(n, h, w)}"
+        )
     return _HEADER.pack(MAGIC, n, h, w) + frames.tobytes()
 
 

@@ -423,10 +423,22 @@ def foreach_batch_scd2(
     def sink(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
-        # bounded 1-row collect: the batch's constant refresh tick
-        tick = batch.agg(F.max(tick_col).alias("t")).collect()[0]["t"]
+        # bounded 1-row collect: the batch's constant refresh tick.
+        # A batch spanning TWO ticks (e.g. a restart re-batching
+        # several refresh files into one trigger) would silently
+        # collapse two history versions into one — fail loudly
+        # instead of renumbering history.
+        r = batch.agg(
+            F.min(tick_col).alias("lo"), F.max(tick_col).alias("t")
+        ).collect()[0]
+        tick = r["t"]
         if tick is None:
             return
+        if r["lo"] != tick:
+            raise ValueError(
+                f"micro-batch spans refresh ticks {r['lo']}..{tick}; "
+                "one refresh file per trigger is the sink's contract"
+            )
         history = spark.read.parquet(path)
         merged = scd2_merge(
             history,
