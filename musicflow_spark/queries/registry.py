@@ -153,12 +153,13 @@ _FILL_STRIDE = 41
 # Queries added AFTER the current round's 50-query window was frozen.
 # They sort after the window but before the proven tail, so they enter
 # the window automatically next round when this round's greens move to
-# _DRIVER_PROVEN.  Round-7 rotation: the 48 new round-6 greens rolled
-# into _DRIVER_PROVEN; `embedding_pca_scores` (the permanent rows-only
-# row) is retired from the registry — the scores surface is now
-# hash-proven end-to-end by `embedding_pca_scores_2d` (closed-form 2x2
-# eigendecomposition oracle) and the d=24 path stays pytest-certified.
-# The window head is every round-7 addition.
+# _DRIVER_PROVEN.  Round-8 rotation: the nine round-7 greens rolled
+# into _DRIVER_PROVEN and the proven FILL became round-keyed (VERDICT
+# r07 item 1), so a different proven slice re-certifies each round.
+# The window head is every round-8 addition (18 never-proven queries:
+# the audio/video tiers, the multimodal and retrieval marts, the
+# unigram encode, AdaBoost, the recall/ingest evals, the full-outer
+# and SCD-2 streaming twins, the k-anonymity audit).
 _NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
