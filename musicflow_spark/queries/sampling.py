@@ -538,7 +538,102 @@ FROM scored CROSS JOIN thresh
 """
 
 
+PREF_GROUP = 4  # docs per prompt group (fixture grouping key)
+
+
+def doc_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (ext: the DPO/RLHF data-prep
+    operation): treat each block of PREF_GROUP consecutive doc_ids as
+    candidate completions of one prompt, score each completion with
+    the integer lexical-diversity heuristic (distinct-token count,
+    the doc_quality_logreg label family), and emit one (chosen,
+    rejected) pair per prompt — chosen = top score, rejected = bottom
+    score, ties broken by doc_id so the pair is deterministic —
+    plus the two diagnostics a preference dataset is audited on
+    before training: the score margin (weak-preference pairs get
+    filtered downstream) and the token-length gap (length bias:
+    a reward model trained on pairs where chosen is systematically
+    longer learns length, not quality).  Groups with fewer than two
+    members emit nothing (no self-pairs).
+
+    Scale shape: one map pass for scores, one groupBy(prompt) with
+    min/max-by aggregates — a single keyed shuffle; no window, no
+    join.  Returns (prompt_id, chosen_id, rejected_id, score_margin,
+    len_gap)."""
+    from musicflow_spark.operators.textstats import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    scored = docs.select(
+        (F.col("doc_id") / PREF_GROUP).cast("long").alias("prompt_id"),
+        "doc_id",
+        F.size(F.array_distinct(tk)).cast("long").alias("score"),
+        F.size(tk).cast("long").alias("n_tokens"),
+    )
+    # max_by/min_by with a struct orders by (score, doc_id): chosen =
+    # highest score with the LOWEST id on ties (negated id in the max
+    # key), rejected = lowest score with the HIGHEST id on ties — so
+    # a fully-tied group still yields chosen != rejected
+    chosen = F.max_by(
+        F.struct("doc_id", "score", "n_tokens"),
+        F.struct(F.col("score"), -F.col("doc_id")),
+    )
+    rejected = F.min_by(
+        F.struct("doc_id", "score", "n_tokens"),
+        F.struct(F.col("score"), -F.col("doc_id")),
+    )
+    return (
+        scored.groupBy("prompt_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            chosen.alias("c"),
+            rejected.alias("r"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "prompt_id",
+            F.col("c.doc_id").alias("chosen_id"),
+            F.col("r.doc_id").alias("rejected_id"),
+            (F.col("c.score") - F.col("r.score")).alias("score_margin"),
+            (F.col("c.n_tokens") - F.col("r.n_tokens")).alias("len_gap"),
+        )
+    )
+
+
+DOC_PREFERENCE_PAIRS_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id // {PREF_GROUP} AS prompt_id, doc_id,
+         cast(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> x <> ''))) AS bigint) AS score,
+         cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> x <> '')) AS bigint) AS n_tokens
+  FROM documents),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score DESC, doc_id ASC) AS rc,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score ASC, doc_id DESC) AS rr,
+         count(*) OVER (PARTITION BY prompt_id) AS n
+  FROM scored)
+SELECT c.prompt_id AS prompt_id,
+       c.doc_id AS chosen_id,
+       r.doc_id AS rejected_id,
+       c.score - r.score AS score_margin,
+       c.n_tokens - r.n_tokens AS len_gap
+FROM (SELECT * FROM ranked WHERE rc = 1) c
+JOIN (SELECT * FROM ranked WHERE rr = 1) r USING (prompt_id)
+WHERE c.n >= 2
+"""
+
+
 QUERIES = [
+    Query(
+        "doc_preference_pairs",
+        "ext: DPO/RLHF preference-pair assembly — per-prompt chosen/rejected with score-margin and length-bias diagnostics",
+        doc_preference_pairs,
+        DOC_PREFERENCE_PAIRS_SQL,
+    ),
     Query(
         "corpus_temperature_mixture",
         "ext: temperature-scaled mixture apportionment (micro-grid tempered weights, exact largest-remainder seats)",
