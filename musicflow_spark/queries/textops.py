@@ -1695,6 +1695,47 @@ def _doc_quality_logreg_oracle_sql() -> str:
     )
 
 
+def doc_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer comparison (ext): encode the corpus with
+    BOTH trained tokenizers — the 12-merge BPE and the 8-prune
+    unigram-LM — and report per-document compression side by side,
+    the eval a tokenizer team runs before picking one.  Each encode
+    is the already-proven query on its own domain (BPE: every [a-z]+
+    word; unigram: words <= UNI_MAX_WORD chars — the comparison is
+    between the tokenizers as shipped, not on an artificial common
+    domain), joined per doc.  One plan therefore nests BOTH trained
+    loops; the oracle nests both encode oracles verbatim (each with
+    its full unrolled training chain), so a drift in either training
+    loop breaks this hash too.  Returns (doc_id, bpe_ppw, uni_ppw,
+    ppw_gap) for docs both tokenizers can encode."""
+    bpe = doc_bpe_encode(spark, sf_dir).select(
+        "doc_id", F.col("pieces_per_word").alias("bpe_ppw")
+    )
+    uni = doc_unigram_encode(spark, sf_dir).select(
+        "doc_id", F.col("pieces_per_word").alias("uni_ppw")
+    )
+    return bpe.join(uni, "doc_id").select(
+        "doc_id",
+        "bpe_ppw",
+        "uni_ppw",
+        pround(F.col("bpe_ppw") - F.col("uni_ppw"), 4).alias("ppw_gap"),
+    )
+
+
+def _doc_tokenizer_compare_oracle_sql() -> str:
+    return f"""
+WITH bq AS (
+  SELECT doc_id, pieces_per_word AS bpe_ppw
+  FROM ({_doc_bpe_encode_oracle_sql()})),
+uq AS (
+  SELECT doc_id, pieces_per_word AS uni_ppw
+  FROM ({_doc_unigram_encode_oracle_sql()}))
+SELECT doc_id, bpe_ppw, uni_ppw,
+       round((bpe_ppw - uni_ppw) * 10000.0) / 10000.0 AS ppw_gap
+FROM bq JOIN uq USING (doc_id)
+"""
+
+
 # ---------------------------------------------- boosted quality gate
 ADA_ROUNDS = 6
 
@@ -2742,6 +2783,7 @@ QUERIES = [
     Query("corpus_bpe_merges", "ext: BPE tokenizer TRAINING — greedy merge learning over the word-type histogram, 12 unrolled rounds hash-replayed", corpus_bpe_merges, bpe_oracle_sql(BPE_N_MERGES)),
     Query("corpus_unigram_vocab", "ext: unigram-LM tokenizer TRAINING — SentencePiece-style prune loop, 8 unrolled hard-EM rounds hash-replayed", corpus_unigram_vocab, unigram_oracle_sql(UNI_N_PRUNES)),
     Query("doc_unigram_encode", "ext: unigram tokenizer APPLY — greedy-walk encode off the vocab-sized word-type state; oracle nests the 8 prune-training rounds", doc_unigram_encode, _doc_unigram_encode_oracle_sql()),
+    Query("doc_tokenizer_compare", "ext: trained-tokenizer comparison — per-doc BPE vs unigram compression in one plan; oracle nests BOTH full training chains", doc_tokenizer_compare, _doc_tokenizer_compare_oracle_sql()),
     Query("doc_quality_logreg", "ext: gradient-TRAINED logistic quality classifier — 8 full-batch GD rounds on the integer micro-grid, unrolled SQL replay", doc_quality_logreg, _doc_quality_logreg_oracle_sql()),
     Query("doc_quality_adaboost", "ext: BOOSTING-trained quality classifier — discrete AdaBoost over integer stumps, exact rational reweighting (no transcendental), unrolled SQL replay", doc_quality_adaboost, _doc_quality_adaboost_oracle_sql()),
     Query("doc_bpe_encode", "ext: BPE tokenizer APPLY — encode the corpus with the learned 12-merge vocabulary via the vocab-sized word-type state join; oracle nests the training CTEs", doc_bpe_encode, _doc_bpe_encode_oracle_sql()),
