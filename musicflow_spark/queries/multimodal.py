@@ -718,7 +718,7 @@ def corpus_multimodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: three Arrow-batched decode map passes (image bands,
     audio features, video frame metrics — each frame/sample-bounded
     per doc) + the banded pair join + fixed-round star contraction +
-    five doc_id-keyed flag joins.  No stage pairs across modalities;
+    four doc_id-keyed flag joins.  No stage pairs across modalities;
     the only pair generator is the hamming-banded image join already
     stress-rowed linear."""
     from musicflow_spark.operators.graph import star_components
