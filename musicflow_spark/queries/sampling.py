@@ -123,6 +123,62 @@ FROM w
 """
 
 
+def doc_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by TRAINED-tokenizer lengths (ext): the
+    doc_pack_sequences layout driven by each document's LEARNED-BPE
+    piece count (doc_bpe_encode's n_pieces) instead of the whitespace
+    proxy — what a pretraining pipeline actually packs with, since
+    context budgets are tokenizer tokens, not words.  One plan
+    therefore nests the BPE training chain ahead of the packing
+    window; docs with no encodable word drop out of the packing
+    domain (the encode join's semantics, mirrored by the oracle).
+
+    Scale shape: the encode join's shape (explode + vocab-sized
+    word-keyed join + per-doc agg) followed by packing's single
+    shard-keyed shuffle — shards pack independently, no global
+    window."""
+    from musicflow_spark.queries.textops import doc_bpe_encode
+
+    enc = doc_bpe_encode(spark, sf_dir).select(
+        "doc_id", F.col("n_pieces").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        enc, "n_tokens", "doc_id", PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("shard").cast("long").alias("shard"),
+        "tok_offset",
+        "seq_first",
+        "seq_last",
+    )
+
+
+def _doc_pack_bpe_oracle_sql() -> str:
+    from musicflow_spark.queries.textops import _doc_bpe_encode_oracle_sql
+
+    return rf"""
+WITH enc AS (
+  SELECT doc_id, n_pieces AS n_tokens
+  FROM ({_doc_bpe_encode_oracle_sql()})),
+t AS (
+  SELECT doc_id, n_tokens,
+         {_H.format(x="cast(doc_id AS varchar)")} % {PACK_SHARDS} AS shard
+  FROM enc),
+w AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
+  FROM t)
+SELECT doc_id, n_tokens, shard, tok_offset,
+       tok_offset // {PACK_BUDGET} AS seq_first,
+       greatest((tok_offset + n_tokens - 1) // {PACK_BUDGET},
+                tok_offset // {PACK_BUDGET}) AS seq_last
+FROM w
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (ext): 200-char windows at stride 150
     (50-char overlap); map + explode, no shuffle.  Chunk content
@@ -628,6 +684,12 @@ WHERE c.n >= 2
 
 
 QUERIES = [
+    Query(
+        "doc_pack_bpe",
+        "ext: sequence packing by TRAINED-tokenizer lengths — learned-BPE piece counts drive the shard-local packing window; oracle nests the training chain",
+        doc_pack_bpe,
+        _doc_pack_bpe_oracle_sql(),
+    ),
     Query(
         "doc_preference_pairs",
         "ext: DPO/RLHF preference-pair assembly — per-prompt chosen/rejected with score-margin and length-bias diagnostics",
