@@ -186,6 +186,15 @@ QUERY_TABLES = {
     # AdaBoost: 6 fixed rounds of one map + one O(candidates) scalar
     # agg; winner/renormalizer are plan literals
     "doc_quality_adaboost": ["documents"],
+    # packing by trained-tokenizer lengths: encode join (vocab-sized)
+    # + one shard-keyed window
+    "doc_pack_bpe": ["documents"],
+    # preference pairs: one map + one prompt-keyed agg
+    "doc_preference_pairs": ["documents"],
+    # tokenizer compare: two vocab-sized encode joins + doc_id join
+    "doc_tokenizer_compare": ["documents"],
+    # k-anonymity: one QI-keyed groupBy
+    "customer_kanonymity_audit": ["customer"],
     "media_binary_dedup": ["documents"],
     # media perceptual queries run under the MEDIA profile (see
     # MEDIA_DOC_STRIDE): replica group-texture windows stay disjoint
