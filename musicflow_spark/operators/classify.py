@@ -354,7 +354,8 @@ GROUP BY {wcols}
 
 # ----------------------------------------------- AdaBoost (stumps)
 #: total integer weight mass the per-round renormalization targets;
-#: the int64-headroom argument below assumes weights never exceed it
+#: truncation lets the realized total transiently reach ~2x this, and
+#: the int64-headroom argument below budgets for that overshoot
 ADA_TOTAL = 10**9
 
 
@@ -386,9 +387,14 @@ def adaboost_train_stumps(
     feature/threshold/polarity asc) becomes plan literals for the
     weight-update map stage; localCheckpoint flattens lineage.
 
-    int64 headroom: w_i <= ADA_TOTAL (1e9) and W_mis, W_cor <=
-    ADA_TOTAL, so the update product w_i * W_side <= 1e18 < 2^63 and
-    the normalizer U = 2 * W_mis * W_cor <= ADA_TOTAL^2 / 2 = 5e17;
+    int64 headroom: the truncated renormalizer keeps the total only
+    APPROXIMATELY at ADA_TOTAL — when U = floor(2*W_mis*W_cor /
+    ADA_TOTAL) sits just above an integer multiple of ADA_TOTAL the
+    post-round total can transiently reach ~2*ADA_TOTAL — so the
+    bound that actually holds is w_i <= total <= 2*ADA_TOTAL (2e9)
+    and W_mis, W_cor <= 2*ADA_TOTAL, giving update products
+    w_i * W_side <= 4*ADA_TOTAL^2 = 4e18 < 2^63 (~9.2e18); the
+    normalizer U = 2 * W_mis * W_cor / ADA_TOTAL stays <= 2e9;
     U >= 2 * (ADA_TOTAL - n) whenever 1 <= W_mis <= W - 1, so
     ``U div ADA_TOTAL >= 1`` and the truncated renormalizer never
     divides by zero.  Degenerate rounds (a stump with zero weighted

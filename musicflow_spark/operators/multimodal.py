@@ -588,6 +588,19 @@ AUDIO_RATE = 8000
 # a silent wrap on the Python side would not be replayed by the SQL
 # oracle (same guard as the PHASH constants above)
 assert AUDIO_HALF + AUDIO_BUMP <= 32767
+# energy_fingerprint_bands' nearest-sampling of the frame envelope
+# onto the (AUDIO_ROWS, AUDIO_COLS+1) grid is an IDENTITY only when
+# the envelope length equals the grid length (2304/16 = 144 = 16*9);
+# the audio oracle hard-codes that identity (f//9, f%9), so a change
+# to any of these constants must fail loudly here rather than
+# silently desyncing operator and oracle (ADVICE r8)
+from musicflow_spark.operators.wavcodec import (  # noqa: E402
+    AUDIO_COLS,
+    AUDIO_FRAME_LEN,
+    AUDIO_ROWS,
+)
+
+assert AUDIO_N_SAMPLES // AUDIO_FRAME_LEN == AUDIO_ROWS * (AUDIO_COLS + 1)
 
 
 def audio_fixture_samples(doc_id: int) -> "np.ndarray":

@@ -136,6 +136,16 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "doc_quality_logreg", "doc_bpe_encode", "embedding_pca_scores_2d",
     "knn_pca2_reduced", "media_phash_neardup", "media_phash_ingest",
     "media_phash_groups",
+    # green in CORRECTNESS_r08.json (50/50; the other 29 window rows
+    # were round-keyed re-certifications of already-proven queries)
+    "stream_click_purchase_fulljoin", "stream_scd2_history",
+    "doc_span_scrub", "corpus_unigram_vocab", "doc_unigram_encode",
+    "doc_tokenizer_compare", "doc_quality_adaboost", "doc_pack_bpe",
+    "doc_preference_pairs", "customer_kanonymity_audit",
+    "corpus_retrieval_mart", "knn_ivf_recall", "knn_ivf_ingest",
+    "embedding_lsh_recall", "media_audio_features", "media_audio_neardup",
+    "media_video_framestats", "media_video_scenecuts", "media_audio_ingest",
+    "media_audio_groups", "corpus_multimodal_mart",
 )
 
 #: Current build round — bump when rotating the previous round's greens
@@ -147,19 +157,18 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 #: proven tier re-earns a driver-green row every ~len/stride rounds
 #: instead of the same module-order prefix being re-checked forever
 #: (VERDICT r07 item 1).
-_ROUND = 8
+_ROUND = 9
 _FILL_STRIDE = 41
 
 # Queries added AFTER the current round's 50-query window was frozen.
 # They sort after the window but before the proven tail, so they enter
 # the window automatically next round when this round's greens move to
-# _DRIVER_PROVEN.  Round-8 rotation: the nine round-7 greens rolled
-# into _DRIVER_PROVEN and the proven FILL became round-keyed (VERDICT
-# r07 item 1), so a different proven slice re-certifies each round.
-# The window head is every round-8 addition (18 never-proven queries:
-# the audio/video tiers, the multimodal and retrieval marts, the
-# unigram encode, AdaBoost, the recall/ingest evals, the full-outer
-# and SCD-2 streaming twins, the k-anonymity audit).
+# _DRIVER_PROVEN.  Round-9 rotation: all 21 round-8 additions (the
+# audio/video tiers, the multimodal and retrieval marts, the unigram
+# tokenizer family, AdaBoost, the recall/ingest evals, the full-outer
+# and SCD-2 streaming twins, the k-anonymity audit) went driver-green
+# in CORRECTNESS_r08.json and rolled into _DRIVER_PROVEN; the window
+# head is now the round-9 additions plus the round-keyed proven fill.
 _NEW_THIS_ROUND: tuple[str, ...] = ()
 
 

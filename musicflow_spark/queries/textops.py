@@ -1285,7 +1285,11 @@ def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: (doc_id, pos) encoding for the first-occurrence rule: pos < 2^20
-#: (fixture docs are ~100 tokens; any doc under a million tokens fits)
+#: (fixture docs are ~100 tokens; any doc under a million tokens fits).
+#: The Spark operator (min over struct(doc_id, pos)) has NO such
+#: bound, so the oracle guards it explicitly: the gs CTE scans every
+#: pgrams row and raises via error() on the first pos >= 2^20 rather
+#: than silently diverging from Spark's keep-first ordering (ADVICE r8)
 _SPAN_POS_ENC = 1 << 20
 
 DOC_SPAN_SCRUB_SQL = rf"""
@@ -1301,7 +1305,10 @@ pgrams AS MATERIALIZED (
         FROM low)),
 gs AS (
   SELECT gram,
-         min(doc_id * {_SPAN_POS_ENC} + pos) AS fo,
+         min(doc_id * {_SPAN_POS_ENC}
+             + CASE WHEN pos >= {_SPAN_POS_ENC}
+                    THEN error('span pos overflows 2^20 encoding')
+                    ELSE pos END) AS fo,
          count(DISTINCT doc_id) AS n_docs
   FROM pgrams GROUP BY gram),
 rem AS (
