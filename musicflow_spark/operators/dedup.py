@@ -1023,12 +1023,28 @@ def span_scrub(
         )
         .select("doc_id", "pos")
     )
+    return _scrub_tail(base, removable, n=n, min_run_grams=min_span - n + 1)
+
+
+def _scrub_tail(
+    base: DataFrame, removable: DataFrame, n: int, min_run_grams: int
+) -> DataFrame:
+    """Shared scrub machinery: merge removable gram positions into
+    maximal runs (gaps-and-islands), keep runs of >= ``min_run_grams``
+    grams, cut the covered token intervals, and reassemble each
+    document's surviving original-case tokens in order.
+
+    ``base`` must carry (doc_id, __toks__); ``removable`` (doc_id,
+    pos) with pos the 0-based position of an n-gram flagged for
+    removal.  Returns (doc_id, n_tokens, n_kept, n_removed,
+    clean_text) with one row per base document (scrubbed-to-nothing
+    docs keep clean_text = '')."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         removable.withColumn("__isl__", F.col("pos") - F.row_number().over(w))
         .groupBy("doc_id", "__isl__")
         .agg(F.min("pos").alias("start"), F.count(F.lit(1)).alias("run_grams"))
-        .filter(F.col("run_grams") >= min_span - n + 1)
+        .filter(F.col("run_grams") >= min_run_grams)
     )
     # token interval [start, start + run_grams + n - 2]; adjacent
     # islands < n grams apart can overlap in token coverage, which the
@@ -1069,6 +1085,75 @@ def span_scrub(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def suffix_span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = 50,
+) -> DataFrame:
+    """EXACT long-substring dedup, suffix-ordered (Lee et al. 2022's
+    suffix-array formulation — "deduplicate exact substrings >= 50
+    tokens", the industry-default pretraining dedup rung): cut every
+    token covered by a >= ``min_span``-token substring that occurs
+    MORE THAN ONCE in the corpus (within- or cross-document — the
+    paper's corpus-occurrence rule, unlike :func:`span_scrub`'s
+    cross-document gate), keeping each repeated window's globally
+    first occurrence.
+
+    Exactness vs :func:`span_scrub`: the gram-island form flags a run
+    of small-n grams that may each repeat in DIFFERENT places — a run
+    of length min_span certifies only that every n-window in it
+    repeats somewhere, not that one contiguous min_span-token
+    substring repeats.  Here the suffix unit IS the full
+    ``min_span``-token window (the L-truncated suffix — two suffixes
+    agree on >= L tokens iff their L-truncations are equal, which is
+    exactly the adjacent-suffix LCP >= L test a suffix array runs),
+    so every flagged position individually certifies a repeated
+    >= min_span-token substring: no over-removal is possible, and
+    maximal islands need no minimum-run filter (a run of r flagged
+    positions certifies a maximal repeated region of r + min_span - 1
+    tokens).
+
+    Returns (doc_id, n_tokens, n_kept, n_removed, clean_text) — one
+    row per document, same contract as :func:`span_scrub`.
+
+    Scale shape: the suffix table is the positional shingle table at
+    n = min_span (one row per token position, NEVER per suffix pair);
+    grouping by the L-truncation is the distributed stand-in for
+    suffix sorting — a sort-based shuffle whose keys are the
+    truncated suffixes, with map-side combine collapsing hot
+    boilerplate windows before the exchange.  Then one gram-keyed
+    join back, one per-doc window, a bounded interval explode, a
+    (doc, pos) anti-join, and per-doc reassembly — every stage keys
+    on the window or doc_id; no suffix pair enumeration, no quadratic
+    stage.  Window keys stay strings for oracle replay; at 100 TB
+    swap in a rolling/xxhash64 key (O(1) per position instead of
+    O(L) bytes — identical set semantics, documented collision
+    rate)."""
+    if min_span < 1:
+        raise ValueError(f"min_span must be >= 1, got {min_span}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks__")
+    )
+    sfx = positional_shingle_table(df, text_col, id_col, min_span)
+    stats = sfx.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    removable = (
+        sfx.join(stats, "gram")
+        .filter(
+            (F.col("n_occ") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    return _scrub_tail(base, removable, n=min_span, min_run_grams=1)
 
 
 # -------------------------------------------- prefix filter (AllPairs)

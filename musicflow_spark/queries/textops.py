@@ -26,6 +26,7 @@ from musicflow_spark.operators.dedup import (
     shared_span_stats,
     simhash_near_pairs,
     span_scrub,
+    suffix_span_scrub,
     with_shingles,
 )
 from musicflow_spark.operators.classify import logreg_oracle_sql, logreg_train_gd
@@ -1325,6 +1326,83 @@ runs AS (
   HAVING count(*) >= {SPAN_SCRUB_MIN - SPAN_SCRUB_N + 1}),
 cov AS (
   SELECT DISTINCT doc_id, unnest(range(s, s + run_grams + {SPAN_SCRUB_N - 1})) AS tpos
+  FROM runs),
+tp AS (
+  SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+kept AS (
+  SELECT tp.doc_id, tp.tpos, tp.tok
+  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.tpos = tp.tpos
+  WHERE cov.doc_id IS NULL),
+ag AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT toks.doc_id AS doc_id,
+       cast(len(t) AS bigint) AS n_tokens,
+       cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
+       cast(len(t) - coalesce(n_kept, 0) AS bigint) AS n_removed,
+       coalesce(clean_text, '') AS clean_text
+FROM toks LEFT JOIN ag USING (doc_id)
+"""
+
+
+# --------------------------------------- exact long-substring dedup
+SUFFIX_SCRUB_MIN = 50
+
+
+def doc_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact long-substring dedup, suffix-ordered (ext — VERDICT r08
+    item 3): the Lee et al. 2022 suffix-array rung — every token
+    covered by an exact >= 50-token substring occurring MORE THAN
+    ONCE in the corpus is cut, first occurrence kept, documents
+    reassembled.  Unlike ``doc_span_scrub``'s fixed-3-gram islands,
+    the removal unit here is the 50-token window itself
+    (operators/dedup.py::suffix_span_scrub), so each cut position
+    individually certifies a repeated 50-token substring — the
+    no-over-removal guarantee the paper's suffix array provides.
+    Returns per doc: token count, kept count, removed count, and the
+    reassembled clean text (driver hash certifies window selection,
+    keep-first ordering, AND byte-exact reassembly)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return suffix_span_scrub(docs, min_span=SUFFIX_SCRUB_MIN)
+
+
+DOC_SUFFIX_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+low AS (
+  SELECT doc_id, list_transform(t, x -> lower(x)) AS lt FROM toks),
+sfx AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(lt[i:i+{SUFFIX_SCRUB_MIN - 1}], ' ') AS win
+  FROM (SELECT doc_id, lt,
+               unnest(range(1, len(lt) - {SUFFIX_SCRUB_MIN} + 2)) AS i
+        FROM low WHERE len(lt) >= {SUFFIX_SCRUB_MIN})),
+ws AS (
+  SELECT win,
+         min(doc_id * {_SPAN_POS_ENC}
+             + CASE WHEN pos >= {_SPAN_POS_ENC}
+                    THEN error('suffix pos overflows 2^20 encoding')
+                    ELSE pos END) AS fo,
+         count(*) AS n_occ
+  FROM sfx GROUP BY win),
+rem AS (
+  SELECT s.doc_id, s.pos
+  FROM sfx s JOIN ws ON ws.win = s.win
+  WHERE ws.n_occ >= 2 AND s.doc_id * {_SPAN_POS_ENC} + s.pos <> ws.fo),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM rem),
+runs AS (
+  SELECT doc_id, min(pos) AS s, count(*) AS run_grams
+  FROM isl GROUP BY doc_id, g),
+cov AS (
+  SELECT DISTINCT doc_id,
+         unnest(range(s, s + run_grams + {SUFFIX_SCRUB_MIN - 1})) AS tpos
   FROM runs),
 tp AS (
   SELECT doc_id, i - 1 AS tpos, t[i] AS tok
@@ -2784,6 +2862,7 @@ QUERIES = [
     Query("doc_frequent_ngrams", "ext: heavy-hitter ngrams (boilerplate mining)", doc_frequent_ngrams, DOC_FREQUENT_NGRAMS_SQL),
     Query("doc_dup_spans", "ext: longest duplicated token span per near-dup pair", doc_dup_spans, DOC_DUP_SPANS_SQL),
     Query("doc_span_scrub", "ext: duplicated-span REMOVAL — cross-doc >=8-token spans cut, first occurrence kept, clean text reassembled", doc_span_scrub, DOC_SPAN_SCRUB_SQL),
+    Query("doc_suffix_dedup", "ext: EXACT long-substring dedup (suffix-ordered, Lee et al.) — >=50-token repeated windows cut, first occurrence kept", doc_suffix_dedup, DOC_SUFFIX_DEDUP_SQL),
     Query("corpus_vocab_topk", "ext: vocabulary coverage curve (top-k unigrams + cum share)", corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
     Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),

@@ -656,6 +656,100 @@ def test_span_scrub_validation(spark):
         span_scrub(df, n=3, min_span=2)
 
 
+def test_suffix_scrub_keeps_first_cuts_later(spark):
+    from musicflow_spark.operators.dedup import suffix_span_scrub
+
+    span = " ".join(f"s{i}" for i in range(10))  # 10-token shared span
+    rows = [
+        (1, f"intro words here {span} tail one"),
+        (2, f"other opening {span} different ending text"),
+        (3, "completely unrelated content with no shared spans at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in suffix_span_scrub(df, min_span=10).collect()
+    }
+    assert span in out[1]["clean_text"] and out[1]["n_removed"] == 0
+    assert span not in out[2]["clean_text"] and out[2]["n_removed"] == 10
+    assert out[2]["clean_text"] == "other opening different ending text"
+    assert out[3]["n_removed"] == 0
+
+
+def test_suffix_scrub_exactness_vs_gram_islands(spark):
+    """The no-over-removal guarantee that distinguishes the suffix
+    form: doc 2 shares two SEPARATE 5-token runs with docs 1 and 3
+    that happen to be adjacent in doc 2 — the gram-island form sees
+    one unbroken removable run of >= 8 tokens and cuts it, but no
+    single 8-token substring of doc 2 repeats anywhere, so the
+    suffix form must keep everything."""
+    from musicflow_spark.operators.dedup import span_scrub, suffix_span_scrub
+
+    a = "alpha beta gamma delta epsilon"  # 5 tokens
+    b = "zeta eta theta iota kappa"  # 5 tokens
+    # docs 1-4 (earlier ids = first occurrences) cover every trigram
+    # of doc 9 = a+b, including the two boundary trigrams, but no
+    # doc shares an 8-token substring with doc 9
+    rows = [
+        (1, f"one two {a} three four five"),
+        (2, f"six seven {b} eight nine ten"),
+        (3, "pad1 delta epsilon zeta pad2 pad3 pad4 pad5"),
+        (4, "pad6 epsilon zeta eta pad7 pad8 pad9 pada"),
+        (9, f"{a} {b}"),  # 10 tokens, every trigram repeats earlier
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gram = {r["doc_id"]: r for r in span_scrub(df, n=3, min_span=8).collect()}
+    sfx = {
+        r["doc_id"]: r
+        for r in suffix_span_scrub(df, min_span=8).collect()
+    }
+    assert gram[9]["n_removed"] == 10  # the island form over-removes
+    assert sfx[9]["n_removed"] == 0  # the suffix form is exact
+    assert sfx[9]["clean_text"] == f"{a} {b}"
+
+
+def test_suffix_scrub_within_doc_repeat_counts(spark):
+    """Corpus-occurrence rule (Lee et al.): a window repeated twice
+    WITHIN one document is cut at its second occurrence even with no
+    second document involved (span_scrub's cross-doc gate keeps it)."""
+    from musicflow_spark.operators.dedup import suffix_span_scrub
+
+    span = " ".join(f"r{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [(1, f"{span} mid point {span}"), (2, "unrelated other text here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in suffix_span_scrub(df, min_span=6).collect()
+    }
+    assert out[1]["n_removed"] == 6
+    assert out[1]["clean_text"] == f"{span} mid point"
+
+
+def test_suffix_scrub_short_docs_untouched(spark):
+    from musicflow_spark.operators.dedup import suffix_span_scrub
+
+    # identical 4-token docs, but min_span=6 > doc length: no windows
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in suffix_span_scrub(df, min_span=6).collect()
+    }
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "a b c d"
+
+
+def test_suffix_scrub_validation(spark):
+    from musicflow_spark.operators.dedup import suffix_span_scrub
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_span"):
+        suffix_span_scrub(df, min_span=0)
+
+
 def test_ntile_scaled_equals_native_ntile(spark):
     """Closed-form NTILE over surrogate ids must equal the engine's
     global-window ntile for divisible AND non-divisible row counts

@@ -227,6 +227,11 @@ QUERY_TABLES = {
     # replica-prefixed tokens keep gram first-occurrence groups and
     # islands replica-disjoint, so removal is exactly N x base
     "doc_span_scrub": ["documents"],
+    # suffix dedup: same join/window shape at window size 50 — the
+    # suffix table is one row per token position, window-keyed
+    # grouping combines map-side; replica prefixes keep 50-token
+    # windows replica-disjoint, so removal is exactly N x base
+    "doc_suffix_dedup": ["documents"],
     # unigram prune training: the corpus-sized histogram shuffle grows
     # ~N; word-type/occ tables stay vocab-bounded ([a-z]+ splits the
     # replica tag off), per-round work vocab-sized, loser a 1-row
