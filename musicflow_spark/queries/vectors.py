@@ -23,6 +23,7 @@ from musicflow_spark.operators.embeddings import (
     pca_project,
 )
 from musicflow_spark.operators.similarity import (
+    beam_search_topk,
     brute_force_topk,
     cosine_neardup_pairs,
     ivf_topk,
@@ -288,9 +289,10 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_lsh_oracle_sql() -> str:
+def _knn_graph_lsh_oracle_sql(k: int = K_GRAPH) -> str:
     """knn_lsh's oracle with queries == corpus, GRAPH_TABLES hash
-    tables, and rank <= 3."""
+    tables, and rank <= k (default 3 — the registered graph; the
+    beam tier nests the k=8 variant)."""
     tables = [
         random_hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED + t)
         for t in range(GRAPH_TABLES)
@@ -333,7 +335,191 @@ SELECT query_id, neighbor_id,
        rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM scored)
-WHERE rank <= {K_GRAPH}
+WHERE rank <= {k}
+"""
+
+
+#: beam tier config: its own k=8 LSH graph (degree 3 is too sparse to
+#: navigate), width-16 beam, 3 hops, entry candidates from the
+#: every-16th-id coarse sample (the HNSW upper-layer descent).
+#: Measured at sf0.01 vs the exact tier: recall@10 = 0.7625 with an
+#: avg 258 walked nodes/query — parity with IVF probe=3 (0.7625 at
+#: ~250 scanned) on these NEAR-RANDOM fixture vectors, the
+#: anti-navigable worst case for graph walks; on clustered vectors
+#: (the geometry real embeddings have) the beam wins at equal budget,
+#: which tests/test_vectors_beam.py pins.
+BEAM_GRAPH_K, BEAM_WIDTH, BEAM_ROUNDS, BEAM_COARSE_MOD = 8, 16, 3, 16
+
+
+def _beam_edges(emb: DataFrame) -> DataFrame:
+    """Symmetrized kNN-graph adjacency (src, dst) — the knn_graph_lsh
+    construction at degree BEAM_GRAPH_K, walked both directions (beam
+    search must be able to step INTO a hub node, not only out)."""
+    g = lsh_topk(
+        emb, emb, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+    )
+    fwd = g.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    # duplicates are fine: the beam's per-round candidate distinct
+    # absorbs them, saving an edge-level dedup shuffle
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _beam_entry_cand(emb: DataFrame, queries: DataFrame) -> DataFrame:
+    """Per-query entry candidates: every BEAM_COARSE_MOD-th corpus id
+    (a deterministic ~N/16 coarse layer, broadcast), which the beam's
+    round-0 prune scores and cuts to the top-BEAM_WIDTH — the
+    upper-layer descent that replaces HNSW's hierarchy."""
+    coarse = emb.filter(F.col("vec_id") % BEAM_COARSE_MOD == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    return queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(coarse)
+    )
+
+
+def knn_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-k (ext — VERDICT r08 item 4): synchronous beam
+    search over a symmetrized degree-8 LSH kNN graph (operators/
+    similarity.py::beam_search_topk — the single-layer HNSW/NSW tier
+    above IVF-PQ).  Entry via the coarse-sample descent
+    (_beam_entry_cand), BEAM_ROUNDS hops, beam width BEAM_WIDTH,
+    exact-cosine scoring of walked nodes only.  The oracle nests the
+    kNN-graph replay (the proven knn_graph_lsh oracle parameterized
+    to k=8) and unrolls the rounds — the same unrolled-frontier
+    pattern as part_copurchase_reach."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = beam_search_topk(
+        emb, queries, _beam_edges(emb), _beam_entry_cand(emb, queries),
+        k=TOP_K, beam=BEAM_WIDTH, rounds=BEAM_ROUNDS,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank",
+    )
+
+
+def _knn_beam_oracle_sql(final_k: int = TOP_K) -> str:
+    """Unrolled beam-search replay: the proven kNN-graph oracle as the
+    adjacency, BEAM_ROUNDS candidate-expand/score/prune rounds."""
+    cos = (
+        "list_sum(list_transform(range(1, len(q_vec) + 1), "
+        "i -> cast(q_vec[i] AS double) * cast(c_vec[i] AS double))) "
+        "/ (sqrt(list_sum(list_transform(q_vec, x -> cast(x AS double) * cast(x AS double)))) "
+        "* sqrt(list_sum(list_transform(c_vec, x -> cast(x AS double) * cast(x AS double)))))"
+    )
+
+    def beam(i: int, cand: str) -> str:
+        return f"""b{i} AS (
+  SELECT query_id, node, cos_sim, rk FROM (
+    SELECT query_id, node, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, node) AS rk
+    FROM (SELECT cd.query_id, cd.node, {cos} AS cos_sim
+          FROM {cand} cd
+          JOIN c ON c.node = cd.node
+          JOIN q ON q.query_id = cd.query_id))
+  WHERE rk <= {BEAM_WIDTH})"""
+
+    parts = [
+        f"g AS ({_knn_graph_lsh_oracle_sql(k=BEAM_GRAPH_K)})",
+        "edges AS (SELECT query_id AS src, neighbor_id AS dst FROM g"
+        " UNION ALL SELECT neighbor_id, query_id FROM g)",
+        f"q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings"
+        f" WHERE vec_id < {N_QUERY_VECS})",
+        "c AS (SELECT vec_id AS node, embedding AS c_vec FROM embeddings)",
+        f"ent AS (SELECT vec_id AS node FROM embeddings"
+        f" WHERE vec_id % {BEAM_COARSE_MOD} = 0)",
+        "cand0 AS (SELECT q.query_id, ent.node FROM q CROSS JOIN ent"
+        " WHERE ent.node <> q.query_id)",
+        beam(0, "cand0"),
+    ]
+    for r in range(1, BEAM_ROUNDS + 1):
+        parts.append(
+            f"""cand{r} AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM b{r - 1}
+    UNION ALL
+    SELECT b.query_id, e.dst AS node FROM b{r - 1} b
+    JOIN edges e ON e.src = b.node)
+  WHERE node <> query_id)"""
+        )
+        parts.append(beam(r, f"cand{r}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, node AS neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rk AS rank
+FROM b{BEAM_ROUNDS} WHERE rk <= {final_k}"""
+    )
+
+
+def knn_beam_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN index-quality eval (ext): per-query recall@k of the
+    beam tier against the exact brute-force tier, one plan — the
+    same composed-recall monitor as ``knn_ivf_recall``, for the graph
+    path (a graph whose entry points or degree decay below the recall
+    SLO is the HNSW-family failure mode).  Oracle nests the two
+    proven replays verbatim."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = brute_force_topk(emb, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = beam_search_topk(
+        emb, queries, _beam_edges(emb), _beam_entry_cand(emb, queries),
+        k=TOP_K, beam=BEAM_WIDTH, rounds=BEAM_ROUNDS,
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_overlap = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        n_exact.join(n_overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_overlap",
+            pround(
+                F.col("n_overlap").cast("double") / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _knn_beam_recall_oracle_sql() -> str:
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL})),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({_knn_beam_oracle_sql()})),
+ne AS (
+  SELECT query_id, cast(count(*) AS bigint) AS n_exact
+  FROM exact GROUP BY query_id),
+nov AS (
+  SELECT e.query_id AS query_id, cast(count(*) AS bigint) AS n_overlap
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id)
+SELECT ne.query_id, ne.n_exact,
+       coalesce(nov.n_overlap, 0) AS n_overlap,
+       round(cast(coalesce(nov.n_overlap, 0) AS double) / ne.n_exact
+             * 10000.0) / 10000.0 AS recall
+FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
 """
 
 
@@ -1666,6 +1852,8 @@ QUERIES = [
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
     Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql(), bench=True),
     Query("knn_graph_lsh", "ext: kNN-graph construction (LSH, no-broadcast shuffle join)", knn_graph_lsh, _knn_graph_lsh_oracle_sql()),
+    Query("knn_beam", "ext: graph-ANN — synchronous beam search over the symmetrized kNN graph (HNSW-shaped tier), unrolled-round oracle", knn_beam, _knn_beam_oracle_sql()),
+    Query("knn_beam_recall", "ext: graph-ANN index-quality eval — per-query recall@k of the beam tier vs exact, both proven oracles nested verbatim", knn_beam_recall, _knn_beam_recall_oracle_sql()),
     Query("knn_ivfpq", "ext: similarity search (ANN/IVF-PQ — cluster-pruned ADC scan)", knn_ivfpq, _knn_ivfpq_oracle_sql(), bench=True),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),
     Query("embedding_lsh_neardup", "ext: embedding near-dedup (sketch-then-verify scale path)", embedding_lsh_neardup, _embedding_lsh_neardup_oracle_sql()),

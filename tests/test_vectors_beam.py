@@ -1,0 +1,200 @@
+"""Graph-ANN beam search (operators/similarity.py::beam_search_topk).
+
+Covers (VERDICT r08 item 4):
+* structural correctness — the beam walks exactly `rounds` hops, so a
+  best node placed r hops from every entry appears iff rounds >= r;
+* the recall-vs-budget contract against IVF — on CLUSTERED vectors
+  (the geometry real embeddings have, and the regime graph ANN exists
+  for) the beam matches-or-beats IVF recall at a strictly smaller
+  candidate budget (distance evaluations per query);
+* recall floor on the parquet fixture — whose near-random vectors are
+  the anti-navigable worst case; the beam still clears 0.65 recall@10
+  there (0.7625 measured at sf0.01, parity with IVF probe=3 at equal
+  budget).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from musicflow_spark.operators.similarity import (
+    beam_search_topk,
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    nearest_centroids,
+    random_hyperplanes,
+)
+
+
+def _edges(df):
+    fwd = df.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+# ------------------------------------------------------- structural
+def test_beam_walks_exactly_rounds_hops(spark):
+    # path graph in vector space: node i = (i, 0, ...) scaled so that
+    # cosine to the query (at node 4's position) increases along the
+    # path; entry at node 0, best node 4 is 4 hops out
+    dim = 4
+    rows = [(i, [float(i + 1), 1.0, 0.0, 0.0]) for i in range(5)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # query vector aligned with high-i nodes
+    queries = spark.createDataFrame(
+        [(100, [10.0, 0.9, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)] + [(i + 1, i) for i in range(4)],
+        "src long, dst long",
+    )
+    entry = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        spark.createDataFrame([(0,)], "node long")
+    )
+    for rounds, best_reachable in [(0, 0), (2, 2), (4, 4)]:
+        got = beam_search_topk(
+            corpus, queries, edges, entry, k=1, beam=1, rounds=rounds
+        ).collect()
+        assert got[0]["neighbor_id"] == best_reachable, (rounds, got)
+    assert dim == 4  # silence unused in case of refactor
+
+
+# ------------------------------------- clustered: beam vs IVF budget
+def _clustered(spark, n_clusters=20, per=30, dim=16):
+    """Deterministic well-separated clusters: center = ±3 hypercube
+    corner keyed by a Knuth hash of the cluster id, point = center +
+    small md5-keyed jitter (a MIXED hash matters: a linear-congruent
+    jitter makes in-cluster similarity periodic in vec_id, which
+    collapses the kNN graph onto residue-class lattices and made an
+    earlier version of this test walk only ids ≡ 0 mod 3).  True
+    top-10 of any point lie inside its own cluster."""
+    import hashlib
+
+    rows = []
+    for c in range(n_clusters):
+        h = (c * 2654435761) % (1 << 32)
+        center = [3.0 if (h >> (d % 32)) & 1 else -3.0 for d in range(dim)]
+        for j in range(per):
+            vid = c * per + j
+            vec = [
+                center[d]
+                + (
+                    (
+                        int(
+                            hashlib.md5(f"{vid},{d}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                        % 11
+                    )
+                    - 5
+                )
+                * 0.05
+                for d in range(dim)
+            ]
+            rows.append((vid, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_beam_matches_ivf_recall_at_smaller_budget_clustered(spark):
+    dim, n_q, k = 16, 8, 10
+    corpus = _clustered(spark, dim=dim)
+    # queries: one member of 8 different clusters (ids 30c+7)
+    qids = [30 * c + 7 for c in range(8)]
+    queries = corpus.filter(F.col("vec_id").isin(qids))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, queries, k=k).collect()
+    }
+
+    # --- beam tier: degree-6 LSH graph, one coarse entry per cluster
+    # (every 30th id), ef-bounded frontier (expand=4)
+    g = lsh_topk(
+        corpus, corpus, k=6, dim=dim, n_planes=6, n_tables=8, seed=42,
+        broadcast_queries=False,
+    )
+    coarse = corpus.filter(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    entry = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(coarse)
+    )
+    beam_out, visited = beam_search_topk(
+        corpus, queries, _edges(g), entry, k=k, beam=10, rounds=4,
+        return_visited=True, expand=4,
+    )
+    beam_hits = {(r.query_id, r.neighbor_id) for r in beam_out.collect()}
+    beam_recall = len(beam_hits & exact) / len(exact)
+    # budget: distinct nodes whose exact distance the beam evaluated
+    beam_budget = (
+        visited.groupBy("query_id").count().agg(F.avg("count")).collect()[0][0]
+    )
+
+    # --- IVF tier: stride centroids (the knn_ivf construction), probe 1
+    cent = corpus.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    n_cent = cent.count()
+    ivf_hits = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            corpus, queries, k=k, n_probe=1, centroids=cent
+        ).collect()
+    }
+    ivf_recall = len(ivf_hits & exact) / len(exact)
+    # budget: scanned members of the probed cell + the centroid evals
+    assigned = nearest_centroids(
+        corpus, cent, "vec_id", "embedding", "neighbor_id", "c_vec", 1
+    ).select("cluster_id", "neighbor_id")
+    probed = nearest_centroids(
+        queries, cent, "vec_id", "embedding", "query_id", "q_vec", 1
+    ).select("cluster_id", "query_id")
+    ivf_budget = (
+        assigned.join(F.broadcast(probed), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .count()
+        .agg(F.avg("count"))
+        .collect()[0][0]
+    ) + n_cent
+
+    # the VERDICT contract: recall >= IVF at equal (here: strictly
+    # smaller) per-query candidate budget
+    assert beam_recall >= ivf_recall, (beam_recall, ivf_recall)
+    assert beam_recall >= 0.95, beam_recall
+    assert beam_budget < ivf_budget, (beam_budget, ivf_budget)
+
+
+# --------------------------------------------- parquet-fixture floor
+def test_beam_recall_floor_on_fixture(spark, sf_dir):
+    from musicflow_spark.queries.vectors import (
+        BEAM_ROUNDS,
+        BEAM_WIDTH,
+        N_QUERY_VECS,
+        TOP_K,
+        _beam_edges,
+        _beam_entry_cand,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=TOP_K).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in beam_search_topk(
+            emb, queries, _beam_edges(emb), _beam_entry_cand(emb, queries),
+            k=TOP_K, beam=BEAM_WIDTH, rounds=BEAM_ROUNDS,
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    # near-random 64-dim vectors are the graph-walk worst case; the
+    # coarse-descent beam still holds a 0.65 floor (0.7625 at sf0.01)
+    assert recall >= 0.65, recall
+    assert random_hyperplanes(4, 2)  # determinism helper smoke

@@ -116,6 +116,13 @@ CARTESIAN_OK = {
                                # count-aggregate cross joins (the eval row)
     "knn_ivf_ingest",          # inherits kmeans's k-row (8) centroid broadcast
                                # for train + both assignment scans
+    "knn_beam",                # 1-row plane broadcasts (graph build) + the
+                               # ~N/16-row coarse entry-layer broadcast crossed
+                               # with the 8-row query set (the HNSW upper-layer
+                               # descent); every walk round is a keyed equi-join
+    "knn_beam_recall",         # inherits knn_bruteforce's 8-row query broadcast
+                               # and knn_beam's plane + entry-layer broadcasts
+                               # (both tiers run in one plan)
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
