@@ -826,6 +826,219 @@ FROM j
 """
 
 
+# ------------------------------------------ cross-modal consistency
+#: shared-space geometry: both modality features are CM_DIM-dim, each
+#: projects through its own fixed ±1 sign matrix into CM_PROJ dims
+CM_DIM, CM_PROJ = 16, 8
+CM_MIN_TOKENS = 24      #: caption floor (same bar as the modality mart)
+CM_MIN_CONTRAST = 0.02  #: band-mean spread below this = flat/washed-out image
+#: cross-modal cosine floor (the CLIP-score gate).  The fixture's
+#: hash-text x texture-image geometry centers the score near -0.45
+#: (all-positive band means against signed token counts), so the
+#: floor sits at that median — the gate keeps the better-agreeing
+#: half, exercising both branches at every SF
+CM_MIN_SCORE = -0.45
+
+
+def _cm_signs(salt: str, rows: int, cols: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 bits — the
+    SQL-free stand-in for a learned cross-modal projection: both the
+    Spark plan and the oracle inline the SAME literals, so the
+    'model' cannot drift between engines."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest(), 16) & 1
+            else -1
+            for i in range(cols)
+        ]
+        for j in range(rows)
+    ]
+
+
+def corpus_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pairing/consistency mart (ext — VERDICT r08 item
+    6): the CLIP-filter shape — caption and image land in ONE shared
+    space and a document survives only if the two agree.  Text side:
+    the hash-trick bag-of-words embedding (operators/similarity.py::
+    feature_hash_embedding, CM_DIM dims).  Image side: luminance
+    band means of the REAL decoded PNG payload (LibraryCodec ->
+    pngcodec.band_features, CM_DIM bands).  Each projects through its
+    own fixed ±1 sign matrix (the deterministic stand-in for the
+    learned projections a CLIP-style model provides — swap
+    `_cm_signs` for model weights and the plan is unchanged) and the
+    consistency score is the cosine of the projections.
+
+    First-reject audit ladder (the corpus_multimodal_mart contract):
+    caption floor (n_tokens) -> image contrast floor (band-mean
+    spread — flat images carry no signal) -> cross-modal score gate.
+    Emits (doc_id, n_tokens, contrast, clip_score, reason, keep).
+
+    Scale shape: one text map pass (shuffle-free fold), one
+    Arrow-batched decode map pass, two doc_id-keyed joins, all gates
+    scalar per row — NO pairing stage at all: the filter is per-pair
+    (caption, image), which is why CLIP-filtering whole crawls is
+    map-parallel at 100 TB."""
+    from musicflow_spark.operators.multimodal import LibraryCodec
+    from musicflow_spark.operators.similarity import feature_hash_embedding
+    from musicflow_spark.operators.textstats import quality_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "n_tokens")
+    tvec = feature_hash_embedding(docs, dim=CM_DIM).select(
+        "doc_id", F.col("embedding").alias("tv")
+    )
+    ivec = extract_features(
+        png_media_from_documents(docs).withColumn(
+            "media_type", F.lit("image")
+        ),
+        LibraryCodec(),
+        dim=CM_DIM,
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.transform("feature", lambda x: x.cast("double")).alias("iv"),
+    )
+    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
+
+    def proj(vec: str, signs: list[list[int]], j: int):
+        expr = F.lit(float(signs[j][0])) * F.col(vec)[0]
+        for i in range(1, CM_DIM):
+            expr = expr + F.lit(float(signs[j][i])) * F.col(vec)[i]
+        return expr
+
+    joined = q.join(tvec, "doc_id").join(ivec, "doc_id")
+    for j in range(CM_PROJ):
+        joined = joined.withColumn(f"ta{j}", proj("tv", st, j)).withColumn(
+            f"ia{j}", proj("iv", si, j)
+        )
+    dot = F.lit(0.0)
+    nt = F.lit(0.0)
+    ni = F.lit(0.0)
+    for j in range(CM_PROJ):
+        dot = dot + F.col(f"ta{j}") * F.col(f"ia{j}")
+        nt = nt + F.col(f"ta{j}") * F.col(f"ta{j}")
+        ni = ni + F.col(f"ia{j}") * F.col(f"ia{j}")
+    scored = joined.select(
+        "doc_id",
+        "n_tokens",
+        (F.array_max("iv") - F.array_min("iv")).alias("contrast"),
+        (dot / (F.sqrt(nt) * F.sqrt(ni))).alias("clip_score"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < CM_MIN_TOKENS, "caption")
+        .when(F.col("contrast") < CM_MIN_CONTRAST, "image_flat")
+        .when(F.col("clip_score") < CM_MIN_SCORE, "mismatch")
+        .otherwise("kept")
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        pround(F.col("contrast"), 6).alias("contrast"),
+        pround(F.col("clip_score"), 6).alias("clip_score"),
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )
+
+
+def _corpus_crossmodal_mart_oracle_sql() -> str:
+    import numpy as np
+
+    # band b covers pixel rows [starts[b], starts[b+1]) — the
+    # np.array_split(H, CM_DIM) boundaries, inlined as literals
+    sizes = [len(a) for a in np.array_split(np.arange(PHASH_H), CM_DIM)]
+    starts = [sum(sizes[:b]) for b in range(CM_DIM + 1)]
+    band_of_y = []
+    for y in range(PHASH_H):
+        band_of_y.append(max(b for b in range(CM_DIM) if starts[b] <= y))
+    band_list = "[" + ", ".join(str(b) for b in band_of_y) + "]"
+    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
+
+    def proj_sql(vec: str, signs: list[list[int]], j: int) -> str:
+        terms = " + ".join(
+            f"({float(signs[j][i]):+.1f}) * {vec}[{i + 1}]"
+            for i in range(CM_DIM)
+        )
+        return f"({terms})"
+
+    ta = [proj_sql("tv", st, j) for j in range(CM_PROJ)]
+    ia = [proj_sql("iv", si, j) for j in range(CM_PROJ)]
+    dot = " + ".join(f"ta{j} * ia{j}" for j in range(CM_PROJ))
+    nt = " + ".join(f"ta{j} * ta{j}" for j in range(CM_PROJ))
+    ni = " + ".join(f"ia{j} * ia{j}" for j in range(CM_PROJ))
+    ta_cols = ",\n         ".join(f"{e} AS ta{j}" for j, e in enumerate(ta))
+    ia_cols = ",\n         ".join(f"{e} AS ia{j}" for j, e in enumerate(ia))
+    toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform({toks}, x -> lower(x)) AS t
+  FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(t) AS tk FROM tok)),
+tcell AS (
+  SELECT doc_id, h % {CM_DIM} AS dim,
+         CASE WHEN ((h >> {CM_DIM.bit_length() - 1}) & 1) = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM th),
+tagg AS (SELECT doc_id, dim, sum(s) AS v FROM tcell GROUP BY doc_id, dim),
+tv AS (
+  SELECT d.doc_id,
+         list(CAST(coalesce(tagg.v, 0.0) AS DOUBLE) ORDER BY g.dim) AS tv
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({CM_DIM})) AS dim) g
+  LEFT JOIN tagg ON tagg.doc_id = d.doc_id AND tagg.dim = g.dim
+  GROUP BY d.doc_id),
+px AS MATERIALIZED (
+  SELECT d.doc_id AS doc_id,
+         {band_list}[u.i // {PHASH_W} + 1] AS band,
+         (((d.doc_id // {PHASH_GROUP}) + 1) * (u.i + 1) * (u.i + 7)
+          + ((d.doc_id // {PHASH_GROUP}) % 101) * (u.i + 3) * 31)
+           % {PHASH_BASE_MOD}
+         + CASE WHEN d.doc_id % {PHASH_H * PHASH_W} = u.i
+                THEN {PHASH_BUMP} ELSE 0 END AS p
+  FROM documents d, range({PHASH_H * PHASH_W}) AS u(i)),
+bm AS (
+  -- band_features: float64 mean, /255, then the float32 round-trip
+  -- the engine's FEATURE_SCHEMA storage applies
+  SELECT doc_id, band,
+         CAST(CAST(CAST(sum(p) AS DOUBLE) / count(*) / 255.0 AS REAL)
+              AS DOUBLE) AS m
+  FROM px GROUP BY doc_id, band),
+iv AS (
+  SELECT doc_id, list(m ORDER BY band) AS iv FROM bm GROUP BY doc_id),
+pj AS (
+  SELECT tv.doc_id AS doc_id, tv.tv AS tv, iv.iv AS iv,
+         {ta_cols},
+         {ia_cols}
+  FROM tv JOIN iv USING (doc_id)),
+sc AS (
+  SELECT doc_id,
+         list_max(iv) - list_min(iv) AS contrast,
+         ({dot}) / (sqrt({nt}) * sqrt({ni})) AS clip_score
+  FROM pj),
+j AS (
+  SELECT t.doc_id AS doc_id,
+         cast(len({toks}) AS bigint) AS n_tokens,
+         sc.contrast, sc.clip_score
+  FROM documents t JOIN sc ON sc.doc_id = t.doc_id),
+r AS (
+  SELECT doc_id, n_tokens, contrast, clip_score,
+         CASE WHEN n_tokens < {CM_MIN_TOKENS} THEN 'caption'
+              WHEN contrast < {CM_MIN_CONTRAST} THEN 'image_flat'
+              WHEN clip_score < {CM_MIN_SCORE} THEN 'mismatch'
+              ELSE 'kept' END AS reason
+  FROM j)
+SELECT doc_id, n_tokens,
+       round(contrast * 1000000.0) / 1000000.0 AS contrast,
+       round(clip_score * 1000000.0) / 1000000.0 AS clip_score,
+       reason, reason = 'kept' AS keep
+FROM r
+"""
+
+
 QUERIES = [
     Query(
         "media_binary_dedup",
@@ -906,6 +1119,13 @@ QUERIES = [
         "ext: four-modality curation mart — text floor, detected-scene-cut gate, audio clipping budget, image near-dup canonical; first-reject audit routing",
         corpus_multimodal_mart,
         _corpus_multimodal_mart_oracle_sql(),
+        bench=True,
+    ),
+    Query(
+        "corpus_crossmodal_mart",
+        "ext: cross-modal consistency filter (CLIP shape) — caption and decoded-image features in one shared projection space, cosine gate, first-reject audit",
+        corpus_crossmodal_mart,
+        _corpus_crossmodal_mart_oracle_sql(),
         bench=True,
     ),
 ]

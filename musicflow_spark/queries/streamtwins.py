@@ -968,6 +968,51 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT long-substring dedup (ext — VERDICT r08 item
+    8, pairing with the batch ``doc_suffix_dedup``): documents replay
+    in doc_id-ordered chunks; the stateful window-first-occurrence
+    operator (streaming/dedup.py::suffix_removable_stream) emits
+    removable positions incrementally; the per-doc island/reassembly
+    tail runs as a batch pass over the accumulated removable table
+    (sketch-then-assemble, the minhash twin's contract).
+
+    The oracle is the BATCH suffix-dedup SQL verbatim — hash equality
+    certifies that the streamed removable set converges exactly to
+    the batch operator's (the suffix rule is prefix-monotone under
+    doc_id-ordered arrival: first occurrences are never removed, so
+    no verdict changes retroactively)."""
+    from musicflow_spark.operators.dedup import _scrub_tail
+    from musicflow_spark.operators.textstats import tokens
+    from musicflow_spark.queries.textops import SUFFIX_SCRUB_MIN
+    from musicflow_spark.streaming.dedup import suffix_removable_stream
+
+    docs = read_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    third = (hi - lo) // _N_CHUNKS + 1
+    path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    seen: set[str] = set()
+    for i in range(_N_CHUNKS):
+        docs.filter(
+            (F.col("doc_id") >= lo + i * third)
+            & (F.col("doc_id") < lo + (i + 1) * third)
+        ).coalesce(1).write.mode("append").parquet(path)
+        _bump_mtimes(path, seen, i + 1)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/sfx_removable"
+    _run_available_now(
+        suffix_removable_stream(stream, min_span=SUFFIX_SCRUB_MIN),
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    removable = spark.read.schema("doc_id bigint, pos bigint").parquet(out)
+    base = docs.select("doc_id", tokens("text").alias("__toks__"))
+    return _scrub_tail(base, removable, n=SUFFIX_SCRUB_MIN, min_run_grams=1)
+
+
 # ------------------------------------- foreachBatch sketch maintenance
 def stream_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mergeable-sketch maintenance (ext: streaming/
@@ -1063,7 +1108,10 @@ QUERIES = [
 def _register_minhash_twin() -> None:
     # DOC_JACCARD_PAIRS_SQL lives in textops; import at the tail to
     # keep module init order acyclic (textops imports registry too)
-    from musicflow_spark.queries.textops import DOC_JACCARD_PAIRS_SQL
+    from musicflow_spark.queries.textops import (
+        DOC_JACCARD_PAIRS_SQL,
+        DOC_SUFFIX_DEDUP_SQL,
+    )
 
     QUERIES.append(
         Query(
@@ -1071,6 +1119,14 @@ def _register_minhash_twin() -> None:
             "ext: streaming twin — stateful incremental LSH candidates + exact verify",
             stream_minhash_dedup,
             DOC_JACCARD_PAIRS_SQL,
+        )
+    )
+    QUERIES.append(
+        Query(
+            "stream_suffix_dedup",
+            "ext: streaming twin — stateful window-first-occurrence suffix dedup, batch oracle verbatim (prefix-monotone convergence)",
+            stream_suffix_dedup,
+            DOC_SUFFIX_DEDUP_SQL,
         )
     )
 

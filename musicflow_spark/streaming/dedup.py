@@ -92,3 +92,67 @@ def minhash_candidates_stream(
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         fn, _PAIRS_OUTPUT, _BUCKET_STATE, "append", "NoTimeout"
     )
+
+
+_REMOVABLE_OUTPUT = "doc_id bigint, pos bigint"
+_FIRST_STATE = "first_doc bigint, first_pos bigint"
+
+
+def suffix_removable_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = 50,
+) -> DataFrame:
+    """Streaming EXACT long-substring dedup: the incremental twin of
+    ``operators/dedup.py::suffix_span_scrub`` (Lee et al. >= min_span
+    repeated-window removal, keep-first).  Emits the REMOVABLE token
+    window positions (doc_id, pos) as documents arrive; the per-doc
+    island/reassembly tail is a batch pass over the accumulated
+    removable table (sketch-then-assemble, the minhash twin's shape).
+
+    Why this operator streams EXACTLY (unlike the cross-document
+    span_scrub gate): the suffix rule is corpus-OCCURRENCE count >= 2
+    with the global (doc_id, pos)-minimum kept, which is
+    prefix-monotone — a window's first occurrence is never removed,
+    and every later occurrence is removable the moment it arrives, so
+    no verdict ever changes retroactively.  With the replay ordered
+    by doc_id (the streaming-twin file contract), arrival order IS
+    the global keep-first order and the streamed removable set equals
+    the batch operator's — certified by running the BATCH oracle
+    against the streamed result.
+
+    State: one (first_doc, first_pos) row per distinct window string.
+    The key is the window TEXT so equality to the batch tier is
+    exact; a production deployment keys on xxhash64(window) (8-byte
+    state keys) and re-verifies candidates downstream, the documented
+    scale swap shared with the batch operator."""
+    from musicflow_spark.operators.dedup import positional_shingle_table
+
+    sfx = positional_shingle_table(docs, text_col, id_col, min_span)
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        rows: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(d), int(p)) for d, p in zip(pdf["doc_id"], pdf["pos"])
+            )
+        if not rows:
+            return
+        rows.sort()
+        if state.exists:
+            removable = rows
+        else:
+            state.update((rows[0][0], rows[0][1]))
+            removable = rows[1:]
+        if removable:
+            yield pd.DataFrame(
+                [{"doc_id": d, "pos": p} for d, p in removable],
+                columns=["doc_id", "pos"],
+            )
+
+    return sfx.groupBy("gram").applyInPandasWithState(
+        fn, _REMOVABLE_OUTPUT, _FIRST_STATE, "append", "NoTimeout"
+    )

@@ -147,6 +147,78 @@ def python_bpe_piece_counts(texts: list[str], n_merges: int) -> dict[str, int]:
     return {w: len(s) for w, s in words.items()}
 
 
+def test_fixture_corpus_trains_to_dry_point(spark, sf_dir):
+    """Dry-corpus parity: the synthetic fixture has only 31 distinct
+    [a-z]+ word types, so its merge capacity is well under 128 — the
+    trainer must stop emitting EXACTLY where the pure-python
+    reference breaks (every word a single symbol), with identical
+    merges up to that point.  Certifies the empty-pair round path
+    (the `size >= 3` state guard) the 12-merge oracle never reaches."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint(
+        eager=True
+    )
+    texts = [r["text"] for r in docs.select("text").collect()]
+    n = 128
+    want = python_bpe(texts, n)
+    got = sorted(
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_merges(docs, n).collect()
+    )
+    assert got == want
+    assert 0 < len(got) < n  # the corpus really does run dry
+
+
+def _rich_corpus(n_words: int = 300, words_per_doc: int = 40) -> list[str]:
+    """Deterministic zipf-ish corpus with a real vocabulary: word w is
+    a 5-10 letter md5-derived string (letters a-p), repeated
+    ~n_words/(w+1) times — merge capacity in the thousands, so a
+    256-merge run never dries out."""
+    import hashlib
+
+    words = []
+    for w in range(n_words):
+        hx = hashlib.md5(f"w{w}".encode()).hexdigest()
+        length = 5 + int(hx[0], 16) % 6
+        words.append("".join("abcdefghijklmnop"[int(c, 16)] for c in hx[1 : 1 + length]))
+    stream = []
+    for w, word in enumerate(words):
+        stream.extend([word] * max(1, n_words // (w + 1)))
+    # deterministic interleave so docs mix frequent and rare words
+    stream.sort(key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    return [
+        " ".join(stream[i : i + words_per_doc])
+        for i in range(0, len(stream), words_per_doc)
+    ]
+
+
+def test_256_merges_matches_python_reference(spark):
+    """Production-shape merge count (VERDICT r08 item 5): the
+    checkpointed training loop at 256 merges, bit-equal to the
+    pure-python Sennrich reference — merge ranks, pairs, AND counts.
+    (The driver's correctness gate stays the 12-merge unrolled
+    oracle, corpus_bpe_merges; a 256-round unrolled SQL replay would
+    be absurd, so the reference trainer is the certifier at this
+    depth.)  The fixture corpus only has 31 word types (see the
+    dry-point test above), so depth needs the deterministic rich
+    corpus: ~300 md5-derived word types, thousands of merges of
+    capacity."""
+    texts = _rich_corpus()
+    n = 256
+    want = python_bpe(texts, n)
+    assert len(want) == n  # the rich corpus must not run dry
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).localCheckpoint(eager=True)
+    got = sorted(
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_merges(docs, n).collect()
+    )
+    assert got == want
+    # realistic depth: late merges compose earlier outputs into
+    # genuine multi-char subword units
+    assert any(len(l) + len(r) >= 6 for _, l, r, _ in got[128:])
+
+
 def test_encode_state_matches_python_reference(spark):
     from musicflow_spark.operators.textstats import bpe_train_state
 

@@ -373,6 +373,69 @@ def test_minhash_candidates_stream_converges_to_batch(spark, tmp_path):
     assert len(want) > 0  # the corpus does contain near-dups
 
 
+def test_suffix_removable_stream_converges_to_batch(spark, tmp_path):
+    """Cross-chunk keep-first: a window whose second occurrence
+    arrives in a LATER micro-batch must be cut there while the
+    first-arrived keeper survives — and the assembled result must
+    equal the batch suffix_span_scrub verbatim."""
+    import os
+
+    from musicflow_spark.operators.dedup import _scrub_tail, suffix_span_scrub
+    from musicflow_spark.operators.textstats import tokens
+    from musicflow_spark.streaming.dedup import suffix_removable_stream
+
+    span = "quick brown foxes leap high"  # 5 tokens
+    rows = [
+        (1, f"intro {span} tail words here"),
+        (2, f"pad {span} also inside chunk one"),  # within-chunk dup
+        (5, f"later arrival with {span} again"),  # cross-chunk dup
+        (6, "completely unrelated text with no repeats at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs_sfx")
+    # chunk 1: docs 1-2; chunk 2: docs 5-6 — strictly increasing
+    # mtimes pin the arrival order (the keep-first contract)
+    for i, (lo, hi) in enumerate(((0, 3), (3, 10))):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(path)
+        for name in sorted(os.listdir(path)):
+            full = os.path.join(path, name)
+            if os.path.isfile(full):
+                os.utime(full, (1_600_000_000 + i, 1_600_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        suffix_removable_stream(stream, min_span=5)
+        .writeStream.format("memory")
+        .queryName("sfx_removable_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sfx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    removable = spark.table("sfx_removable_stream").select("doc_id", "pos")
+    base = docs.select("doc_id", tokens("text").alias("__toks__"))
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in _scrub_tail(base, removable, n=5, min_run_grams=1).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in suffix_span_scrub(docs, min_span=5).collect()
+    }
+    assert got == want
+    # and the semantics are the intended ones: first keeps, later cut
+    assert got[1][0] == 0 and span in got[1][1]
+    assert got[2][0] == 5 and span not in got[2][1]
+    assert got[5][0] == 5 and span not in got[5][1]
+    assert got[6][0] == 0
+
+
 def test_asof_join_stream_converges_to_batch(spark, stream_dir, tmp_path):
     from musicflow_spark.operators.timejoin import asof_join
     from musicflow_spark.queries.timeseries import _orders_deduped

@@ -219,6 +219,10 @@ QUERY_TABLES = {
     # pair join (media profile keeps replica textures disjoint) +
     # fixed-round star contraction + doc_id-keyed flag joins
     "corpus_multimodal_mart": ["documents"],
+    # cross-modal consistency mart: one text fold + one decode map
+    # pass + two doc_id-keyed joins; NO pairing stage, so the plain
+    # stride is fine (scores are per-doc scalars)
+    "corpus_crossmodal_mart": ["documents"],
     # retrieval lifecycle mart: chunk/embed map-only, kmeans shuffles
     # k*dim-bounded, assignment a k-row broadcast scan, rerank
     # candidate-bounded; queries stay the base replica's first 3 docs
