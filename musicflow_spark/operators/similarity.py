@@ -1197,3 +1197,67 @@ def beam_search_topk(
     if return_visited:
         return out, visited.distinct()
     return out
+
+
+def nn_descent_round(
+    corpus: DataFrame,
+    edges: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One NN-DESCENT refinement round (Dong, Moses & Li, WWW'11)
+    over a directed kNN graph: "a neighbor of a neighbor is likely a
+    neighbor" — each node's candidate set is its current neighborhood
+    (walked BOTH directions) plus every out-neighbor of those nodes,
+    rescored by exact cosine, pruned back to top-``k``.  The standard
+    way an approximate construction (LSH banding) is polished toward
+    the exact kNN graph without all-pairs work.
+
+    ``edges`` is the current (src, dst) top-k graph (directed).
+    Returns the refined graph in knn-graph shape (query_id,
+    neighbor_id, cos_sim, rank) — feed it back in for further rounds
+    (each round is one plan; quality is monotone because the current
+    edges stay in the candidate set).
+
+    Scale shape: the two-hop expansion keys on the shared middle
+    vertex and the second hop uses DIRECTED edges only, so per-wedge
+    fan-out is bounded by the out-degree k; candidate volume is
+    O(E·k) rows through two equi-joins, then one corpus-keyed vector
+    fetch and a per-node top-k window — never quadratic, no
+    broadcast of anything data-sized."""
+    e = edges.select(F.col("src").cast("long").alias("src"),
+                     F.col("dst").cast("long").alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # two-hop: src -> mid (either direction) -> mid's OUT neighbors
+    two_hop = (
+        sym.select(F.col("src"), F.col("dst").alias("mid"))
+        .join(e.select(F.col("src").alias("mid"), F.col("dst").alias("hop2")),
+              "mid")
+        .select("src", F.col("hop2").alias("dst"))
+    )
+    cand = (
+        sym.unionByName(two_hop)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))
+    qv = corpus.select(F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(c, "dst")
+        .join(qv, "src")
+        .select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("neighbor_id"),
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

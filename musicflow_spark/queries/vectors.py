@@ -523,6 +523,144 @@ FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
 """
 
 
+def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph REFINEMENT (ext): one NN-descent round (Dong et al.
+    WWW'11 — operators/similarity.py::nn_descent_round) over the
+    registered LSH graph: each node rescores its neighborhood plus
+    its neighbors' out-neighbors by exact cosine and keeps the best
+    K_GRAPH — the construction-polish step between ``knn_graph_lsh``
+    and the beam-search tier (a better substrate graph is the cheap
+    recall lever for graph ANN).  Edge recall vs the exact graph is
+    measured by ``knn_graph_refine_recall``.  The oracle nests the
+    proven graph replay and unrolls the round (sym ∪ two-hop →
+    rescore → rank)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    g = lsh_topk(
+        emb, emb, k=K_GRAPH, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+    )
+    from musicflow_spark.operators.similarity import nn_descent_round
+
+    refined = nn_descent_round(
+        emb,
+        g.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")),
+        k=K_GRAPH,
+    )
+    return refined.select(
+        "query_id", "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank",
+    )
+
+
+def _knn_graph_nndescent_oracle_sql() -> str:
+    cos = (
+        "list_sum(list_transform(range(1, len(q_vec) + 1), "
+        "i -> cast(q_vec[i] AS double) * cast(c_vec[i] AS double))) "
+        "/ (sqrt(list_sum(list_transform(q_vec, x -> cast(x AS double) * cast(x AS double)))) "
+        "* sqrt(list_sum(list_transform(c_vec, x -> cast(x AS double) * cast(x AS double)))))"
+    )
+    return f"""
+WITH g AS ({_knn_graph_lsh_oracle_sql()}),
+e AS (SELECT query_id AS src, neighbor_id AS dst FROM g),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+two_hop AS (
+  SELECT s.src AS src, e.dst AS dst
+  FROM sym s JOIN e ON e.src = s.dst),
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM sym UNION ALL SELECT src, dst FROM two_hop)
+  WHERE src <> dst),
+scored AS (
+  SELECT cd.src AS query_id, cd.dst AS neighbor_id, {cos} AS cos_sim
+  FROM cand cd
+  JOIN (SELECT vec_id, embedding AS c_vec FROM embeddings) c
+    ON c.vec_id = cd.dst
+  JOIN (SELECT vec_id, embedding AS q_vec FROM embeddings) q
+    ON q.vec_id = cd.src)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {K_GRAPH}
+"""
+
+
+def knn_graph_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-construction quality eval (ext): EDGE recall of the LSH
+    graph and its NN-descent refinement against the exact top-K_GRAPH
+    graph, every node a query — the monitor that justifies (or
+    retires) the refinement pass in an index-build pipeline.  Two
+    rows (tier, n_exact, n_overlap, recall); the exact tier is the
+    all-pairs anchor (the embedding_neardup_pairs contract — eval
+    tier only, never the scale path)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb, k=K_GRAPH).select(
+        "query_id", "neighbor_id"
+    )
+    g = lsh_topk(
+        emb, emb, k=K_GRAPH, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+    ).select("query_id", "neighbor_id")
+    from musicflow_spark.operators.similarity import nn_descent_round
+
+    refined = nn_descent_round(
+        emb,
+        g.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")),
+        k=K_GRAPH,
+    ).select("query_id", "neighbor_id")
+
+    def tier(name: str, approx: DataFrame) -> DataFrame:
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+            .select(
+                F.lit(name).alias("tier"),
+                "n_exact",
+                "n_overlap",
+                pround(
+                    F.col("n_overlap").cast("double") / F.col("n_exact"), 4
+                ).alias("recall"),
+            )
+        )
+
+    return tier("lsh", g).unionByName(tier("nn_descent", refined))
+
+
+def _knn_graph_refine_recall_oracle_sql() -> str:
+    cos = (
+        "list_sum(list_transform(range(1, len(q_vec) + 1), "
+        "i -> cast(q_vec[i] AS double) * cast(c_vec[i] AS double))) "
+        "/ (sqrt(list_sum(list_transform(q_vec, x -> cast(x AS double) * cast(x AS double)))) "
+        "* sqrt(list_sum(list_transform(c_vec, x -> cast(x AS double) * cast(x AS double)))))"
+    )
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos} DESC, c.vec_id) AS rk
+    FROM (SELECT vec_id, embedding AS q_vec FROM embeddings) q
+    JOIN (SELECT vec_id, embedding AS c_vec FROM embeddings) c
+      ON c.vec_id <> q.vec_id)
+  WHERE rk <= {K_GRAPH}),
+lshg AS (SELECT query_id, neighbor_id FROM ({_knn_graph_lsh_oracle_sql()})),
+nng AS (SELECT query_id, neighbor_id FROM ({_knn_graph_nndescent_oracle_sql()})),
+ne AS (SELECT cast(count(*) AS bigint) AS n_exact FROM exact),
+ov AS (
+  SELECT 'lsh' AS tier, cast(count(*) AS bigint) AS n_overlap
+  FROM exact e JOIN lshg a USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'nn_descent', cast(count(*) AS bigint)
+  FROM exact e JOIN nng a USING (query_id, neighbor_id))
+SELECT ov.tier, ne.n_exact, ov.n_overlap,
+       round(cast(ov.n_overlap AS double) / ne.n_exact * 10000.0) / 10000.0
+         AS recall
+FROM ov CROSS JOIN ne
+"""
+
+
 PQ_SUB, PQ_DIM, PQ_SCALE, PQ_CAND = 8, 64, 1000, 64
 PQ_CENT_MOD, PQ_CENT_REM, PQ_SEED_MAX = 31, 3, 500
 
@@ -1853,6 +1991,8 @@ QUERIES = [
     Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql(), bench=True),
     Query("knn_graph_lsh", "ext: kNN-graph construction (LSH, no-broadcast shuffle join)", knn_graph_lsh, _knn_graph_lsh_oracle_sql()),
     Query("knn_beam", "ext: graph-ANN — synchronous beam search over the symmetrized kNN graph (HNSW-shaped tier), unrolled-round oracle", knn_beam, _knn_beam_oracle_sql()),
+    Query("knn_graph_nndescent", "ext: kNN-graph refinement — one NN-descent round (neighbor-of-neighbor rescore, exact-cosine prune)", knn_graph_nndescent, _knn_graph_nndescent_oracle_sql()),
+    Query("knn_graph_refine_recall", "ext: graph-construction quality eval — edge recall of LSH vs NN-descent-refined graph against the exact graph", knn_graph_refine_recall, _knn_graph_refine_recall_oracle_sql()),
     Query("knn_beam_recall", "ext: graph-ANN index-quality eval — per-query recall@k of the beam tier vs exact, both proven oracles nested verbatim", knn_beam_recall, _knn_beam_recall_oracle_sql()),
     Query("knn_ivfpq", "ext: similarity search (ANN/IVF-PQ — cluster-pruned ADC scan)", knn_ivfpq, _knn_ivfpq_oracle_sql(), bench=True),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),

@@ -168,6 +168,49 @@ def test_beam_matches_ivf_recall_at_smaller_budget_clustered(spark):
     assert beam_budget < ivf_budget, (beam_budget, ivf_budget)
 
 
+# ----------------------------------------------- NN-descent quality
+def test_nn_descent_improves_edge_recall(spark, sf_dir):
+    """One refinement round must never lose edge recall (the current
+    edges stay in the candidate set, so the top-k can only improve)
+    and strictly gains on the fixture at the REGISTERED construction
+    (measured 0.331 -> 0.374 at sf0.01 — knn_graph_refine_recall
+    reports the same numbers through the driver)."""
+    from musicflow_spark.operators.similarity import nn_descent_round
+    from musicflow_spark.queries.vectors import (
+        GRAPH_TABLES,
+        K_GRAPH,
+        LSH_DIM,
+        LSH_PLANES,
+        LSH_SEED,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    corpus = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, corpus, k=K_GRAPH).collect()
+    }
+    g = lsh_topk(
+        corpus, corpus, k=K_GRAPH, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+    )
+    lsh = {(r.query_id, r.neighbor_id) for r in g.collect()}
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in nn_descent_round(
+            corpus,
+            g.select(
+                F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"),
+            ),
+            k=K_GRAPH,
+        ).collect()
+    }
+    r_lsh = len(lsh & exact) / len(exact)
+    r_ref = len(refined & exact) / len(exact)
+    assert r_ref > r_lsh, (r_lsh, r_ref)  # strict gain, never a loss
+
+
 # --------------------------------------------- parquet-fixture floor
 def test_beam_recall_floor_on_fixture(spark, sf_dir):
     from musicflow_spark.queries.vectors import (

@@ -123,6 +123,12 @@ CARTESIAN_OK = {
     "knn_beam_recall",         # inherits knn_bruteforce's 8-row query broadcast
                                # and knn_beam's plane + entry-layer broadcasts
                                # (both tiers run in one plan)
+    "knn_graph_nndescent",     # inherits knn_graph_lsh's 1-row plane broadcasts;
+                               # the wedge/rescore joins are keyed equi-joins
+    "knn_graph_refine_recall", # exact all-pairs anchor (the
+                               # embedding_neardup_pairs eval-tier contract) +
+                               # the graph tiers' 1-row plane broadcasts +
+                               # two 1-row x 1-row recall-count joins
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
