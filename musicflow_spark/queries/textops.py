@@ -2397,6 +2397,128 @@ GROUP BY doc_id
 """
 
 
+# ----------------------------- Kneser-Ney smoothed perplexity filter
+#: absolute discount D = 3/4 — represented exactly as the rational
+#: 3/4 by scaling every probability to the common 4·ctx·T grid
+KN_KEEP_MICRO_NATS = -3_401_000  # ~half the corpus routes to drop
+
+
+def doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram perplexity filter (ext): the
+    production rung above ``doc_perplexity_filter``'s add-1 — KN
+    interpolation is what actual LM-quality filters (CCNet's
+    KenLM models) use, because add-1 butchers the probability mass of
+    frequent contexts.  P(w2|w1) = (c(w1w2) - D)/c(w1·)
+    + D·N1+(w1·)/c(w1·) · N1+(·w2)/T with D = 3/4 — the
+    continuation-probability backoff that scores a word by how many
+    CONTEXTS it follows, not how often it occurs.
+
+    Exact-arithmetic portability: with D = 3/4 every probability is
+    the integer ratio ((4·c2 - 3)·T + 3·N1f(w1)·N1b(w2)) /
+    (4·ctx(w1)·T) — int64 numerators/denominators (corpus bigram
+    counts bound them far under 2^63), ONE ln() per distinct ratio
+    rounded to integer micro-nats (the doc_perplexity_filter
+    contract), int64 document sums, integer keep threshold.
+    Per-context probabilities sum exactly to 1 (the KN invariant) —
+    pinned by a fractions-arithmetic pytest.
+
+    Scale shape: four count tables (bigram, context, forward/backward
+    continuation) shuffling once on their keys; T rides a 1-row
+    broadcast; the per-occurrence scoring join is the
+    doc_perplexity_filter equi-join lattice unchanged."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c2").alias("ctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    n1b = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tt = big.agg(F.count(F.lit(1)).alias("tt"))
+    occ = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        (F.lit(4) * F.col("c2") - F.lit(3)) * F.col("tt")
+                        + F.lit(3) * F.col("n1f") * F.col("n1b")
+                    ).cast("double")
+                    / (F.lit(4) * F.col("ctx") * F.col("tt")).cast("double")
+                )
+                * PPL_SCALE
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("sum_lp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_micro",
+            F.expr("sum_lp_micro div n_bigrams").alias("avg_lp_micro"),
+            (F.expr("sum_lp_micro div n_bigrams") >= KN_KEEP_MICRO_NATS).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+DOC_KN_PERPLEXITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+    FROM toks)),
+big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c2) AS ctx, count(*) AS n1f FROM big GROUP BY w1),
+n1b AS (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+tt AS (SELECT count(*) AS tt FROM big),
+occ AS (
+  SELECT p.doc_id,
+         CAST(round(ln(
+           CAST((4 * b.c2 - 3) * tt.tt + 3 * c.n1f * n.n1b AS DOUBLE)
+           / CAST(4 * c.ctx * tt.tt AS DOUBLE)) * {PPL_SCALE}) AS BIGINT) AS lp
+  FROM pairs p
+  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN ctx c ON p.w1 = c.w1
+  JOIN n1b n ON p.w2 = n.w2
+  CROSS JOIN tt)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+       CAST(sum(lp) // count(*) AS BIGINT) AS avg_lp_micro,
+       (sum(lp) // count(*)) >= {KN_KEEP_MICRO_NATS} AS keep
+FROM occ
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------- per-source KL divergence
 def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-slice drift measurement (ext): KL(P_source || P_corpus)
@@ -2807,6 +2929,12 @@ QUERIES = [
         "ext: CCNet-style perplexity filter (add-1 bigram LM, integer micro-nat grid)",
         doc_perplexity_filter,
         DOC_PERPLEXITY_FILTER_SQL,
+    ),
+    Query(
+        "doc_kn_perplexity",
+        "ext: Kneser-Ney smoothed bigram perplexity filter (exact rational D=3/4, continuation backoff, integer micro-nat grid)",
+        doc_kn_perplexity,
+        DOC_KN_PERPLEXITY_SQL,
     ),
     Query(
         "doc_containment_pairs",

@@ -200,6 +200,103 @@ class TestPerplexityFilter:
         assert out.filter(F.col("sum_lp_micro") >= 0).count() == 0
 
 
+class TestKneserNeyFilter:
+    def test_matches_pure_python_kn_lm(self, spark, tmp_path):
+        import math
+
+        from musicflow_spark.queries.textops import (
+            KN_KEEP_MICRO_NATS,
+            PPL_SCALE,
+            doc_kn_perplexity,
+        )
+
+        texts = {
+            1: "the cat sat on the mat",
+            2: "the cat sat",
+            3: "entirely novel gibberish tokens here",
+            4: "x",  # single token: no bigram, must not appear
+        }
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in doc_kn_perplexity(spark, str(tmp_path)).collect()
+        }
+        toks = {d: t.split() for d, t in texts.items()}
+        big: dict[tuple, int] = {}
+        for t in toks.values():
+            for a, b in zip(t, t[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        ctx: dict[str, int] = {}
+        n1f: dict[str, int] = {}
+        n1b: dict[str, int] = {}
+        for (a, b), c in big.items():
+            ctx[a] = ctx.get(a, 0) + c
+            n1f[a] = n1f.get(a, 0) + 1
+            n1b[b] = n1b.get(b, 0) + 1
+        tt = len(big)
+        for d, t in toks.items():
+            bgs = list(zip(t, t[1:]))
+            if not bgs:
+                assert d not in got
+                continue
+            lps = [
+                round(
+                    math.log(
+                        ((4 * big[bg] - 3) * tt + 3 * n1f[bg[0]] * n1b[bg[1]])
+                        / (4 * ctx[bg[0]] * tt)
+                    )
+                    * PPL_SCALE
+                )
+                for bg in bgs
+            ]
+            s = sum(lps)
+            avg = int(s / len(bgs)) if s >= 0 else -((-s) // len(bgs))
+            r = got[d]
+            assert r["n_bigrams"] == len(bgs)
+            assert r["sum_lp_micro"] == s
+            assert r["avg_lp_micro"] == avg
+            assert r["keep"] == (avg >= KN_KEEP_MICRO_NATS)
+
+    def test_kn_probabilities_sum_to_one(self, spark):
+        """The KN invariant, in exact rational arithmetic: for every
+        context w1, sum over OBSERVED w2 of the discounted term plus
+        the backoff mass times the FULL continuation distribution
+        equals 1 — i.e. sum_seen (c-D)/ctx + D*n1f/ctx * 1 == 1 when
+        the continuation distribution itself sums to 1 (it does:
+        sum_w2 N1+(.w2)/T == 1 by definition of T)."""
+        from fractions import Fraction
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat sat on a hat",
+            "a dog sat",
+        ]
+        big: dict[tuple, int] = {}
+        for t in texts:
+            w = t.split()
+            for a, b in zip(w, w[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        ctx: dict[str, int] = {}
+        n1f: dict[str, int] = {}
+        n1b: dict[str, int] = {}
+        for (a, b), c in big.items():
+            ctx[a] = ctx.get(a, 0) + c
+            n1f[a] = n1f.get(a, 0) + 1
+            n1b[b] = n1b.get(b, 0) + 1
+        tt = len(big)
+        d = Fraction(3, 4)
+        vocab_w2 = set(n1b)
+        for w1 in ctx:
+            total = Fraction(0)
+            for w2 in vocab_w2:
+                c = big.get((w1, w2), 0)
+                disc = Fraction(max(4 * c - 3, 0), 4 * ctx[w1]) if c else Fraction(0)
+                backoff = d * n1f[w1] / ctx[w1] * Fraction(n1b[w2], tt)
+                total += disc + backoff
+            assert total == 1, (w1, total)
+
+
 class TestContainmentPairs:
     def test_truncation_has_high_containment_low_jaccard(self, spark):
         from musicflow_spark.operators.dedup import containment_pairs, jaccard_pairs
