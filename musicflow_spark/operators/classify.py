@@ -250,6 +250,36 @@ def logreg_train_gd(
     Returns ONE row: n, n_correct (training accuracy of the final
     weights, prediction = z >= 0), and the final micro-unit weights
     w0..w{d-1} in feature_cols order."""
+    feats, w = logreg_train_weights(
+        df, feature_cols, label_col, n_rounds, lr_den
+    )
+    d = len(feature_cols)
+    z_int = sum(
+        (F.col(c) * F.lit(w[j]) for j, c in enumerate(feature_cols)),
+        F.lit(0).cast("long"),
+    )
+    pred = (z_int >= 0).cast("long")
+    out = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((pred == F.col("__y__")).cast("long")).alias("n_correct"),
+    )
+    for j in range(d):
+        out = out.withColumn(f"w{j}", F.lit(int(w[j])).cast("long"))
+    return out
+
+
+def logreg_train_weights(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_rounds: int = 8,
+    lr_den: int = 64,
+) -> tuple[DataFrame, list[int]]:
+    """:func:`logreg_train_gd`'s training loop alone — returns the
+    checkpointed integer feature frame (feature cols + ``__y__``)
+    and the final micro-unit weights, for callers that score per-row
+    outputs with the trained model (calibration, thresholding)
+    instead of the one-row accuracy summary."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     if lr_den < 1:
@@ -284,31 +314,18 @@ def logreg_train_gd(
             # validation with a clear contract error instead
             raise ValueError("empty training frame")
         w = [w[j] - _trunc_div(grad[f"g{j}"], n * lr_den) for j in range(d)]
-    z_int = sum(
-        (F.col(c) * F.lit(w[j]) for j, c in enumerate(feature_cols)),
-        F.lit(0).cast("long"),
-    )
-    pred = (z_int >= 0).cast("long")
-    out = feats.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((pred == F.col("__y__")).cast("long")).alias("n_correct"),
-    )
-    for j in range(d):
-        out = out.withColumn(f"w{j}", F.lit(int(w[j])).cast("long"))
-    return out
+    return feats, w
 
 
-def logreg_oracle_sql(
+def logreg_cte_parts(
     feats_sql: str,
     feature_exprs: list[str],
     n_rounds: int = 8,
     lr_den: int = 64,
-) -> str:
-    """Unrolled-round DuckDB replay of :func:`logreg_train_gd`:
-    ``feats_sql`` must yield the SAME integer feature columns
-    (``feature_exprs`` names them) plus ``__y__``; each round k
-    materializes the sigmoid frame, the 1-row gradient, and the next
-    weight row — the kmeans_oracle_sql pattern."""
+) -> list[str]:
+    """The unrolled training CTE chain of :func:`logreg_oracle_sql`
+    up to the final weight row ``w{n_rounds}`` — composable by any
+    oracle that scores rows with the trained model (calibration)."""
     d = len(feature_exprs)
     s = LR_SCALE
     zeros = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(d))
@@ -316,12 +333,10 @@ def logreg_oracle_sql(
         f"feats AS MATERIALIZED ({feats_sql})",
         f"w0 AS MATERIALIZED (SELECT {zeros})",
     ]
-    dot = lambda: " + ".join(  # noqa: E731
-        f"w.w{j} * f.{c}" for j, c in enumerate(feature_exprs)
-    )
+    dot = " + ".join(f"w.w{j} * f.{c}" for j, c in enumerate(feature_exprs))
     for k in range(n_rounds):
         ctes.append(f"""s{k} AS MATERIALIZED (
-  SELECT f.*, cast(round({s}.0 / (1.0 + exp(-(({dot()}) / {s}.0)))) AS bigint) AS sg
+  SELECT f.*, cast(round({s}.0 / (1.0 + exp(-(({dot}) / {s}.0)))) AS bigint) AS sg
   FROM feats f, w{k} w)""")
         gsums = ", ".join(
             f"cast(sum((sg - __y__ * {s}) * {c}) AS bigint) AS g{j}"
@@ -336,7 +351,25 @@ def logreg_oracle_sql(
         ctes.append(
             f"w{k + 1} AS MATERIALIZED (SELECT {wnew} FROM w{k} w, g{k} g)"
         )
-    final_dot = dot()
+    return ctes
+
+
+def logreg_oracle_sql(
+    feats_sql: str,
+    feature_exprs: list[str],
+    n_rounds: int = 8,
+    lr_den: int = 64,
+) -> str:
+    """Unrolled-round DuckDB replay of :func:`logreg_train_gd`:
+    ``feats_sql`` must yield the SAME integer feature columns
+    (``feature_exprs`` names them) plus ``__y__``; each round k
+    materializes the sigmoid frame, the 1-row gradient, and the next
+    weight row — the kmeans_oracle_sql pattern."""
+    d = len(feature_exprs)
+    ctes = logreg_cte_parts(feats_sql, feature_exprs, n_rounds, lr_den)
+    final_dot = " + ".join(
+        f"w.w{j} * f.{c}" for j, c in enumerate(feature_exprs)
+    )
     wcols = ", ".join(f"w.w{j}" for j in range(d))
     return (
         "WITH "

@@ -1675,24 +1675,36 @@ def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls all 8: sigmoid frame, 1-row integer gradient,
     truncated-division weight update)."""
     docs = read_table(spark, sf_dir, "documents")
+    return logreg_train_gd(
+        _quality_feature_frame(docs),
+        ["x0", "x1", "x2", "x3"],
+        "y",
+        LOGREG_ROUNDS,
+        LOGREG_LR_DEN,
+    )
+
+
+def _quality_feature_frame(docs: DataFrame) -> DataFrame:
+    """The shared quality-classifier feature frame (bias, centered
+    token-count bucket, centered distinct-token count, centered
+    length-mod noise; label y = lexical diversity >= 25) — used by
+    both the trainer (doc_quality_logreg) and the calibration eval."""
     tk = tokens("text")
     nt = F.size(tk)
     nu = F.size(F.array_distinct(tk))
+
     def clamp(c):
         # establishes logreg_train_gd's documented max|x| <= 32
         # int64-headroom precondition (no-op on this corpus: token
         # counts max out at 99, distinct tokens at 31)
         return F.greatest(F.least(c, F.lit(32)), F.lit(-32))
 
-    feats = docs.select(
+    return docs.select(
         F.lit(1).alias("x0"),
         clamp((nt / 8).cast("long") - 7).alias("x1"),
         clamp(nu.cast("long") - 25).alias("x2"),
         clamp((nt % 13).cast("long") - 6).alias("x3"),
         (nu >= 25).cast("long").alias("y"),
-    )
-    return logreg_train_gd(
-        feats, ["x0", "x1", "x2", "x3"], "y", LOGREG_ROUNDS, LOGREG_LR_DEN
     )
 
 
@@ -1765,9 +1777,9 @@ GROUP BY dw.doc_id
     )
 
 
-def _doc_quality_logreg_oracle_sql() -> str:
+def _quality_feats_sql() -> str:
     toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
-    feats = f"""
+    return f"""
   SELECT 1 AS x0,
          greatest(least(nt // 8 - 7, 32), -32) AS x1,
          greatest(least(nu - 25, 32), -32) AS x2,
@@ -1775,8 +1787,115 @@ def _doc_quality_logreg_oracle_sql() -> str:
          CASE WHEN nu >= 25 THEN 1 ELSE 0 END AS __y__
   FROM (SELECT len({toks}) AS nt, len(list_distinct({toks})) AS nu
         FROM documents)"""
+
+
+def _doc_quality_logreg_oracle_sql() -> str:
     return logreg_oracle_sql(
-        feats, ["x0", "x1", "x2", "x3"], LOGREG_ROUNDS, LOGREG_LR_DEN
+        _quality_feats_sql(), ["x0", "x1", "x2", "x3"],
+        LOGREG_ROUNDS, LOGREG_LR_DEN,
+    )
+
+
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION eval (ext): the reliability table a
+    quality-filter deployment reads before trusting the classifier's
+    scores as sampling weights — train the registered logreg
+    (doc_quality_logreg's loop verbatim via
+    operators/classify.py::logreg_train_weights), score every
+    document's micro-sigmoid confidence, bucket into 10 confidence
+    bins, and report per bin: count, positive count, mean confidence,
+    empirical accuracy, and the |confidence - accuracy| gap — the
+    per-bin terms of Expected Calibration Error, all on the integer
+    micro grid (sums and truncated divisions only, no float
+    aggregation anywhere).
+
+    Scale shape: the training loop's per-round scalar collects (the
+    documented O(d) contract) + one map pass to score + one 10-key
+    groupBy.  The oracle nests the full unrolled training chain
+    (logreg_cte_parts), so a drift in ANY descent round breaks this
+    hash too."""
+    from musicflow_spark.operators.classify import (
+        LR_SCALE,
+        logreg_train_weights,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats, w = logreg_train_weights(
+        _quality_feature_frame(docs),
+        ["x0", "x1", "x2", "x3"],
+        "y",
+        LOGREG_ROUNDS,
+        LOGREG_LR_DEN,
+    )
+    cols = ["x0", "x1", "x2", "x3"]
+    z_int = sum(
+        (F.col(c) * F.lit(w[j]) for j, c in enumerate(cols)),
+        F.lit(0).cast("long"),
+    )
+    zd = z_int.cast("double") / F.lit(float(LR_SCALE))
+    sg = F.round(F.lit(float(LR_SCALE)) / (F.lit(1.0) + F.exp(-zd)), 0).cast(
+        "long"
+    )
+    # sg is non-negative, so truncating `div` == floor `//`; sg can
+    # reach exactly LR_SCALE (sigmoid saturation on the micro grid),
+    # which the least(..., 9) folds into the top bin on both engines
+    scored = feats.select(sg.alias("sg"), F.col("__y__").alias("y")).select(
+        F.least(
+            F.expr(f"sg div {LR_SCALE // 10}"), F.lit(9).cast("long")
+        ).alias("bin"),
+        "sg",
+        "y",
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("sg").alias("sum_conf_micro"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("sum_conf_micro div n").alias("avg_conf_micro"),
+            F.expr(f"(n_pos * {1_000_000}) div n").alias("acc_micro"),
+            F.abs(
+                F.expr("sum_conf_micro div n")
+                - F.expr(f"(n_pos * {1_000_000}) div n")
+            ).alias("gap_micro"),
+        )
+    )
+
+
+def _doc_quality_calibration_oracle_sql() -> str:
+    from musicflow_spark.operators.classify import LR_SCALE, logreg_cte_parts
+
+    parts = logreg_cte_parts(
+        _quality_feats_sql(), ["x0", "x1", "x2", "x3"],
+        LOGREG_ROUNDS, LOGREG_LR_DEN,
+    )
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(4))
+    parts.append(f"""scored AS (
+  SELECT least(cast(round({LR_SCALE}.0 / (1.0 + exp(-(({dot}) / {LR_SCALE}.0))))
+               AS bigint) // {LR_SCALE // 10}, 9) AS bin,
+         cast(round({LR_SCALE}.0 / (1.0 + exp(-(({dot}) / {LR_SCALE}.0))))
+           AS bigint) AS sg,
+         f.__y__ AS y
+  FROM feats f, w{LOGREG_ROUNDS} w)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT bin,
+       count(*) AS n,
+       cast(sum(y) AS bigint) AS n_pos,
+       cast(sum(sg) // count(*) AS bigint) AS avg_conf_micro,
+       cast((sum(y) * 1000000) // count(*) AS bigint) AS acc_micro,
+       cast(abs(sum(sg) // count(*) - (sum(y) * 1000000) // count(*))
+            AS bigint) AS gap_micro
+FROM scored
+GROUP BY bin
+"""
     )
 
 
@@ -2999,6 +3118,7 @@ QUERIES = [
     Query("doc_unigram_encode", "ext: unigram tokenizer APPLY — greedy-walk encode off the vocab-sized word-type state; oracle nests the 8 prune-training rounds", doc_unigram_encode, _doc_unigram_encode_oracle_sql()),
     Query("doc_tokenizer_compare", "ext: trained-tokenizer comparison — per-doc BPE vs unigram compression in one plan; oracle nests BOTH full training chains", doc_tokenizer_compare, _doc_tokenizer_compare_oracle_sql()),
     Query("doc_quality_logreg", "ext: gradient-TRAINED logistic quality classifier — 8 full-batch GD rounds on the integer micro-grid, unrolled SQL replay", doc_quality_logreg, _doc_quality_logreg_oracle_sql()),
+    Query("doc_quality_calibration", "ext: classifier calibration eval — per-confidence-bin reliability table (ECE terms) of the trained logreg, integer micro grid, training chain nested in the oracle", doc_quality_calibration, _doc_quality_calibration_oracle_sql()),
     Query("doc_quality_adaboost", "ext: BOOSTING-trained quality classifier — discrete AdaBoost over integer stumps, exact rational reweighting (no transcendental), unrolled SQL replay", doc_quality_adaboost, _doc_quality_adaboost_oracle_sql()),
     Query("doc_bpe_encode", "ext: BPE tokenizer APPLY — encode the corpus with the learned 12-merge vocabulary via the vocab-sized word-type state join; oracle nests the training CTEs", doc_bpe_encode, _doc_bpe_encode_oracle_sql()),
     Query("doc_canonical_selection", "ext: longest-member canonical doc per dedup cluster", doc_canonical_selection, _doc_canonical_selection_oracle_sql()),
