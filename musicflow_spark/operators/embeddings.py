@@ -533,3 +533,124 @@ def nearest_centroid_classify(
         .filter(F.col("__rn__") == 1)
         .select(F.col("id").alias(id_col), F.col("cls").alias("pred"), "d2")
     )
+
+
+# --------------------------------------- k-center coreset (FPS)
+def coreset_fps(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Greedy k-CENTER coreset (farthest-point sampling / Gonzalez'
+    2-approximation): pick the lowest-id point, then k-1 times the
+    point MAXIMIZING its distance to the nearest already-chosen
+    center — the diversity-first selection a training-data pipeline
+    runs when it wants coverage of embedding space rather than
+    density (the complement of head-heavy quality sampling; also the
+    classic coreset for k-center/k-means warm starts).
+
+    Exactness: vectors live on the integer grid (``quantized``),
+    distances are int64 squared L2, argmax ties break to the lowest
+    id — every selection is exact integer comparison, so the
+    unrolled oracle replays it decision-for-decision.
+
+    Returns (rank, id, min_d2): the selection order and each pick's
+    distance to the nearest EARLIER center (pick r's min_d2 is the
+    k-center covering radius after r-1 centers — the monotone
+    non-increasing curve a coverage report plots; rank 1 emits 0).
+
+    Scale shape: k sequential rounds, each ONE map stage (update the
+    running nearest-center distance against the single new center —
+    a d-length literal, never a join) + one TakeOrdered argmax
+    collecting ONE row (the MMR/kmeans-seed bounded-collect
+    contract); the frame re-checkpoints per round to keep lineage
+    flat.  Never pairs points with points."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pts = df.select(
+        F.col(id_col).alias("id"), quantized(vec_col, scale).alias("qv")
+    ).localCheckpoint(eager=True)
+    first = pts.orderBy("id").limit(1).collect()
+    if not first:
+        raise ValueError("empty frame")
+    chosen = [(1, int(first[0]["id"]), 0, list(first[0]["qv"]))]
+    intd2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cur = pts.filter(F.col("id") != chosen[0][1]).select(
+        "id",
+        "qv",
+        intd2(
+            F.col("qv"), F.array(*[F.lit(v) for v in chosen[0][3]])
+        ).alias("mind2"),
+    ).localCheckpoint(eager=True)
+    for rank in range(2, k + 1):
+        top = cur.orderBy(F.desc("mind2"), F.asc("id")).limit(1).collect()
+        if not top:
+            break  # fewer distinct points than k
+        cid, cqv, cd2 = int(top[0]["id"]), list(top[0]["qv"]), int(top[0]["mind2"])
+        chosen.append((rank, cid, cd2, cqv))
+        cur = (
+            cur.filter(F.col("id") != cid)
+            .select(
+                "id",
+                "qv",
+                F.least(
+                    F.col("mind2"),
+                    intd2(F.col("qv"), F.array(*[F.lit(v) for v in cqv])),
+                ).alias("mind2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d, _ in chosen],
+        f"rank int, {id_col} long, min_d2 long",
+    )
+
+
+def coreset_fps_oracle_sql(
+    table: str,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """Unrolled replay of :func:`coreset_fps` — round r's CTE carries
+    every remaining point's running nearest-center distance; the
+    pick is the (mind2 DESC, id ASC) head."""
+    q = (
+        f"list_transform({vec_col}, x -> "
+        f"cast(round(cast(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    d2 = (
+        "cast(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT)"
+    ).format(d=dim)
+    parts = [
+        f"pts AS MATERIALIZED (SELECT {id_col} AS id, {q} AS qv FROM {table})",
+        "c1 AS MATERIALIZED (SELECT 1 AS rank, id, cast(0 AS bigint) AS min_d2, qv"
+        " FROM pts ORDER BY id LIMIT 1)",
+        f"m1 AS MATERIALIZED (SELECT a.id AS id, a.qv AS qv, {d2} AS mind2"
+        "  FROM pts a, c1 b WHERE a.id <> b.id)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT {r} AS rank, id, mind2 AS min_d2, qv"
+            f" FROM m{r - 1} ORDER BY mind2 DESC, id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"m{r} AS MATERIALIZED (SELECT a.id AS id, a.qv AS qv,"
+                f" least(a.mind2, {d2}) AS mind2"
+                f" FROM m{r - 1} a, c{r} b WHERE a.id <> b.id)"
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, id AS {id_col}, min_d2 FROM c{r}" for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union

@@ -523,6 +523,30 @@ FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
 """
 
 
+CORESET_K = 8
+
+
+def embedding_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-first data selection (ext): greedy k-CENTER coreset
+    by farthest-point sampling over the embedding table
+    (operators/embeddings.py::coreset_fps — Gonzalez'
+    2-approximation) — the coverage-maximizing complement to
+    density/quality sampling, and the classic kmeans warm start.
+    Returns the selection order with each pick's covering radius
+    (integer squared L2 on the quantized grid); the oracle unrolls
+    all CORESET_K argmax rounds."""
+    from musicflow_spark.operators.embeddings import coreset_fps
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return coreset_fps(emb, k=CORESET_K)
+
+
+def _embedding_coreset_oracle_sql() -> str:
+    from musicflow_spark.operators.embeddings import coreset_fps_oracle_sql
+
+    return coreset_fps_oracle_sql("embeddings", dim=64, k=CORESET_K)
+
+
 def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph REFINEMENT (ext): one NN-descent round (Dong et al.
     WWW'11 — operators/similarity.py::nn_descent_round) over the
@@ -1993,6 +2017,7 @@ QUERIES = [
     Query("knn_beam", "ext: graph-ANN — synchronous beam search over the symmetrized kNN graph (HNSW-shaped tier), unrolled-round oracle", knn_beam, _knn_beam_oracle_sql()),
     Query("knn_graph_nndescent", "ext: kNN-graph refinement — one NN-descent round (neighbor-of-neighbor rescore, exact-cosine prune)", knn_graph_nndescent, _knn_graph_nndescent_oracle_sql()),
     Query("knn_graph_refine_recall", "ext: graph-construction quality eval — edge recall of LSH vs NN-descent-refined graph against the exact graph", knn_graph_refine_recall, _knn_graph_refine_recall_oracle_sql()),
+    Query("embedding_coreset", "ext: diversity-first selection — greedy k-center coreset (farthest-point sampling) on the integer grid, unrolled argmax oracle", embedding_coreset, _embedding_coreset_oracle_sql()),
     Query("knn_beam_recall", "ext: graph-ANN index-quality eval — per-query recall@k of the beam tier vs exact, both proven oracles nested verbatim", knn_beam_recall, _knn_beam_recall_oracle_sql()),
     Query("knn_ivfpq", "ext: similarity search (ANN/IVF-PQ — cluster-pruned ADC scan)", knn_ivfpq, _knn_ivfpq_oracle_sql(), bench=True),
     Query("embedding_neardup_pairs", "ext: embedding-cosine near-dedup (exact baseline)", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL),

@@ -337,3 +337,66 @@ def test_corpus_retrieval_mart_contract(spark):
         assert len(rs) <= RETR_TOPK
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+# ------------------------------------ k-center coreset (FPS) greedy
+def test_coreset_fps_matches_python_reference(spark):
+    """Farthest-point sampling vs an exact pure-python replica on the
+    same integer grid — selection order, ids, AND radii; plus the
+    k-center property that the covering radius is non-increasing."""
+    from musicflow_spark.operators.embeddings import coreset_fps
+
+    vecs = {
+        0: [0.0, 0.0],
+        1: [10.0, 0.0],
+        2: [0.0, 10.0],
+        3: [10.0, 10.0],
+        4: [5.0, 5.0],
+        5: [5.1, 5.1],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["min_d2"])
+        for r in coreset_fps(df, k=5).orderBy("rank").collect()
+    ]
+    # pure-python FPS on the quantized grid
+    q = {i: [round(x * 1000) for x in v] for i, v in vecs.items()}
+    chosen = [min(q)]
+    want = [(1, chosen[0], 0)]
+    mind2 = {
+        i: sum((a - b) ** 2 for a, b in zip(q[i], q[chosen[0]]))
+        for i in q
+        if i != chosen[0]
+    }
+    for rank in range(2, 6):
+        nxt = max(mind2, key=lambda i: (mind2[i], -i))
+        want.append((rank, nxt, mind2[nxt]))
+        del mind2[nxt]
+        for i in mind2:
+            d = sum((a - b) ** 2 for a, b in zip(q[i], q[nxt]))
+            mind2[i] = min(mind2[i], d)
+        chosen.append(nxt)
+    assert got == want
+    # greedy picks the far corners before the near-duplicate center
+    assert {got[1][1], got[2][1], got[3][1]} == {1, 2, 3}
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_coreset_fps_short_frame_and_validation(spark):
+    from musicflow_spark.operators.embeddings import coreset_fps
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 2.0]), (9, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    # k beyond the frame: emits every point once, then stops
+    assert coreset_fps(df, k=10).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        coreset_fps(df, k=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        coreset_fps(empty, k=2)
