@@ -1102,7 +1102,7 @@ def beam_search_topk(
     vec_col: str = "embedding",
     return_visited: bool = False,
     expand: int | None = None,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Graph-ANN: SYNCHRONOUS beam search over a prebuilt kNN graph —
     the single-layer HNSW/NSW-shaped tier above IVF-PQ (Malkov &
     Yashunin 2018's search loop, batched: all queries advance one hop
@@ -1138,7 +1138,14 @@ def beam_search_topk(
     keeps each round's plan free of cross-round float state.  Nothing
     scans the corpus: a query touches only the graph neighborhood it
     walks, the property that makes graph ANN the latency tier at
-    100 TB."""
+    100 TB.
+
+    ``expand`` caps how many beam members expand their neighbors per
+    round (HNSW's ef analogue; default: the whole beam).  With
+    ``return_visited=True`` returns ``(topk, visited)`` where visited
+    is the distinct (query_id, node) set the search scored — the
+    per-query candidate budget an eval compares against other tiers
+    at (tests/test_vectors_beam.py)."""
     if k > beam:
         raise ValueError(f"k ({k}) must be <= beam ({beam})")
     q = queries.select(

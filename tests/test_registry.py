@@ -82,4 +82,4 @@ def test_oracles_present_or_documented_rows_only():
 
 def test_bench_flags_point_at_registered_queries():
     bench = [q for q in get_queries() if q.bench]
-    assert len(bench) == 32  # BASELINE.md headline set; update together
+    assert len(bench) == 33  # BASELINE.md headline set; update together

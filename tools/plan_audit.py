@@ -38,6 +38,8 @@ CARTESIAN_OK = {
     "conservation_counts",     # three 1-row scalar aggregates cross-joined
     "doc_tfidf_topk",          # 1-row corpus-count broadcast (idf denominator)
     "doc_perplexity_filter",   # 1-row vocab-size broadcast (the add-1 denominator)
+    "doc_kn_perplexity",       # 1-row bigram-type-total broadcast (the KN
+                               # continuation denominator T)
     "corpus_pmi_collocations", # 1-row bigram-total broadcast (the PMI numerator)
     "corpus_training_selection", # inherits jaccard's common-shingle + perplexity's
                                # vocab-size 1-row broadcasts (stage composition)
@@ -142,6 +144,7 @@ SINGLE_OK = {
     "top_revenue_orders",  # global top-k limit (10 rows by the LIMIT literal)
     "doc_tfidf_topk",          # scalar corpus count (1 row by construction)
     "doc_perplexity_filter",   # scalar vocab-size aggregate (1 row by construction)
+    "doc_kn_perplexity",       # scalar bigram-type-total aggregate (1 row by construction)
     "corpus_pmi_collocations", # scalar bigram total + global top-k LIMIT (50 rows)
     "corpus_training_selection", # inherited scalar collects (common-shingle, vocab size)
     "doc_split_contamination", # scalar common-shingle collect (tiny by construction)

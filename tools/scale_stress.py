@@ -236,6 +236,19 @@ QUERY_TABLES = {
     # grouping combines map-side; replica prefixes keep 50-token
     # windows replica-disjoint, so removal is exactly N x base
     "doc_suffix_dedup": ["documents"],
+    # Kneser-Ney filter: four count tables (bigram/context/
+    # continuation) + the per-occurrence scoring equi-join lattice;
+    # replica token prefixes grow the vocab ~N, occurrences ~N
+    "doc_kn_perplexity": ["documents"],
+    # calibration eval: the logreg loop's O(d) scalar collects + one
+    # scoring map + a 10-key groupBy
+    "doc_quality_calibration": ["documents"],
+    # knn_beam / knn_graph_nndescent / embedding_coreset are
+    # deliberately absent for the knn_link_prediction reason:
+    # replicas carry IDENTICAL vectors, so graph buckets/argmax ties
+    # merge across replicas and the curve would measure the fixture,
+    # not the plan shape (which is the knn_graph_lsh machinery plus
+    # bounded per-round work in all three).
     # unigram prune training: the corpus-sized histogram shuffle grows
     # ~N; word-type/occ tables stay vocab-bounded ([a-z]+ splits the
     # replica tag off), per-round work vocab-sized, loser a 1-row
