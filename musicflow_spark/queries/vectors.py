@@ -289,10 +289,16 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_lsh_oracle_sql(k: int = K_GRAPH) -> str:
-    """knn_lsh's oracle with queries == corpus, GRAPH_TABLES hash
-    tables, and rank <= k (default 3 — the registered graph; the
-    beam tier nests the k=8 variant)."""
+def _lsh_graph_oracle_sql(
+    k: int = K_GRAPH,
+    qwhere: str = "TRUE",
+    cwhere: str = "TRUE",
+    raw: bool = False,
+) -> str:
+    """Parameterized LSH-graph replay (GRAPH_TABLES hash tables):
+    query/corpus sides filterable (the ingest oracle splits them into
+    base/delta), ``raw`` skips the final micro-rounding so composing
+    oracles can re-rank on the unrounded cosine."""
     tables = [
         random_hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED + t)
         for t in range(GRAPH_TABLES)
@@ -307,17 +313,22 @@ def _knn_graph_lsh_oracle_sql(k: int = K_GRAPH) -> str:
              CASE WHEN list_sum(list_transform(range(1, {LSH_DIM} + 1),
                     j -> cast(embedding[j] AS double) * p[t.t * {LSH_PLANES} + i + 1][j])) > 0
                   THEN (2 ** i)::BIGINT ELSE 0::BIGINT END))"""
+    cos_out = (
+        "cos_sim"
+        if raw
+        else "round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim"
+    )
     return f"""
 WITH planes AS (SELECT {planes} AS p),
 tt AS (SELECT unnest(range({GRAPH_TABLES})) AS t),
 cb AS (
   SELECT vec_id AS neighbor_id, embedding AS c_vec, t.t AS table_id,
          {bucket} AS bucket
-  FROM embeddings, planes, tt t),
+  FROM embeddings, planes, tt t WHERE {cwhere}),
 qb AS (
   SELECT vec_id AS query_id, embedding AS q_vec, t.t AS table_id,
          {bucket} AS bucket
-  FROM embeddings, planes, tt t),
+  FROM embeddings, planes, tt t WHERE {qwhere}),
 cand AS (
   SELECT DISTINCT query_id, neighbor_id, q_vec, c_vec
   FROM cb JOIN qb USING (table_id, bucket)
@@ -331,12 +342,19 @@ scored AS (
          AS cos_sim
   FROM cand)
 SELECT query_id, neighbor_id,
-       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       {cos_out},
        rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM scored)
 WHERE rank <= {k}
 """
+
+
+def _knn_graph_lsh_oracle_sql(k: int = K_GRAPH) -> str:
+    """knn_lsh's oracle with queries == corpus, GRAPH_TABLES hash
+    tables, and rank <= k (default 3 — the registered graph; the
+    beam tier nests the k=8 variant)."""
+    return _lsh_graph_oracle_sql(k=k)
 
 
 #: beam tier config: its own k=8 LSH graph (degree 3 is too sparse to
@@ -1580,6 +1598,99 @@ WHERE rank <= {TOP_K}
 KNN_INGEST_MOD = 5
 
 
+def knn_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-GRAPH maintenance (ext): the graph-tier twin of
+    ``knn_ivf_ingest`` — today's ingest batch (every
+    KNN_INGEST_MOD-th vec_id) enters the stored LSH kNN graph without
+    re-pairing base×base, INCLUDING the hard part real graph-ANN
+    maintenance has and cell-count maintenance doesn't: REVERSE
+    updates, where an existing base node's top-k must admit a new
+    delta neighbor.
+
+    Three bucketed joins, none base×base: (a) delta nodes get their
+    edges by probing base∪delta buckets (top-K_GRAPH exact cosine);
+    (b) base nodes get their best DELTA candidates (base×delta only);
+    (c) each touched base node re-ranks its EXISTING k edges plus
+    those delta candidates — an O(k + k) per-node merge, never a
+    rescan.  Emits the delta nodes' edge lists (side='delta') plus
+    the full new top-k of every base node whose list actually
+    changed, i.e. now contains a delta neighbor (side='base_updated')
+    — the write-set a graph-index maintainer applies.
+
+    Scale shape: ingest cost is O(|delta| · tables) bucketing plus
+    candidate-keyed equi-joins; the base side's bucket table is the
+    stored index (computed here for the fixture, partitioned state at
+    100 TB); the reverse-update re-rank touches only nodes with a
+    delta candidate.  The oracle replays all three probes via the
+    parameterized LSH-graph CTE (raw cosine, so the merge re-ranks on
+    unrounded values exactly as Spark does)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % KNN_INGEST_MOD == 0
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    lsh = lambda c, q: lsh_topk(  # noqa: E731
+        c, q, k=K_GRAPH, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+    )
+    g_delta = lsh(emb, delta)
+    g_base = lsh(base, base)
+    rev = lsh(delta, base)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    merged = (
+        g_base.select("query_id", "neighbor_id", "cos_sim")
+        .unionByName(rev.select("query_id", "neighbor_id", "cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_GRAPH)
+    )
+    touched = (
+        merged.filter(F.col("neighbor_id") % KNN_INGEST_MOD == 0)
+        .select("query_id")
+        .distinct()
+    )
+    changed = merged.join(touched, "query_id")
+    out_cols = lambda df, side: df.select(  # noqa: E731
+        "query_id",
+        "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rank",
+        F.lit(side).alias("side"),
+    )
+    return out_cols(g_delta, "delta").unionByName(
+        out_cols(changed, "base_updated")
+    )
+
+
+def _knn_graph_ingest_oracle_sql() -> str:
+    notdelta = f"vec_id % {KNN_INGEST_MOD} <> 0"
+    isdelta = f"vec_id % {KNN_INGEST_MOD} = 0"
+    return f"""
+WITH gdelta AS ({_lsh_graph_oracle_sql(qwhere=isdelta, raw=True)}),
+gbase AS ({_lsh_graph_oracle_sql(qwhere=notdelta, cwhere=notdelta, raw=True)}),
+rev AS ({_lsh_graph_oracle_sql(qwhere=notdelta, cwhere=isdelta, raw=True)}),
+merged AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM (SELECT query_id, neighbor_id, cos_sim FROM gbase
+        UNION ALL
+        SELECT query_id, neighbor_id, cos_sim FROM rev)),
+topm AS (SELECT * FROM merged WHERE rank <= {K_GRAPH}),
+touched AS (
+  SELECT DISTINCT query_id FROM topm
+  WHERE neighbor_id % {KNN_INGEST_MOD} = 0)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank, 'delta' AS side
+FROM gdelta
+UNION ALL
+SELECT m.query_id, m.neighbor_id,
+       round(m.cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       m.rank, 'base_updated' AS side
+FROM topm m JOIN touched USING (query_id)
+"""
+
+
 def knn_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental vector-index MAINTENANCE (ext): assign today's
     ingest batch (every 5th vec_id) to the coarse quantizer trained
@@ -2004,6 +2115,7 @@ QUERIES = [
     Query("corpus_retrieval_mart", "ext: vector-index LIFECYCLE mart — chunk -> hash-embed -> kmeans-train IVF -> index -> probe -> exact rerank, one composed query", corpus_retrieval_mart, _corpus_retrieval_mart_oracle_sql(), bench=True),
     Query("knn_ivf_recall", "ext: ANN index-quality eval — per-query recall@k of the IVF tier vs exact, both proven oracles nested verbatim", knn_ivf_recall, _knn_ivf_recall_oracle_sql()),
     Query("knn_ivf_ingest", "ext: incremental vector-index maintenance — delta batch assigned to the base-trained quantizer, per-cluster occupancy drift report", knn_ivf_ingest, _knn_ivf_ingest_oracle_sql()),
+    Query("knn_graph_ingest", "ext: incremental kNN-graph maintenance — delta probe + REVERSE top-k updates for touched base nodes, base x base never pairs", knn_graph_ingest, _knn_graph_ingest_oracle_sql()),
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (truncated-integer-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),

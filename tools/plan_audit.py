@@ -125,6 +125,10 @@ CARTESIAN_OK = {
     "knn_beam_recall",         # inherits knn_bruteforce's 8-row query broadcast
                                # and knn_beam's plane + entry-layer broadcasts
                                # (both tiers run in one plan)
+    "knn_graph_ingest",        # inherits knn_graph_lsh's 1-row plane broadcasts
+                               # (three bucketed probes: delta->corpus,
+                               # base->base index, base->delta reverse); every
+                               # candidate join is a keyed equi-join
     "knn_graph_nndescent",     # inherits knn_graph_lsh's 1-row plane broadcasts;
                                # the wedge/rescore joins are keyed equi-joins
     "knn_graph_refine_recall", # exact all-pairs anchor (the
