@@ -241,3 +241,52 @@ def test_beam_recall_floor_on_fixture(spark, sf_dir):
     # coarse-descent beam still holds a 0.65 floor (0.7625 at sf0.01)
     assert recall >= 0.65, recall
     assert random_hyperplanes(4, 2)  # determinism helper smoke
+
+
+# ------------------------------------- incremental graph maintenance
+def test_graph_ingest_reverse_update_and_delta_isolation(spark, sf_dir):
+    """knn_graph_ingest contract on the fixture: (a) side='delta'
+    rows exist for exactly the delta ids and never list the node
+    itself; (b) every side='base_updated' node's new top-k really
+    contains a delta neighbor, carries dense ranks from 1, and its
+    base (non-delta) neighbors are a subset of the stored base
+    graph's edges for that node — the re-rank only ever merges
+    existing edges with delta candidates, never invents base pairs."""
+    from musicflow_spark.queries.vectors import (
+        GRAPH_TABLES,
+        K_GRAPH,
+        KNN_INGEST_MOD,
+        LSH_DIM,
+        LSH_PLANES,
+        LSH_SEED,
+        knn_graph_ingest,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    rows = knn_graph_ingest(spark, sf_dir).collect()
+    assert rows
+    delta_rows = [r for r in rows if r["side"] == "delta"]
+    upd_rows = [r for r in rows if r["side"] == "base_updated"]
+    assert delta_rows and upd_rows
+    assert all(r["query_id"] % KNN_INGEST_MOD == 0 for r in delta_rows)
+    assert all(r["query_id"] % KNN_INGEST_MOD != 0 for r in upd_rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    by_q: dict[int, list] = {}
+    for r in upd_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % KNN_INGEST_MOD != 0)
+    g_base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            base, base, k=K_GRAPH, dim=LSH_DIM, n_planes=LSH_PLANES,
+            n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+        ).collect()
+    }
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert any(r["neighbor_id"] % KNN_INGEST_MOD == 0 for r in rs)
+        for r in rs:
+            if r["neighbor_id"] % KNN_INGEST_MOD != 0:
+                assert (q, r["neighbor_id"]) in g_base
