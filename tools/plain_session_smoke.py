@@ -7,7 +7,7 @@ reads, ANSI toggles, shuffle-partition counts) — each read path must
 set what it needs.  An oracle-green sweep through tools/check_oracle.py
 does NOT prove this (it uses get_spark); this loop does.
 
-Usage: python tools/plain_session_smoke.py [sf_dir]
+Usage: python tools/plain_session_smoke.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -36,10 +36,13 @@ def main() -> int:
         .getOrCreate()
     )
 
+    only = set(sys.argv[2:])
     n_fail = 0
     entry_rows = mod.entry(spark).count()
     print(f"ok   entry ({entry_rows} rows)")
     for name, fn in mod.queries().items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             n = fn(spark, sf_dir).count()
