@@ -400,3 +400,49 @@ def test_coreset_fps_short_frame_and_validation(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="empty"):
         coreset_fps(empty, k=2)
+
+
+# --------------------------- feature-hash embedding compute tiers
+def test_feature_hash_embedding_arrow_bitwise_parity(spark, sf_dir):
+    """The Arrow tier must produce BIT-IDENTICAL signed integer
+    counts to the native fold — on fixture documents (null/empty
+    handling included) and on crafted edge cases (mixed whitespace,
+    case folding, repeated tokens)."""
+    from musicflow_spark.operators.similarity import (
+        feature_hash_embedding,
+        feature_hash_embedding_arrow,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = {
+        r["doc_id"]: list(r["embedding"])
+        for r in feature_hash_embedding(docs, dim=16).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["embedding"])
+        for r in feature_hash_embedding_arrow(docs, dim=16).collect()
+    }
+    assert a == b and len(a) > 0
+    edge = spark.createDataFrame(
+        [
+            (1, "  Mixed\tCASE  case\ncase "),
+            (2, ""),
+            (3, None),
+            (4, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    ea = {
+        r["doc_id"]: (None if r["embedding"] is None else list(r["embedding"]))
+        for r in feature_hash_embedding(edge, dim=8).collect()
+    }
+    eb = {
+        r["doc_id"]: (None if r["embedding"] is None else list(r["embedding"]))
+        for r in feature_hash_embedding_arrow(edge, dim=8).collect()
+    }
+    assert ea[3] is None  # NULL text -> NULL embedding on BOTH tiers
+    assert ea == eb
+    # case folding really collapsed the three 'case' occurrences
+    assert sum(abs(v) for v in ea[1]) in (2.0, 4.0)  # mixed +-1 signs
