@@ -882,12 +882,16 @@ def corpus_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     (caption, image), which is why CLIP-filtering whole crawls is
     map-parallel at 100 TB."""
     from musicflow_spark.operators.multimodal import LibraryCodec
-    from musicflow_spark.operators.similarity import feature_hash_embedding
+    from musicflow_spark.operators.similarity import (
+        feature_hash_embedding_arrow,
+    )
     from musicflow_spark.operators.textstats import quality_features
 
     docs = read_table(spark, sf_dir, "documents")
     q = quality_features(docs).select("doc_id", "n_tokens")
-    tvec = feature_hash_embedding(docs, dim=CM_DIM).select(
+    # Arrow compute tier — bit-identical counts to the native fold
+    # (tests assert it), same tier choice as corpus_retrieval_mart
+    tvec = feature_hash_embedding_arrow(docs, dim=CM_DIM).select(
         "doc_id", F.col("embedding").alias("tv")
     )
     ivec = extract_features(
