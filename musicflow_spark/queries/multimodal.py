@@ -946,7 +946,20 @@ def corpus_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_crossmodal_mart_oracle_sql() -> str:
+def _cm_proj_sql(vec: str, signs: list[list[int]], j: int) -> str:
+    """One shared-space projection coordinate as literal SQL (the
+    same ±1 matrices the Spark plan inlines)."""
+    terms = " + ".join(
+        f"({float(signs[j][i]):+.1f}) * {vec}[{i + 1}]" for i in range(CM_DIM)
+    )
+    return f"({terms})"
+
+
+def _cm_feature_ctes() -> str:
+    """The shared caption/image feature CTE chain (tok → tv, px → iv)
+    — composed verbatim by the consistency-mart oracle and the
+    cross-modal retrieval oracle so the feature replays cannot
+    drift."""
     import numpy as np
 
     # band b covers pixel rows [starts[b], starts[b+1]) — the
@@ -957,25 +970,8 @@ def _corpus_crossmodal_mart_oracle_sql() -> str:
     for y in range(PHASH_H):
         band_of_y.append(max(b for b in range(CM_DIM) if starts[b] <= y))
     band_list = "[" + ", ".join(str(b) for b in band_of_y) + "]"
-    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
-
-    def proj_sql(vec: str, signs: list[list[int]], j: int) -> str:
-        terms = " + ".join(
-            f"({float(signs[j][i]):+.1f}) * {vec}[{i + 1}]"
-            for i in range(CM_DIM)
-        )
-        return f"({terms})"
-
-    ta = [proj_sql("tv", st, j) for j in range(CM_PROJ)]
-    ia = [proj_sql("iv", si, j) for j in range(CM_PROJ)]
-    dot = " + ".join(f"ta{j} * ia{j}" for j in range(CM_PROJ))
-    nt = " + ".join(f"ta{j} * ta{j}" for j in range(CM_PROJ))
-    ni = " + ".join(f"ia{j} * ia{j}" for j in range(CM_PROJ))
-    ta_cols = ",\n         ".join(f"{e} AS ta{j}" for j, e in enumerate(ta))
-    ia_cols = ",\n         ".join(f"{e} AS ia{j}" for j, e in enumerate(ia))
     toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
-    return rf"""
-WITH tok AS (
+    return rf"""tok AS (
   SELECT doc_id,
          list_transform({toks}, x -> lower(x)) AS t
   FROM documents),
@@ -1012,7 +1008,22 @@ bm AS (
               AS DOUBLE) AS m
   FROM px GROUP BY doc_id, band),
 iv AS (
-  SELECT doc_id, list(m ORDER BY band) AS iv FROM bm GROUP BY doc_id),
+  SELECT doc_id, list(m ORDER BY band) AS iv FROM bm GROUP BY doc_id)"""
+
+
+def _corpus_crossmodal_mart_oracle_sql() -> str:
+    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
+    proj_sql = _cm_proj_sql
+    ta = [proj_sql("tv", st, j) for j in range(CM_PROJ)]
+    ia = [proj_sql("iv", si, j) for j in range(CM_PROJ)]
+    dot = " + ".join(f"ta{j} * ia{j}" for j in range(CM_PROJ))
+    nt = " + ".join(f"ta{j} * ta{j}" for j in range(CM_PROJ))
+    ni = " + ".join(f"ia{j} * ia{j}" for j in range(CM_PROJ))
+    ta_cols = ",\n         ".join(f"{e} AS ta{j}" for j, e in enumerate(ta))
+    ia_cols = ",\n         ".join(f"{e} AS ia{j}" for j, e in enumerate(ia))
+    toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    return rf"""
+WITH {_cm_feature_ctes()},
 pj AS (
   SELECT tv.doc_id AS doc_id, tv.tv AS tv, iv.iv AS iv,
          {ta_cols},
@@ -1040,6 +1051,117 @@ SELECT doc_id, n_tokens,
        round(clip_score * 1000000.0) / 1000000.0 AS clip_score,
        reason, reason = 'kept' AS keep
 FROM r
+"""
+
+
+CM_QUERY_DOCS, CM_TOPK = 3, 5
+
+
+def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal SEARCH (ext): text query → image results through
+    the shared projection space the consistency mart defines — the
+    retrieval direction of the CLIP shape (caption-to-image search,
+    the query pattern multimodal RAG and eval harnesses run; recall
+    of a caption's OWN image at rank 1 is the standard cross-modal
+    retrieval metric, exposed here as ``is_own``).  The first
+    CM_QUERY_DOCS captions rank EVERY decoded image by projected
+    cosine, top CM_TOPK per query.
+
+    Scale shape: image featurization is the one data-sized pass
+    (Arrow decode map); the query projections are a CM_QUERY_DOCS-row
+    broadcast, so scoring is a map over the image table followed by a
+    per-query top-k window — the brute-force anchor of cross-modal
+    ANN (the LSH/IVF tiers apply unchanged to the projected vectors
+    because projection collapses both modalities into ONE vector
+    space — that is the point of the shared space)."""
+    from musicflow_spark.operators.multimodal import LibraryCodec
+    from musicflow_spark.operators.similarity import (
+        feature_hash_embedding_arrow,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    tvec = feature_hash_embedding_arrow(
+        docs.filter(F.col("doc_id") < CM_QUERY_DOCS), dim=CM_DIM
+    ).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("tv"))
+    ivec = extract_features(
+        png_media_from_documents(docs).withColumn(
+            "media_type", F.lit("image")
+        ),
+        LibraryCodec(),
+        dim=CM_DIM,
+    ).select(
+        F.col("media_id").alias("media_id"),
+        F.transform("feature", lambda x: x.cast("double")).alias("iv"),
+    )
+    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
+
+    def proj(vec: str, signs: list[list[int]], j: int):
+        expr = F.lit(float(signs[j][0])) * F.col(vec)[0]
+        for i in range(1, CM_DIM):
+            expr = expr + F.lit(float(signs[j][i])) * F.col(vec)[i]
+        return expr
+
+    joined = ivec.crossJoin(F.broadcast(tvec))
+    for j in range(CM_PROJ):
+        joined = joined.withColumn(f"ta{j}", proj("tv", st, j)).withColumn(
+            f"ia{j}", proj("iv", si, j)
+        )
+    dot = F.lit(0.0)
+    nt = F.lit(0.0)
+    ni = F.lit(0.0)
+    for j in range(CM_PROJ):
+        dot = dot + F.col(f"ta{j}") * F.col(f"ia{j}")
+        nt = nt + F.col(f"ta{j}") * F.col(f"ta{j}")
+        ni = ni + F.col(f"ia{j}") * F.col(f"ia{j}")
+    scored = joined.select(
+        "query_id",
+        "media_id",
+        (dot / (F.sqrt(nt) * F.sqrt(ni))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("media_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CM_TOPK)
+        .select(
+            "query_id",
+            "media_id",
+            pround(F.col("score"), 6).alias("score"),
+            "rank",
+            (F.col("query_id") == F.col("media_id")).alias("is_own"),
+        )
+    )
+
+
+def _crossmodal_retrieval_oracle_sql() -> str:
+    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
+    ta = [_cm_proj_sql("tv", st, j) for j in range(CM_PROJ)]
+    ia = [_cm_proj_sql("iv", si, j) for j in range(CM_PROJ)]
+    dot = " + ".join(f"ta{j} * ia{j}" for j in range(CM_PROJ))
+    nt = " + ".join(f"ta{j} * ta{j}" for j in range(CM_PROJ))
+    ni = " + ".join(f"ia{j} * ia{j}" for j in range(CM_PROJ))
+    ta_cols = ",\n         ".join(f"{e} AS ta{j}" for j, e in enumerate(ta))
+    ia_cols = ",\n         ".join(f"{e} AS ia{j}" for j, e in enumerate(ia))
+    return f"""
+WITH {_cm_feature_ctes()},
+qp AS (
+  SELECT doc_id AS query_id, {ta_cols}
+  FROM tv WHERE doc_id < {CM_QUERY_DOCS}),
+ip AS (
+  SELECT doc_id AS media_id, {ia_cols}
+  FROM iv),
+scored AS (
+  SELECT q.query_id, i.media_id,
+         ({dot}) / (sqrt({nt}) * sqrt({ni})) AS score
+  FROM ip i CROSS JOIN qp q)
+SELECT query_id, media_id,
+       round(score * 1000000.0) / 1000000.0 AS score,
+       rank, query_id = media_id AS is_own
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, media_id) AS rank
+      FROM scored)
+WHERE rank <= {CM_TOPK}
 """
 
 
@@ -1131,5 +1253,11 @@ QUERIES = [
         corpus_crossmodal_mart,
         _corpus_crossmodal_mart_oracle_sql(),
         bench=True,
+    ),
+    Query(
+        "crossmodal_retrieval",
+        "ext: cross-modal SEARCH — caption query ranks every decoded image in the shared projection space (text-to-image top-k, own-image recall exposed)",
+        crossmodal_retrieval,
+        _crossmodal_retrieval_oracle_sql(),
     ),
 ]

@@ -125,6 +125,9 @@ CARTESIAN_OK = {
     "knn_beam_recall",         # inherits knn_bruteforce's 8-row query broadcast
                                # and knn_beam's plane + entry-layer broadcasts
                                # (both tiers run in one plan)
+    "crossmodal_retrieval",    # CM_QUERY_DOCS-row (3) caption-projection
+                               # broadcast into the image-feature scan (the
+                               # bounded-query-set brute-force anchor)
     "knn_graph_ingest",        # inherits knn_graph_lsh's 1-row plane broadcasts
                                # (three bucketed probes: delta->corpus,
                                # base->base index, base->delta reverse); every
