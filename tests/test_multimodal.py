@@ -524,3 +524,64 @@ def test_multimodal_mart_first_reject_routing(spark, sf_dir):
             assert r["group_id"] < d
     # the fixture corpus must exercise every stage of the cascade
     assert seen_reasons == {"text", "video_intro", "audio_clip", "image_dup", "kept"}
+
+
+# ------------------------------------------- cross-modal shared space
+def test_crossmodal_mart_ladder_contract(spark, sf_dir):
+    """First-reject audit semantics: reason follows the documented
+    ladder exactly (caption floor -> contrast floor -> score gate),
+    keep == (reason == 'kept'), scores/contrast within their ranges,
+    and the fixture exercises the kept/mismatch branches."""
+    from musicflow_spark.queries.multimodal import (
+        CM_MIN_CONTRAST,
+        CM_MIN_SCORE,
+        CM_MIN_TOKENS,
+        corpus_crossmodal_mart,
+    )
+
+    rows = corpus_crossmodal_mart(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["clip_score"] <= 1.0 + 1e-9
+        assert 0.0 <= r["contrast"] <= 1.0
+        if r["n_tokens"] < CM_MIN_TOKENS:
+            want = "caption"
+        elif r["contrast"] < CM_MIN_CONTRAST:
+            want = "image_flat"
+        elif r["clip_score"] < CM_MIN_SCORE:
+            want = "mismatch"
+        else:
+            want = "kept"
+        # the emitted reason was decided on the UNROUNDED score; the
+        # 6dp-rounded column can sit exactly on the gate for boundary
+        # rows, so assert equality except at the rounded boundary
+        if r["clip_score"] != CM_MIN_SCORE and r["contrast"] != CM_MIN_CONTRAST:
+            assert r["reason"] == want, (r["doc_id"], r["reason"], want)
+        assert r["keep"] == (r["reason"] == "kept")
+        seen.add(r["reason"])
+    assert {"kept", "mismatch"} <= seen
+
+
+def test_crossmodal_retrieval_contract(spark, sf_dir):
+    """Per-query ranks dense from 1, scores non-increasing, exactly
+    CM_QUERY_DOCS query groups, and is_own marks exactly the
+    query's own image when it appears."""
+    from musicflow_spark.queries.multimodal import (
+        CM_QUERY_DOCS,
+        CM_TOPK,
+        crossmodal_retrieval,
+    )
+
+    rows = crossmodal_retrieval(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["is_own"] == (r["query_id"] == r["media_id"])
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(CM_QUERY_DOCS))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == CM_TOPK
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)

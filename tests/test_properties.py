@@ -599,3 +599,56 @@ def test_temperature_mixture_apportionment_is_exact(counts):
     for r in got.values():
         ideal = r["w_micro"] * TEMP_K / w_total
         assert ideal - 1 < r["alloc"] < ideal + 1
+
+
+def _py_suffix_scrub(texts: dict[int, str], min_span: int) -> dict[int, tuple]:
+    """Pure-python suffix_span_scrub reference: L-window occurrence
+    counts, keep-first by (doc_id, pos), maximal-run coverage, ordered
+    reassembly of original-case tokens."""
+    toks = {d: t.split() for d, t in texts.items()}
+    low = {d: [w.lower() for w in ws] for d, ws in toks.items()}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(low):
+        ws = low[d]
+        for p in range(len(ws) - min_span + 1):
+            occ.setdefault(tuple(ws[p : p + min_span]), []).append((d, p))
+    removable: dict[int, set[int]] = {d: set() for d in toks}
+    for places in occ.values():
+        if len(places) >= 2:
+            for d, p in sorted(places)[1:]:
+                removable[d].add(p)
+    out = {}
+    for d, ws in toks.items():
+        covered: set[int] = set()
+        for p in removable[d]:
+            covered.update(range(p, p + min_span))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        out[d] = (len(ws), len(kept), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_suffix_scrub_matches_python_reference(texts, min_span):
+    # tiny alphabet + short docs force dense window collisions,
+    # within-doc repeats, and overlapping-island coverage — the
+    # corner geometry the fixture corpus never produces
+    from musicflow_spark.operators.dedup import suffix_span_scrub
+
+    spark = _get_spark()
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_kept"], r["n_removed"], r["clean_text"]
+        )
+        for r in suffix_span_scrub(df, min_span=min_span).collect()
+    }
+    assert got == _py_suffix_scrub(dict(rows), min_span)
