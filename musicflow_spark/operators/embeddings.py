@@ -435,42 +435,48 @@ def kmeans_oracle_parts(
     vec_col: str = "embedding",
     scale: int = DEFAULT_SCALE,
     final_assign: bool = False,
+    prefix: str = "",
 ) -> list[str]:
     """The kmeans replay as composable CTE fragments: quantization,
     seed centroids, and per-round distance/argmin/update CTEs ending
-    at ``cent{n_iter}`` (the trained quantizer).  With
-    ``final_assign`` the post-training assignment CTEs ``d{n_iter}``/
-    ``a{n_iter}`` are appended too.  Callers (``kmeans_oracle_sql``,
-    the trained-IVF oracle) splice these into larger WITH chains."""
+    at ``{prefix}cent{n_iter}`` (the trained quantizer).  With
+    ``final_assign`` the post-training assignment CTEs are appended
+    too.  ``prefix`` namespaces every CTE so several independent
+    trainings compose in one WITH chain (the trained-PQ oracle runs
+    one per subspace); the default "" keeps the emitted SQL
+    byte-identical to the historical form.  Callers
+    (``kmeans_oracle_sql``, the trained-IVF and trained-PQ oracles)
+    splice these into larger WITH chains."""
+    P = prefix
     parts = [
-        f"""q AS MATERIALIZED (
+        f"""{P}q AS MATERIALIZED (
   SELECT {id_col} AS id,
          list_transform({vec_col},
                         x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
   FROM {table}),
-cent0 AS MATERIALIZED (
+{P}cent0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, qv AS cv
-  FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k}))"""
+  FROM (SELECT id, qv FROM {P}q ORDER BY id LIMIT {k}))"""
     ]
     last = n_iter if final_assign else n_iter - 1
     for t in range(last + 1):
         parts.append(
-            f"""d{t} AS MATERIALIZED (
+            f"""{P}d{t} AS MATERIALIZED (
   SELECT q.id, c.cid,
          CAST(list_sum(list_transform(range(1, {dim} + 1),
               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
-  FROM q, cent{t} c),
-a{t} AS MATERIALIZED (
+  FROM {P}q q, {P}cent{t} c),
+{P}a{t} AS MATERIALIZED (
   SELECT id, cid, d2 FROM (
-    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d{t})
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM {P}d{t})
   WHERE rn = 1)"""
         )
         if t < n_iter:
             parts.append(
-                f"""cent{t + 1} AS MATERIALIZED (
+                f"""{P}cent{t + 1} AS MATERIALIZED (
   SELECT cid, list(m ORDER BY pos) AS cv FROM (
     SELECT a.cid, r.i AS pos, CAST(sum(q.qv[r.i + 1]) // count(*) AS BIGINT) AS m
-    FROM a{t} a JOIN q ON q.id = a.id,
+    FROM {P}a{t} a JOIN {P}q q ON q.id = a.id,
          unnest(range(0, {dim})) AS r(i)
     GROUP BY a.cid, r.i)
   GROUP BY cid)"""
@@ -654,3 +660,44 @@ def coreset_fps_oracle_sql(
         f"SELECT rank, id AS {id_col}, min_d2 FROM c{r}" for r in range(1, k + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    n_sub: int,
+    k: int,
+    n_iter: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> list[list[list[int]]]:
+    """TRAINED product-quantization codebooks: one independent
+    integer-grid Lloyd run per subspace over the sliced corpus (the
+    production PQ build — seeded codebooks are the deterministic
+    bring-up tier, per-subspace kmeans is what FAISS et al. actually
+    ship).  Returns ``[m][cid] -> sub_dim`` centroid lists on the
+    fixed-point grid, ready for ``pq_topk(codebook_rows=...)``.
+
+    Slicing commutes with the per-element quantization, so training
+    on sliced raw vectors with the same ``scale`` lands on exactly
+    the grid the encoder uses.  Each run's centroid table is k rows
+    (the kmeans-seed bounded-collect contract); n_sub · k · sub_dim
+    integers total come back to the driver — plan literals, never
+    data."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    out: list[list[list[int]]] = []
+    for m in range(n_sub):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias(vec_col),
+        )
+        cent = kmeans_centroids(
+            sub, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            scale=scale,
+        )
+        rows = sorted(cent.collect(), key=lambda r: r["cid"])
+        out.append([list(r["cv"]) for r in rows])
+    return out

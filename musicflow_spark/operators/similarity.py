@@ -620,39 +620,57 @@ def _slice_d2(a_sub: Column, b_sub: Column) -> Column:
 def _pq_encode_parts(
     corpus: DataFrame,
     queries: DataFrame,
-    seeds: DataFrame,
+    seeds: DataFrame | None,
     id_col: str,
     vec_col: str,
     dim: int,
     n_sub: int,
     scale: int,
+    codebook_rows: list[list[list[int]]] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared PQ front half: (codebook 1-row frame, encoded corpus
     codes, per-query ADC distance tables).  Used by both the flat-scan
-    ``pq_topk`` and the cluster-pruned ``ivfpq_topk``."""
+    ``pq_topk`` and the cluster-pruned ``ivfpq_topk``.
+
+    The codebook comes from one of two places: ``seeds`` (raw seed
+    vectors, sliced per subspace — the deterministic-stride tier) or
+    ``codebook_rows`` (``[m][c] -> sub_dim`` integer-grid centroids,
+    e.g. per-subspace kmeans output — the TRAINED tier, already on
+    the fixed-point grid so it is passed through untouched)."""
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_dim = dim // n_sub
-    # __seeds__[m][c] = pre-sliced subvector m of codebook entry c
-    # (entry order = seed id ascending); sliced once in the 1-row frame
-    codebook = (
-        seeds.select(
-            F.struct(
-                F.col(id_col).alias("sid"),
-                _fixed_point(F.col(vec_col), scale).alias("iv"),
-            ).alias("s")
+    if codebook_rows is not None:
+        if len(codebook_rows) != n_sub or any(
+            len(cv) != sub_dim for cb in codebook_rows for cv in cb
+        ):
+            raise ValueError("codebook_rows must be [n_sub][k][sub_dim]")
+        codebook = corpus.sparkSession.createDataFrame(
+            [([[list(map(int, cv)) for cv in cb] for cb in codebook_rows],)],
+            "__seeds__ array<array<array<bigint>>>",
         )
-        .agg(F.array_sort(F.collect_list("s")).alias("s"))
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_sub - 1)),
-                lambda m: F.transform(
-                    F.col("s"),
-                    lambda s: F.slice(s["iv"], m * sub_dim + 1, sub_dim),
-                ),
-            ).alias("__seeds__")
+    else:
+        # __seeds__[m][c] = pre-sliced subvector m of codebook entry c
+        # (entry order = seed id ascending); sliced once in the 1-row
+        # frame
+        codebook = (
+            seeds.select(
+                F.struct(
+                    F.col(id_col).alias("sid"),
+                    _fixed_point(F.col(vec_col), scale).alias("iv"),
+                ).alias("s")
+            )
+            .agg(F.array_sort(F.collect_list("s")).alias("s"))
+            .select(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                    lambda m: F.transform(
+                        F.col("s"),
+                        lambda s: F.slice(s["iv"], m * sub_dim + 1, sub_dim),
+                    ),
+                ).alias("__seeds__")
+            )
         )
-    )
 
     def with_subs(df: DataFrame, idname: str) -> DataFrame:
         return df.select(
@@ -748,7 +766,7 @@ def _exact_rerank(
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    seeds: DataFrame,
+    seeds: DataFrame | None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -756,6 +774,7 @@ def pq_topk(
     n_sub: int = 8,
     n_candidates: int = 40,
     scale: int = 1000,
+    codebook_rows: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ADC top-k — the memory-compression ANN
     tier: each corpus vector is encoded once into ``n_sub`` centroid
@@ -778,7 +797,8 @@ def pq_topk(
     touched exactly twice: encode and rerank-fetch.
     """
     codebook, encoded, dtabbed = _pq_encode_parts(
-        corpus, queries, seeds, id_col, vec_col, dim, n_sub, scale
+        corpus, queries, seeds, id_col, vec_col, dim, n_sub, scale,
+        codebook_rows=codebook_rows,
     )
 
     adc = (

@@ -795,6 +795,114 @@ WHERE rank <= {TOP_K}
 """
 
 
+PQT_K, PQT_ITERS = 16, 2
+
+
+def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ over TRAINED per-subspace codebooks (ext): the production
+    PQ build — one independent integer-grid Lloyd run per subspace
+    (operators/embeddings.py::pq_train_codebooks, PQT_K=16 centroids,
+    PQT_ITERS=2 rounds each) feeding the same encode/ADC/rerank
+    machinery as ``knn_pq`` — which keeps the deterministic
+    stride-seeded codebook as the bring-up tier.  Completes the
+    trained story: trained coarse quantizer (knn_ivf_trained),
+    trained graph polish (knn_graph_nndescent), trained fine
+    quantizer (this).  The oracle unrolls all eight kmeans chains
+    (namespaced via kmeans_oracle_parts' prefix) and replays
+    encode/ADC/rerank on the integer grid."""
+    from musicflow_spark.operators.embeddings import pq_train_codebooks
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    cb = pq_train_codebooks(
+        emb, dim=PQ_DIM, n_sub=PQ_SUB, k=PQT_K, n_iter=PQT_ITERS,
+        scale=PQ_SCALE,
+    )
+    topk = pq_topk(
+        emb, queries, seeds=None, k=TOP_K, dim=PQ_DIM, n_sub=PQ_SUB,
+        n_candidates=PQ_CAND, scale=PQ_SCALE, codebook_rows=cb,
+    )
+    return topk.select(
+        "query_id", "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank",
+    )
+
+
+def _knn_pq_trained_oracle_sql() -> str:
+    from musicflow_spark.operators.embeddings import kmeans_oracle_parts
+
+    sub = PQ_DIM // PQ_SUB
+    parts: list[str] = []
+    for m in range(PQ_SUB):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        parts.append(
+            f"sub{m} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+            f" FROM embeddings)"
+        )
+        parts.extend(
+            kmeans_oracle_parts(
+                f"sub{m}", dim=sub, k=PQT_K, n_iter=PQT_ITERS,
+                scale=PQ_SCALE, prefix=f"s{m}_",
+            )
+        )
+    cb_union = "\n  UNION ALL\n  ".join(
+        f"SELECT {m} AS m, cid, cv FROM s{m}_cent{PQT_ITERS}"
+        for m in range(PQ_SUB)
+    )
+    parts.append(f"cb AS MATERIALIZED (\n  {cb_union})")
+    parts.append(f"""iv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(cast(x AS double) * {PQ_SCALE}) AS BIGINT)) AS iv
+  FROM embeddings)""")
+    sub_d2 = f"""list_sum(list_transform(range(1, {sub + 1}),
+             j -> (i.iv[s.m * {sub} + j] - s.cv[j])
+                * (i.iv[s.m * {sub} + j] - s.cv[j])))"""
+    parts.append(f"""codes AS (
+  SELECT vec_id AS neighbor_id, m, cid FROM (
+    SELECT i.vec_id, s.m, s.cid,
+           row_number() OVER (PARTITION BY i.vec_id, s.m
+                              ORDER BY {sub_d2}, s.cid) AS rn
+    FROM iv i, cb s)
+  WHERE rn = 1)""")
+    parts.append(f"""dtab AS (
+  SELECT i.vec_id AS query_id, s.m, s.cid, {sub_d2} AS d
+  FROM iv i, cb s WHERE i.vec_id < {N_QUERY_VECS})""")
+    parts.append(f"""adc AS (
+  SELECT d.query_id, c.neighbor_id, CAST(sum(d.d) AS BIGINT) AS adc
+  FROM codes c JOIN dtab d ON c.m = d.m AND c.cid = d.cid
+  WHERE c.neighbor_id <> d.query_id
+  GROUP BY d.query_id, c.neighbor_id)""")
+    parts.append(f"""cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS crank
+    FROM adc)
+  WHERE crank <= {PQ_CAND})""")
+    parts.append("""scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> cast(q.embedding[i] AS double) * cast(n.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(n.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+    )
+
+
 IVFPQ_PROBE, IVFPQ_CAND, IVFPQ_CENT_MAX = 6, 64, 5000
 
 
@@ -2129,6 +2237,7 @@ QUERIES = [
     Query("knn_lsh", "ext: similarity search (ANN/LSH)", knn_lsh, _knn_lsh_oracle_sql()),
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
     Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql(), bench=True),
+    Query("knn_pq_trained", "ext: PQ over TRAINED per-subspace kmeans codebooks (eight namespaced Lloyd chains unrolled in the oracle)", knn_pq_trained, _knn_pq_trained_oracle_sql()),
     Query("knn_graph_lsh", "ext: kNN-graph construction (LSH, no-broadcast shuffle join)", knn_graph_lsh, _knn_graph_lsh_oracle_sql()),
     Query("knn_beam", "ext: graph-ANN — synchronous beam search over the symmetrized kNN graph (HNSW-shaped tier), unrolled-round oracle", knn_beam, _knn_beam_oracle_sql()),
     Query("knn_graph_nndescent", "ext: kNN-graph refinement — one NN-descent round (neighbor-of-neighbor rescore, exact-cosine prune)", knn_graph_nndescent, _knn_graph_nndescent_oracle_sql()),

@@ -446,3 +446,36 @@ def test_feature_hash_embedding_arrow_bitwise_parity(spark, sf_dir):
     assert ea == eb
     # case folding really collapsed the three 'case' occurrences
     assert sum(abs(v) for v in ea[1]) in (2.0, 4.0)  # mixed +-1 signs
+
+
+def test_pq_trained_beats_seeded_recall(spark, sf_dir):
+    """Why train the fine quantizer: per-subspace kmeans codebooks
+    must match-or-beat the deterministic stride-seeded codebook's
+    recall@10 against brute force (0.7625 vs 0.60 measured at
+    sf0.01)."""
+    from musicflow_spark.operators.similarity import brute_force_topk
+    from musicflow_spark.queries.vectors import (
+        N_QUERY_VECS,
+        TOP_K,
+        knn_pq,
+        knn_pq_trained,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    ex = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=TOP_K).collect()
+    }
+    seeded = {
+        (r.query_id, r.neighbor_id) for r in knn_pq(spark, sf_dir).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_pq_trained(spark, sf_dir).collect()
+    }
+    r_seed = len(seeded & ex) / len(ex)
+    r_train = len(trained & ex) / len(ex)
+    assert r_train >= r_seed, (r_seed, r_train)
+    assert r_train >= 0.7, r_train

@@ -64,6 +64,9 @@ CARTESIAN_OK = {
                                # query distance-table broadcast (the ADC scan pairing)
     "knn_ivfpq",               # same 1-row codebook + ≤52-row centroid broadcasts;
                                # the ADC scan itself is a cluster_id equi-join
+    "knn_pq_trained",          # same 1-row codebook broadcast (here the trained
+                               # per-subspace kmeans literals) + the 8-row query
+                               # distance-table broadcast
     "knn_graph_lsh",           # two 1-row plane-matrix broadcasts (the bucketing
                                # constants); the candidate join itself is a plain
                                # shuffle equi-join — that is the point of the query
