@@ -223,6 +223,10 @@ QUERY_TABLES = {
     # pass + two doc_id-keyed joins; NO pairing stage, so the plain
     # stride is fine (scores are per-doc scalars)
     "corpus_crossmodal_mart": ["documents"],
+    # cross-modal retrieval: image featurization is the only
+    # data-sized pass; query projections are a 3-row broadcast, the
+    # scan is map + per-query top-k — no pairing, plain stride fine
+    "crossmodal_retrieval": ["documents"],
     # retrieval lifecycle mart: chunk/embed map-only, kmeans shuffles
     # k*dim-bounded, assignment a k-row broadcast scan, rerank
     # candidate-bounded; queries stay the base replica's first 3 docs
