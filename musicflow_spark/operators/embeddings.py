@@ -444,7 +444,9 @@ def kmeans_oracle_parts(
     too.  ``prefix`` namespaces every CTE so several independent
     trainings compose in one WITH chain (the trained-PQ oracle runs
     one per subspace); the default "" keeps the emitted SQL
-    byte-identical to the historical form.  Callers
+    semantically identical to the historical form (same CTE names and
+    results; the refactor added a `q` table alias, so the TEXT is not
+    byte-identical).  Callers
     (``kmeans_oracle_sql``, the trained-IVF and trained-PQ oracles)
     splice these into larger WITH chains."""
     P = prefix

@@ -160,6 +160,97 @@ def pack_sequences(
     )
 
 
+def shuffled_shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    n_tokens_col: str,
+    budget: int,
+    *,
+    n_shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Seeded GLOBAL corpus shuffle + shard manifest — the last mile
+    of a training-data pipeline: one deterministic permutation of the
+    whole corpus, materialized as per-shard manifests with exact token
+    budgets (what each data-parallel reader consumes).
+
+    The permutation is *hash order*: ``draw = portable_hash60(salt ||
+    key)`` is the row's position key in the shuffled stream.  There is
+    NO global sort — the hash space is cut into ``n_shards`` equal
+    fixed ranges (``shard_id = draw div (2^60 / n_shards)``, a pure
+    map), so range-partitioning on the salted hash IS the shuffle:
+    concatenating shards 0..n-1, each ordered by ``(draw, key)``,
+    replays the one global permutation.  Each shard orders and
+    prefix-sums independently (one hash-partitioned window), and exact
+    GLOBAL token offsets come from the classic two-level prefix sum:
+    per-shard running sums plus an ``n_shards``-row base-offset table
+    (a bounded global window, broadcast back) — the scalable form of a
+    corpus-wide running total.
+
+    Determinism properties (the reasons trainers want THIS shuffle):
+    same corpus + same salt -> byte-identical manifests regardless of
+    partitioning, task retries, or cluster size; changing ``salt``
+    re-draws the whole permutation; the draw is a fresh hash domain
+    (``shuf:``), independent of the split/sample coins.
+
+    Columns added: ``shard_id`` (int), ``doc_order`` (1-based within
+    shard), ``tok_offset`` (tokens before this doc within its shard),
+    ``global_offset`` (tokens before this doc in the WHOLE shuffled
+    stream), ``seq_first``/``seq_last`` (the ``budget``-token training
+    sequences the doc spans, indexed on the global stream).
+
+    Scale shape: one shuffle (hash exchange on shard_id) + in-task
+    sort per shard; the only global structure is the n_shards-row
+    totals table.  Pick ``n_shards`` so one shard's rows fit a task
+    sort — at 100 TB that is just a bigger power of two."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards < 1 or (n_shards & (n_shards - 1)):
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+    width = (1 << 60) // n_shards
+    draw = portable_hash60(
+        F.concat(F.lit("shuf:" + salt), F.col(key_col).cast("string"))
+    )
+    n = F.col(n_tokens_col).cast("long")
+    base = df.withColumn("__draw__", draw).withColumn(
+        "shard_id", F.expr(f"__draw__ div {width}").cast("int")
+    )
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("__draw__").asc(), F.col(key_col).asc()
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per = base.withColumn(
+        "doc_order", F.row_number().over(w).cast("long")
+    ).withColumn("tok_offset", F.sum(n).over(ws) - n)
+    # two-level prefix sum: n_shards-row totals -> exclusive cumsum
+    # (bounded global window: exactly n_shards rows by construction)
+    # -> broadcast back as each shard's global base offset
+    totals = per.groupBy("shard_id").agg(F.sum(n).alias("__shard_tokens__"))
+    wb = Window.orderBy("shard_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = totals.select(
+        "shard_id",
+        F.coalesce(F.sum("__shard_tokens__").over(wb), F.lit(0))
+        .cast("long")
+        .alias("__shard_base__"),
+    )
+    out = per.join(F.broadcast(bases), "shard_id").withColumn(
+        "global_offset", F.col("__shard_base__") + F.col("tok_offset")
+    )
+    return (
+        out.withColumn("seq_first", F.expr(f"global_offset div {budget}"))
+        .withColumn(
+            "seq_last",
+            F.greatest(
+                F.expr(f"(global_offset + {n_tokens_col} - 1) div {budget}"),
+                F.col("seq_first"),
+            ),
+        )
+        .drop("__draw__", "__shard_base__")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

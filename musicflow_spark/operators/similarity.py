@@ -1329,7 +1329,15 @@ def feature_hash_embedding_arrow(
         import numpy as _np
         import pyarrow as _pa
 
-        ws = _re.compile(r"\s+")
+        # EXACTLY the native tier's delimiter class: Java regex \s is
+        # ASCII-only ([ \t\n\x0b\f\r]) while Python's \s is
+        # Unicode-aware — using Python \s here would silently split on
+        # U+00A0/U+2028/... and desync the bit-identical contract on
+        # real corpora (ADVICE r09).  Leading/trailing runs produce
+        # empty fragments that the `if not tok` filter drops, matching
+        # the native F.filter(t != "") — so no strip() (Python strip is
+        # Unicode-aware too).
+        ws = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
         # md5 once per DISTINCT token, not per occurrence — real
         # corpora are zipfian, so the cache collapses most of the
         # hashing cost (the operator-level analogue of the map-side
@@ -1356,9 +1364,13 @@ def feature_hash_embedding_arrow(
                     # not a zero vector
                     out.append(None)
                     continue
-                for tok in ws.split(t.strip()):
+                for tok in ws.split(t):
                     if not tok:
                         continue
+                    # str.lower() and Spark's lower() both follow the
+                    # Unicode default case mappings; divergence is
+                    # limited to locale-sensitive folds (tr/az dotted
+                    # I) that neither fixture nor contract exercises
                     j, s = hv(tok.lower())
                     vecs[r, j] += s
                 out.append(list(vecs[r]))

@@ -928,7 +928,11 @@ def corpus_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         (F.array_max("iv") - F.array_min("iv")).alias("contrast"),
-        (dot / (F.sqrt(nt) * F.sqrt(ni))).alias("clip_score"),
+        # try_divide: a degenerate caption (zero-token text -> zero tv
+        # -> nt = 0) or a zero-norm projection must yield NULL exactly
+        # like DuckDB's 0/0 -> NULL — plain `/` under Spark-4 ANSI
+        # mode would RAISE on the zero denominator (ADVICE r09)
+        F.try_divide(dot, F.sqrt(nt) * F.sqrt(ni)).alias("clip_score"),
     )
     reason = (
         F.when(F.col("n_tokens") < CM_MIN_TOKENS, "caption")
@@ -1116,7 +1120,9 @@ def crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select(
         "query_id",
         "media_id",
-        (dot / (F.sqrt(nt) * F.sqrt(ni))).alias("score"),
+        # NULL (not ANSI error) on zero-norm degenerate vectors,
+        # matching DuckDB's 0/0 -> NULL — see corpus_crossmodal_mart
+        F.try_divide(dot, F.sqrt(nt) * F.sqrt(ni)).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("media_id")

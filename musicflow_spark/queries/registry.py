@@ -146,6 +146,13 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "embedding_lsh_recall", "media_audio_features", "media_audio_neardup",
     "media_video_framestats", "media_video_scenecuts", "media_audio_ingest",
     "media_audio_groups", "corpus_multimodal_mart",
+    # green in CORRECTNESS_r09.json (50/50; the other 37 window rows
+    # were round-keyed re-certifications of already-proven queries)
+    "stream_suffix_dedup", "doc_kn_perplexity", "doc_suffix_dedup",
+    "doc_quality_calibration", "knn_graph_ingest", "knn_pq_trained",
+    "knn_beam", "knn_graph_nndescent", "knn_graph_refine_recall",
+    "embedding_coreset", "knn_beam_recall", "corpus_crossmodal_mart",
+    "crossmodal_retrieval",
 )
 
 #: Current build round — bump when rotating the previous round's greens
@@ -157,18 +164,18 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 #: proven tier re-earns a driver-green row every ~len/stride rounds
 #: instead of the same module-order prefix being re-checked forever
 #: (VERDICT r07 item 1).
-_ROUND = 9
+_ROUND = 10
 _FILL_STRIDE = 41
 
 # Queries added AFTER the current round's 50-query window was frozen.
 # They sort after the window but before the proven tail, so they enter
 # the window automatically next round when this round's greens move to
-# _DRIVER_PROVEN.  Round-9 rotation: all 21 round-8 additions (the
-# audio/video tiers, the multimodal and retrieval marts, the unigram
-# tokenizer family, AdaBoost, the recall/ingest evals, the full-outer
-# and SCD-2 streaming twins, the k-anonymity audit) went driver-green
-# in CORRECTNESS_r08.json and rolled into _DRIVER_PROVEN; the window
-# head is now the round-9 additions plus the round-keyed proven fill.
+# _DRIVER_PROVEN.  Round-10 rotation: all 13 round-9 additions (suffix
+# dedup batch+stream, KN perplexity, quality calibration, graph-ANN
+# ingest/beam/NN-descent, trained PQ, FPS coreset, the cross-modal
+# mart and retrieval) went driver-green in CORRECTNESS_r09.json and
+# rolled into _DRIVER_PROVEN; the window head is now the round-10
+# additions plus the round-keyed proven fill.
 _NEW_THIS_ROUND: tuple[str, ...] = ()
 
 

@@ -431,6 +431,12 @@ def test_feature_hash_embedding_arrow_bitwise_parity(spark, sf_dir):
             (2, ""),
             (3, None),
             (4, "one"),
+            # Unicode whitespace must NOT split: Java regex \s is
+            # ASCII-only, so 'a b' is ONE token on the native
+            # tier — the Arrow tier must agree (ADVICE r09: Python's
+            # Unicode-aware \s silently split it before the fix)
+            (5, "a\u00a0b c\u2028d \u3000 e"),
+            (6, "\x0bvtab\x0bsplit\x0b"),  # \x0b IS in Java's \s
         ],
         "doc_id long, text string",
     )

@@ -563,6 +563,74 @@ def test_crossmodal_mart_ladder_contract(spark, sf_dir):
     assert {"kept", "mismatch"} <= seen
 
 
+def test_crossmodal_mart_degenerate_captions_match_oracle(spark, tmp_path):
+    """ADVICE r09: degenerate captions (NULL text, zero-token text)
+    must produce IDENTICAL rows in the Spark plan and the DuckDB
+    oracle — previously the Arrow tier's NULL embedding vs the
+    oracle's coalesced zero vector diverged on clip_score, and under
+    Spark-4 ANSI the 0/0 denominator would RAISE instead of NULL.
+    try_divide pins the NULL-on-zero semantics on the Spark side."""
+    import duckdb
+    import math
+    import pandas as pd
+
+    from musicflow_spark.queries.multimodal import (
+        _corpus_crossmodal_mart_oracle_sql,
+        corpus_crossmodal_mart,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "text": [
+                None,  # NULL caption
+                "",  # zero-token caption
+                " \t\n ",  # whitespace-only caption
+                "a perfectly ordinary caption with plenty of tokens " * 3,
+            ],
+            "lang": ["en"] * 4,
+            "source": ["synthetic"] * 4,
+            "n_chars": pd.array([0, 0, 4, 156], dtype="int64"),
+        }
+    )
+    path = tmp_path / "documents.parquet"
+    docs.to_parquet(path, index=False)
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["contrast"],
+            r["clip_score"],
+            r["reason"],
+            r["keep"],
+        )
+        for r in corpus_crossmodal_mart(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = {
+        doc_id: (n_tok, contrast, score, reason, keep)
+        for doc_id, n_tok, contrast, score, reason, keep in con.execute(
+            _corpus_crossmodal_mart_oracle_sql()
+        ).fetchall()
+    }
+    con.close()
+
+    assert set(got) == set(want) == {0, 1, 2, 3}
+    for d in got:
+        g, w = got[d], want[d]
+        assert g[0] == w[0], (d, "n_tokens", g, w)
+        assert math.isclose(g[1], w[1], abs_tol=1e-9), (d, "contrast", g, w)
+        assert (g[2] is None) == (w[2] is None), (d, "clip_score null", g, w)
+        if g[2] is not None:
+            assert math.isclose(g[2], w[2], abs_tol=1e-9), (d, "clip_score", g, w)
+        assert g[3] == w[3] and g[4] == w[4], (d, "reason/keep", g, w)
+    # the degenerate rows really are NULL-scored, not zero-scored
+    assert got[1][2] is None and got[2][2] is None
+    # and the zero-token rows are caught by the caption floor
+    assert got[1][3] == "caption" and got[2][3] == "caption"
+
+
 def test_crossmodal_retrieval_contract(spark, sf_dir):
     """Per-query ranks dense from 1, scores non-increasing, exactly
     CM_QUERY_DOCS query groups, and is_own marks exactly the

@@ -363,3 +363,81 @@ def test_temperature_mixture_conserves_and_upsamples(spark, sf_dir):
     by_size = sorted(rows, key=lambda r: (-r["n_docs"], r["source"]))
     allocs = [r["alloc"] for r in by_size]
     assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:], strict=False))
+
+
+def test_shard_manifest_is_one_global_permutation(spark, sf_dir):
+    """The shard manifest really encodes ONE deterministic global
+    shuffle: shards partition the corpus into contiguous hash ranges,
+    within-shard order is (draw, key) order, per-shard offsets are
+    exact prefix sums, global offsets concatenate shards seamlessly
+    (shard k's first doc starts where shard k-1's stream ended), and
+    the whole thing is salt-stable / salt-sensitive."""
+    from musicflow_spark.operators.dedup import portable_hash60
+    from musicflow_spark.operators.sampling import (
+        shuffled_shard_manifest,
+        token_count,
+    )
+    from musicflow_spark.queries.sampling import SHUF_BUDGET, SHUF_SHARDS
+    from musicflow_spark.queries.sampling import corpus_shard_manifest
+    from musicflow_spark.sources.catalog import read_table
+
+    rows = corpus_shard_manifest(spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()  # every doc appears exactly once
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+    width = (1 << 60) // SHUF_SHARDS
+    draws = {
+        r["doc_id"]: r["draw"]
+        for r in docs.select(
+            "doc_id",
+            portable_hash60(
+                F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+            ).alias("draw"),
+        ).collect()
+    }
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r["shard_id"] == draws[r["doc_id"]] // width  # fixed ranges
+        by_shard.setdefault(r["shard_id"], []).append(r)
+
+    stream_pos = 0
+    for sid in sorted(by_shard):
+        rs = sorted(by_shard[sid], key=lambda r: r["doc_order"])
+        assert [r["doc_order"] for r in rs] == list(range(1, len(rs) + 1))
+        # within-shard order IS hash order
+        ds = [draws[r["doc_id"]] for r in rs]
+        assert ds == sorted(ds)
+        off = 0
+        for r in rs:
+            assert r["tok_offset"] == off  # exact per-shard prefix sum
+            # global stream: shard k starts exactly where k-1 ended
+            assert r["global_offset"] == stream_pos
+            assert r["seq_first"] == r["global_offset"] // SHUF_BUDGET
+            last = max(r["global_offset"] + r["n_tokens"] - 1, r["global_offset"])
+            assert r["seq_last"] == last // SHUF_BUDGET
+            off += r["n_tokens"]
+            stream_pos += r["n_tokens"]
+
+    # deterministic under re-run, re-drawn under a new salt
+    base = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    a = shuffled_shard_manifest(base, "doc_id", "n_tokens", SHUF_BUDGET)
+    b = shuffled_shard_manifest(base, "doc_id", "n_tokens", SHUF_BUDGET)
+    key = lambda df: {  # noqa: E731
+        r["doc_id"]: (r["shard_id"], r["doc_order"], r["global_offset"])
+        for r in df.collect()
+    }
+    assert key(a) == key(b)
+    c = shuffled_shard_manifest(
+        base, "doc_id", "n_tokens", SHUF_BUDGET, salt="v2"
+    )
+    assert key(a) != key(c)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="power of two"):
+        shuffled_shard_manifest(base, "doc_id", "n_tokens", 64, n_shards=6)
+    with _pytest.raises(ValueError, match="positive"):
+        shuffled_shard_manifest(base, "doc_id", "n_tokens", 0)

@@ -395,14 +395,20 @@ def test_suffix_removable_stream_converges_to_batch(spark, tmp_path):
     path = str(tmp_path / "docs_sfx")
     # chunk 1: docs 1-2; chunk 2: docs 5-6 — strictly increasing
     # mtimes pin the arrival order (the keep-first contract)
+    stamped: set[str] = set()
     for i, (lo, hi) in enumerate(((0, 3), (3, 10))):
         docs.filter(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).coalesce(1).write.mode("append").parquet(path)
+        # stamp only files NEW in this chunk (seen-set, like
+        # streamtwins._bump_mtimes) — re-stamping chunk-1 files would
+        # equalize mtimes and leave arrival order to the arbitrary
+        # part-UUID path tiebreak, flipping keep-first (ADVICE r09)
         for name in sorted(os.listdir(path)):
             full = os.path.join(path, name)
-            if os.path.isfile(full):
+            if os.path.isfile(full) and full not in stamped:
                 os.utime(full, (1_600_000_000 + i, 1_600_000_000 + i))
+                stamped.add(full)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

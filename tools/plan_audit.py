@@ -227,6 +227,12 @@ SINGLE_OK = {
                                # centroid folds
     "corpus_retrieval_mart",   # inherits kmeans's bounded k-row seed collect /
                                # centroid folds (k = 4 by the mart contract)
+    "corpus_shard_manifest",   # the two-level prefix sum's base-offset window:
+                               # exactly n_shards (8) rows by construction
+    "knn_graph_refine_recall", # four 1-row recall-count aggregates (exact-anchor
+                               # hits vs graph-tier hits, before/after refine —
+                               # queries/vectors.py recall block), each 1 row by
+                               # construction; pairs with its CARTESIAN_OK entry
 }
 
 
