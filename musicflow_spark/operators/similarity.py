@@ -775,6 +775,8 @@ def pq_topk(
     n_candidates: int = 40,
     scale: int = 1000,
     codebook_rows: list[list[list[int]]] | None = None,
+    rerank_corpus: DataFrame | None = None,
+    rerank_queries: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ADC top-k — the memory-compression ANN
     tier: each corpus vector is encoded once into ``n_sub`` centroid
@@ -810,7 +812,16 @@ def pq_topk(
     cands = adc.withColumn("crank", F.row_number().over(wc)).filter(
         F.col("crank") <= n_candidates
     ).select("query_id", "neighbor_id")
-    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k)
+    # rerank_corpus/rerank_queries: rank exact cosine against DIFFERENT
+    # frames than the encode/ADC inputs — the OPQ tier encodes in the
+    # rotated basis but reranks on the ORIGINAL vectors (rotations
+    # preserve cosine mathematically, but reranking on originals keeps
+    # the rerank stage literally identical across every PQ tier)
+    return _exact_rerank(
+        rerank_corpus if rerank_corpus is not None else corpus,
+        rerank_queries if rerank_queries is not None else queries,
+        cands, id_col, vec_col, k,
+    )
 
 
 def ivfpq_topk(
@@ -1224,6 +1235,76 @@ def beam_search_topk(
     if return_visited:
         return out, visited.distinct()
     return out
+
+
+def hnsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    layers: list[tuple[DataFrame, int, int]],
+    entry_cand: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    return_visited: bool = False,
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
+    """LAYERED graph-ANN search (Malkov & Yashunin 2018's hierarchy,
+    batched): a chain of :func:`beam_search_topk` descents, one per
+    layer top-to-bottom — each layer's surviving beam becomes the
+    next (denser) layer's entry candidates, so the expensive
+    bottom-layer walk starts from nodes the sparse upper layers
+    already steered toward the query's region instead of from a
+    corpus-wide sample.  That is the whole point of the hierarchy:
+    entry cost scales with the (geometrically small) upper-layer
+    sizes, not with N.
+
+    ``layers``: (edges, beam_width, rounds) per layer, TOP (sparsest)
+    first; ``edges`` must connect only that layer's member nodes and
+    be symmetrized.  Layer membership must be NESTED (every layer-l
+    node is also in every layer below) so a beam handed down is
+    walkable.  ``entry_cand`` is (query_id, node) rows inside the TOP
+    layer — the apex is small by construction, so scoring all of it
+    is the 'top of the hierarchy' step.
+
+    Scale shape: identical to beam_search_topk per layer (edges-keyed
+    equi-joins, broadcast query set, per-query windows over
+    beam·degree rows); the chain adds only the upper layers' walks,
+    which are bounded by their layer sizes.  The intermediate beams
+    (queries x width rows) are materialized between layers — they
+    are tiny, and without it each layer's plan would inline the whole
+    upstream chain into every round of the next layer.
+
+    Returns top-``k`` of the FINAL layer's beam as (query_id,
+    neighbor_id, cos_sim, rank); with ``return_visited=True`` also
+    the distinct (query_id, node) scored set across ALL layers (the
+    candidate budget — tests compare tiers at equal budget)."""
+    if not layers:
+        raise ValueError("need at least one layer")
+    if k > layers[-1][1]:
+        raise ValueError(f"k ({k}) must be <= final beam width")
+    cand = entry_cand
+    visited: list[DataFrame] = []
+    out: DataFrame | None = None
+    for edges, width, rounds in layers:
+        res = beam_search_topk(
+            corpus, queries, edges, cand, k=width, beam=width,
+            rounds=rounds, id_col=id_col, vec_col=vec_col,
+            return_visited=return_visited,
+        )
+        if return_visited:
+            out, v = res
+            visited.append(v)
+        else:
+            out = res
+        cand = out.select(
+            "query_id", F.col("neighbor_id").alias("node")
+        ).localCheckpoint(eager=True)
+    final = out.filter(F.col("rank") <= k)
+    if return_visited:
+        allv = visited[0]
+        for v in visited[1:]:
+            allv = allv.unionByName(v)
+        return final, allv.distinct()
+    return final
 
 
 def nn_descent_round(

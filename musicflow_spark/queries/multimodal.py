@@ -858,6 +858,72 @@ def _cm_signs(salt: str, rows: int, cols: int) -> list[list[int]]:
     ]
 
 
+def _cm_proj_col(vec: str, signs: list[list[int]], j: int):
+    """One shared-space projection coordinate as a Spark column (the
+    left-fold twin of ``_cm_proj_sql`` — same literals, same
+    association order, so the doubles agree bit-for-bit)."""
+    expr = F.lit(float(signs[j][0])) * F.col(vec)[0]
+    for i in range(1, CM_DIM):
+        expr = expr + F.lit(float(signs[j][i])) * F.col(vec)[i]
+    return expr
+
+
+def _cm_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cm_pair_frame_from(read_table(spark, sf_dir, "documents"))
+
+
+def _cm_pair_frame_from(docs: DataFrame) -> DataFrame:
+    """The shared cross-modal front end: caption hash embedding (tv),
+    decoded-image band features (iv), and both projections into the
+    shared space (ta0..taJ, ia0..iaJ) joined per doc — composed by
+    the consistency mart AND the semantic dedup so the feature
+    pipelines cannot drift.  Carries n_tokens for the caption gate.
+    Takes the documents FRAME (not a path) so the streaming twin can
+    run the identical per-row pipeline on each micro-batch."""
+    from musicflow_spark.operators.multimodal import LibraryCodec
+    from musicflow_spark.operators.similarity import (
+        feature_hash_embedding_arrow,
+    )
+    from musicflow_spark.operators.textstats import quality_features
+
+    q = quality_features(docs).select("doc_id", "n_tokens")
+    # Arrow compute tier — bit-identical counts to the native fold
+    # (tests assert it), same tier choice as corpus_retrieval_mart
+    tvec = feature_hash_embedding_arrow(docs, dim=CM_DIM).select(
+        "doc_id", F.col("embedding").alias("tv")
+    )
+    ivec = extract_features(
+        png_media_from_documents(docs).withColumn(
+            "media_type", F.lit("image")
+        ),
+        LibraryCodec(),
+        dim=CM_DIM,
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.transform("feature", lambda x: x.cast("double")).alias("iv"),
+    )
+    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
+    joined = q.join(tvec, "doc_id").join(ivec, "doc_id")
+    for j in range(CM_PROJ):
+        joined = joined.withColumn(
+            f"ta{j}", _cm_proj_col("tv", st, j)
+        ).withColumn(f"ia{j}", _cm_proj_col("iv", si, j))
+    return joined
+
+
+def _cm_score_cols() -> tuple:
+    """(dot, nt, ni) left-fold expressions over the ta/ia columns of
+    a ``_cm_pair_frame`` result."""
+    dot = F.lit(0.0)
+    nt = F.lit(0.0)
+    ni = F.lit(0.0)
+    for j in range(CM_PROJ):
+        dot = dot + F.col(f"ta{j}") * F.col(f"ia{j}")
+        nt = nt + F.col(f"ta{j}") * F.col(f"ta{j}")
+        ni = ni + F.col(f"ia{j}") * F.col(f"ia{j}")
+    return dot, nt, ni
+
+
 def corpus_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal pairing/consistency mart (ext — VERDICT r08 item
     6): the CLIP-filter shape — caption and image land in ONE shared
@@ -881,49 +947,16 @@ def corpus_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar per row — NO pairing stage at all: the filter is per-pair
     (caption, image), which is why CLIP-filtering whole crawls is
     map-parallel at 100 TB."""
-    from musicflow_spark.operators.multimodal import LibraryCodec
-    from musicflow_spark.operators.similarity import (
-        feature_hash_embedding_arrow,
-    )
-    from musicflow_spark.operators.textstats import quality_features
+    return _cm_mart_from(read_table(spark, sf_dir, "documents"))
 
-    docs = read_table(spark, sf_dir, "documents")
-    q = quality_features(docs).select("doc_id", "n_tokens")
-    # Arrow compute tier — bit-identical counts to the native fold
-    # (tests assert it), same tier choice as corpus_retrieval_mart
-    tvec = feature_hash_embedding_arrow(docs, dim=CM_DIM).select(
-        "doc_id", F.col("embedding").alias("tv")
-    )
-    ivec = extract_features(
-        png_media_from_documents(docs).withColumn(
-            "media_type", F.lit("image")
-        ),
-        LibraryCodec(),
-        dim=CM_DIM,
-    ).select(
-        F.col("media_id").alias("doc_id"),
-        F.transform("feature", lambda x: x.cast("double")).alias("iv"),
-    )
-    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
 
-    def proj(vec: str, signs: list[list[int]], j: int):
-        expr = F.lit(float(signs[j][0])) * F.col(vec)[0]
-        for i in range(1, CM_DIM):
-            expr = expr + F.lit(float(signs[j][i])) * F.col(vec)[i]
-        return expr
-
-    joined = q.join(tvec, "doc_id").join(ivec, "doc_id")
-    for j in range(CM_PROJ):
-        joined = joined.withColumn(f"ta{j}", proj("tv", st, j)).withColumn(
-            f"ia{j}", proj("iv", si, j)
-        )
-    dot = F.lit(0.0)
-    nt = F.lit(0.0)
-    ni = F.lit(0.0)
-    for j in range(CM_PROJ):
-        dot = dot + F.col(f"ta{j}") * F.col(f"ia{j}")
-        nt = nt + F.col(f"ta{j}") * F.col(f"ta{j}")
-        ni = ni + F.col(f"ia{j}") * F.col(f"ia{j}")
+def _cm_mart_from(docs: DataFrame) -> DataFrame:
+    """The consistency mart as a function of the documents frame —
+    the per-row gate is map-parallel (no cross-row state), which is
+    what lets the streaming twin apply it micro-batch by micro-batch
+    and converge EXACTLY to this batch plan."""
+    joined = _cm_pair_frame_from(docs)
+    dot, nt, ni = _cm_score_cols()
     scored = joined.select(
         "doc_id",
         "n_tokens",
@@ -1015,19 +1048,22 @@ iv AS (
   SELECT doc_id, list(m ORDER BY band) AS iv FROM bm GROUP BY doc_id)"""
 
 
-def _corpus_crossmodal_mart_oracle_sql() -> str:
+def _cm_mart_ctes() -> str:
+    """The full consistency-mart CTE chain (features -> projections
+    -> scores -> gates), ending at CTE ``r`` (doc_id, n_tokens,
+    contrast, clip_score, reason) with ``pj`` (ta*/ia* projections)
+    still addressable — composed verbatim by the mart oracle and the
+    cross-modal semantic-dedup oracle so the replays cannot drift."""
     st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
-    proj_sql = _cm_proj_sql
-    ta = [proj_sql("tv", st, j) for j in range(CM_PROJ)]
-    ia = [proj_sql("iv", si, j) for j in range(CM_PROJ)]
+    ta = [_cm_proj_sql("tv", st, j) for j in range(CM_PROJ)]
+    ia = [_cm_proj_sql("iv", si, j) for j in range(CM_PROJ)]
     dot = " + ".join(f"ta{j} * ia{j}" for j in range(CM_PROJ))
     nt = " + ".join(f"ta{j} * ta{j}" for j in range(CM_PROJ))
     ni = " + ".join(f"ia{j} * ia{j}" for j in range(CM_PROJ))
     ta_cols = ",\n         ".join(f"{e} AS ta{j}" for j, e in enumerate(ta))
     ia_cols = ",\n         ".join(f"{e} AS ia{j}" for j, e in enumerate(ia))
     toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
-    return rf"""
-WITH {_cm_feature_ctes()},
+    return rf"""{_cm_feature_ctes()},
 pj AS (
   SELECT tv.doc_id AS doc_id, tv.tv AS tv, iv.iv AS iv,
          {ta_cols},
@@ -1049,12 +1085,190 @@ r AS (
               WHEN contrast < {CM_MIN_CONTRAST} THEN 'image_flat'
               WHEN clip_score < {CM_MIN_SCORE} THEN 'mismatch'
               ELSE 'kept' END AS reason
-  FROM j)
+  FROM j)"""
+
+
+def _corpus_crossmodal_mart_oracle_sql() -> str:
+    return f"""
+WITH {_cm_mart_ctes()}
 SELECT doc_id, n_tokens,
        round(contrast * 1000000.0) / 1000000.0 AS contrast,
        round(clip_score * 1000000.0) / 1000000.0 AS clip_score,
        reason, reason = 'kept' AS keep
 FROM r
+"""
+
+
+#: cross-modal semantic dedup: centered-projection pair vectors,
+#: integer-grid centering scale, SemDeDup threshold on the MEAN of
+#: text-space and image-space cosine, stride-keyed cluster blocking
+CMD_SCALE, CMD_THRESHOLD, CMD_MOD, CMD_REM = 1000000, 0.90, 37, 0
+
+
+def crossmodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal SemDeDup (ext — VERDICT r09 item 6): suppress
+    near-duplicate image-text PAIRS, not just texts — two documents
+    are pair-duplicates when BOTH their captions and their images
+    nearly coincide in the shared projection space the consistency
+    mart defines.  Each mart-kept doc gets a 2·CM_PROJ pair vector:
+    the CENTERED text projection L2-normalized, concatenated with the
+    centered image projection L2-normalized — so pair-vector cosine
+    is exactly (cos_text + cos_image) / 2 in the centered shared
+    space, and one threshold gates both modalities at once.
+    (Uncentered, every projection shares a dominant common component
+    — text length / image brightness — and 'near-duplicate' loses
+    meaning: measured 27% of kept pairs above 0.95 uncentered vs
+    0.05% centered.)
+
+    Centering is exact: projections quantize to the CMD_SCALE integer
+    grid, the kept-set moments aggregate exactly, and the centered
+    coordinate is the pca2 trick ``n·q - s`` (scale factors cancel in
+    the cosine).  Dedup itself is operators/similarity.py::
+    semantic_dedup_flags — nearest-centroid blocking (stride-keyed
+    deterministic centroids, the knn_ivf pattern), within-cluster
+    pairs only, min-id keeper.
+
+    Scale shape: the mart front end is map-parallel (no pairing); the
+    moments are one map-combinable aggregate + a 1-row broadcast; the
+    only pair work is within-cluster, and the cluster id doubles as
+    the partition key at 100 TB — the SemDeDup contract."""
+    from musicflow_spark.operators.similarity import semantic_dedup_flags
+
+    joined = _cm_pair_frame(spark, sf_dir)
+    dot, nt, ni = _cm_score_cols()
+    flt = joined.select(
+        "doc_id",
+        "n_tokens",
+        (F.array_max("iv") - F.array_min("iv")).alias("contrast"),
+        F.try_divide(dot, F.sqrt(nt) * F.sqrt(ni)).alias("clip_score"),
+        *[F.col(f"ta{j}") for j in range(CM_PROJ)],
+        *[F.col(f"ia{j}") for j in range(CM_PROJ)],
+    )
+    # the mart's keep set: >= on all three gates (NULL clip_score —
+    # a degenerate zero-norm projection — drops out of BOTH engines'
+    # filters the same way, so the pair vectors are always finite)
+    kept = flt.filter(
+        (F.col("n_tokens") >= CM_MIN_TOKENS)
+        & (F.col("contrast") >= CM_MIN_CONTRAST)
+        & (F.col("clip_score") >= CM_MIN_SCORE)
+    )
+    qdf = kept.select(
+        "doc_id",
+        *[
+            F.round(F.col(f"ta{j}") * CMD_SCALE, 0)
+            .cast("long")
+            .alias(f"qta{j}")
+            for j in range(CM_PROJ)
+        ],
+        *[
+            F.round(F.col(f"ia{j}") * CMD_SCALE, 0)
+            .cast("long")
+            .alias(f"qia{j}")
+            for j in range(CM_PROJ)
+        ],
+    )
+    sums = [F.count(F.lit(1)).alias("n")]
+    for j in range(CM_PROJ):
+        sums.append(F.sum(F.col(f"qta{j}")).alias(f"sta{j}"))
+        sums.append(F.sum(F.col(f"qia{j}")).alias(f"sia{j}"))
+    big = qdf.crossJoin(F.broadcast(qdf.agg(*sums)))
+    n = F.col("n")
+    ct = [
+        (n * F.col(f"qta{j}") - F.col(f"sta{j}")).cast("double")
+        for j in range(CM_PROJ)
+    ]
+    ci = [
+        (n * F.col(f"qia{j}") - F.col(f"sia{j}")).cast("double")
+        for j in range(CM_PROJ)
+    ]
+    nt2 = ct[0] * ct[0]
+    ni2 = ci[0] * ci[0]
+    for j in range(1, CM_PROJ):
+        nt2 = nt2 + ct[j] * ct[j]
+        ni2 = ni2 + ci[j] * ci[j]
+    pv = F.array(
+        *[F.try_divide(c, F.sqrt(nt2)) for c in ct],
+        *[F.try_divide(c, F.sqrt(ni2)) for c in ci],
+    )
+    pvdf = big.select("doc_id", pv.alias("pv"))
+    cent = pvdf.filter(F.col("doc_id") % CMD_MOD == CMD_REM).select(
+        F.col("doc_id").alias("cluster_id"), F.col("pv").alias("centroid")
+    )
+    return semantic_dedup_flags(
+        pvdf, cent, CMD_THRESHOLD, id_col="doc_id", vec_col="pv"
+    )
+
+
+def _crossmodal_semantic_dedup_oracle_sql() -> str:
+    """Composes the shared mart CTEs with the centered pair-vector
+    build (exact integer moments, n·q - s centering, per-half
+    normalize), then the semantic-dedup replay (argmin-L2 assignment
+    with cluster-id tiebreak, within-cluster id_a < id_b cosine
+    pairs, NOT IN keep flag)."""
+    J = CM_PROJ
+    q_cols = ",\n         ".join(
+        [
+            f"CAST(round(ta{j} * {CMD_SCALE}) AS BIGINT) AS qta{j}"
+            for j in range(J)
+        ]
+        + [
+            f"CAST(round(ia{j} * {CMD_SCALE}) AS BIGINT) AS qia{j}"
+            for j in range(J)
+        ]
+    )
+    mom_cols = ",\n         ".join(
+        [f"sum(qta{j}) AS sta{j}" for j in range(J)]
+        + [f"sum(qia{j}) AS sia{j}" for j in range(J)]
+    )
+    ctexpr = [f"cast(m.n * q.qta{j} - m.sta{j} AS DOUBLE)" for j in range(J)]
+    ciexpr = [f"cast(m.n * q.qia{j} - m.sia{j} AS DOUBLE)" for j in range(J)]
+    nt2 = " + ".join(f"{c} * {c}" for c in ctexpr)
+    ni2 = " + ".join(f"{c} * {c}" for c in ciexpr)
+    pv_items = ", ".join(
+        [f"{c} / sqrt({nt2})" for c in ctexpr]
+        + [f"{c} / sqrt({ni2})" for c in ciexpr]
+    )
+    d2 = """list_sum(list_transform(range(1, len(p.pv) + 1),
+               k -> (cast(p.pv[k] AS double) - cast(c.cv[k] AS double))
+                  * (cast(p.pv[k] AS double) - cast(c.cv[k] AS double))))"""
+    cos = """list_sum(list_transform(range(1, len(a.v) + 1),
+                 i -> cast(a.v[i] AS double) * cast(b.v[i] AS double)))
+        / (sqrt(list_sum(list_transform(a.v, x -> cast(x AS double) * cast(x AS double))))
+           * sqrt(list_sum(list_transform(b.v, x -> cast(x AS double) * cast(x AS double)))))"""
+    return f"""
+WITH {_cm_mart_ctes()},
+keptq AS (
+  SELECT pj.doc_id,
+         {q_cols}
+  FROM pj JOIN j USING (doc_id)
+  WHERE j.n_tokens >= {CM_MIN_TOKENS}
+    AND j.contrast >= {CM_MIN_CONTRAST}
+    AND j.clip_score >= {CM_MIN_SCORE}),
+mom AS (
+  SELECT count(*) AS n,
+         {mom_cols}
+  FROM keptq),
+pvv AS MATERIALIZED (
+  SELECT q.doc_id, [{pv_items}] AS pv
+  FROM keptq q CROSS JOIN mom m),
+cent AS (
+  SELECT doc_id AS cluster_id, pv AS cv FROM pvv
+  WHERE doc_id % {CMD_MOD} = {CMD_REM}),
+assigned AS MATERIALIZED (
+  SELECT doc_id, pv AS v, cluster_id FROM (
+    SELECT p.doc_id, p.pv, c.cluster_id,
+           row_number() OVER (PARTITION BY p.doc_id ORDER BY {d2}, c.cluster_id) AS rn
+    FROM pvv p CROSS JOIN cent c)
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+  WHERE {cos}
+        >= {CMD_THRESHOLD})
+SELECT s.doc_id, s.cluster_id,
+       s.doc_id NOT IN (SELECT doc_id FROM dropped) AS keep
+FROM assigned s
 """
 
 
@@ -1259,6 +1473,12 @@ QUERIES = [
         corpus_crossmodal_mart,
         _corpus_crossmodal_mart_oracle_sql(),
         bench=True,
+    ),
+    Query(
+        "crossmodal_semantic_dedup",
+        "ext: cross-modal SemDeDup — near-duplicate image-text PAIRS suppressed in the centered shared projection space, cluster-blocked, min-id keeper",
+        crossmodal_semantic_dedup,
+        _crossmodal_semantic_dedup_oracle_sql(),
     ),
     Query(
         "crossmodal_retrieval",

@@ -1013,6 +1013,51 @@ def stream_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scrub_tail(base, removable, n=SUFFIX_SCRUB_MIN, min_run_grams=1)
 
 
+def stream_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cross-modal ingestion gate (ext — VERDICT r09 item
+    8, pairing with ``crossmodal_semantic_dedup``): the consistency
+    mart's caption/image/consistency gate applied micro-batch by
+    micro-batch over a chunked file replay of the documents table —
+    the shape of a live multimodal crawl filter: decode, featurize,
+    project, gate, append, per arriving file group.
+
+    Each micro-batch runs the IDENTICAL per-row pipeline as the batch
+    mart (queries/multimodal.py::_cm_mart_from — hash-trick caption
+    embedding, Arrow-batched PNG decode, shared-space projections,
+    first-reject ladder) via foreachBatch and appends to a parquet
+    mart.  The gate is per-pair map-parallel with NO cross-row state,
+    so batch-wise application converges EXACTLY to the one-shot batch
+    plan regardless of chunking — the oracle is the batch mart SQL
+    verbatim, and hash equality certifies the convergence."""
+    from musicflow_spark.queries.multimodal import _cm_mart_from
+
+    docs = read_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    third = (hi - lo) // _N_CHUNKS + 1
+    path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    seen: set[str] = set()
+    for i in range(_N_CHUNKS):
+        docs.filter(
+            (F.col("doc_id") >= lo + i * third)
+            & (F.col("doc_id") < lo + (i + 1) * third)
+        ).coalesce(1).write.mode("append").parquet(path)
+        _bump_mtimes(path, seen, i + 1)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/cm_mart"
+
+    def gate_batch(batch_df: DataFrame, _bid: int) -> None:
+        _cm_mart_from(batch_df).write.mode("append").parquet(out)
+
+    _run_available_now(
+        stream, lambda w: w.foreachBatch(gate_batch).outputMode("update")
+    )
+    return spark.read.parquet(out)
+
+
 # ------------------------------------- foreachBatch sketch maintenance
 def stream_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mergeable-sketch maintenance (ext: streaming/
@@ -1127,6 +1172,18 @@ def _register_minhash_twin() -> None:
             "ext: streaming twin — stateful window-first-occurrence suffix dedup, batch oracle verbatim (prefix-monotone convergence)",
             stream_suffix_dedup,
             DOC_SUFFIX_DEDUP_SQL,
+        )
+    )
+    from musicflow_spark.queries.multimodal import (
+        _corpus_crossmodal_mart_oracle_sql,
+    )
+
+    QUERIES.append(
+        Query(
+            "stream_crossmodal_mart",
+            "ext: streaming twin — cross-modal ingestion gate per micro-batch (foreachBatch decode/featurize/project/gate), batch mart oracle verbatim (map-parallel convergence)",
+            stream_crossmodal_mart,
+            _corpus_crossmodal_mart_oracle_sql(),
         )
     )
 

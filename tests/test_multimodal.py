@@ -653,3 +653,28 @@ def test_crossmodal_retrieval_contract(spark, sf_dir):
         assert len(rs) == CM_TOPK
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_crossmodal_semantic_dedup_semantics(spark, sf_dir):
+    """Cross-modal SemDeDup invariants (VERDICT r09 item 6): exactly
+    the mart's kept docs are deduped, every assigned cluster is a
+    real stride centroid, and within each cluster the smallest doc_id
+    always survives (min-id keeper)."""
+    from musicflow_spark.queries.multimodal import (
+        CMD_MOD,
+        CMD_REM,
+        corpus_crossmodal_mart,
+        crossmodal_semantic_dedup,
+    )
+
+    mart = corpus_crossmodal_mart(spark, sf_dir).collect()
+    kept_ids = {r["doc_id"] for r in mart if r["keep"]}
+    rows = crossmodal_semantic_dedup(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == kept_ids
+    cents = {d for d in kept_ids if d % CMD_MOD == CMD_REM}
+    assert cents and all(r["cluster_id"] in cents for r in rows)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for rs in by_cluster.values():
+        assert min(rs, key=lambda r: r["doc_id"])["keep"] is True

@@ -1317,3 +1317,22 @@ def test_stream_scd2_equals_sequential_batch_fold(spark):
 
     c = Counter(three)
     assert max(c.values()) == 3
+
+
+def test_crossmodal_stream_converges_to_batch_mart(spark, sf_dir):
+    """The streaming cross-modal gate (foreachBatch per micro-batch)
+    must converge EXACTLY to the one-shot batch mart — the gate is
+    per-row map-parallel, so chunking cannot change any verdict."""
+    from musicflow_spark.queries.multimodal import corpus_crossmodal_mart
+    from musicflow_spark.queries.streamtwins import stream_crossmodal_mart
+
+    batch = {
+        tuple(r) for r in corpus_crossmodal_mart(spark, sf_dir).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in stream_crossmodal_mart(spark, sf_dir)
+        .select("doc_id", "n_tokens", "contrast", "clip_score", "reason", "keep")
+        .collect()
+    }
+    assert streamed == batch

@@ -290,3 +290,90 @@ def test_graph_ingest_reverse_update_and_delta_isolation(spark, sf_dir):
         for r in rs:
             if r["neighbor_id"] % KNN_INGEST_MOD != 0:
                 assert (q, r["neighbor_id"]) in g_base
+
+
+def test_hnsw_layer_nesting_and_schedule():
+    """Hierarchy invariants: layer membership is nested (every apex
+    node is a layer-1 node), the schedule descends width-monotone,
+    and the final width covers TOP_K."""
+    from musicflow_spark.queries.vectors import (
+        HNSW_MOD1,
+        HNSW_MOD2,
+        HNSW_SCHEDULE,
+        TOP_K,
+    )
+
+    assert HNSW_MOD2 % HNSW_MOD1 == 0  # id % 64 == 0 => id % 8 == 0
+    widths = [w for w, _ in HNSW_SCHEDULE]
+    assert widths == sorted(widths)
+    assert TOP_K <= widths[-1]
+
+
+def test_hnsw_beats_beam_at_smaller_budget(spark, sf_dir):
+    """The point of the hierarchy (VERDICT r09 item 3): the layered
+    descent must reach AT LEAST the single-layer beam tier's
+    recall@10 while scoring NO MORE candidates per query (measured at
+    sf0.01: 0.8250 vs 0.7625 recall at 251 vs 258 visited)."""
+    from musicflow_spark.operators.similarity import (
+        beam_search_topk,
+        brute_force_topk,
+        hnsw_topk,
+        lsh_topk,
+    )
+    from musicflow_spark.queries.vectors import (
+        BEAM_ROUNDS,
+        BEAM_WIDTH,
+        HNSW_DEG1,
+        HNSW_DEG2,
+        HNSW_MOD1,
+        HNSW_MOD2,
+        HNSW_PLANES1,
+        HNSW_SCHEDULE,
+        HNSW_TABLES1,
+        LSH_DIM,
+        LSH_SEED,
+        N_QUERY_VECS,
+        TOP_K,
+        _beam_edges,
+        _beam_entry_cand,
+        _sym_edges,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=TOP_K).collect()
+    }
+    e0 = _beam_edges(emb).localCheckpoint(eager=True)
+    beam_out, beam_vis = beam_search_topk(
+        emb, queries, e0, _beam_entry_cand(emb, queries),
+        k=TOP_K, beam=BEAM_WIDTH, rounds=BEAM_ROUNDS, return_visited=True,
+    )
+    l1 = emb.filter(F.col("vec_id") % HNSW_MOD1 == 0)
+    l2 = emb.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    e2 = _sym_edges(brute_force_topk(l2, l2, k=HNSW_DEG2))
+    e1 = _sym_edges(
+        lsh_topk(
+            l1, l1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=HNSW_PLANES1,
+            n_tables=HNSW_TABLES1, seed=LSH_SEED, broadcast_queries=False,
+        )
+    )
+    (w2, r2), (w1, r1), (w0, r0) = HNSW_SCHEDULE
+    ent = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(l2.select(F.col("vec_id").alias("node")))
+    )
+    hnsw_out, hnsw_vis = hnsw_topk(
+        emb, queries, [(e2, w2, r2), (e1, w1, r1), (e0, w0, r0)], ent,
+        k=TOP_K, return_visited=True,
+    )
+    beam_set = {(r.query_id, r.neighbor_id) for r in beam_out.collect()}
+    hnsw_set = {(r.query_id, r.neighbor_id) for r in hnsw_out.collect()}
+    r_beam = len(beam_set & exact) / len(exact)
+    r_hnsw = len(hnsw_set & exact) / len(exact)
+    v_beam = beam_vis.count()
+    v_hnsw = hnsw_vis.count()
+    assert r_hnsw >= r_beam, (r_beam, r_hnsw)
+    assert v_hnsw <= v_beam, (v_beam, v_hnsw)
+    assert r_hnsw >= 0.7, r_hnsw

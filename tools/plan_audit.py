@@ -137,6 +137,15 @@ CARTESIAN_OK = {
                                # candidate join is a keyed equi-join
     "knn_graph_nndescent",     # inherits knn_graph_lsh's 1-row plane broadcasts;
                                # the wedge/rescore joins are keyed equi-joins
+    "knn_opq",                 # inherits knn_pq_trained's bounded broadcasts:
+                               # the 1-row trained-codebook fold crossed into
+                               # encode + distance-table scans and the 8-row
+                               # query distance-table frame into the ADC scan
+    "crossmodal_semantic_dedup",  # 1-row exact-moments broadcast (the pca2
+                               # centering trick) + the stride-keyed centroid
+                               # table (kept/37 rows) crossed into assignment —
+                               # the embedding_semantic_dedup contract in the
+                               # shared caption-image space
     "knn_graph_refine_recall", # exact all-pairs anchor (the
                                # embedding_neardup_pairs eval-tier contract) +
                                # the graph tiers' 1-row plane broadcasts +
@@ -229,6 +238,8 @@ SINGLE_OK = {
                                # centroid folds (k = 4 by the mart contract)
     "corpus_shard_manifest",   # the two-level prefix sum's base-offset window:
                                # exactly n_shards (8) rows by construction
+    "crossmodal_semantic_dedup",  # 1-row exact centering-moments aggregate
+                               # (count + 16 integer sums, 1 row by construction)
     "knn_graph_refine_recall", # four 1-row recall-count aggregates (exact-anchor
                                # hits vs graph-tier hits, before/after refine —
                                # queries/vectors.py recall block), each 1 row by
@@ -257,7 +268,20 @@ def main() -> int:
             continue
         plan = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         shuf = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
-        single = plan.count("Exchange SinglePartition")
+        # Exchange SinglePartition nodes whose child is a
+        # partial_bloom_filter_agg are Spark's OWN runtime bloom-filter
+        # semi-join injection (1-row sketch merge by construction, the
+        # optimizer adds them to large equi-joins) — not a
+        # single-partition data stage; don't count them as hazards
+        plan_lines = plan.split("\n")
+        bloom_singles = sum(
+            1
+            for i, l in enumerate(plan_lines)
+            if "Exchange SinglePartition" in l
+            and i + 1 < len(plan_lines)
+            and "partial_bloom_filter_agg" in plan_lines[i + 1]
+        )
+        single = plan.count("Exchange SinglePartition") - bloom_singles
         bcast = plan.count("BroadcastExchange")
         # "FileScan parquet" contains "Scan parquet" — count once
         scans = plan.count("Scan parquet")
