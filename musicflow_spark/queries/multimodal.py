@@ -1385,6 +1385,206 @@ WHERE rank <= {CM_TOPK}
 """
 
 
+
+#: cross-modal ANN tier: SRP buckets over CENTERED shared-space
+#: projections.  Centering is load-bearing: raw image projections all
+#: share one dominant sign pattern (brightness/length common
+#: component — the crossmodal_semantic_dedup measurement), so
+#: uncentered SRP puts every image in ONE bucket per table and text
+#: queries in others (zero candidates).  The centering moments come
+#: from the IMAGE corpus — the indexed side — exactly as any trained
+#: quantizer derives its parameters from the corpus and applies them
+#: to queries; the exact-integer n·q - s trick keeps them portable.
+CMX_PLANES, CMX_TABLES, CMX_SEED, CMX_SCALE = 3, 4, 77, 1000000
+
+
+def crossmodal_lsh_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal ANN retrieval (ext): the SCALE path of
+    ``crossmodal_retrieval`` — the claim that the shared projection
+    space makes ordinary vector-ANN machinery work across modalities,
+    made a registered fact.  Caption queries and the image corpus
+    both project into the CM_PROJ-dim shared space; SRP buckets are
+    computed over the CORPUS-CENTERED projections (see module
+    comment), candidates come from (table, bucket) equi-join
+    collisions only, and the exact rerank scores the RAW projected
+    cosine — the same score, to the bit, as the brute-force tier, so
+    recall@k against ``crossmodal_retrieval`` is directly measurable
+    (pinned in pytest).
+
+    Scale shape: image featurization is the one data-sized map pass;
+    centering is one map-combinable integer-moments aggregate + a
+    1-row broadcast; bucketing is a map with a 1-row plane broadcast;
+    the candidate join is keyed on (table, bucket) with the 3-caption
+    query side broadcast; rerank touches colliding candidates only."""
+    from musicflow_spark.operators.multimodal import LibraryCodec
+    from musicflow_spark.operators.similarity import (
+        cosine,
+        feature_hash_embedding_arrow,
+        planes_frame,
+        random_hyperplanes,
+        srp_buckets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    tvec = feature_hash_embedding_arrow(
+        docs.filter(F.col("doc_id") < CM_QUERY_DOCS), dim=CM_DIM
+    ).select("doc_id", F.col("embedding").alias("tv"))
+    ivec = extract_features(
+        png_media_from_documents(docs).withColumn(
+            "media_type", F.lit("image")
+        ),
+        LibraryCodec(),
+        dim=CM_DIM,
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.transform("feature", lambda x: x.cast("double")).alias("iv"),
+    )
+    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
+    qp = tvec.select(
+        F.col("doc_id").alias("query_id"),
+        F.array(*[_cm_proj_col("tv", st, j) for j in range(CM_PROJ)]).alias("qv"),
+    )
+    ip = ivec.select(
+        F.col("doc_id").alias("media_id"),
+        F.array(*[_cm_proj_col("iv", si, j) for j in range(CM_PROJ)]).alias("cv"),
+    )
+    # image-corpus integer centering moments (the index parameters)
+    qi = F.transform(
+        "cv", lambda x: F.round(x * CMX_SCALE, 0).cast("long")
+    )
+    mom = ip.select(qi.alias("qiv")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("qiv")[j]).alias(f"s{j}") for j in range(CM_PROJ)],
+    )
+    n = F.col("n")
+
+    def centered(vec: str):
+        q = F.transform(vec, lambda x: F.round(x * CMX_SCALE, 0).cast("long"))
+        return F.array(
+            *[(n * q[j] - F.col(f"s{j}")).cast("double") for j in range(CM_PROJ)]
+        )
+
+    tables = [
+        random_hyperplanes(CM_PROJ, CMX_PLANES, CMX_SEED + t)
+        for t in range(CMX_TABLES)
+    ]
+    planes = planes_frame(spark, tables)
+
+    def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(mom))
+            .crossJoin(F.broadcast(planes))
+            .select(
+                idname,
+                vecname,
+                F.posexplode(
+                    srp_buckets(
+                        centered(vecname), F.col("__planes__"),
+                        CMX_TABLES, CMX_PLANES,
+                    )
+                ).alias("table_id", "bucket"),
+            )
+        )
+
+    cands = (
+        bucketed(ip, "media_id", "cv")
+        .join(F.broadcast(bucketed(qp, "query_id", "qv")), ["table_id", "bucket"])
+        .select("query_id", "media_id", "qv", "cv")
+        .dropDuplicates(["query_id", "media_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "media_id",
+        cosine(F.col("qv"), F.col("cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("media_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CM_TOPK)
+        .select(
+            "query_id",
+            "media_id",
+            pround(F.col("score"), 6).alias("score"),
+            "rank",
+            (F.col("query_id") == F.col("media_id")).alias("is_own"),
+        )
+    )
+
+
+def _crossmodal_lsh_retrieval_oracle_sql() -> str:
+    """The knn_lsh replay shape over the CENTERED shared-space
+    projections: exact integer image-corpus moments, n·q - s
+    centering of both sides, plane literals (seeded identically),
+    per-table SRP buckets, bucket equi-join candidates, RAW projected
+    cosine rerank, top-k with id tiebreak."""
+    from musicflow_spark.operators.similarity import random_hyperplanes
+
+    st, si = _cm_signs("cmt", CM_PROJ, CM_DIM), _cm_signs("cmi", CM_PROJ, CM_DIM)
+    ta = ", ".join(_cm_proj_sql("tv", st, j) for j in range(CM_PROJ))
+    ia = ", ".join(_cm_proj_sql("iv", si, j) for j in range(CM_PROJ))
+    tables = [
+        random_hyperplanes(CM_PROJ, CMX_PLANES, CMX_SEED + t)
+        for t in range(CMX_TABLES)
+    ]
+    flat = [
+        "[" + ",".join(repr(float(v)) for v in plane) + "]"
+        for tbl in tables
+        for plane in tbl
+    ]
+    planes = "[" + ",".join(flat) + "]"
+    cent = (
+        f"list_transform(range(1, {CM_PROJ} + 1), j -> "
+        f"cast(m.n * CAST(round(v[j] * {CMX_SCALE}) AS BIGINT) - m.s[j] AS DOUBLE))"
+    )
+
+    def bucket() -> str:
+        return f"""list_sum(list_transform(range({CMX_PLANES}), i ->
+             CASE WHEN list_sum(list_transform(range(1, {CM_PROJ} + 1),
+                    j -> cast(cvv[j] AS double) * p[t.t * {CMX_PLANES} + i + 1][j])) > 0
+                  THEN (2 ** i)::BIGINT ELSE 0::BIGINT END))"""
+
+    cos = """list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> cast(qv[i] AS double) * cast(cv[i] AS double)))
+         / (sqrt(list_sum(list_transform(qv, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(cv, x -> cast(x AS double) * cast(x AS double)))))"""
+    return f"""
+WITH {_cm_feature_ctes()},
+qp AS (
+  SELECT doc_id AS query_id, [{ta}] AS qv
+  FROM tv WHERE doc_id < {CM_QUERY_DOCS}),
+ip AS MATERIALIZED (
+  SELECT doc_id AS media_id, [{ia}] AS cv FROM iv),
+mom AS (
+  SELECT count(*) AS n,
+         [{", ".join(f"sum(CAST(round(cv[{j + 1}] * {CMX_SCALE}) AS BIGINT))" for j in range(CM_PROJ))}] AS s
+  FROM ip),
+planes AS (SELECT {planes} AS p),
+tt AS (SELECT unnest(range({CMX_TABLES})) AS t),
+qb AS (
+  SELECT query_id, qv, t.t AS table_id, {bucket()} AS bucket
+  FROM (SELECT query_id, qv, {cent.replace('v[j]', 'qv[j]')} AS cvv
+        FROM qp, mom m), planes, tt t),
+cb AS (
+  SELECT media_id, cv, t.t AS table_id, {bucket()} AS bucket
+  FROM (SELECT media_id, cv, {cent.replace('v[j]', 'cv[j]')} AS cvv
+        FROM ip, mom m), planes, tt t),
+cand AS (
+  SELECT DISTINCT query_id, media_id, qv, cv
+  FROM cb JOIN qb USING (table_id, bucket)),
+scored AS (
+  SELECT query_id, media_id, {cos} AS score
+  FROM cand)
+SELECT query_id, media_id,
+       round(score * 1000000.0) / 1000000.0 AS score,
+       rank,
+       query_id = media_id AS is_own
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, media_id) AS rank
+      FROM scored)
+WHERE rank <= {CM_TOPK}
+"""
+
+
 QUERIES = [
     Query(
         "media_binary_dedup",
@@ -1479,6 +1679,12 @@ QUERIES = [
         "ext: cross-modal SemDeDup — near-duplicate image-text PAIRS suppressed in the centered shared projection space, cluster-blocked, min-id keeper",
         crossmodal_semantic_dedup,
         _crossmodal_semantic_dedup_oracle_sql(),
+    ),
+    Query(
+        "crossmodal_lsh_retrieval",
+        "ext: cross-modal ANN — the existing SRP-LSH tier run UNCHANGED on the shared-space projections (text query -> bucket-colliding images only), own-image metric kept via id offset",
+        crossmodal_lsh_retrieval,
+        _crossmodal_lsh_retrieval_oracle_sql(),
     ),
     Query(
         "crossmodal_retrieval",

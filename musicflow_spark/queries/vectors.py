@@ -623,11 +623,27 @@ def knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_hnsw_oracle_sql(final_k: int = TOP_K) -> str:
-    """Fully unrolled layered-descent replay: per-layer graph
-    construction CTEs + every beam prune/expand round of the
-    (4,1) -> (12,2) -> (16,4) schedule, ending in the top-k of the
-    final layer-0 beam."""
+def _and_where(a: str, b: str) -> str:
+    """Conjoin SQL predicates, dropping redundant TRUEs (keeps the
+    default-argument oracle text byte-stable)."""
+    if a == "TRUE":
+        return b
+    if b == "TRUE":
+        return a
+    return f"({a}) AND ({b})"
+
+
+def _hnsw_descent_parts(
+    qwhere: str = f"vec_id < {N_QUERY_VECS}",
+    nwhere: str = "TRUE",
+) -> tuple[list[str], str]:
+    """CTE parts replaying the layered-HNSW descent: per-layer graph
+    construction over the ``nwhere`` node population (the stored
+    index), queries from ``qwhere``, every beam prune/expand round of
+    the (4,1) -> (12,2) -> (16,4) schedule.  Returns (parts, name of
+    the final layer-0 beam CTE).  Composed by the search oracle
+    (all nodes) and the INGEST oracle (base-only index, delta
+    queries)."""
     cos = (
         "list_sum(list_transform(range(1, len(q_vec) + 1), "
         "i -> cast(q_vec[i] AS double) * cast(c_vec[i] AS double))) "
@@ -642,7 +658,7 @@ def _knn_hnsw_oracle_sql(final_k: int = TOP_K) -> str:
     )
 
     def prune(tag: str, i: int, cand: str, width: int) -> str:
-        return f"""b{tag}_{i} AS (
+        return f"""b{tag}_{i} AS MATERIALIZED (
   SELECT query_id, node, cos_sim, rk FROM (
     SELECT query_id, node, cos_sim,
            row_number() OVER (PARTITION BY query_id
@@ -653,15 +669,17 @@ def _knn_hnsw_oracle_sql(final_k: int = TOP_K) -> str:
           JOIN q ON q.query_id = cd.query_id))
   WHERE rk <= {width})"""
 
+    l1w = _and_where(nwhere, f"vec_id % {HNSW_MOD1} = 0")
+    l2w = _and_where(nwhere, f"vec_id % {HNSW_MOD2} = 0")
     parts = [
-        f"g0 AS ({_lsh_graph_oracle_sql(k=BEAM_GRAPH_K)})",
-        "e0 AS (SELECT query_id AS src, neighbor_id AS dst FROM g0"
+        f"g0 AS MATERIALIZED ({_lsh_graph_oracle_sql(k=BEAM_GRAPH_K, qwhere=nwhere, cwhere=nwhere)})",
+        "e0 AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst FROM g0"
         " UNION ALL SELECT neighbor_id, query_id FROM g0)",
-        f"g1 AS ({_lsh_graph_oracle_sql(k=HNSW_DEG1, qwhere=f'vec_id % {HNSW_MOD1} = 0', cwhere=f'vec_id % {HNSW_MOD1} = 0', n_planes=HNSW_PLANES1, n_tables=HNSW_TABLES1)})",
-        "e1 AS (SELECT query_id AS src, neighbor_id AS dst FROM g1"
+        f"g1 AS MATERIALIZED ({_lsh_graph_oracle_sql(k=HNSW_DEG1, qwhere=l1w, cwhere=l1w, n_planes=HNSW_PLANES1, n_tables=HNSW_TABLES1)})",
+        "e1 AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst FROM g1"
         " UNION ALL SELECT neighbor_id, query_id FROM g1)",
-        f"l2 AS (SELECT vec_id, embedding FROM embeddings"
-        f" WHERE vec_id % {HNSW_MOD2} = 0)",
+        f"l2 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE {l2w})",
         f"""g2 AS (
   SELECT query_id, neighbor_id FROM (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -669,23 +687,24 @@ def _knn_hnsw_oracle_sql(final_k: int = TOP_K) -> str:
                               ORDER BY {cos_ab} DESC, b.vec_id) AS rk
     FROM l2 a JOIN l2 b ON a.vec_id <> b.vec_id)
   WHERE rk <= {HNSW_DEG2})""",
-        "e2 AS (SELECT query_id AS src, neighbor_id AS dst FROM g2"
+        "e2 AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst FROM g2"
         " UNION ALL SELECT neighbor_id, query_id FROM g2)",
-        f"q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings"
-        f" WHERE vec_id < {N_QUERY_VECS})",
-        "c AS (SELECT vec_id AS node, embedding AS c_vec FROM embeddings)",
+        f"q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings"
+        f" WHERE {qwhere})",
+        f"c AS MATERIALIZED (SELECT vec_id AS node, embedding AS c_vec FROM embeddings"
+        + ("" if nwhere == "TRUE" else f" WHERE {nwhere}") + ")",
         "ent AS (SELECT q.query_id, l2.vec_id AS node FROM q CROSS JOIN l2)",
     ]
 
     def layer(tag: str, entry: str, edges: str, width: int, rounds: int) -> str:
         parts.append(
-            f"cand{tag}_0 AS (SELECT query_id, node FROM {entry}"
+            f"cand{tag}_0 AS MATERIALIZED (SELECT query_id, node FROM {entry}"
             " WHERE node <> query_id)"
         )
         parts.append(prune(tag, 0, f"cand{tag}_0", width))
         for r in range(1, rounds + 1):
             parts.append(
-                f"""cand{tag}_{r} AS (
+                f"""cand{tag}_{r} AS MATERIALIZED (
   SELECT DISTINCT query_id, node FROM (
     SELECT query_id, node FROM b{tag}_{r - 1}
     UNION ALL
@@ -700,6 +719,15 @@ def _knn_hnsw_oracle_sql(final_k: int = TOP_K) -> str:
     top = layer("2", "ent", "e2", w2, r2)
     mid = layer("1", top, "e1", w1, r1)
     bot = layer("0", mid, "e0", w0, r0)
+    return parts, bot
+
+
+def _knn_hnsw_oracle_sql(final_k: int = TOP_K) -> str:
+    """Fully unrolled layered-descent replay: per-layer graph
+    construction CTEs + every beam prune/expand round of the
+    (4,1) -> (12,2) -> (16,4) schedule, ending in the top-k of the
+    final layer-0 beam."""
+    parts, bot = _hnsw_descent_parts()
     return (
         "WITH "
         + ",\n".join(parts)
@@ -709,6 +737,183 @@ SELECT query_id, node AS neighbor_id,
        rk AS rank
 FROM {bot} WHERE rk <= {final_k}"""
     )
+
+
+
+def knn_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LAYERED-HNSW maintenance (ext): the hierarchy twin
+    of ``knn_graph_ingest`` — today's ingest batch (every
+    KNN_INGEST_MOD-th id) enters the stored multi-layer index the way
+    Malkov & Yashunin's insert does, batched: each delta node (a)
+    gets its LAYER from the same deterministic id-stride rule the
+    build uses, (b) finds its per-layer neighbors by SEARCHING the
+    BASE hierarchy top-down (the (4,1)->(12,2)->(16,4) descent over
+    base-only graphs — never a base x base or delta x corpus rescan),
+    and (c) pushes REVERSE updates: a base node's layer-l top-k must
+    admit a delta that linked to it, re-ranked as an O(k + k)
+    per-node merge of its stored edges plus its delta candidates.
+
+    Emits (query_id, neighbor_id, cos_sim, rank, layer, side):
+    side='delta' rows are the new node's layer-l adjacency (top
+    deg_l of its layer-l beam, for every layer it belongs to);
+    side='base_updated' rows are the full new top-deg_l list of every
+    base node whose layer-l list now contains a delta — together the
+    exact write-set a hierarchical index maintainer applies.
+
+    Scale shape: ingest cost = |delta| descents (each beam·degree
+    bounded per layer) + per-touched-node constant merges; the base
+    graphs are the stored index (computed here for the fixture,
+    partitioned state at 100 TB).  The oracle replays the descent via
+    the shared ``_hnsw_descent_parts`` (base-only node population,
+    delta queries) plus raw-cosine graph replays for the merges."""
+    from musicflow_spark.operators.similarity import beam_search_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % KNN_INGEST_MOD == 0
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    bl1 = base.filter(F.col("vec_id") % HNSW_MOD1 == 0)
+    bl2 = base.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    g2d = brute_force_topk(bl2, bl2, k=HNSW_DEG2).localCheckpoint(eager=True)
+    g1d = lsh_topk(
+        bl1, bl1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=HNSW_PLANES1,
+        n_tables=HNSW_TABLES1, seed=LSH_SEED, broadcast_queries=False,
+    ).localCheckpoint(eager=True)
+    g0d = lsh_topk(
+        base, base, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+    ).localCheckpoint(eager=True)
+    fwd = lambda g: g.select(  # noqa: E731
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    sym = lambda g: fwd(g).unionByName(  # noqa: E731
+        fwd(g).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ent = delta.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(bl2.select(F.col("vec_id").alias("node")))
+    )
+    (w2, r2), (w1, r1), (w0, r0) = HNSW_SCHEDULE
+    o2 = beam_search_topk(base, delta, sym(g2d), ent, k=w2, beam=w2, rounds=r2)
+    c1 = o2.select(
+        "query_id", F.col("neighbor_id").alias("node")
+    ).localCheckpoint(eager=True)
+    o1 = beam_search_topk(base, delta, sym(g1d), c1, k=w1, beam=w1, rounds=r1)
+    c0 = o1.select(
+        "query_id", F.col("neighbor_id").alias("node")
+    ).localCheckpoint(eager=True)
+    o0 = beam_search_topk(base, delta, sym(g0d), c0, k=w0, beam=w0, rounds=r0)
+    links0 = o0.filter(F.col("rank") <= BEAM_GRAPH_K)
+    links1 = o1.filter(
+        (F.col("rank") <= HNSW_DEG1) & (F.col("query_id") % HNSW_MOD1 == 0)
+    )
+    links2 = o2.filter(
+        (F.col("rank") <= HNSW_DEG2) & (F.col("query_id") % HNSW_MOD2 == 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+
+    def rev_merge(links: DataFrame, g: DataFrame, deg: int) -> DataFrame:
+        rev = links.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+            "cos_sim",
+        )
+        merged = (
+            g.select("query_id", "neighbor_id", "cos_sim")
+            .unionByName(rev)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= deg)
+        )
+        touched = (
+            merged.filter(F.col("neighbor_id") % KNN_INGEST_MOD == 0)
+            .select("query_id")
+            .distinct()
+        )
+        return merged.join(touched, "query_id")
+
+    out_cols = lambda df, layer, side: df.select(  # noqa: E731
+        "query_id",
+        "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rank",
+        F.lit(layer).alias("layer"),
+        F.lit(side).alias("side"),
+    )
+    return (
+        out_cols(links0, 0, "delta")
+        .unionByName(out_cols(links1, 1, "delta"))
+        .unionByName(out_cols(links2, 2, "delta"))
+        .unionByName(out_cols(rev_merge(links0, g0d, BEAM_GRAPH_K), 0, "base_updated"))
+        .unionByName(out_cols(rev_merge(links1, g1d, HNSW_DEG1), 1, "base_updated"))
+        .unionByName(out_cols(rev_merge(links2, g2d, HNSW_DEG2), 2, "base_updated"))
+    )
+
+
+def _knn_hnsw_ingest_oracle_sql() -> str:
+    isdelta = f"vec_id % {KNN_INGEST_MOD} = 0"
+    notdelta = f"vec_id % {KNN_INGEST_MOD} <> 0"
+    parts, _bot = _hnsw_descent_parts(qwhere=isdelta, nwhere=notdelta)
+    (w2, r2), (w1, r1), (w0, r0) = HNSW_SCHEDULE
+    l1w = _and_where(notdelta, f"vec_id % {HNSW_MOD1} = 0")
+    cos_ab = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double))) "
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS double) * cast(x AS double)))) "
+        "* sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS double) * cast(x AS double)))))"
+    )
+    # raw-cosine stored-graph replays for the reverse merges (the
+    # descent's g0/g1 round their cos_sim — ranking must merge on the
+    # unrounded values exactly as Spark does; knn_graph_ingest pattern)
+    parts.append(
+        f"g0r AS MATERIALIZED ({_lsh_graph_oracle_sql(k=BEAM_GRAPH_K, qwhere=notdelta, cwhere=notdelta, raw=True)})"
+    )
+    parts.append(
+        f"g1r AS MATERIALIZED ({_lsh_graph_oracle_sql(k=HNSW_DEG1, qwhere=l1w, cwhere=l1w, n_planes=HNSW_PLANES1, n_tables=HNSW_TABLES1, raw=True)})"
+    )
+    parts.append(f"""g2r AS (
+  SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {cos_ab} AS cos_sim,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_ab} DESC, b.vec_id) AS rk
+    FROM l2 a JOIN l2 b ON a.vec_id <> b.vec_id)
+  WHERE rk <= {HNSW_DEG2})""")
+    links = {
+        0: (f"b0_{w0 and r0}", BEAM_GRAPH_K, "TRUE"),
+        1: (f"b1_{r1}", HNSW_DEG1, f"query_id % {HNSW_MOD1} = 0"),
+        2: (f"b2_{r2}", HNSW_DEG2, f"query_id % {HNSW_MOD2} = 0"),
+    }
+    links[0] = (f"b0_{r0}", BEAM_GRAPH_K, "TRUE")
+    sel = []
+    for layer, (beam_cte, deg, member) in links.items():
+        parts.append(f"""links{layer} AS MATERIALIZED (
+  SELECT query_id, node AS neighbor_id, cos_sim, rk AS rank
+  FROM {beam_cte} WHERE rk <= {deg} AND {member})""")
+        g = {0: "g0r", 1: "g1r", 2: "g2r"}[layer]
+        parts.append(f"""m{layer} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM (SELECT query_id, neighbor_id, cos_sim FROM {g}
+        UNION ALL
+        SELECT l.neighbor_id, l.query_id, l.cos_sim FROM links{layer} l)),
+t{layer} AS (
+  SELECT DISTINCT query_id FROM m{layer}
+  WHERE rank <= {deg} AND neighbor_id % {KNN_INGEST_MOD} = 0),
+ch{layer} AS (
+  SELECT m.query_id, m.neighbor_id, m.cos_sim, m.rank
+  FROM m{layer} m JOIN t{layer} USING (query_id) WHERE m.rank <= {deg})""")
+        sel.append(
+            f"SELECT query_id, neighbor_id,\n"
+            f"       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,\n"
+            f"       rank, {layer} AS layer, 'delta' AS side FROM links{layer}"
+        )
+        sel.append(
+            f"SELECT query_id, neighbor_id,\n"
+            f"       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,\n"
+            f"       rank, {layer} AS layer, 'base_updated' AS side FROM ch{layer}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
 CORESET_K = 8
@@ -2484,6 +2689,7 @@ QUERIES = [
     Query("knn_graph_lsh", "ext: kNN-graph construction (LSH, no-broadcast shuffle join)", knn_graph_lsh, _knn_graph_lsh_oracle_sql()),
     Query("knn_beam", "ext: graph-ANN — synchronous beam search over the symmetrized kNN graph (HNSW-shaped tier), unrolled-round oracle", knn_beam, _knn_beam_oracle_sql()),
     Query("knn_hnsw", "ext: TRUE layered graph-ANN — nested id-stride layers, exact apex + coarse-LSH mid + shared base graphs, (4,1)->(12,2)->(16,4) descent, fully unrolled oracle", knn_hnsw, _knn_hnsw_oracle_sql()),
+    Query("knn_hnsw_ingest", "ext: incremental layered-HNSW maintenance — delta nodes searched into the BASE hierarchy (per-layer links at their stride level) + reverse top-k updates, base x base never pairs", knn_hnsw_ingest, _knn_hnsw_ingest_oracle_sql()),
     Query("knn_graph_nndescent", "ext: kNN-graph refinement — one NN-descent round (neighbor-of-neighbor rescore, exact-cosine prune)", knn_graph_nndescent, _knn_graph_nndescent_oracle_sql()),
     Query("knn_graph_refine_recall", "ext: graph-construction quality eval — edge recall of LSH vs NN-descent-refined graph against the exact graph", knn_graph_refine_recall, _knn_graph_refine_recall_oracle_sql()),
     Query("embedding_coreset", "ext: diversity-first selection — greedy k-center coreset (farthest-point sampling) on the integer grid, unrolled argmax oracle", embedding_coreset, _embedding_coreset_oracle_sql()),

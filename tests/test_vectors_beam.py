@@ -377,3 +377,44 @@ def test_hnsw_beats_beam_at_smaller_budget(spark, sf_dir):
     assert r_hnsw >= r_beam, (r_beam, r_hnsw)
     assert v_hnsw <= v_beam, (v_beam, v_hnsw)
     assert r_hnsw >= 0.7, r_hnsw
+
+
+def test_hnsw_ingest_write_set_semantics(spark, sf_dir):
+    """Incremental layered-HNSW maintenance invariants: delta rows
+    appear exactly at the layers their id stride assigns; every
+    changed base node's layer-l list is a contiguous re-ranked top
+    list that actually contains a delta neighbor; reverse updates
+    never touch delta-side nodes."""
+    from musicflow_spark.queries.vectors import (
+        BEAM_GRAPH_K,
+        HNSW_DEG1,
+        HNSW_DEG2,
+        HNSW_MOD1,
+        HNSW_MOD2,
+        KNN_INGEST_MOD,
+        knn_hnsw_ingest,
+    )
+
+    rows = knn_hnsw_ingest(spark, sf_dir).collect()
+    assert rows
+    degs = {0: BEAM_GRAPH_K, 1: HNSW_DEG1, 2: HNSW_DEG2}
+    mods = {0: 1, 1: HNSW_MOD1, 2: HNSW_MOD2}
+    deltas = [r for r in rows if r["side"] == "delta"]
+    upd = [r for r in rows if r["side"] == "base_updated"]
+    assert deltas and upd
+    seen_layers = {r["layer"] for r in rows}
+    assert seen_layers == {0, 1, 2}
+    for r in deltas:
+        assert r["query_id"] % KNN_INGEST_MOD == 0
+        assert r["query_id"] % mods[r["layer"]] == 0
+        assert r["neighbor_id"] % KNN_INGEST_MOD != 0  # links into BASE
+        assert r["rank"] <= degs[r["layer"]]
+    by_key: dict[tuple, list] = {}
+    for r in upd:
+        assert r["query_id"] % KNN_INGEST_MOD != 0
+        by_key.setdefault((r["query_id"], r["layer"]), []).append(r)
+    for (q, layer), rs in by_key.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= degs[layer]
+        assert any(r["neighbor_id"] % KNN_INGEST_MOD == 0 for r in rs)

@@ -146,6 +146,18 @@ CARTESIAN_OK = {
                                # table (kept/37 rows) crossed into assignment —
                                # the embedding_semantic_dedup contract in the
                                # shared caption-image space
+    "knn_hnsw_ingest",         # the knn_graph_ingest contract, hierarchical:
+                               # 1-row plane broadcasts for the three stored
+                               # base-layer graph builds, the apex-sized entry
+                               # cross (|delta| x N/64-apex), and the descent's
+                               # delta-batch query broadcast — ingest batches
+                               # are broadcast-sized by contract (the scored
+                               # join is query_id-keyed, so an oversized batch
+                               # just drops the hint); base x base never pairs
+    "crossmodal_lsh_retrieval",  # 1-row centering-moments + 1-row plane
+                               # broadcasts into both bucketing scans; the
+                               # candidate join is a (table, bucket) equi-join
+                               # with the 3-caption query side broadcast
     "knn_graph_refine_recall", # exact all-pairs anchor (the
                                # embedding_neardup_pairs eval-tier contract) +
                                # the graph tiers' 1-row plane broadcasts +
@@ -240,6 +252,8 @@ SINGLE_OK = {
                                # exactly n_shards (8) rows by construction
     "crossmodal_semantic_dedup",  # 1-row exact centering-moments aggregate
                                # (count + 16 integer sums, 1 row by construction)
+    "crossmodal_lsh_retrieval",  # 1-row exact centering-moments aggregate
+                               # (count + 8 integer sums, 1 row by construction)
     "knn_graph_refine_recall", # four 1-row recall-count aggregates (exact-anchor
                                # hits vs graph-tier hits, before/after refine —
                                # queries/vectors.py recall block), each 1 row by

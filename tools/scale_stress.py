@@ -247,12 +247,28 @@ QUERY_TABLES = {
     # calibration eval: the logreg loop's O(d) scalar collects + one
     # scoring map + a 10-key groupBy
     "doc_quality_calibration": ["documents"],
-    # knn_beam / knn_graph_nndescent / embedding_coreset are
-    # deliberately absent for the knn_link_prediction reason:
+    # knn_beam / knn_hnsw / knn_graph_nndescent / embedding_coreset
+    # are deliberately absent for the knn_link_prediction reason:
     # replicas carry IDENTICAL vectors, so graph buckets/argmax ties
     # merge across replicas and the curve would measure the fixture,
     # not the plan shape (which is the knn_graph_lsh machinery plus
-    # bounded per-round work in all three).
+    # bounded per-round work in all of them; knn_hnsw additionally
+    # keeps every per-layer walk beam*(1+degree)-bounded).
+    # OPQ: moments agg is one linear map-combinable pass (coefficients
+    # are a 1-row collect), rotation a map, kmeans/encode/ADC the
+    # knn_pq_trained shape — no pairing anywhere
+    "knn_opq": ["embeddings"],
+    # cross-modal SemDeDup: featurization/projection map passes, the
+    # centering moments one linear agg; replica image payloads are
+    # IDENTICAL by fixture construction, so cross-replica twins are
+    # REAL near-dup pairs the operator must find — within-cluster
+    # pair fan-out per doc family is bounded by the replica count,
+    # and centroids scale ~N (stride residues shift per replica), so
+    # cluster sizes stay ~constant
+    "crossmodal_semantic_dedup": ["documents"],
+    # shard manifest: seeded hash-order range shuffle + two-level
+    # prefix sums (O(partitions) offset collect), pack map — linear
+    "corpus_shard_manifest": ["documents"],
     # unigram prune training: the corpus-sized histogram shuffle grows
     # ~N; word-type/occ tables stay vocab-bounded ([a-z]+ splits the
     # replica tag off), per-round work vocab-sized, loser a 1-row
