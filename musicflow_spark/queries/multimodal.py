@@ -1190,7 +1190,12 @@ def crossmodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.try_divide(c, F.sqrt(nt2)) for c in ct],
         *[F.try_divide(c, F.sqrt(ni2)) for c in ci],
     )
-    pvdf = big.select("doc_id", pv.alias("pv"))
+    # materialize the pair vectors once (kept-docs x 17 doubles):
+    # semantic_dedup_flags references this frame from both pair sides
+    # plus the final keep join, and the centroid filter below makes a
+    # fourth reference — unmaterialized, each one would re-run the
+    # whole decode/projection front end (measured ~4x the runtime)
+    pvdf = big.select("doc_id", pv.alias("pv")).localCheckpoint(eager=True)
     cent = pvdf.filter(F.col("doc_id") % CMD_MOD == CMD_REM).select(
         F.col("doc_id").alias("cluster_id"), F.col("pv").alias("centroid")
     )
