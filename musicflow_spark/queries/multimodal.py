@@ -1204,12 +1204,12 @@ def crossmodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _crossmodal_semantic_dedup_oracle_sql() -> str:
-    """Composes the shared mart CTEs with the centered pair-vector
-    build (exact integer moments, n·q - s centering, per-half
-    normalize), then the semantic-dedup replay (argmin-L2 assignment
-    with cluster-id tiebreak, within-cluster id_a < id_b cosine
-    pairs, NOT IN keep flag)."""
+def _crossmodal_dedup_with_block() -> str:
+    """The cross-modal dedup WITH block, ending at the ``dropped``
+    CTE (mart chain + centered pair-vector build + argmin-L2
+    assignment + within-cluster pair suppression) — composed by the
+    dedup oracle and the end-to-end training-mart oracle so the
+    replays cannot drift."""
     J = CM_PROJ
     q_cols = ",\n         ".join(
         [
@@ -1240,8 +1240,7 @@ def _crossmodal_semantic_dedup_oracle_sql() -> str:
                  i -> cast(a.v[i] AS double) * cast(b.v[i] AS double)))
         / (sqrt(list_sum(list_transform(a.v, x -> cast(x AS double) * cast(x AS double))))
            * sqrt(list_sum(list_transform(b.v, x -> cast(x AS double) * cast(x AS double)))))"""
-    return f"""
-WITH {_cm_mart_ctes()},
+    return f"""WITH {_cm_mart_ctes()},
 keptq AS (
   SELECT pj.doc_id,
          {q_cols}
@@ -1270,7 +1269,14 @@ dropped AS (
   FROM assigned a JOIN assigned b
     ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
   WHERE {cos}
-        >= {CMD_THRESHOLD})
+        >= {CMD_THRESHOLD})"""
+
+
+def _crossmodal_semantic_dedup_oracle_sql() -> str:
+    """The shared WITH-block (mart CTEs + pair vectors + assignment +
+    dropped set) and the keep-flag projection."""
+    return f"""
+{_crossmodal_dedup_with_block()}
 SELECT s.doc_id, s.cluster_id,
        s.doc_id NOT IN (SELECT doc_id FROM dropped) AS keep
 FROM assigned s
@@ -1590,6 +1596,105 @@ WHERE rank <= {CM_TOPK}
 """
 
 
+
+def corpus_crossmodal_training_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END multimodal curation pipeline in ONE declarative
+    plan (ext, capstone composition): consistency gate
+    (``corpus_crossmodal_mart``'s caption/image/agreement ladder) →
+    cross-modal semantic dedup (``crossmodal_semantic_dedup``'s
+    centered shared-space min-id keeper) → deterministic corpus
+    shuffle + shard manifest (``corpus_shard_manifest``'s seeded
+    hash-order permutation with exact token budgets) over the
+    SURVIVORS — what a multimodal training-data build actually ships:
+    every kept, deduplicated caption-image pair assigned a shard,
+    a position, and the exact global token interval its text
+    occupies.  Emits (doc_id, cluster_id, n_tokens, shard_id,
+    doc_order, tok_offset, global_offset, seq_first, seq_last).
+
+    All three stages are individually hash-proven; this mart proves
+    the COMPOSITION (the oracle nests the dedup WITH-block and the
+    manifest CTEs verbatim).  Scale shape: the stages' own shapes
+    unchanged — map-parallel gates, one moments aggregate, cluster-
+    blocked pairs, then ONE hash-range shuffle + the n_shards-row
+    two-level prefix sum; composing adds a doc_id equi-join and
+    nothing else."""
+    from musicflow_spark.operators.sampling import shuffled_shard_manifest
+    from musicflow_spark.operators.textstats import quality_features
+    from musicflow_spark.queries.sampling import SHUF_BUDGET, SHUF_SHARDS
+
+    dedup = crossmodal_semantic_dedup(spark, sf_dir)
+    surv = dedup.filter(F.col("keep")).select("doc_id", "cluster_id")
+    docs = read_table(spark, sf_dir, "documents")
+    toks = quality_features(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    base = surv.join(toks, "doc_id")
+    man = shuffled_shard_manifest(
+        base, "doc_id", "n_tokens", SHUF_BUDGET, n_shards=SHUF_SHARDS
+    )
+    return man.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "doc_order",
+        "tok_offset",
+        "global_offset",
+        "seq_first",
+        "seq_last",
+    )
+
+
+def _corpus_crossmodal_training_mart_oracle_sql() -> str:
+    """The dedup WITH-block + the survivor set + the shard-manifest
+    replay (same hash macro / shard width / budget literals as
+    CORPUS_SHARD_MANIFEST_SQL) restricted to survivors; n_tokens
+    reuses the mart chain's ``j`` CTE so the token count cannot
+    drift from the gate's."""
+    from musicflow_spark.queries.sampling import _H, SHUF_BUDGET, SHUF_SHARDS
+
+    width = (1 << 60) // SHUF_SHARDS
+    draw = _H.format(x="'shuf:' || cast(sv.doc_id AS varchar)")
+    return f"""
+{_crossmodal_dedup_with_block()},
+surv AS (
+  SELECT a.doc_id, a.cluster_id FROM assigned a
+  WHERE a.doc_id NOT IN (SELECT doc_id FROM dropped)),
+mt AS (
+  SELECT sv.doc_id, sv.cluster_id, j.n_tokens,
+         {draw} AS draw
+  FROM surv sv JOIN j ON j.doc_id = sv.doc_id),
+ms AS (
+  SELECT doc_id, cluster_id, n_tokens, draw,
+         draw // {width} AS shard_id
+  FROM mt),
+mw AS (
+  SELECT doc_id, cluster_id, n_tokens, shard_id,
+         CAST(row_number() OVER (PARTITION BY shard_id
+                                 ORDER BY draw, doc_id) AS BIGINT) AS doc_order,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard_id
+                                  ORDER BY draw, doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+              - n_tokens AS BIGINT) AS tok_offset
+  FROM ms),
+mb AS (
+  SELECT shard_id, sum(n_tokens) AS st FROM ms GROUP BY shard_id),
+mbb AS (
+  SELECT shard_id,
+         CAST(coalesce(sum(st) OVER (ORDER BY shard_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT) AS base
+  FROM mb)
+SELECT mw.doc_id, mw.cluster_id, mw.n_tokens, mw.shard_id, mw.doc_order,
+       mw.tok_offset,
+       CAST(mbb.base + mw.tok_offset AS BIGINT) AS global_offset,
+       (mbb.base + mw.tok_offset) // {SHUF_BUDGET} AS seq_first,
+       greatest((mbb.base + mw.tok_offset + mw.n_tokens - 1) // {SHUF_BUDGET},
+                (mbb.base + mw.tok_offset) // {SHUF_BUDGET}) AS seq_last
+FROM mw JOIN mbb USING (shard_id)
+"""
+
+
 QUERIES = [
     Query(
         "media_binary_dedup",
@@ -1678,6 +1783,12 @@ QUERIES = [
         corpus_crossmodal_mart,
         _corpus_crossmodal_mart_oracle_sql(),
         bench=True,
+    ),
+    Query(
+        "corpus_crossmodal_training_mart",
+        "ext: END-TO-END multimodal curation — consistency gate -> cross-modal semantic dedup -> deterministic shuffle/shard manifest over survivors, one composed plan",
+        corpus_crossmodal_training_mart,
+        _corpus_crossmodal_training_mart_oracle_sql(),
     ),
     Query(
         "crossmodal_semantic_dedup",

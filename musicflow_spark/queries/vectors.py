@@ -740,6 +740,69 @@ FROM {bot} WHERE rk <= {final_k}"""
 
 
 
+
+def knn_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered-HNSW index-quality eval (ext): per-query recall@k of
+    the hierarchy against the exact brute-force tier, one plan — the
+    same composed-recall monitor as ``knn_ivf_recall`` /
+    ``knn_beam_recall``, for the layered path (a hierarchy whose
+    upper layers thin out or whose entry stride drifts below the
+    recall SLO is the production failure mode this row watches).
+    Oracle nests the two proven replays verbatim."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = brute_force_topk(emb, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_hnsw(spark, sf_dir).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_overlap = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        n_exact.join(n_overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_overlap",
+            pround(
+                F.col("n_overlap").cast("double") / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _knn_hnsw_recall_oracle_sql() -> str:
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL})),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({_knn_hnsw_oracle_sql()})),
+ne AS (
+  SELECT query_id, cast(count(*) AS bigint) AS n_exact
+  FROM exact GROUP BY query_id),
+nov AS (
+  SELECT e.query_id AS query_id, cast(count(*) AS bigint) AS n_overlap
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id)
+SELECT ne.query_id, ne.n_exact,
+       coalesce(nov.n_overlap, 0) AS n_overlap,
+       round(cast(coalesce(nov.n_overlap, 0) AS double) / ne.n_exact
+             * 10000.0) / 10000.0 AS recall
+FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
+"""
+
+
 def knn_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LAYERED-HNSW maintenance (ext): the hierarchy twin
     of ``knn_graph_ingest`` — today's ingest batch (every
@@ -2689,6 +2752,7 @@ QUERIES = [
     Query("knn_graph_lsh", "ext: kNN-graph construction (LSH, no-broadcast shuffle join)", knn_graph_lsh, _knn_graph_lsh_oracle_sql()),
     Query("knn_beam", "ext: graph-ANN — synchronous beam search over the symmetrized kNN graph (HNSW-shaped tier), unrolled-round oracle", knn_beam, _knn_beam_oracle_sql()),
     Query("knn_hnsw", "ext: TRUE layered graph-ANN — nested id-stride layers, exact apex + coarse-LSH mid + shared base graphs, (4,1)->(12,2)->(16,4) descent, fully unrolled oracle", knn_hnsw, _knn_hnsw_oracle_sql()),
+    Query("knn_hnsw_recall", "ext: graph-ANN index-quality eval — per-query recall@k of the LAYERED hierarchy vs exact, both proven oracles nested verbatim", knn_hnsw_recall, _knn_hnsw_recall_oracle_sql()),
     Query("knn_hnsw_ingest", "ext: incremental layered-HNSW maintenance — delta nodes searched into the BASE hierarchy (per-layer links at their stride level) + reverse top-k updates, base x base never pairs", knn_hnsw_ingest, _knn_hnsw_ingest_oracle_sql()),
     Query("knn_graph_nndescent", "ext: kNN-graph refinement — one NN-descent round (neighbor-of-neighbor rescore, exact-cosine prune)", knn_graph_nndescent, _knn_graph_nndescent_oracle_sql()),
     Query("knn_graph_refine_recall", "ext: graph-construction quality eval — edge recall of LSH vs NN-descent-refined graph against the exact graph", knn_graph_refine_recall, _knn_graph_refine_recall_oracle_sql()),

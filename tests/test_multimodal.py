@@ -705,3 +705,43 @@ def test_crossmodal_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, recall
     for k in set(bf) & set(lsh):
         assert bf[k] == lsh[k]
+
+
+def test_crossmodal_training_mart_composition(spark, sf_dir):
+    """End-to-end curation invariants: exactly the dedup survivors
+    are sharded; per-shard doc_order/tok_offset are consistent prefix
+    sums; global token intervals are disjoint, contiguous, and cover
+    exactly the survivor token total."""
+    from musicflow_spark.queries.multimodal import (
+        corpus_crossmodal_training_mart,
+        crossmodal_semantic_dedup,
+    )
+
+    surv = {
+        r["doc_id"]: r["cluster_id"]
+        for r in crossmodal_semantic_dedup(spark, sf_dir).collect()
+        if r["keep"]
+    }
+    rows = corpus_crossmodal_training_mart(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == set(surv)
+    assert all(r["cluster_id"] == surv[r["doc_id"]] for r in rows)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    total = 0
+    intervals = []
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["doc_order"])
+        assert [r["doc_order"] for r in rs] == list(range(1, len(rs) + 1))
+        off = 0
+        for r in rs:
+            assert r["tok_offset"] == off
+            off += r["n_tokens"]
+        total += off
+    for r in rows:
+        intervals.append((r["global_offset"], r["global_offset"] + r["n_tokens"]))
+    intervals.sort()
+    assert intervals[0][0] == 0
+    for (a0, a1), (b0, b1) in zip(intervals, intervals[1:]):
+        assert a1 == b0  # contiguous, disjoint
+    assert intervals[-1][1] == total

@@ -146,6 +146,13 @@ CARTESIAN_OK = {
                                # table (kept/37 rows) crossed into assignment —
                                # the embedding_semantic_dedup contract in the
                                # shared caption-image space
+    "corpus_crossmodal_training_mart",  # inherits crossmodal_semantic_dedup's
+                               # 1-row moments + stride-sized centroid
+                               # broadcasts (the composed stage)
+    "knn_hnsw_recall",         # inherits knn_bruteforce's 8-row query broadcast
+                               # AND knn_hnsw's bounded apex/plane broadcasts
+                               # (both tiers run in one plan — the
+                               # knn_beam_recall contract)
     "knn_hnsw_ingest",         # the knn_graph_ingest contract, hierarchical:
                                # 1-row plane broadcasts for the three stored
                                # base-layer graph builds, the apex-sized entry
@@ -254,6 +261,11 @@ SINGLE_OK = {
                                # (count + 16 integer sums, 1 row by construction)
     "crossmodal_lsh_retrieval",  # 1-row exact centering-moments aggregate
                                # (count + 8 integer sums, 1 row by construction)
+    "corpus_crossmodal_training_mart",  # the shard manifest's n_shards-row
+                               # two-level-prefix-sum base-offset window
+                               # (8 rows by construction — the
+                               # corpus_shard_manifest contract), plus the
+                               # inherited 1-row dedup moments aggregate
     "knn_graph_refine_recall", # four 1-row recall-count aggregates (exact-anchor
                                # hits vs graph-tier hits, before/after refine —
                                # queries/vectors.py recall block), each 1 row by
