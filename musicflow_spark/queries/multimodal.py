@@ -1102,6 +1102,14 @@ FROM r
 #: cross-modal semantic dedup: centered-projection pair vectors,
 #: integer-grid centering scale, SemDeDup threshold on the MEAN of
 #: text-space and image-space cosine, stride-keyed cluster blocking
+#: the stride centroid count GROWS with the corpus (~kept/37) on
+#: purpose — dedup blocking needs cluster SIZE bounded, so cluster
+#: count must scale with N (a fixed count makes within-cluster pair
+#: work quadratic; measured: capping to base-replica centroids at x10
+#: blew the pair stage up ~10x).  The assignment pass's O(N·C) is the
+#: honest scale cost; at 10^9+ docs production assigns via an ANN
+#: probe (the knn_ivf machinery) instead of the exact argmin — the
+#: blocking semantics are unchanged.
 CMD_SCALE, CMD_THRESHOLD, CMD_MOD, CMD_REM = 1000000, 0.90, 37, 0
 
 
