@@ -716,6 +716,72 @@ def _pq_encode_parts(
     return codebook, encoded, dtabbed
 
 
+def pq_encode_codes_arrow(
+    corpus: DataFrame,
+    codebook_rows: list[list[list[int]]],
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int,
+    scale: int,
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """Arrow compute tier of the PQ ENCODE stage — IDENTICAL codes to
+    the Catalyst fold, faster kernel.  The native encode evaluates the
+    per-(row, centroid) integer subspace distance through interpreted
+    higher-order-function lambdas (~2e8 lambda steps at 200k rows x
+    16 centroids x 8 subspaces — the measured x100 constant); this
+    tier quantizes on the JVM (``_fixed_point`` — so NO float
+    rounding happens in Python, the cross-engine-sensitive step stays
+    on the proven path) and does only exact int64 subtract/square/
+    sum/argmin per Arrow batch in numpy.  Pure integer math with the
+    same lowest-cid tie rule (np.argmin takes the first minimum;
+    centroid order IS cid order), so code equality with the native
+    encode is a bit-level guarantee, asserted row-for-row in
+    tests/test_embeddings.py.  Requires an explicit ``codebook_rows``
+    (the trained tiers' form)."""
+    import pyarrow as pa
+
+    sub_dim = dim // n_sub
+    cb = [np.asarray(c, dtype=np.int64) for c in codebook_rows]
+    if len(cb) != n_sub or any(c.shape[1] != sub_dim for c in cb):
+        raise ValueError("codebook_rows must be [n_sub][k][sub_dim]")
+    iv_df = corpus.select(
+        F.col(id_col).cast("long").alias(out_id),
+        _fixed_point(F.col(vec_col), scale).alias("__iv__"),
+    )
+    out_type = pa.schema(
+        [
+            pa.field(out_id, pa.int64()),
+            pa.field("codes", pa.list_(pa.int64())),
+        ]
+    )
+
+    def run(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            iv = _np.array(batch.column(1).to_pylist(), dtype=_np.int64)
+            codes = _np.empty((len(ids), n_sub), dtype=_np.int64)
+            for m in range(n_sub):
+                sub = iv[:, m * sub_dim : (m + 1) * sub_dim]
+                d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = _np.argmin(d2, axis=1)
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(ids, type=_pa.int64()),
+                    _pa.array(list(codes), type=_pa.list_(_pa.int64())),
+                ],
+                schema=out_type,
+            )
+
+    return iv_df.mapInArrow(run, "%s long, codes array<long>" % out_id)
+
+
 def _adc_sum(n_sub: int) -> Column:
     """ADC distance: sum over subspaces of dtab[m][codes[m]] — integer
     grid end to end, so cross-engine ties cannot flip."""
@@ -777,6 +843,7 @@ def pq_topk(
     codebook_rows: list[list[list[int]]] | None = None,
     rerank_corpus: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
+    arrow_encode: bool = False,
 ) -> DataFrame:
     """Product-quantization ADC top-k — the memory-compression ANN
     tier: each corpus vector is encoded once into ``n_sub`` centroid
@@ -802,6 +869,15 @@ def pq_topk(
         corpus, queries, seeds, id_col, vec_col, dim, n_sub, scale,
         codebook_rows=codebook_rows,
     )
+    if arrow_encode:
+        # the Arrow int64-argmin compute tier — bit-identical codes
+        # (see pq_encode_codes_arrow); only the corpus-sized encode
+        # swaps kernels, the query distance tables stay native
+        if codebook_rows is None:
+            raise ValueError("arrow_encode requires codebook_rows")
+        encoded = pq_encode_codes_arrow(
+            corpus, codebook_rows, id_col, vec_col, dim, n_sub, scale,
+        )
 
     adc = (
         encoded.crossJoin(F.broadcast(dtabbed))

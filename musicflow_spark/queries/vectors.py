@@ -1384,6 +1384,10 @@ def knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K, dim=PQ_DIM, n_sub=PQ_SUB, n_candidates=PQ_CAND,
         scale=PQ_SCALE, codebook_rows=cb,
         rerank_corpus=emb, rerank_queries=queries,
+        # Arrow int64-argmin encode tier (bit-identical codes,
+        # contract-asserted): the interpreted-lambda encode was the
+        # measured x100 constant (SCALE.md round-10)
+        arrow_encode=True,
     )
     return topk.select(
         "query_id", "neighbor_id",

@@ -537,3 +537,41 @@ def test_opq_beats_trained_recall(spark, sf_dir):
     r_opq = len(opq & ex) / len(ex)
     assert r_opq > r_trained, (r_trained, r_opq)
     assert r_opq >= 0.75, r_opq
+
+
+def test_pq_arrow_encode_codes_bit_identical(spark, sf_dir):
+    """The Arrow int64-argmin encode tier must produce EXACTLY the
+    native Catalyst fold's codes row-for-row (pure integer math, same
+    lowest-cid tie rule) — the feature_hash_embedding_arrow /
+    brute_force_topk_vectorized contract, for the PQ encode stage."""
+    from musicflow_spark.operators.embeddings import pq_train_codebooks
+    from musicflow_spark.operators.similarity import (
+        _pq_encode_parts,
+        pq_encode_codes_arrow,
+    )
+    from musicflow_spark.queries.vectors import (
+        PQ_DIM,
+        PQ_SCALE,
+        PQ_SUB,
+        PQT_ITERS,
+        PQT_K,
+    )
+    from musicflow_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = pq_train_codebooks(
+        emb, dim=PQ_DIM, n_sub=PQ_SUB, k=PQT_K, n_iter=PQT_ITERS,
+        scale=PQ_SCALE,
+    )
+    _, native, _ = _pq_encode_parts(
+        emb, emb.limit(1), None, "vec_id", "embedding", PQ_DIM, PQ_SUB,
+        PQ_SCALE, codebook_rows=cb,
+    )
+    nat = {r["neighbor_id"]: list(r["codes"]) for r in native.collect()}
+    arw = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in pq_encode_codes_arrow(
+            emb, cb, "vec_id", "embedding", PQ_DIM, PQ_SUB, PQ_SCALE
+        ).collect()
+    }
+    assert nat == arw
