@@ -153,6 +153,12 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "knn_beam", "knn_graph_nndescent", "knn_graph_refine_recall",
     "embedding_coreset", "knn_beam_recall", "corpus_crossmodal_mart",
     "crossmodal_retrieval",
+    # green in CORRECTNESS_r10.json (50/50; the other 41 window rows
+    # were round-keyed re-certifications of already-proven queries)
+    "stream_crossmodal_mart", "corpus_shard_manifest", "knn_opq",
+    "knn_hnsw", "knn_hnsw_recall", "knn_hnsw_ingest",
+    "corpus_crossmodal_training_mart", "crossmodal_semantic_dedup",
+    "crossmodal_lsh_retrieval",
 )
 
 #: Current build round — bump when rotating the previous round's greens
@@ -164,18 +170,18 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 #: proven tier re-earns a driver-green row every ~len/stride rounds
 #: instead of the same module-order prefix being re-checked forever
 #: (VERDICT r07 item 1).
-_ROUND = 10
+_ROUND = 11
 _FILL_STRIDE = 41
 
 # Queries added AFTER the current round's 50-query window was frozen.
 # They sort after the window but before the proven tail, so they enter
 # the window automatically next round when this round's greens move to
-# _DRIVER_PROVEN.  Round-10 rotation: all 13 round-9 additions (suffix
-# dedup batch+stream, KN perplexity, quality calibration, graph-ANN
-# ingest/beam/NN-descent, trained PQ, FPS coreset, the cross-modal
-# mart and retrieval) went driver-green in CORRECTNESS_r09.json and
-# rolled into _DRIVER_PROVEN; the window head is now the round-10
-# additions plus the round-keyed proven fill.
+# _DRIVER_PROVEN.  Round-11 rotation: all 9 round-10 additions (the
+# crossmodal training mart / SemDeDup / SRP-LSH retrieval, layered
+# HNSW batch+ingest+recall, OPQ, shard manifest, stream crossmodal
+# twin) went driver-green in CORRECTNESS_r10.json and rolled into
+# _DRIVER_PROVEN; the window head is now the round-11 additions plus
+# the round-keyed proven fill.
 _NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
