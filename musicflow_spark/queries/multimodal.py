@@ -967,10 +967,21 @@ def _cm_mart_from(docs: DataFrame) -> DataFrame:
         # mode would RAISE on the zero denominator (ADVICE r09)
         F.try_divide(dot, F.sqrt(nt) * F.sqrt(ni)).alias("clip_score"),
     )
+    # NULL clip_score (degenerate zero-norm projection) is explicitly
+    # 'mismatch': `clip_score < t` is not-true for NULL, so without
+    # this arm a degenerate doc would fall through to 'kept' in the
+    # mart while every downstream `clip_score >= t` kept-filter
+    # (crossmodal_semantic_dedup, the training mart) silently drops
+    # it — breaking the "exactly the mart's kept docs" contract
+    # (ADVICE r10)
     reason = (
         F.when(F.col("n_tokens") < CM_MIN_TOKENS, "caption")
         .when(F.col("contrast") < CM_MIN_CONTRAST, "image_flat")
-        .when(F.col("clip_score") < CM_MIN_SCORE, "mismatch")
+        .when(
+            F.col("clip_score").isNull()
+            | (F.col("clip_score") < CM_MIN_SCORE),
+            "mismatch",
+        )
         .otherwise("kept")
     )
     return scored.select(
@@ -1083,7 +1094,8 @@ r AS (
   SELECT doc_id, n_tokens, contrast, clip_score,
          CASE WHEN n_tokens < {CM_MIN_TOKENS} THEN 'caption'
               WHEN contrast < {CM_MIN_CONTRAST} THEN 'image_flat'
-              WHEN clip_score < {CM_MIN_SCORE} THEN 'mismatch'
+              WHEN clip_score IS NULL
+                   OR clip_score < {CM_MIN_SCORE} THEN 'mismatch'
               ELSE 'kept' END AS reason
   FROM j)"""
 

@@ -575,3 +575,54 @@ def test_pq_arrow_encode_codes_bit_identical(spark, sf_dir):
         ).collect()
     }
     assert nat == arw
+
+def test_kmeans_assign_arrow_bit_identical(spark, sf_dir):
+    """The Arrow int64-argmin ASSIGN tier must produce EXACTLY the
+    native Catalyst fold's (id, cid, d2) rows (pure integer math,
+    first-minimum argmin over cid-ascending centroids == the native
+    (d2, cid) lexicographic tie rule) — the pq_encode_codes_arrow
+    contract, for the trained-tier assignment stage (VERDICT r10
+    item 2: the dominant constant of every trained tier)."""
+    from musicflow_spark.operators.embeddings import (
+        _kmeans_assign_native,
+        kmeans_assign_arrow,
+        quantized,
+    )
+    from musicflow_spark.sources.catalog import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"), quantized("embedding").alias("qv")
+    )
+    # centroid table with deliberate duplicates so the tie rule is
+    # actually exercised (two cids share a vector -> d2 ties)
+    seeds = q.orderBy("id").limit(4).collect()
+    rows = [(i, list(seeds[i % 4]["qv"])) for i in range(8)]
+    cent = spark.createDataFrame(rows, "cid int, cv array<long>")
+    nat = {
+        r["id"]: (r["cid"], r["d2"])
+        for r in _kmeans_assign_native(q, cent).collect()
+    }
+    arw = {
+        r["id"]: (r["cid"], r["d2"])
+        for r in kmeans_assign_arrow(q, rows).collect()
+    }
+    assert nat == arw
+    # ties resolved to the LOWEST cid: duplicated centroids mean no
+    # assignment may land on cids 4..7
+    assert all(cid < 4 for cid, _ in arw.values())
+
+
+def test_kmeans_assign_arrow_validation(spark):
+    from musicflow_spark.operators.embeddings import kmeans_assign_arrow
+
+    q = spark.createDataFrame([(1, [0, 0])], "id long, qv array<long>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        kmeans_assign_arrow(q, [])
+    with _pytest.raises(ValueError, match="sorted"):
+        kmeans_assign_arrow(q, [(1, [0, 0]), (0, [1, 1])])
+    with _pytest.raises(ValueError, match="ragged"):
+        kmeans_assign_arrow(q, [(0, [0, 0]), (1, [1])])

@@ -11,8 +11,17 @@ For each query in the driver registry, prints the markers that decide
 - scans/pushed: parquet scans and how many carry pushed filters
 - cartesian: BroadcastNestedLoopJoin / CartesianProduct occurrences —
   acceptable only in the documented exact-baseline queries
+- cgfall: whole-stage-codegen BAILOUTS observed while actually
+  executing the query (noop sink) — Janino "Code grows beyond 64 KB"
+  compile failures and the huge-method JIT fallback both degrade the
+  stage to interpreted eval, the exact cost family the Arrow tiers
+  exist to kill, and were previously invisible to this audit
+  (VERDICT r10 item 1).  Detection: the JVM inherits a redirected
+  stderr fd, the WholeStageCodegenExec/CodeGenerator loggers are
+  pinned to WARN, and the capture is diffed per query.
 
 Usage: PYTHONPATH=/root/repo python tools/plan_audit.py [sf_dir] [name ...]
+       PLAN_AUDIT_NO_EXEC=1 skips execution (static plan flags only).
 """
 
 from __future__ import annotations
@@ -273,7 +282,49 @@ SINGLE_OK = {
 }
 
 
+#: log lines that mean a stage degraded from whole-stage codegen to
+#: interpreted eval at runtime
+_CODEGEN_FALLBACK = re.compile(
+    r"Whole-stage codegen disabled for plan"
+    r"|grows beyond 64 KB"
+    r"|Found too long generated codes"
+)
+
+
+class _StderrCapture:
+    """Redirect THIS PROCESS's fd 2 to a temp file BEFORE the JVM
+    launches, so the Spark JVM (which inherits the fd at spawn) writes
+    its log4j console output somewhere we can diff per query.  A
+    post-hoc redirect cannot work: the child's fd table is fixed at
+    fork."""
+
+    def __init__(self) -> None:
+        import tempfile
+
+        self.file = tempfile.NamedTemporaryFile(
+            mode="w+b", suffix=".stderr", delete=False
+        )
+        self.saved_fd = os.dup(2)
+        os.dup2(self.file.fileno(), 2)
+        self.pos = 0
+
+    def new_output(self) -> str:
+        os.fsync(self.file.fileno())
+        with open(self.file.name, "rb") as f:
+            f.seek(self.pos)
+            data = f.read()
+            self.pos = f.tell()
+        return data.decode("utf-8", errors="replace")
+
+    def restore(self) -> None:
+        os.dup2(self.saved_fd, 2)
+        os.close(self.saved_fd)
+
+
 def main() -> int:
+    do_exec = not os.environ.get("PLAN_AUDIT_NO_EXEC")
+    cap = _StderrCapture() if do_exec else None
+
     from pyspark.sql import SparkSession
 
     from musicflow_spark.queries.registry import get_queries
@@ -286,13 +337,32 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if do_exec:
+        # the fallback warnings live at WARN on exactly these loggers;
+        # the root stays at ERROR so the capture holds little else
+        configurator = spark._jvm.org.apache.logging.log4j.core.config.Configurator
+        level = spark._jvm.org.apache.logging.log4j.Level
+        for logger in (
+            "org.apache.spark.sql.execution.WholeStageCodegenExec",
+            "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+        ):
+            configurator.setLevel(logger, level.INFO)
 
     bad = 0
-    print(f"{'query':28s} {'shuffles':>8s} {'single':>6s} {'bcast':>5s} {'scans':>5s} {'pushed':>6s} {'cartesian':>9s}")
+    print(f"{'query':28s} {'shuffles':>8s} {'single':>6s} {'bcast':>5s} {'scans':>5s} {'pushed':>6s} {'cartesian':>9s} {'cgfall':>6s}")
     for q in get_queries():
         if only and q.name not in only:
             continue
-        plan = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if do_exec:
+            cap.new_output()  # reset BEFORE construction: eager
+            # localCheckpoint queries execute their front end during
+            # q.spark() itself, and a bailout there must count
+        df = q.spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        cgfall = 0
+        if do_exec:
+            df.write.format("noop").mode("overwrite").save()
+            cgfall = len(_CODEGEN_FALLBACK.findall(cap.new_output()))
         shuf = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
         # Exchange SinglePartition nodes whose child is a
         # partial_bloom_filter_agg are Spark's OWN runtime bloom-filter
@@ -320,9 +390,14 @@ def main() -> int:
         if cart and q.name not in CARTESIAN_OK:
             flags.append("CARTESIAN!")
             bad += 1
+        if cgfall:
+            flags.append("CODEGEN-BAILOUT!")
+            bad += 1
         print(
-            f"{q.name:28s} {shuf:8d} {single:6d} {bcast:5d} {scans:5d} {pushed:6d} {cart:9d}  {' '.join(flags)}"
+            f"{q.name:28s} {shuf:8d} {single:6d} {bcast:5d} {scans:5d} {pushed:6d} {cart:9d} {cgfall:6d}  {' '.join(flags)}"
         )
+    if cap is not None:
+        cap.restore()
     print("PLAN AUDIT:", "FLAGS RAISED" if bad else "CLEAN")
     return 1 if bad else 0
 
