@@ -2180,7 +2180,7 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_ivf_trained_oracle_sql() -> str:
+def _knn_ivf_trained_oracle_sql(n_query: int = N_QUERY_VECS) -> str:
     from musicflow_spark.operators.embeddings import kmeans_oracle_parts
 
     parts = kmeans_oracle_parts(
@@ -2194,7 +2194,7 @@ WITH {joined},
 probes AS (
   SELECT id AS query_id, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-    FROM d{t} WHERE id < {N_QUERY_VECS})
+    FROM d{t} WHERE id < {n_query})
   WHERE rn <= {IVF_TRAIN_PROBE}),
 cand AS (
   SELECT p.query_id, a.id AS neighbor_id
@@ -2217,6 +2217,92 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, 
       FROM scored)
 WHERE rank <= {TOP_K}
 """
+
+
+#: where the at-rest IVF index materializes (per-SF subdir; overwrite
+#: mode makes reruns safe).  /tmp, not the read-only testdata tree.
+IVF_INDEX_DIR = "/tmp/musicflow_spark_index"
+
+#: at-rest serving uses a 2-query probe set: 2 × IVF_TRAIN_PROBE = 6
+#: probed clusters at most, strictly fewer than the KMEANS_K = 8
+#: partitions — so the PartitionFilters pruning the test asserts is
+#: guaranteed real, not incidentally saturated (8 queries × 3 probes
+#: covered all 8 clusters at every SF)
+AT_REST_QUERY_VECS = 2
+
+
+def knn_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index AT REST (ext — VERDICT r10 item 5): the same trained
+    IVF pipeline as ``knn_ivf_trained``, but the index MATERIALIZES —
+    (cluster_id, vec_id, embedding) written through the catalog sink
+    ``partitionBy(cluster_id)`` — and the probe query serves off the
+    WRITTEN files.  This turns SCALE.md's central 100 TB claim
+    ("cluster id is the partition key; an n_probe query prunes whole
+    files") from architecture into a measured plan shape: the probed
+    cluster ids land in the read-back scan as PartitionFilters, so
+    Spark never lists or opens the non-probed clusters' files
+    (asserted in tests/test_plan_shapes.py).
+
+    The probe set is collected driver-side — bounded by the query-set
+    contract (2 queries × 3 probes; see AT_REST_QUERY_VECS for why
+    2) — because a SERVING-path filter
+    must be a plan literal for static partition pruning; a production
+    index server does exactly this (the query's probe list is
+    computed before the scan is issued).  Ranking + rerank semantics
+    are identical to knn_ivf_trained, so its proven oracle replays
+    this query verbatim."""
+    import os as _os
+
+    from musicflow_spark.operators.embeddings import (
+        kmeans_assign_arrow,
+        kmeans_centroids,
+        kmeans_rank_arrow,
+        quantized,
+    )
+    from musicflow_spark.operators.similarity import _exact_rerank
+    from musicflow_spark.sources.catalog import write_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=KMEANS_K, n_iter=KMEANS_ITERS)
+    cent_rows = [
+        (int(r["cid"]), list(r["cv"]))
+        for r in sorted(cent.collect(), key=lambda r: int(r["cid"]))
+    ]
+    qq = emb.select(F.col("vec_id").alias("id"), quantized("embedding").alias("qv"))
+    # index build: one assignment pass, written clustered-at-rest
+    index = (
+        kmeans_assign_arrow(qq, cent_rows)
+        .select(F.col("id").alias("vec_id"), F.col("cid").alias("cluster_id"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("cluster_id", "vec_id", "embedding")
+    )
+    path = _os.path.join(
+        IVF_INDEX_DIR, f"ivf_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_table(index, path, partition_by=["cluster_id"])
+    at_rest = spark.read.parquet(path)
+
+    probes = kmeans_rank_arrow(
+        qq.filter(F.col("id") < AT_REST_QUERY_VECS), cent_rows, IVF_TRAIN_PROBE
+    ).select(F.col("id").alias("query_id"), "cid")
+    probe_rows = probes.collect()
+    probed_cids = sorted({int(r["cid"]) for r in probe_rows})
+    plist = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["cid"])) for r in probe_rows],
+        "query_id long, cid int",
+    )
+    cands = (
+        # literal isin → static PartitionFilters on the at-rest scan
+        at_rest.filter(F.col("cluster_id").isin(probed_cids))
+        .join(F.broadcast(plist), at_rest["cluster_id"] == plist["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    queries = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS)
+    topk = _exact_rerank(emb, queries, cands, "vec_id", "embedding", TOP_K)
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
 
 
 KNN_INGEST_MOD = 5
@@ -2752,6 +2838,7 @@ QUERIES = [
     Query("knn_graph_ingest", "ext: incremental kNN-graph maintenance — delta probe + REVERSE top-k updates for touched base nodes, base x base never pairs", knn_graph_ingest, _knn_graph_ingest_oracle_sql()),
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
+    Query("knn_ivf_at_rest", "ext: IVF index MATERIALIZED partitionBy(cluster_id) through the catalog sink, probe served off the written files with static partition pruning (S2 + the SCALE.md pruning claim, plan-proven)", knn_ivf_at_rest, _knn_ivf_trained_oracle_sql(n_query=AT_REST_QUERY_VECS)),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (truncated-integer-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),
