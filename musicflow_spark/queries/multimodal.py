@@ -1156,6 +1156,16 @@ def crossmodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = _cm_pair_frame(spark, sf_dir)
     dot, nt, ni = _cm_score_cols()
+    # materialize the scored frame BEFORE the keep filter: without the
+    # barrier, Catalyst pushes the clip_score predicate (whose ta/ia
+    # inputs are themselves 16-term projection sums, all inlined) into
+    # the tv-iv join CONDITION, where generated code cannot be split
+    # into sub-methods — Janino's 64 KB limit then drops the whole
+    # stage to interpreted eval (VERDICT r10 item 3; plan_audit's
+    # cgfall column measured 4 bailouts here).  Checkpointed, every
+    # downstream consumer (kept filter, moments, pair vectors) reads
+    # plain scalar columns, and the front end runs once instead of
+    # once per reference.
     flt = joined.select(
         "doc_id",
         "n_tokens",
@@ -1163,7 +1173,7 @@ def crossmodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(dot, F.sqrt(nt) * F.sqrt(ni)).alias("clip_score"),
         *[F.col(f"ta{j}") for j in range(CM_PROJ)],
         *[F.col(f"ia{j}") for j in range(CM_PROJ)],
-    )
+    ).localCheckpoint(eager=True)
     # the mart's keep set: >= on all three gates (NULL clip_score —
     # a degenerate zero-norm projection — drops out of BOTH engines'
     # filters the same way, so the pair vectors are always finite)
