@@ -178,6 +178,11 @@ CARTESIAN_OK = {
                                # embedding_neardup_pairs eval-tier contract) +
                                # the graph tiers' 1-row plane broadcasts +
                                # two 1-row x 1-row recall-count joins
+    "corpus_training_batch_mart",  # 1-row w_total/leftover-seat broadcasts
+                               # (the corpus_temperature_mixture contract,
+                               # re-derived over the survivor slice) +
+                               # contamination's inherited 1-row
+                               # common-shingle broadcast
 }
 
 #: queries allowed SinglePartition exchanges: global scalar aggregates
@@ -279,6 +284,12 @@ SINGLE_OK = {
                                # hits vs graph-tier hits, before/after refine —
                                # queries/vectors.py recall block), each 1 row by
                                # construction; pairs with its CARTESIAN_OK entry
+    "corpus_training_batch_mart",  # |sources|-row (≤20) largest-remainder
+                               # ranking window + scalar w_total/seat folds
+                               # (the corpus_temperature_mixture contract) +
+                               # the shard manifest's n_shards-row (8)
+                               # base-offset window (the corpus_shard_manifest
+                               # contract)
 }
 
 
