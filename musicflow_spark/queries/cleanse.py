@@ -241,6 +241,75 @@ FROM c GROUP BY host
 """
 
 
+def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization tier (ext; VERDICT r10 item 6): NFC /
+    NFKC normalization + case fold as the hygiene pass a multilingual
+    corpus needs before the ASCII-``\\s`` contract tokenizer.  The
+    fixture text is pure ASCII, so the query first manufactures the
+    real-world mess with a deterministic replace chain that BOTH
+    engines run (combining acute, ﬁ ligature, ANGSTROM SIGN — each a
+    different normalization behavior; operators/textnorm.py); the
+    Spark side then normalizes in the Arrow map tier
+    (``unicodedata``), the oracle with DuckDB's utf8proc-backed
+    ``nfc_normalize`` — two independent Unicode implementations
+    agreeing codepoint-for-codepoint is the point of the oracle.
+    NFKC has no DuckDB twin; on the injected compatibility set it
+    equals replace-ligature-then-NFC, which the oracle applies (the
+    general form is property-pinned in tests/test_textnorm.py).  The
+    fold column stays JVM-side (``F.lower``) inside the
+    JVM==utf8proc agreement subset.  Plan: two chained map-only Arrow
+    passes, no shuffle, no join — linear at any scale."""
+    from musicflow_spark.operators.textnorm import (
+        inject_messy_text,
+        unicode_normalize,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id", inject_messy_text("text").alias("messy")
+    )
+    nfc = unicode_normalize(
+        messy, "messy", form="NFC", out_col="text_nfc"
+    )
+    both = unicode_normalize(
+        nfc, "text_nfc", form="NFKC", out_col="text_nfkc"
+    )
+    return both.select(
+        "doc_id",
+        F.length("messy").alias("n_raw"),
+        F.length("text_nfc").alias("n_nfc"),
+        F.length("text_nfkc").alias("n_nfkc"),
+        (F.col("messy") == F.col("text_nfc")).alias("was_nfc"),
+        F.lower("text_nfc").alias("text_fold"),
+        "text_nfc",
+        "text_nfkc",
+    )
+
+
+_MESSY_SQL = (
+    "replace(replace(replace(text, 'e', 'e' || chr(769)), "
+    "'w', chr(64257)), 'o', chr(8491))"
+)
+
+DOC_UNICODE_NORMALIZE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, {_MESSY_SQL} AS messy FROM documents),
+n AS (
+  SELECT doc_id, messy,
+         nfc_normalize(messy) AS text_nfc,
+         nfc_normalize(replace(messy, chr(64257), 'fi')) AS text_nfkc
+  FROM m)
+SELECT doc_id,
+       length(messy) AS n_raw,
+       length(text_nfc) AS n_nfc,
+       length(text_nfkc) AS n_nfkc,
+       messy = text_nfc AS was_nfc,
+       lower(text_nfc) AS text_fold,
+       text_nfc, text_nfkc
+FROM n
+"""
+
+
 K_ANON = 5
 
 
@@ -313,6 +382,12 @@ QUERIES = [
         "ext: right-to-erasure propagation (anti-join + audit)",
         user_erasure_audit,
         USER_ERASURE_AUDIT_SQL,
+    ),
+    Query(
+        "doc_unicode_normalize",
+        "ext: Unicode NFC/NFKC canonicalization + fold (Arrow map tier vs nfc_normalize oracle)",
+        doc_unicode_normalize,
+        DOC_UNICODE_NORMALIZE_SQL,
     ),
     Query(
         "doc_url_canonical",
