@@ -291,6 +291,71 @@ _MESSY_SQL = (
     "'w', chr(64257)), 'o', chr(8491))"
 )
 
+
+def doc_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form exact dedup (ext): the dedup-ladder tier that
+    byte-level ``doc_exact_dedup`` cannot reach — the same visible
+    text arriving in DIFFERENT Unicode representations.  The fixture
+    injects the divergence deterministically: even doc_ids carry
+    precomposed U+00E9, odd ones the decomposed ``e`` + U+0301, so
+    byte-identical duplicates across the parity split do not exist,
+    while NFC collapses both spellings to one canonical key.  Keys
+    are md5 of the NFC text (hash-first — the group-by shuffles a
+    16-byte digest, never the document body, the same scale contract
+    as the minhash tiers); per canonical group the mart reports the
+    min-id keeper, member count, and how many BYTE-distinct variants
+    the group spans (n_variants > 1 == exactly the duplicates a
+    byte-keyed dedup would have missed).  One map pass + one
+    digest-keyed aggregation — linear, skew-free (md5 keys)."""
+    from musicflow_spark.operators.textnorm import unicode_normalize
+
+    docs = read_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("\u00E9")),
+        )
+        .otherwise(
+            F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+        )
+        .alias("messy"),
+    )
+    nfc = unicode_normalize(messy, "messy", form="NFC", out_col="text_nfc")
+    return (
+        nfc.select(
+            "doc_id",
+            F.md5("text_nfc").alias("canon_key"),
+            F.md5("messy").alias("byte_key"),
+        )
+        .groupBy("canon_key")
+        .agg(
+            F.min("doc_id").alias("canon_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("byte_key").cast("long").alias("n_variants"),
+        )
+    )
+
+
+DOC_UNICODE_DEDUP_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN replace(text, 'e', chr(233))
+              ELSE replace(text, 'e', 'e' || chr(769)) END AS messy
+  FROM documents),
+k AS (
+  SELECT doc_id,
+         md5(nfc_normalize(messy)) AS canon_key,
+         md5(messy) AS byte_key
+  FROM m)
+SELECT canon_key,
+       min(doc_id) AS canon_id,
+       count(*) AS n_docs,
+       count(DISTINCT byte_key) AS n_variants
+FROM k GROUP BY canon_key
+"""
+
 DOC_UNICODE_NORMALIZE_SQL = f"""
 WITH m AS (
   SELECT doc_id, {_MESSY_SQL} AS messy FROM documents),
@@ -382,6 +447,12 @@ QUERIES = [
         "ext: right-to-erasure propagation (anti-join + audit)",
         user_erasure_audit,
         USER_ERASURE_AUDIT_SQL,
+    ),
+    Query(
+        "doc_unicode_dedup",
+        "ext: canonical-form dedup — NFC keys merge byte-distinct representation variants",
+        doc_unicode_dedup,
+        DOC_UNICODE_DEDUP_SQL,
     ),
     Query(
         "doc_unicode_normalize",

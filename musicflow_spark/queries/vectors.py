@@ -376,12 +376,19 @@ def _knn_graph_lsh_oracle_sql(k: int = K_GRAPH) -> str:
 BEAM_GRAPH_K, BEAM_WIDTH, BEAM_ROUNDS, BEAM_COARSE_MOD = 8, 16, 3, 16
 
 
-def _beam_edges(emb: DataFrame) -> DataFrame:
+def _beam_edges(emb: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
     """Symmetrized kNN-graph adjacency (src, dst) — the knn_graph_lsh
     construction at degree BEAM_GRAPH_K, walked both directions (beam
-    search must be able to step INTO a hub node, not only out)."""
+    search must be able to step INTO a hub node, not only out).
+
+    ``n_planes`` is the deployment scale knob (registered default
+    LSH_PLANES): an LSH-bucketed graph build does n²/2^planes pair
+    work per table, so bucket COUNT must track corpus size — a 10x
+    corpus takes planes + ceil(log2 10) to hold per-bucket work
+    constant.  tools/scale_stress.py's jittered-replica profile
+    measures exactly this curve."""
     g = lsh_topk(
-        emb, emb, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=LSH_PLANES,
+        emb, emb, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=n_planes,
         n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
     )
     fwd = g.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
@@ -405,7 +412,9 @@ def _beam_entry_cand(emb: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
-def knn_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_beam(
+    spark: SparkSession, sf_dir: str, *, graph_planes: int = LSH_PLANES
+) -> DataFrame:
     """Graph-ANN top-k (ext — VERDICT r08 item 4): synchronous beam
     search over a symmetrized degree-8 LSH kNN graph (operators/
     similarity.py::beam_search_topk — the single-layer HNSW/NSW tier
@@ -414,11 +423,15 @@ def knn_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine scoring of walked nodes only.  The oracle nests the
     kNN-graph replay (the proven knn_graph_lsh oracle parameterized
     to k=8) and unrolls the rounds — the same unrolled-frontier
-    pattern as part_copurchase_reach."""
+    pattern as part_copurchase_reach.
+
+    ``graph_planes`` (default: the registered LSH_PLANES geometry) is
+    the xN-deployment bucket knob — see ``_beam_edges``."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = beam_search_topk(
-        emb, queries, _beam_edges(emb), _beam_entry_cand(emb, queries),
+        emb, queries, _beam_edges(emb, graph_planes),
+        _beam_entry_cand(emb, queries),
         k=TOP_K, beam=BEAM_WIDTH, rounds=BEAM_ROUNDS,
     )
     return out.select(
@@ -578,7 +591,14 @@ def _sym_edges(g: DataFrame) -> DataFrame:
     )
 
 
-def knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_hnsw(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mod2: int = HNSW_MOD2,
+    planes1: int = HNSW_PLANES1,
+    graph_planes: int = LSH_PLANES,
+) -> DataFrame:
     """TRUE layered graph-ANN (ext — VERDICT r09 item 3): the
     multi-layer HNSW hierarchy over ``hnsw_topk`` (operators/
     similarity.py) — apex-to-base descent where each layer's
@@ -592,23 +612,31 @@ def knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle unrolls everything: the exact apex graph, the
     coarse-bucket LSH layer-1 graph, the shared layer-0 graph replay,
-    and every (width, rounds) beam step of the descent."""
+    and every (width, rounds) beam step of the descent.
+
+    ``mod2``/``planes1``/``graph_planes`` are the xN-deployment
+    knobs (registered defaults unchanged): at an N-fold corpus the
+    apex stride grows Nx so the brute-force apex stays a constant
+    ~n/mod2 rows (the stride analogue of HNSW growing a level), and
+    both LSH graph builds take +ceil(log2 N) planes so per-bucket
+    pair work stays constant — the jittered-replica profile in
+    tools/scale_stress.py measures that curve."""
     from musicflow_spark.operators.similarity import hnsw_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     l1 = emb.filter(F.col("vec_id") % HNSW_MOD1 == 0)
-    l2 = emb.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    l2 = emb.filter(F.col("vec_id") % mod2 == 0)
     e2 = _sym_edges(brute_force_topk(l2, l2, k=HNSW_DEG2)).localCheckpoint(
         eager=True
     )
     e1 = _sym_edges(
         lsh_topk(
-            l1, l1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=HNSW_PLANES1,
+            l1, l1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=planes1,
             n_tables=HNSW_TABLES1, seed=LSH_SEED, broadcast_queries=False,
         )
     ).localCheckpoint(eager=True)
-    e0 = _beam_edges(emb).localCheckpoint(eager=True)
+    e0 = _beam_edges(emb, graph_planes).localCheckpoint(eager=True)
     ent = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
         F.broadcast(l2.select(F.col("vec_id").alias("node")))
     )
@@ -803,7 +831,14 @@ FROM ne LEFT JOIN nov ON ne.query_id = nov.query_id
 """
 
 
-def knn_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_hnsw_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mod2: int = HNSW_MOD2,
+    planes1: int = HNSW_PLANES1,
+    graph_planes: int = LSH_PLANES,
+) -> DataFrame:
     """Incremental LAYERED-HNSW maintenance (ext): the hierarchy twin
     of ``knn_graph_ingest`` — today's ingest batch (every
     KNN_INGEST_MOD-th id) enters the stored multi-layer index the way
@@ -828,21 +863,23 @@ def knn_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs are the stored index (computed here for the fixture,
     partitioned state at 100 TB).  The oracle replays the descent via
     the shared ``_hnsw_descent_parts`` (base-only node population,
-    delta queries) plus raw-cosine graph replays for the merges."""
+    delta queries) plus raw-cosine graph replays for the merges.
+    ``mod2``/``planes1``/``graph_planes`` are the same xN-deployment
+    geometry knobs as ``knn_hnsw`` (registered defaults unchanged)."""
     from musicflow_spark.operators.similarity import beam_search_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
     is_delta = F.col("vec_id") % KNN_INGEST_MOD == 0
     base, delta = emb.filter(~is_delta), emb.filter(is_delta)
     bl1 = base.filter(F.col("vec_id") % HNSW_MOD1 == 0)
-    bl2 = base.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    bl2 = base.filter(F.col("vec_id") % mod2 == 0)
     g2d = brute_force_topk(bl2, bl2, k=HNSW_DEG2).localCheckpoint(eager=True)
     g1d = lsh_topk(
-        bl1, bl1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=HNSW_PLANES1,
+        bl1, bl1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=planes1,
         n_tables=HNSW_TABLES1, seed=LSH_SEED, broadcast_queries=False,
     ).localCheckpoint(eager=True)
     g0d = lsh_topk(
-        base, base, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=LSH_PLANES,
+        base, base, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=graph_planes,
         n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
     ).localCheckpoint(eager=True)
     fwd = lambda g: g.select(  # noqa: E731
@@ -855,21 +892,30 @@ def knn_hnsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(bl2.select(F.col("vec_id").alias("node")))
     )
     (w2, r2), (w1, r1), (w0, r0) = HNSW_SCHEDULE
-    o2 = beam_search_topk(base, delta, sym(g2d), ent, k=w2, beam=w2, rounds=r2)
-    c1 = o2.select(
-        "query_id", F.col("neighbor_id").alias("node")
+    # each beam result feeds up to THREE branches (its own layer links,
+    # the reverse-merge, and the next layer's seed) — checkpoint the
+    # beam ITSELF so every branch reads the materialized frame instead
+    # of re-running the multi-round walk (the hnsw_topk double-exec
+    # fix, applied here: best sf0.1 wall 48 -> 29 s; what remains is
+    # fixed plan-compile/JIT overhead of the unrolled rounds, not
+    # data — see SCALE.md's jittered-replica note)
+    o2 = beam_search_topk(
+        base, delta, sym(g2d), ent, k=w2, beam=w2, rounds=r2
     ).localCheckpoint(eager=True)
-    o1 = beam_search_topk(base, delta, sym(g1d), c1, k=w1, beam=w1, rounds=r1)
-    c0 = o1.select(
-        "query_id", F.col("neighbor_id").alias("node")
+    c1 = o2.select("query_id", F.col("neighbor_id").alias("node"))
+    o1 = beam_search_topk(
+        base, delta, sym(g1d), c1, k=w1, beam=w1, rounds=r1
     ).localCheckpoint(eager=True)
-    o0 = beam_search_topk(base, delta, sym(g0d), c0, k=w0, beam=w0, rounds=r0)
+    c0 = o1.select("query_id", F.col("neighbor_id").alias("node"))
+    o0 = beam_search_topk(
+        base, delta, sym(g0d), c0, k=w0, beam=w0, rounds=r0
+    ).localCheckpoint(eager=True)
     links0 = o0.filter(F.col("rank") <= BEAM_GRAPH_K)
     links1 = o1.filter(
         (F.col("rank") <= HNSW_DEG1) & (F.col("query_id") % HNSW_MOD1 == 0)
     )
     links2 = o2.filter(
-        (F.col("rank") <= HNSW_DEG2) & (F.col("query_id") % HNSW_MOD2 == 0)
+        (F.col("rank") <= HNSW_DEG2) & (F.col("query_id") % mod2 == 0)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

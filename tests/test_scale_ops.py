@@ -363,3 +363,87 @@ def test_ivf_trained_recall_and_probe_containment(spark):
         probes.setdefault(r["id"], set()).add(r["cid"])
     for r in got:
         assert assign[r["neighbor_id"]] in probes[r["query_id"]]
+
+
+def test_jitter_geometry_identity_at_n1():
+    # tools/scale_stress.py --jitter times x1 through _jitter_fn(q, 1);
+    # that MUST be the registered call (every geometry knob at its
+    # default) or the measured ratio compares different plans
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_stress",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_stress.py"),
+    )
+    ss = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ss)
+    from musicflow_spark.queries.vectors import (
+        HNSW_MOD2,
+        HNSW_PLANES1,
+        LSH_PLANES,
+    )
+
+    extra0 = max(0, 1 - 1).bit_length()
+    assert extra0 == 0
+    # n=10 geometry: +4 planes (ceil log2 10), apex stride x10
+    extra10 = max(0, 10 - 1).bit_length()
+    assert extra10 == 4
+    # the n=1 lambdas call with defaults — spot-check by introspecting
+    # the closures' geometry dict
+    fn = ss._jitter_fn("knn_hnsw", 1)
+    geo = fn.__closure__ and {
+        k: v
+        for cell in fn.__closure__
+        for k, v in (
+            cell.cell_contents.items()
+            if isinstance(cell.cell_contents, dict)
+            else []
+        )
+    }
+    assert geo == {
+        "mod2": HNSW_MOD2,
+        "planes1": HNSW_PLANES1,
+        "graph_planes": LSH_PLANES,
+    }
+
+
+def test_jitter_sign_flip_is_within_replica_isometry(spark):
+    # per-replica sign flips (scale_stress._replica jitter=True) must
+    # preserve within-replica cosines EXACTLY and decorrelate the
+    # replica from the base — the property that lets graph-ANN scale
+    # curves measure the plan instead of fixture bucket merges
+    import importlib.util
+    import math
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_stress",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_stress.py"),
+    )
+    ss = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ss)
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(40)
+    base = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    rep = ss._replica(emb, "embeddings", 1, jitter=True)
+    jit = {r["vec_id"] - ss.KEY_STRIDE: r["embedding"] for r in rep.collect()}
+    assert set(jit) == set(base)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    ids = sorted(base)[:10]
+    for a in ids[:5]:
+        for b in ids[5:]:
+            # exact isometry: float sign flip is lossless
+            assert cos(base[a], base[b]) == pytest.approx(
+                cos(jit[a], jit[b]), abs=0.0
+            )
+    # decorrelated vs base: a vector and its own jittered copy are far
+    # from parallel (|cos| ~ N(0, 1/sqrt(64)) — use a loose 0.6 bound)
+    for a in ids:
+        assert abs(cos(base[a], jit[a])) < 0.6

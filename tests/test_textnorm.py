@@ -166,3 +166,21 @@ def test_unknown_form_and_duplicate_out_col_raise(spark):
         unicode_normalize(df, "text", form="NFX")
     with pytest.raises(ValueError, match="already present"):
         unicode_normalize(df, "text", out_col="text")
+
+
+def test_doc_unicode_dedup_conservation_and_merge(spark):
+    from musicflow_spark.queries.cleanse import doc_unicode_dedup
+
+    out = doc_unicode_dedup(spark, "/root/testdata/sf0.001").collect()
+    n_docs_total = sum(r["n_docs"] for r in out)
+    assert n_docs_total == 500  # every doc lands in exactly one group
+    assert all(1 <= r["n_variants"] <= r["n_docs"] for r in out)
+    # the merge mechanics the query exists for: same visible text in
+    # precomposed vs decomposed spelling -> ONE canonical md5 key
+    assert "caf\u00E9" != "cafe\u0301"  # byte-distinct spellings
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café")], "doc_id long, text string"
+    )
+    nfc = unicode_normalize(df, "text", form="NFC", out_col="n")
+    keys = {r["doc_id"]: r["k"] for r in nfc.selectExpr("doc_id", "md5(n) k").collect()}
+    assert keys[1] == keys[2]

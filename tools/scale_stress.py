@@ -20,6 +20,7 @@ fact-sized frames the real workload never has.
 
 Usage: python tools/scale_stress.py [N] [query ...]
        python tools/scale_stress.py --skew [N] [query ...]
+       python tools/scale_stress.py --jitter [N] [graph-ANN query ...]
 Writes scaled parquet under /tmp/scale_stress/x{N}/ (rebuilt if
 missing), times each query on sf0.1 and on the scaled dir (2 runs
 each, best-of), prints one ratio line per query.  A ratio well below
@@ -41,6 +42,14 @@ CURVE under it:
   test is overlap_join_bucketed's composite (key, bucket) shuffle
   key: bucket-only heat must shard across keys instead of landing in
   a single task.
+
+``--jitter`` (VERDICT r10 item 7) measures the graph-ANN family
+(knn_beam / knn_hnsw / knn_hnsw_ingest), excluded from the plain
+profile because identical replica vectors merge LSH buckets and
+argmax ties: per-replica coordinate sign flips keep every replica's
+internal geometry EXACT while decorrelating replicas, and each xN run
+uses the queries' documented deployment-geometry knobs (bucket count
+tracking corpus size, apex stride scaling) — see JITTER_QUERIES.
 """
 
 from __future__ import annotations
@@ -269,6 +278,12 @@ QUERY_TABLES = {
     # shard manifest: seeded hash-order range shuffle + two-level
     # prefix sums (O(partitions) offset collect), pack map — linear
     "corpus_shard_manifest": ["documents"],
+    # training-batch capstone: selection ladder (linear stages, see
+    # corpus_training_selection) -> split/contamination joins on
+    # doc_id/gram keys -> source-keyed mixture aggs (source count
+    # bounded) -> the shard-manifest range shuffle; survivor slice
+    # checkpointed once, so cost ≈ sum of the proven parts
+    "corpus_training_batch_mart": ["documents"],
     # unigram prune training: the corpus-sized histogram shuffle grows
     # ~N; word-type/occ tables stay vocab-bounded ([a-z]+ splits the
     # replica tag off), per-round work vocab-sized, loser a 1-row
@@ -319,10 +334,32 @@ QUERY_TABLES = {
 DEFAULT_QUERIES = list(QUERY_TABLES)
 
 
-def _replica(df, table: str, i: int, stride: int = KEY_STRIDE):
+def _replica(df, table: str, i: int, stride: int = KEY_STRIDE, jitter: bool = False):
     out = df
     for k in SCALED_KEYS[table]:
         out = out.withColumn(k, F.col(k) + F.lit(i * stride))
+    if table == "embeddings" and jitter and i > 0:
+        # per-replica coordinate SIGN FLIPS (VERDICT r10 item 7): an
+        # exact within-replica isometry — dot(sx, sy) = Σ s_j² x_j y_j
+        # = dot(x, y), so every replica's neighborhood structure is
+        # the base's, bit-for-bit — while cross-replica cosines
+        # decorrelate to ~N(0, 1/d): SRP buckets, graph argmax ties
+        # and LSH candidates no longer merge across replicas the way
+        # IDENTICAL replica vectors force them to.  Replica 0 is the
+        # identity, so queries (vec_id < 8) and the x1 point are the
+        # unmodified base corpus.
+        import numpy as np
+
+        rng = np.random.RandomState(997 + i)
+        signs = [1.0 if b else -1.0 for b in (rng.random(EMB_DIM) < 0.5)]
+        out = out.withColumn(
+            "embedding",
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: (x * s).cast("float"),
+            ),
+        )
     if table == "documents":
         # prefix every token with r{i} -> shingles disjoint across
         # replicas: near-dup structure is exactly N copies of sf0.1's
@@ -335,6 +372,51 @@ def _replica(df, table: str, i: int, stride: int = KEY_STRIDE):
             "c_name", F.concat(F.lit(str(i % 10) * 2), F.col("c_name"))
         )
     return out
+
+
+EMB_DIM = 64  # embeddings fixture dim (== queries/vectors.py LSH_DIM)
+
+#: --jitter mode (VERDICT r10 item 7): the graph-ANN family, excluded
+#: from the plain profile because identical replica vectors merge
+#: buckets/ties (the curve would measure the fixture).  Sign-flip
+#: jitter (see _replica) removes the merge while preserving each
+#: replica's neighborhood structure EXACTLY, so these get measured
+#: xN rows like every other family.  Each query runs through its
+#: registered function with the DEPLOYMENT geometry for the corpus
+#: size: graph-build bucket counts track N (planes + ceil(log2 N) —
+#: an LSH graph build is n²/2^planes pair work per table) and the
+#: HNSW apex stride grows Nx (constant apex = the stride analogue of
+#: HNSW gaining a level).  x1 runs the registered defaults, so the
+#: ratio is t(xN at geometry(N)) / t(x1 at registered geometry) —
+#: the cost curve a 100 TB operator actually rides.  N must divide
+#: 15_625_000 * n (KEY_STRIDE % (HNSW_MOD2 * n) == 0 keeps replica
+#: layer membership congruent with the base's); the default N=10
+#: does.
+JITTER_QUERIES = ["knn_beam", "knn_hnsw", "knn_hnsw_ingest"]
+
+
+def _jitter_fn(name: str, n: int):
+    """The registered query function at the xN deployment geometry
+    (n=1 == the registered call: every knob at its default)."""
+    from musicflow_spark.queries.vectors import (
+        HNSW_MOD2,
+        HNSW_PLANES1,
+        LSH_PLANES,
+        knn_beam,
+        knn_hnsw,
+        knn_hnsw_ingest,
+    )
+
+    extra = max(0, n - 1).bit_length()  # ceil(log2 n)
+    if name == "knn_beam":
+        return lambda s, d: knn_beam(s, d, graph_planes=LSH_PLANES + extra)
+    geo = dict(
+        mod2=HNSW_MOD2 * n,
+        planes1=HNSW_PLANES1 + extra,
+        graph_planes=LSH_PLANES + extra,
+    )
+    fn = {"knn_hnsw": knn_hnsw, "knn_hnsw_ingest": knn_hnsw_ingest}[name]
+    return lambda s, d: fn(s, d, **geo)
 
 
 #: --skew mode: queries whose hot-spot behavior the caps must bound,
@@ -383,6 +465,7 @@ def build_scaled(
     skew: bool = False,
     stride: int = KEY_STRIDE,
     tag: str = "",
+    jitter: bool = False,
 ) -> str:
     if stride == MEDIA_DOC_STRIDE and n > 10:
         raise SystemExit(
@@ -397,7 +480,7 @@ def build_scaled(
         base = spark.read.parquet(f"{BASE}/{t}.parquet")
 
         def one(i: int):
-            rep = _replica(base, t, i, stride)
+            rep = _replica(base, t, i, stride, jitter=jitter)
             return _skewed(rep, t) if skew else rep
 
         scaled = one(0)
@@ -433,11 +516,25 @@ def main() -> int:
     skew = "--skew" in args
     if skew:
         args.remove("--skew")
+    jitter = "--jitter" in args
+    if jitter:
+        args.remove("--jitter")
+    if skew and jitter:
+        raise SystemExit("--skew and --jitter are separate profiles")
     n = int(args[0]) if args else 10
-    names = args[1:] or (SKEW_QUERIES if skew else DEFAULT_QUERIES)
-    bad = [q for q in names if q not in QUERY_TABLES]
-    if bad:
-        raise SystemExit(f"no table map for {bad}; add to QUERY_TABLES")
+    names = args[1:] or (
+        SKEW_QUERIES if skew else JITTER_QUERIES if jitter else DEFAULT_QUERIES
+    )
+    if jitter:
+        bad = [q for q in names if q not in JITTER_QUERIES]
+        if bad:
+            raise SystemExit(f"--jitter covers {JITTER_QUERIES}, not {bad}")
+        if KEY_STRIDE % (64 * n):  # HNSW_MOD2 * n must divide the stride
+            raise SystemExit(f"jitter profile needs 64*{n} | {KEY_STRIDE}")
+    else:
+        bad = [q for q in names if q not in QUERY_TABLES]
+        if bad:
+            raise SystemExit(f"no table map for {bad}; add to QUERY_TABLES")
 
     from musicflow_spark.queries import get_queries
     from musicflow_spark.session import get_spark
@@ -450,13 +547,21 @@ def main() -> int:
     plain_names = [q for q in names if q not in MEDIA_QUERIES]
     need = set()
     for q in plain_names:
-        need |= set(QUERY_TABLES[q])
+        need |= set(QUERY_TABLES.get(q, ["embeddings"]))
     media_need = set()
     for q in media_names:
         media_need |= set(QUERY_TABLES[q])
     dirs: dict[str, str] = {}
     if plain_names:
-        dirs.update(dict.fromkeys(plain_names, build_scaled(spark, n, need, skew=skew)))
+        dirs.update(
+            dict.fromkeys(
+                plain_names,
+                build_scaled(
+                    spark, n, need, skew=skew, jitter=jitter,
+                    tag="jit_" if jitter else "",
+                ),
+            )
+        )
     if media_names:
         # media perceptual fixtures need the class-window-aware stride
         # (MEDIA_DOC_STRIDE) so replicas never fold in texture space
@@ -470,12 +575,21 @@ def main() -> int:
     # ratio measures the curve under skew, not skew-vs-benign
     base_dir = build_scaled(spark, 1, need | media_need, skew=True) if skew else BASE
 
-    label = f"t(skew x1)" if skew else "t(sf0.1)"
-    print(f"{'query':26s} {label:>10s} {'t(%sx%d)' % ('skew ' if skew else '', n):>12s} {'ratio':>6s}  verdict")
+    mode = "skew " if skew else "jit " if jitter else ""
+    label = "t(skew x1)" if skew else "t(sf0.1)"
+    print(f"{'query':26s} {label:>10s} {'t(%sx%d)' % (mode, n):>12s} {'ratio':>6s}  verdict")
     worst = 0.0
     for q in names:
-        t1 = _time(fns[q], spark, base_dir)
-        tn = _time(fns[q], spark, dirs[q])
+        # --jitter: x1 runs the registered call (all geometry knobs at
+        # defaults, base data), xN the same function at geometry(N).
+        # min-of-3 both points: the unrolled graph walks are
+        # plan-compile/JIT heavy, and two runs do not amortize the
+        # warmup (measured 78/53/29 s on identical input)
+        runs = 3 if jitter else 2
+        f1 = _jitter_fn(q, 1) if jitter else fns[q]
+        fn_n = _jitter_fn(q, n) if jitter else fns[q]
+        t1 = _time(f1, spark, base_dir, runs=runs)
+        tn = _time(fn_n, spark, dirs[q], runs=runs)
         r = tn / t1
         worst = max(worst, r)
         verdict = "sub-linear" if r < 0.8 * n else ("~linear" if r <= 1.5 * n else "SUPER-LINEAR!")
