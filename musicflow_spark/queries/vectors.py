@@ -2351,6 +2351,174 @@ def knn_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: at-rest INGEST delta: every 500th vec_id — 1/1/4 delta vectors at
+#: sf0.001/0.01/0.1, so the maintenance write provably touches a
+#: strict subset of the KMEANS_K = 8 cluster partitions at every SF
+#: (the partial-rewrite property the test asserts on the files)
+AT_REST_INGEST_MOD = 500
+
+
+def knn_ivf_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the MATERIALIZED IVF index (ext —
+    the lifecycle step after ``knn_ivf_at_rest``): the quantizer is
+    trained on the BASE corpus only and then FROZEN (the at-rest
+    invariant — re-training would re-shuffle every stored partition);
+    the base index writes ``partitionBy(cluster_id)``; today's delta
+    batch (every AT_REST_INGEST_MOD-th id) is assigned to the frozen
+    centroids and folded in with Spark's DYNAMIC partition overwrite
+    (``partitionOverwriteMode=dynamic``): the staged frame is the
+    delta UNION the read-back rows of only the touched clusters
+    (localCheckpointed BEFORE the write — overwriting a path being
+    lazily read from is the classic self-overwrite hazard), so the
+    commit replaces exactly the touched cluster directories and the
+    untouched partitions' files are never rewritten
+    (byte/mtime-asserted in tests/test_plan_shapes.py).  The probe
+    query then serves off the UPDATED files with the same literal
+    isin → static-PartitionFilters path as ``knn_ivf_at_rest``; the
+    query set (ids < 2) contains one DELTA vector and one base
+    vector, so the result proves freshly-ingested nodes both query
+    and get found.  The oracle replays base-only kmeans training +
+    full-corpus assignment to the frozen centroids + probe/rerank."""
+    import os as _os
+
+    from musicflow_spark.operators.embeddings import (
+        kmeans_assign_arrow,
+        kmeans_centroids,
+        kmeans_rank_arrow,
+        quantized,
+    )
+    from musicflow_spark.operators.similarity import _exact_rerank
+    from musicflow_spark.sources.catalog import write_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % AT_REST_INGEST_MOD == 0
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    cent = kmeans_centroids(base, k=KMEANS_K, n_iter=KMEANS_ITERS)
+    cent_rows = [
+        (int(r["cid"]), list(r["cv"]))
+        for r in sorted(cent.collect(), key=lambda r: int(r["cid"]))
+    ]
+
+    def assign(df: DataFrame) -> DataFrame:
+        qq = df.select(
+            F.col("vec_id").alias("id"), quantized("embedding").alias("qv")
+        )
+        return (
+            kmeans_assign_arrow(qq, cent_rows)
+            .select(F.col("id").alias("vec_id"), F.col("cid").alias("cluster_id"))
+            .join(df.select("vec_id", "embedding"), "vec_id")
+            .select("cluster_id", "vec_id", "embedding")
+        )
+
+    path = _os.path.join(
+        IVF_INDEX_DIR, f"ivfing_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_table(assign(base), path, partition_by=["cluster_id"])
+
+    delta_idx = assign(delta).localCheckpoint(eager=True)
+    touched = sorted({int(r["cluster_id"]) for r in delta_idx.select("cluster_id").distinct().collect()})
+    staged = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster_id").isin(touched))
+        .select("cluster_id", "vec_id", "embedding")
+        .unionByName(delta_idx)
+        .localCheckpoint(eager=True)
+    )
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+    at_rest = spark.read.parquet(path)
+
+    qq_q = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS).select(
+        F.col("vec_id").alias("id"), quantized("embedding").alias("qv")
+    )
+    probe_rows = kmeans_rank_arrow(qq_q, cent_rows, IVF_TRAIN_PROBE).select(
+        F.col("id").alias("query_id"), "cid"
+    ).collect()
+    probed_cids = sorted({int(r["cid"]) for r in probe_rows})
+    plist = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["cid"])) for r in probe_rows],
+        "query_id long, cid int",
+    )
+    cands = (
+        at_rest.filter(F.col("cluster_id").isin(probed_cids))
+        .join(F.broadcast(plist), at_rest["cluster_id"] == plist["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    queries = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS)
+    topk = _exact_rerank(emb, queries, cands, "vec_id", "embedding", TOP_K)
+    return topk.select(
+        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
+    )
+
+
+def _knn_ivf_at_rest_ingest_oracle_sql() -> str:
+    """Base-only kmeans training (the frozen quantizer), full-corpus
+    assignment to it, then the trained-IVF probe/rerank — the exact
+    content of the updated at-rest index without modeling the file
+    layout (which tests/test_plan_shapes.py asserts separately)."""
+    from musicflow_spark.operators.embeddings import (
+        DEFAULT_SCALE,
+        kmeans_oracle_parts,
+    )
+
+    base_table = (
+        f"(SELECT * FROM embeddings WHERE vec_id % {AT_REST_INGEST_MOD} <> 0)"
+    )
+    parts = kmeans_oracle_parts(
+        base_table, dim=KMEANS_DIM, k=KMEANS_K, n_iter=KMEANS_ITERS,
+        final_assign=False,
+    )
+    t = KMEANS_ITERS
+    parts.append(f"""qall AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {DEFAULT_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings)""")
+    parts.append(f"""dall AS MATERIALIZED (
+  SELECT q.id, c.cid,
+         CAST(list_sum(list_transform(range(1, {KMEANS_DIM} + 1),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM qall q, cent{t} c),
+aall AS MATERIALIZED (
+  SELECT id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM dall)
+  WHERE rn = 1)""")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+probes AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM dall WHERE id < {AT_REST_QUERY_VECS})
+  WHERE rn <= {IVF_TRAIN_PROBE}),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM aall a JOIN probes p ON a.cid = p.cid
+  WHERE a.id <> p.query_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> cast(q.embedding[i] AS double) * cast(n.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(n.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 KNN_INGEST_MOD = 5
 
 
@@ -2885,6 +3053,7 @@ QUERIES = [
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
     Query("knn_ivf_at_rest", "ext: IVF index MATERIALIZED partitionBy(cluster_id) through the catalog sink, probe served off the written files with static partition pruning (S2 + the SCALE.md pruning claim, plan-proven)", knn_ivf_at_rest, _knn_ivf_trained_oracle_sql(n_query=AT_REST_QUERY_VECS)),
+    Query("knn_ivf_at_rest_ingest", "ext: at-rest IVF index MAINTENANCE — frozen base-trained quantizer, delta folded in via dynamic partition overwrite (untouched cluster files never rewritten), probe served off the updated files", knn_ivf_at_rest_ingest, _knn_ivf_at_rest_ingest_oracle_sql()),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (truncated-integer-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),

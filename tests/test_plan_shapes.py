@@ -231,3 +231,82 @@ def test_ivf_index_at_rest_prunes_partitions(spark):
     # same query set (the oracle replays that equivalence at 3 SFs)
     rows = df.collect()
     assert rows and {r["query_id"] for r in rows} == set(range(2))
+
+
+def test_dynamic_overwrite_rewrites_only_touched_partitions(spark, tmp_path):
+    """The at-rest index MAINTENANCE mechanics in isolation: a
+    dynamic-partition-overwrite commit must replace exactly the
+    partitions present in the staged frame — every other partition's
+    files keep their names, sizes and mtimes bit-for-bit, so an
+    ingest batch costs O(delta + touched partitions), never a full
+    index rewrite (the knn_ivf_at_rest_ingest contract)."""
+    import os
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(c, 100 * c + i, float(i)) for c in range(4) for i in range(5)],
+        "cluster_id int, vec_id long, v double",
+    )
+    base.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cluster_id="):
+                dd = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(dd, f)),
+                     os.path.getmtime(os.path.join(dd, f)))
+                    for f in os.listdir(dd) if f.endswith(".parquet")
+                )
+        return out
+
+    before = snapshot()
+    assert set(before) == {f"cluster_id={c}" for c in range(4)}
+
+    staged = spark.createDataFrame(
+        [(2, 100 * 2 + i, float(i)) for i in range(5)] + [(2, 999, 9.0)],
+        "cluster_id int, vec_id long, v double",
+    )
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+    after = snapshot()
+    # untouched partitions: identical file lists incl. sizes+mtimes
+    for d in ("cluster_id=0", "cluster_id=1", "cluster_id=3"):
+        assert after[d] == before[d], d
+    # touched partition: rewritten (different file set)
+    assert after["cluster_id=2"] != before["cluster_id=2"]
+    # and the table now holds base + delta with no loss elsewhere
+    got = spark.read.parquet(path)
+    assert got.count() == 21
+    assert got.filter("cluster_id = 2").count() == 6
+
+
+def test_ivf_at_rest_ingest_serves_delta_and_base(spark):
+    """knn_ivf_at_rest_ingest end-to-end at sf0.001: the single delta
+    vector (vec_id 0) is both a query and discoverable content, every
+    cluster partition materializes, and no row is lost by the
+    maintenance commit (base 499 + delta 1)."""
+    import os
+
+    from musicflow_spark.queries.vectors import (
+        IVF_INDEX_DIR,
+        KMEANS_K,
+        knn_ivf_at_rest_ingest,
+    )
+
+    rows = knn_ivf_at_rest_ingest(spark, SF_DIR).collect()
+    idx_path = os.path.join(IVF_INDEX_DIR, "ivfing_sf0.001")
+    parts = [d for d in os.listdir(idx_path) if d.startswith("cluster_id=")]
+    assert len(parts) == KMEANS_K
+    assert spark.read.parquet(idx_path).count() == 500
+    assert {r["query_id"] for r in rows} == {0, 1}
+    # ranks are dense per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
