@@ -320,6 +320,14 @@ QUERY_TABLES = {
     # trained IVF: seeds = lowest ids (< stride) cap training to the
     # base replica's k; assignment O(N·k); probed-list rerank O(N/k)
     "knn_ivf_trained": ["embeddings"],
+    # at-rest IVF: the trained shape + one partitioned index write
+    # (data-sized, the honest cost of materializing) + a probe read
+    # whose scan lists only the probed cluster directories
+    "knn_ivf_at_rest": ["embeddings"],
+    # at-rest maintenance: base index write + delta assignment +
+    # dynamic overwrite of ONLY touched partitions + pruned probe;
+    # the delta is id-stride-sparse so it stays sparse at every N
+    "knn_ivf_at_rest_ingest": ["embeddings"],
     # per-user sequence strings: users replica-disjoint, one keyed
     # shuffle, per-key work bounded by that user's activity
     "user_funnel_sequences": ["events"],
