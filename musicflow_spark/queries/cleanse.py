@@ -375,6 +375,87 @@ FROM n
 """
 
 
+def doc_unicode_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features over CANONICAL text (ext — the real-corpus
+    path VERDICT r10 item 6 asked for): the filtering features every
+    pre-training pipeline tunes (token/uniq counts, stopword and
+    punctuation fractions) computed AFTER the normalize→fold hygiene
+    pass instead of on raw bytes.  The injected mess makes the
+    difference observable: n_chars_raw counts the decomposed
+    codepoints, n_chars_canon the composed ones, so the raw-bytes
+    features a naive pipeline computes sit on a different denominator
+    than the canonical ones.  Same Arrow NFC tier + JVM fold as
+    doc_unicode_normalize; features are the registered
+    quality_features expressions applied to the folded column; the
+    oracle replays the whole composition (nfc_normalize → lower →
+    the doc_quality feature SQL).  Map-only after the normalize pass
+    — no shuffle, linear at any scale."""
+    from musicflow_spark.operators.textnorm import (
+        inject_messy_text,
+        unicode_normalize,
+    )
+    from musicflow_spark.operators.textstats import quality_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id", inject_messy_text("text").alias("messy")
+    )
+    nfc = unicode_normalize(messy, "messy", form="NFC", out_col="text_nfc")
+    canon = nfc.select(
+        "doc_id",
+        F.length("messy").alias("n_chars_raw"),
+        F.length("text_nfc").alias("n_chars_canon"),
+        F.lower("text_nfc").alias("text"),
+    )
+    qf = quality_features(canon, "text")
+    return qf.select(
+        "doc_id",
+        "n_chars_raw",
+        "n_chars_canon",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
+        pround(F.col("avg_token_len"), 4).alias("avg_token_len"),
+        pround(F.col("stopword_frac"), 4).alias("stopword_frac"),
+        pround(F.col("punct_frac"), 4).alias("punct_frac"),
+        pround(F.col("uniq_frac"), 4).alias("uniq_frac"),
+    )
+
+
+def _unicode_quality_oracle_sql() -> str:
+    from musicflow_spark.operators.textstats import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    punct_cls = r"'[.,!?;:''\"()\[\]{}-]'"
+    punct_expr = (
+        "CASE WHEN length(text) = 0 THEN 0.0 "
+        "ELSE (length(text) - length(regexp_replace(text, "
+        + punct_cls
+        + ", '', 'g'))) / cast(length(text) AS double) END"
+    )
+    return rf"""
+WITH m AS (
+  SELECT doc_id, {_MESSY_SQL} AS messy FROM documents),
+n AS (
+  SELECT doc_id, length(messy) AS n_chars_raw,
+         lower(nfc_normalize(messy)) AS text
+  FROM m),
+toks AS (
+  SELECT doc_id, n_chars_raw, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM n)
+SELECT doc_id,
+       n_chars_raw,
+       length(text) AS n_chars_canon,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_uniq_tokens,
+       {pround_sql("CASE WHEN len(t) = 0 THEN 0.0 ELSE list_sum(list_transform(t, x -> length(x))) / cast(len(t) AS double) END", 4)} AS avg_token_len,
+       {pround_sql(f"CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> list_contains([{sw}], x))) / cast(len(t) AS double) END", 4)} AS stopword_frac,
+       {pround_sql(punct_expr, 4)} AS punct_frac,
+       {pround_sql("CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_distinct(t)) / cast(len(t) AS double) END", 4)} AS uniq_frac
+FROM toks
+"""
+
+
 K_ANON = 5
 
 
@@ -453,6 +534,12 @@ QUERIES = [
         "ext: canonical-form dedup — NFC keys merge byte-distinct representation variants",
         doc_unicode_dedup,
         DOC_UNICODE_DEDUP_SQL,
+    ),
+    Query(
+        "doc_unicode_quality",
+        "ext: quality features over canonical (NFC+fold) text — the real-corpus filter path",
+        doc_unicode_quality,
+        _unicode_quality_oracle_sql(),
     ),
     Query(
         "doc_unicode_normalize",
