@@ -132,6 +132,11 @@ QUERY_TABLES = {
     "customer_merge_upsert": ["customer", "orders", "supplier"],
     # map + one keyed agg over hosts
     "doc_url_canonical": ["documents"],
+    # unicode tier: two chained Arrow map passes (normalize) + JVM
+    # fold/features; dedup adds one digest-keyed agg — all linear
+    "doc_unicode_normalize": ["documents"],
+    "doc_unicode_dedup": ["documents"],
+    "doc_unicode_quality": ["documents"],
     # fixed codebook (vec_id < 500 caps seeds to the base replica),
     # so encode + ADC scan are O(N) with constant K
     "knn_pq": ["embeddings"],
