@@ -1013,6 +1013,71 @@ def stream_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scrub_tail(base, removable, n=SUFFIX_SCRUB_MIN, min_run_grams=1)
 
 
+def stream_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming canonical-form dedup (ext — the streaming twin of
+    ``doc_unicode_dedup``): documents replay in doc_id-ordered chunks
+    and the Unicode hygiene stage — inject → Arrow NFC normalize →
+    md5 canonical/byte keys — runs INSIDE the stream, per micro-batch
+    (``mapInArrow`` is a stateless map, so it lifts to Structured
+    Streaming unchanged; this is the shape a crawl-ingest pipeline
+    has, where canonical keys must exist the moment a document
+    lands).  The group rollup (min-id keeper, member count,
+    byte-variant count) runs as a batch pass over the accumulated
+    key table — the sketch-then-assemble contract every dedup twin
+    here uses.  The oracle is the BATCH doc_unicode_dedup SQL
+    verbatim: the key map is per-row, so hash equality certifies
+    exact convergence regardless of chunking."""
+    from musicflow_spark.operators.textnorm import (
+        inject_messy_text,
+        unicode_normalize,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    third = (hi - lo) // _N_CHUNKS + 1
+    path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    seen: set[str] = set()
+    for i in range(_N_CHUNKS):
+        docs.filter(
+            (F.col("doc_id") >= lo + i * third)
+            & (F.col("doc_id") < lo + (i + 1) * third)
+        ).coalesce(1).write.mode("append").parquet(path)
+        _bump_mtimes(path, seen, i + 1)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    messy = stream.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+        )
+        .otherwise(F.replace(F.col("text"), F.lit("e"), F.lit("é")))
+        .alias("messy"),
+    )
+    nfc = unicode_normalize(messy, "messy", form="NFC", out_col="text_nfc")
+    keyed = nfc.select(
+        "doc_id",
+        F.md5("text_nfc").alias("canon_key"),
+        F.md5("messy").alias("byte_key"),
+    )
+    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/uni_keys"
+    _run_available_now(
+        keyed,
+        lambda w: w.format("parquet").option("path", out).outputMode("append"),
+    )
+    keys = spark.read.schema(
+        "doc_id bigint, canon_key string, byte_key string"
+    ).parquet(out)
+    return keys.groupBy("canon_key").agg(
+        F.min("doc_id").alias("canon_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("byte_key").cast("long").alias("n_variants"),
+    )
+
+
 def stream_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cross-modal ingestion gate (ext — VERDICT r09 item
     8, pairing with ``crossmodal_semantic_dedup``): the consistency
@@ -1178,6 +1243,16 @@ def _register_minhash_twin() -> None:
         _corpus_crossmodal_mart_oracle_sql,
     )
 
+    from musicflow_spark.queries.cleanse import DOC_UNICODE_DEDUP_SQL
+
+    QUERIES.append(
+        Query(
+            "stream_unicode_dedup",
+            "ext: streaming twin — Arrow NFC canonical keys per micro-batch, batch dedup oracle verbatim (per-row map convergence)",
+            stream_unicode_dedup,
+            DOC_UNICODE_DEDUP_SQL,
+        )
+    )
     QUERIES.append(
         Query(
             "stream_crossmodal_mart",

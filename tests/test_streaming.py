@@ -1336,3 +1336,16 @@ def test_crossmodal_stream_converges_to_batch_mart(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_unicode_dedup_stream_converges_to_batch(spark, sf_dir):
+    """The streaming canonical-dedup twin (Arrow NFC normalize + md5
+    keys per micro-batch, group rollup over the accumulated keys)
+    must converge EXACTLY to the one-shot batch query — the key map
+    is per-row, so chunk boundaries cannot change any group."""
+    from musicflow_spark.queries.cleanse import doc_unicode_dedup
+    from musicflow_spark.queries.streamtwins import stream_unicode_dedup
+
+    batch = {tuple(r) for r in doc_unicode_dedup(spark, sf_dir).collect()}
+    streamed = {tuple(r) for r in stream_unicode_dedup(spark, sf_dir).collect()}
+    assert streamed == batch
