@@ -159,6 +159,11 @@ _DRIVER_PROVEN: tuple[str, ...] = (
     "knn_hnsw", "knn_hnsw_recall", "knn_hnsw_ingest",
     "corpus_crossmodal_training_mart", "crossmodal_semantic_dedup",
     "crossmodal_lsh_retrieval",
+    # green in CORRECTNESS_r11.json (50/50; the other 43 window rows
+    # were round-keyed re-certifications of already-proven queries)
+    "stream_unicode_dedup", "corpus_training_batch_mart",
+    "doc_unicode_dedup", "doc_unicode_quality", "doc_unicode_normalize",
+    "knn_ivf_at_rest", "knn_ivf_at_rest_ingest",
 )
 
 #: Current build round — bump when rotating the previous round's greens
@@ -170,18 +175,17 @@ _DRIVER_PROVEN: tuple[str, ...] = (
 #: proven tier re-earns a driver-green row every ~len/stride rounds
 #: instead of the same module-order prefix being re-checked forever
 #: (VERDICT r07 item 1).
-_ROUND = 11
+_ROUND = 12
 _FILL_STRIDE = 41
 
 # Queries added AFTER the current round's 50-query window was frozen.
 # They sort after the window but before the proven tail, so they enter
 # the window automatically next round when this round's greens move to
-# _DRIVER_PROVEN.  Round-11 rotation: all 9 round-10 additions (the
-# crossmodal training mart / SemDeDup / SRP-LSH retrieval, layered
-# HNSW batch+ingest+recall, OPQ, shard manifest, stream crossmodal
-# twin) went driver-green in CORRECTNESS_r10.json and rolled into
-# _DRIVER_PROVEN; the window head is now the round-11 additions plus
-# the round-keyed proven fill.
+# _DRIVER_PROVEN.  Round-12 rotation: all 7 round-11 additions (the
+# unicode tier batch+stream, the training-batch capstone mart, at-rest
+# IVF serve+ingest) went driver-green in CORRECTNESS_r11.json and
+# rolled into _DRIVER_PROVEN; the window head is now the round-12
+# additions plus the round-keyed proven fill.
 _NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
