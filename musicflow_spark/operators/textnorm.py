@@ -114,6 +114,13 @@ def unicode_normalize(
 #:   'e' -> 'e' + U+0301   combining acute; NFC composes to U+00E9
 #:   'w' -> U+FB01         ﬁ ligature; NFC keeps it, NFKC -> "fi"
 #:   'o' -> U+212B         ANGSTROM SIGN; NFC singleton -> U+00C5
+# GUARD (ADVICE r11): the registered oracle models NFKC as
+# replace(U+FB01 -> 'fi') then nfc_normalize, equivalent to full NFKC
+# ONLY on this exact compatibility set.  Any new _INJECT entry must
+# (a) extend the NFKC replace chain in the cleanse.py oracle and
+# (b) extend tests/test_textnorm.py::
+# test_nfkc_via_replace_equivalence_on_injected_set, or oracle parity
+# silently breaks.
 _INJECT = (("e", "e\u0301"), ("w", "\uFB01"), ("o", "\u212B"))
 
 

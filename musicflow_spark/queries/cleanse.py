@@ -22,6 +22,7 @@ from musicflow_spark.operators.cleanse import (
     repetition_features,
 )
 from musicflow_spark.operators.dedup import portable_hash60
+from musicflow_spark.operators.textnorm import INJECT_SQL
 from musicflow_spark.queries.portable import pround, pround_sql
 from musicflow_spark.queries.registry import Query
 from musicflow_spark.sources.catalog import read_table
@@ -286,10 +287,10 @@ def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MESSY_SQL = (
-    "replace(replace(replace(text, 'e', 'e' || chr(769)), "
-    "'w', chr(64257)), 'o', chr(8491))"
-)
+# Derived from the operator's own SQL template so the injection chain
+# has exactly one definition (ADVICE r11: three hand-kept copies could
+# drift; now _INJECT -> INJECT_SQL -> here).
+_MESSY_SQL = INJECT_SQL.format(col="text")
 
 
 def doc_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +356,87 @@ SELECT canon_key,
        count(DISTINCT byte_key) AS n_variants
 FROM k GROUP BY canon_key
 """
+
+def doc_unicode_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text NEAR-dup rung (VERDICT r11 item 2): the
+    MinHash/LSH ladder shingles byte tokens, so two near-duplicate
+    documents in DIFFERENT Unicode representations never share the
+    shingles their 'e'-bearing tokens contribute and can miss banding
+    entirely — the same cross-representation failure
+    ``doc_unicode_dedup`` proves for exact keys, here at the near-dup
+    tier.  Composition: the parity-split representation divergence
+    (even doc_ids precomposed U+00E9, odd decomposed e + U+0301) →
+    textnorm's Arrow NFC pass → the UNCHANGED minhash_dedup_pairs
+    ladder over the canonical column.  NFC collapses both spellings,
+    so banding and exact-Jaccard verification see identical token
+    streams regardless of arrival form; tests/test_textnorm.py pins a
+    cross-representation near-dup pair that raw byte-shingled minhash
+    misses and this composition finds.
+
+    Oracle: the injection + ``nfc_normalize`` CTE prefixed onto the
+    EXISTING exact-Jaccard CTEs (textops.DOC_JACCARD_PAIRS_SQL,
+    composed by ``_unicode_neardup_oracle_sql`` — one definition of
+    the jaccard pipeline, not a copy).  Equality with the exact
+    result asserts both soundness (the verify stage) and 100% LSH
+    recall on this corpus — same bimodal-gap argument as
+    ``doc_minhash_dedup``, unchanged by NFC because normalization is
+    a per-token bijection here (token multisets map 1:1, Jaccard
+    values are preserved exactly).
+
+    Scale: one Arrow map pass (no shuffle) in front of the ladder;
+    the ladder's own shape — (band, bucket) equi-join, max_df cap —
+    is untouched, so the 100-TB story is doc_minhash_dedup's."""
+    from musicflow_spark.operators.dedup import minhash_dedup_pairs
+    from musicflow_spark.operators.textnorm import unicode_normalize
+
+    docs = read_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("\u00E9")),
+        )
+        .otherwise(
+            F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+        )
+        .alias("messy"),
+    )
+    nfc = unicode_normalize(messy, "messy", form="NFC", out_col="text_nfc")
+    pairs = minhash_dedup_pairs(
+        nfc, text_col="text_nfc", k=32, bands=16, threshold=0.2, max_df=20
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter_cnt",
+        pround(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+def _unicode_neardup_oracle_sql() -> str:
+    """Prefix the parity injection + nfc_normalize CTEs onto the
+    existing exact-Jaccard oracle so the jaccard pipeline has ONE
+    SQL definition; only the source relation is rewritten."""
+    from musicflow_spark.queries.textops import DOC_JACCARD_PAIRS_SQL
+
+    prefix = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN replace(text, 'e', chr(233))
+              ELSE replace(text, 'e', 'e' || chr(769)) END AS messy
+  FROM documents),
+c AS (
+  SELECT doc_id, nfc_normalize(messy) AS text FROM m),
+toks AS ("""
+    # rewrite the source relation FIRST — the prefix itself reads
+    # FROM documents, so the other order would rewrite the wrong one
+    out = DOC_JACCARD_PAIRS_SQL.replace("FROM documents)", "FROM c)", 1).replace(
+        "WITH toks AS (", prefix, 1
+    )
+    assert "FROM c)" in out and out.count("FROM documents") == 1
+    return out
+
 
 DOC_UNICODE_NORMALIZE_SQL = f"""
 WITH m AS (
@@ -534,6 +616,13 @@ QUERIES = [
         "ext: canonical-form dedup — NFC keys merge byte-distinct representation variants",
         doc_unicode_dedup,
         DOC_UNICODE_DEDUP_SQL,
+    ),
+    Query(
+        "doc_unicode_neardup",
+        "ext: canonical-text near-dup — NFC normalize feeding the minhash LSH ladder",
+        doc_unicode_neardup,
+        _unicode_neardup_oracle_sql(),
+        bench=True,
     ),
     Query(
         "doc_unicode_quality",

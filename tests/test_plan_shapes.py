@@ -286,24 +286,30 @@ def test_dynamic_overwrite_rewrites_only_touched_partitions(spark, tmp_path):
     assert got.filter("cluster_id = 2").count() == 6
 
 
-def test_ivf_at_rest_ingest_serves_delta_and_base(spark):
+def test_ivf_at_rest_ingest_serves_delta_and_base(spark, tmp_path, monkeypatch):
     """knn_ivf_at_rest_ingest end-to-end at sf0.001: the single delta
     vector (vec_id 0) is both a query and discoverable content, every
     cluster partition materializes, and no row is lost by the
-    maintenance commit (base 499 + delta 1)."""
+    maintenance commit (base + delta == the fixture row count, read
+    from the table rather than hardcoded — ADVICE r11; the index
+    root is a per-run temp dir so a concurrent run against the shared
+    /tmp path cannot interfere)."""
     import os
 
+    from musicflow_spark.queries import vectors as _vectors
     from musicflow_spark.queries.vectors import (
-        IVF_INDEX_DIR,
         KMEANS_K,
         knn_ivf_at_rest_ingest,
     )
+    from musicflow_spark.sources.catalog import read_table
 
+    monkeypatch.setattr(_vectors, "IVF_INDEX_DIR", str(tmp_path))
+    n_vectors = read_table(spark, SF_DIR, "embeddings").count()
     rows = knn_ivf_at_rest_ingest(spark, SF_DIR).collect()
-    idx_path = os.path.join(IVF_INDEX_DIR, "ivfing_sf0.001")
+    idx_path = os.path.join(str(tmp_path), "ivfing_sf0.001")
     parts = [d for d in os.listdir(idx_path) if d.startswith("cluster_id=")]
     assert len(parts) == KMEANS_K
-    assert spark.read.parquet(idx_path).count() == 500
+    assert spark.read.parquet(idx_path).count() == n_vectors
     assert {r["query_id"] for r in rows} == {0, 1}
     # ranks are dense per query
     by_q = {}

@@ -82,7 +82,7 @@ def test_oracles_present_or_documented_rows_only():
 
 def test_bench_flags_point_at_registered_queries():
     bench = [q for q in get_queries() if q.bench]
-    # BASELINE.md headline set; update together (35 since round 11:
-    # corpus_training_batch_mart — the training-data capstone — joined
-    # alongside round 10's corpus_shard_manifest)
-    assert len(bench) == 35
+    # BASELINE.md headline set; update together (36 since round 12:
+    # doc_unicode_neardup — the canonical-text near-dup rung — joined
+    # alongside round 11's corpus_training_batch_mart)
+    assert len(bench) == 36

@@ -184,3 +184,48 @@ def test_doc_unicode_dedup_conservation_and_merge(spark):
     nfc = unicode_normalize(df, "text", form="NFC", out_col="n")
     keys = {r["doc_id"]: r["k"] for r in nfc.selectExpr("doc_id", "md5(n) k").collect()}
     assert keys[1] == keys[2]
+
+
+def test_unicode_neardup_finds_cross_representation_pair(spark):
+    """VERDICT r11 item 2: byte-shingled minhash misses a near-dup
+    pair whose two members arrived in different Unicode
+    representations; NFC in front of the SAME ladder finds it."""
+    from musicflow_spark.operators.dedup import minhash_dedup_pairs
+
+    base = (
+        "the red hen feeds her three new chicks near the green "
+        "fence while the речь sentence keeps every shingle sharing "
+        "the letter e between them"
+    )
+    # doc 1: precomposed U+00E9 for every 'e'; doc 2: decomposed
+    # e+U+0301 — visibly identical, byte-distinct in every token.
+    df = spark.createDataFrame(
+        [(1, base.replace("e", "é")), (2, base.replace("e", "é"))],
+        "doc_id long, text string",
+    )
+    raw = minhash_dedup_pairs(
+        df, k=32, bands=16, threshold=0.2, max_df=20
+    ).collect()
+    assert raw == []  # every 3-token shingle contains an 'e' token
+    nfc = unicode_normalize(df, "text", form="NFC", out_col="text_nfc")
+    canon = minhash_dedup_pairs(
+        nfc, text_col="text_nfc", k=32, bands=16, threshold=0.2, max_df=20
+    ).collect()
+    assert len(canon) == 1
+    row = canon[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    assert row["jaccard"] == 1.0  # identical canonical token streams
+
+
+def test_unicode_neardup_oracle_composition_rewrites_source():
+    from musicflow_spark.queries.cleanse import _unicode_neardup_oracle_sql
+    from musicflow_spark.queries.textops import DOC_JACCARD_PAIRS_SQL
+
+    sql = _unicode_neardup_oracle_sql()
+    # exactly one source read (the injection CTE); the jaccard CTEs
+    # read the canonical relation
+    assert sql.count("FROM documents") == 1
+    assert "nfc_normalize(messy)" in sql
+    # the jaccard pipeline is the shared definition, not a copy
+    tail = DOC_JACCARD_PAIRS_SQL.split("FROM documents),", 1)[1]
+    assert tail in sql

@@ -137,6 +137,7 @@ QUERY_TABLES = {
     "doc_unicode_normalize": ["documents"],
     "doc_unicode_dedup": ["documents"],
     "doc_unicode_quality": ["documents"],
+    "doc_unicode_neardup": ["documents"],
     # fixed codebook (vec_id < 500 caps seeds to the base replica),
     # so encode + ADC scan are O(N) with constant K
     "knn_pq": ["embeddings"],
@@ -364,7 +365,7 @@ def _replica(df, table: str, i: int, stride: int = KEY_STRIDE, jitter: bool = Fa
         import numpy as np
 
         rng = np.random.RandomState(997 + i)
-        signs = [1.0 if b else -1.0 for b in (rng.random(EMB_DIM) < 0.5)]
+        signs = [1.0 if b else -1.0 for b in (rng.random(_emb_dim()) < 0.5)]
         out = out.withColumn(
             "embedding",
             F.zip_with(
@@ -387,7 +388,14 @@ def _replica(df, table: str, i: int, stride: int = KEY_STRIDE, jitter: bool = Fa
     return out
 
 
-EMB_DIM = 64  # embeddings fixture dim (== queries/vectors.py LSH_DIM)
+def _emb_dim() -> int:
+    """Embeddings fixture dim, imported from the registered geometry
+    (ADVICE r11: a hardcoded 64 here would silently go stale if the
+    fixture/LSH dim ever changed — zip_with over mismatched sign
+    vectors yields nulls, not an error)."""
+    from musicflow_spark.queries.vectors import LSH_DIM
+
+    return LSH_DIM
 
 #: --jitter mode (VERDICT r10 item 7): the graph-ANN family, excluded
 #: from the plain profile because identical replica vectors merge
@@ -542,8 +550,12 @@ def main() -> int:
         bad = [q for q in names if q not in JITTER_QUERIES]
         if bad:
             raise SystemExit(f"--jitter covers {JITTER_QUERIES}, not {bad}")
-        if KEY_STRIDE % (64 * n):  # HNSW_MOD2 * n must divide the stride
-            raise SystemExit(f"jitter profile needs 64*{n} | {KEY_STRIDE}")
+        from musicflow_spark.queries.vectors import HNSW_MOD2
+
+        if KEY_STRIDE % (HNSW_MOD2 * n):  # HNSW_MOD2 * n must divide the stride
+            raise SystemExit(
+                f"jitter profile needs {HNSW_MOD2}*{n} | {KEY_STRIDE}"
+            )
     else:
         bad = [q for q in names if q not in QUERY_TABLES]
         if bad:
