@@ -959,6 +959,35 @@ def knn_hnsw_ingest(
 
 
 def _knn_hnsw_ingest_oracle_sql() -> str:
+    parts, links = _hnsw_ingest_common_parts()
+    sel = []
+    for layer, (links_cte, m_cte, deg) in links.items():
+        parts.append(f"""t{layer} AS (
+  SELECT DISTINCT query_id FROM {m_cte}
+  WHERE rank <= {deg} AND neighbor_id % {KNN_INGEST_MOD} = 0),
+ch{layer} AS (
+  SELECT m.query_id, m.neighbor_id, m.cos_sim, m.rank
+  FROM {m_cte} m JOIN t{layer} USING (query_id) WHERE m.rank <= {deg})""")
+        sel.append(
+            f"SELECT query_id, neighbor_id,\n"
+            f"       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,\n"
+            f"       rank, {layer} AS layer, 'delta' AS side FROM {links_cte}"
+        )
+        sel.append(
+            f"SELECT query_id, neighbor_id,\n"
+            f"       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,\n"
+            f"       rank, {layer} AS layer, 'base_updated' AS side FROM ch{layer}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def _hnsw_ingest_common_parts() -> "tuple[list[str], dict[int, tuple[str, str, int]]]":
+    """Shared CTE construction of the two layered-ingest oracles
+    (``knn_hnsw_ingest`` and ``knn_hnsw_at_rest_ingest``): the
+    base-only descent with delta queries, the raw-cosine stored-graph
+    replays, the per-layer delta link lists, and the merged
+    (stored graph ∪ reverse links) re-rankings.  Returns
+    ``(parts, {layer: (links_cte, merged_cte, degree)})``."""
     isdelta = f"vec_id % {KNN_INGEST_MOD} = 0"
     notdelta = f"vec_id % {KNN_INGEST_MOD} <> 0"
     parts, _bot = _hnsw_descent_parts(qwhere=isdelta, nwhere=notdelta)
@@ -992,7 +1021,7 @@ def _knn_hnsw_ingest_oracle_sql() -> str:
         1: (f"b1_{r1}", HNSW_DEG1, f"query_id % {HNSW_MOD1} = 0"),
         2: (f"b2_{r2}", HNSW_DEG2, f"query_id % {HNSW_MOD2} = 0"),
     }
-    sel = []
+    out: dict[int, tuple[str, str, int]] = {}
     for layer, (beam_cte, deg, member) in links.items():
         parts.append(f"""links{layer} AS MATERIALIZED (
   SELECT query_id, node AS neighbor_id, cos_sim, rk AS rank
@@ -1004,22 +1033,318 @@ def _knn_hnsw_ingest_oracle_sql() -> str:
                             ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM (SELECT query_id, neighbor_id, cos_sim FROM {g}
         UNION ALL
-        SELECT l.neighbor_id, l.query_id, l.cos_sim FROM links{layer} l)),
-t{layer} AS (
-  SELECT DISTINCT query_id FROM m{layer}
-  WHERE rank <= {deg} AND neighbor_id % {KNN_INGEST_MOD} = 0),
-ch{layer} AS (
-  SELECT m.query_id, m.neighbor_id, m.cos_sim, m.rank
-  FROM m{layer} m JOIN t{layer} USING (query_id) WHERE m.rank <= {deg})""")
+        SELECT l.neighbor_id, l.query_id, l.cos_sim FROM links{layer} l))""")
+        out[layer] = (f"links{layer}", f"m{layer}", deg)
+    return parts, out
+
+
+#: at-rest HNSW file-layout knob: the stored adjacency partitions on
+#: (layer, bucket = pmod(xxhash64(src), HNSW_NBUCKETS)).  ``layer`` is
+#: the pruning key the descent actually uses — each beam round reads
+#: exactly one layer's files (static PartitionFilters, plan-asserted
+#: in tests/test_plan_shapes.py); ``bucket`` is the maintenance
+#: granularity: at 100 TB the layer-0 adjacency is corpus-sized and a
+#: delta batch must rewrite only the buckets its write-set touches,
+#: never a whole layer.  The bucket key is HASHED, not ``src % n`` —
+#: the upper layers' members are id-stride multiples, so a modulo
+#: bucket would put an entire layer in one partition.  16 keeps a
+#: single-delta write-set (~20 touched sources spread by the hash) a
+#: STRICT subset of the buckets at fixture scale (the partial-rewrite
+#: test's contract); a production deployment raises it with corpus
+#: size.
+HNSW_NBUCKETS = 16
+
+
+def _hnsw_layer_graphs(
+    emb: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Directed per-layer top-k graphs with RAW cos_sim — the stored
+    content of the layered index (layer 0 = the shared k=8 LSH graph
+    over all member nodes, layer 1 = coarse-bucket LSH over every 8th
+    id, layer 2 = exact degree-4 over the every-64th apex; the same
+    builders ``knn_hnsw`` / ``knn_hnsw_ingest`` use, at the
+    registered geometry)."""
+    l1 = emb.filter(F.col("vec_id") % HNSW_MOD1 == 0)
+    l2 = emb.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    g2 = brute_force_topk(l2, l2, k=HNSW_DEG2)
+    g1 = lsh_topk(
+        l1, l1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=HNSW_PLANES1,
+        n_tables=HNSW_TABLES1, seed=LSH_SEED, broadcast_queries=False,
+    )
+    g0 = lsh_topk(
+        emb, emb, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=LSH_PLANES,
+        n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
+    )
+    return g0, g1, g2
+
+
+def _hnsw_adjacency_rows(g: DataFrame, layer: int) -> DataFrame:
+    """(layer, bucket, src, dst, cos_sim, rank) adjacency rows for one
+    stored layer graph.  cos_sim is stored RAW (parquet doubles are
+    exact) so maintenance re-ranks on the same values the build saw;
+    registered queries round only at the output projection."""
+    return g.select(
+        F.lit(layer).cast("int").alias("layer"),
+        F.pmod(F.xxhash64("query_id"), F.lit(HNSW_NBUCKETS))
+        .cast("int")
+        .alias("bucket"),
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cos_sim",
+        "rank",
+    )
+
+
+def _hnsw_index_path(sf_dir: str, prefix: str) -> str:
+    import os as _os
+
+    return _os.path.join(
+        IVF_INDEX_DIR, f"{prefix}_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+def _hnsw_sym_edges_at_rest(at_rest: DataFrame, layer: int) -> DataFrame:
+    """Symmetrized (src, dst) walk edges for one stored layer, read
+    off the index files — the ``F.col('layer') == layer`` filter is a
+    partition-column literal, so every beam round's scan carries
+    PartitionFilters and never lists the other layers' files."""
+    fwd = at_rest.filter(F.col("layer") == layer).select("src", "dst")
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def knn_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered-HNSW index AT REST (ext — VERDICT r11 item 3): the
+    hierarchy twin of ``knn_ivf_at_rest``.  ``knn_hnsw`` rebuilds its
+    three layer graphs per query; here they MATERIALIZE — one
+    adjacency table (layer, bucket, src, dst, cos_sim, rank) written
+    through the catalog sink partitioned by (layer, bucket) — and the
+    (4,1)->(12,2)->(16,4) descent serves off the WRITTEN files: each
+    layer's walk joins against a scan filtered to its own layer
+    literal, so PartitionFilters prune every other layer's files
+    (plan-asserted in tests/test_plan_shapes.py).  Search semantics
+    are bit-identical to ``knn_hnsw`` (same graphs, same entry set,
+    same schedule), so its fully-unrolled oracle replays this query
+    verbatim.
+
+    Scale: the stored layer-0 adjacency is the corpus-sized artifact
+    (n·k rows); layers above shrink geometrically (1/8, 1/64).  The
+    hash-bucket partition key bounds maintenance granularity (see
+    ``knn_hnsw_at_rest_ingest``) and the per-layer scans the descent
+    issues are the only reads — an index server walking the hierarchy
+    touches exactly the layer files of the level it is in."""
+    from musicflow_spark.operators.similarity import hnsw_topk
+    from musicflow_spark.sources.catalog import write_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    g0, g1, g2 = _hnsw_layer_graphs(emb)
+    index = (
+        _hnsw_adjacency_rows(g0, 0)
+        .unionByName(_hnsw_adjacency_rows(g1, 1))
+        .unionByName(_hnsw_adjacency_rows(g2, 2))
+    )
+    path = _hnsw_index_path(sf_dir, "hnsw")
+    write_table(index, path, partition_by=["layer", "bucket"])
+    at_rest = spark.read.parquet(path)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    l2 = emb.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    ent = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(l2.select(F.col("vec_id").alias("node")))
+    )
+    (w2, r2), (w1, r1), (w0, r0) = HNSW_SCHEDULE
+    out = hnsw_topk(
+        emb,
+        queries,
+        [
+            (_hnsw_sym_edges_at_rest(at_rest, 2), w2, r2),
+            (_hnsw_sym_edges_at_rest(at_rest, 1), w1, r1),
+            (_hnsw_sym_edges_at_rest(at_rest, 0), w0, r0),
+        ],
+        ent,
+        k=TOP_K,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank",
+    )
+
+
+def knn_hnsw_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest layered-HNSW MAINTENANCE (ext — VERDICT r11 item 3):
+    ``knn_hnsw_ingest`` computes the hierarchical write-set (each
+    delta node's per-layer links from a base-hierarchy descent +
+    reverse top-k updates of the base nodes it linked to); this query
+    APPLIES it to the persisted index the way
+    ``knn_ivf_at_rest_ingest`` folds its delta — the base-only graphs
+    write partitionBy(layer, bucket), the descent and the reverse
+    merges serve off the WRITTEN files, and the commit is a dynamic
+    partition overwrite staged as: read-back of only the touched
+    (layer, bucket) partitions (a literal OR-filter — static
+    pruning), minus the rows of sources being replaced (broadcast
+    anti-join against the bounded write-set), union the write-set.
+    Untouched partitions' files are never rewritten
+    (byte/mtime-asserted in tests/test_plan_shapes.py).  Returns the
+    full UPDATED index content read back from the files; the oracle
+    rebuilds it as (delta link lists) ∪ (stored ∪ reverse-link
+    re-ranked lists) per layer — for never-touched sources the merged
+    list IS the stored list, which is exactly why rewriting only
+    touched partitions commits the correct table.
+
+    Scale: ingest cost = |delta| descents + touched-partition
+    rewrites; base × base never pairs (the knn_graph_ingest
+    contract), and the write amplification is bounded by
+    HNSW_NBUCKETS — a delta batch rewrites at most (layers ×
+    buckets-it-touches) directories, never the corpus-sized layer-0
+    table."""
+    from musicflow_spark.operators.similarity import beam_search_topk
+    from musicflow_spark.sources.catalog import write_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % KNN_INGEST_MOD == 0
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    g0d, g1d, g2d = _hnsw_layer_graphs(base)
+    index = (
+        _hnsw_adjacency_rows(g0d, 0)
+        .unionByName(_hnsw_adjacency_rows(g1d, 1))
+        .unionByName(_hnsw_adjacency_rows(g2d, 2))
+    )
+    path = _hnsw_index_path(sf_dir, "hnswing")
+    write_table(index, path, partition_by=["layer", "bucket"])
+    at_rest = spark.read.parquet(path)
+
+    bl2 = base.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    ent = delta.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(bl2.select(F.col("vec_id").alias("node")))
+    )
+    (w2, r2), (w1, r1), (w0, r0) = HNSW_SCHEDULE
+    o2 = beam_search_topk(
+        base, delta, _hnsw_sym_edges_at_rest(at_rest, 2), ent,
+        k=w2, beam=w2, rounds=r2,
+    ).localCheckpoint(eager=True)
+    c1 = o2.select("query_id", F.col("neighbor_id").alias("node"))
+    o1 = beam_search_topk(
+        base, delta, _hnsw_sym_edges_at_rest(at_rest, 1), c1,
+        k=w1, beam=w1, rounds=r1,
+    ).localCheckpoint(eager=True)
+    c0 = o1.select("query_id", F.col("neighbor_id").alias("node"))
+    o0 = beam_search_topk(
+        base, delta, _hnsw_sym_edges_at_rest(at_rest, 0), c0,
+        k=w0, beam=w0, rounds=r0,
+    ).localCheckpoint(eager=True)
+    links0 = o0.filter(F.col("rank") <= BEAM_GRAPH_K)
+    links1 = o1.filter(
+        (F.col("rank") <= HNSW_DEG1) & (F.col("query_id") % HNSW_MOD1 == 0)
+    )
+    links2 = o2.filter(
+        (F.col("rank") <= HNSW_DEG2) & (F.col("query_id") % HNSW_MOD2 == 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+
+    def merged_updates(links: DataFrame, layer: int, deg: int) -> DataFrame:
+        # stored lists come off the FILES — the maintenance path never
+        # recomputes the base graphs it is updating
+        g = at_rest.filter(F.col("layer") == layer).select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("neighbor_id"),
+            "cos_sim",
+        )
+        rev = links.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+            "cos_sim",
+        )
+        merged = (
+            g.unionByName(rev)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= deg)
+        )
+        touched = (
+            merged.filter(F.col("neighbor_id") % KNN_INGEST_MOD == 0)
+            .select("query_id")
+            .distinct()
+        )
+        return merged.join(touched, "query_id")
+
+    def adj(df: DataFrame, layer: int) -> DataFrame:
+        return df.select(
+            F.lit(layer).cast("int").alias("layer"),
+            F.pmod(F.xxhash64("query_id"), F.lit(HNSW_NBUCKETS))
+            .cast("int")
+            .alias("bucket"),
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "cos_sim",
+            "rank",
+        )
+
+    writeset = (
+        adj(links0, 0)
+        .unionByName(adj(links1, 1))
+        .unionByName(adj(links2, 2))
+        .unionByName(adj(merged_updates(links0, 0, BEAM_GRAPH_K), 0))
+        .unionByName(adj(merged_updates(links1, 1, HNSW_DEG1), 1))
+        .unionByName(adj(merged_updates(links2, 2, HNSW_DEG2), 2))
+    ).localCheckpoint(eager=True)
+
+    # bounded by construction: <= 3 layers x HNSW_NBUCKETS tuples
+    touched_parts = sorted(
+        (int(r["layer"]), int(r["bucket"]))
+        for r in writeset.select("layer", "bucket").distinct().collect()
+    )
+    part_pred = F.lit(False)
+    for layer, bucket in touched_parts:
+        part_pred = part_pred | (
+            (F.col("layer") == layer) & (F.col("bucket") == bucket)
+        )
+    replaced_srcs = writeset.select("layer", "src").distinct()
+    staged = (
+        at_rest.filter(part_pred)
+        .select("layer", "bucket", "src", "dst", "cos_sim", "rank")
+        .join(F.broadcast(replaced_srcs), ["layer", "src"], "left_anti")
+        .unionByName(
+            writeset.select("layer", "bucket", "src", "dst", "cos_sim", "rank")
+        )
+        .localCheckpoint(eager=True)
+    )
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("layer", "bucket")
+        .parquet(path)
+    )
+    updated = spark.read.parquet(path)
+    return updated.select(
+        "layer",
+        "src",
+        "dst",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+def _knn_hnsw_at_rest_ingest_oracle_sql() -> str:
+    """Full UPDATED-index content: per layer, the delta nodes' link
+    lists UNION the merged (stored ∪ reverse-link) re-ranked lists of
+    every base source.  For a base source no delta linked to, the
+    merged list equals its stored list — the identity that makes the
+    Spark side's touched-partition-only rewrite commit the same
+    table."""
+    parts, links = _hnsw_ingest_common_parts()
+    sel = []
+    for layer, (links_cte, m_cte, deg) in links.items():
         sel.append(
-            f"SELECT query_id, neighbor_id,\n"
+            f"SELECT {layer} AS layer, query_id AS src, neighbor_id AS dst,\n"
             f"       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,\n"
-            f"       rank, {layer} AS layer, 'delta' AS side FROM links{layer}"
+            f"       rank FROM {links_cte}"
         )
         sel.append(
-            f"SELECT query_id, neighbor_id,\n"
+            f"SELECT {layer} AS layer, query_id AS src, neighbor_id AS dst,\n"
             f"       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,\n"
-            f"       rank, {layer} AS layer, 'base_updated' AS side FROM ch{layer}"
+            f"       rank FROM {m_cte} WHERE rank <= {deg}"
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
@@ -3068,6 +3393,8 @@ QUERIES = [
     Query("knn_hnsw", "ext: TRUE layered graph-ANN — nested id-stride layers, exact apex + coarse-LSH mid + shared base graphs, (4,1)->(12,2)->(16,4) descent, fully unrolled oracle", knn_hnsw, _knn_hnsw_oracle_sql()),
     Query("knn_hnsw_recall", "ext: graph-ANN index-quality eval — per-query recall@k of the LAYERED hierarchy vs exact, both proven oracles nested verbatim", knn_hnsw_recall, _knn_hnsw_recall_oracle_sql()),
     Query("knn_hnsw_ingest", "ext: incremental layered-HNSW maintenance — delta nodes searched into the BASE hierarchy (per-layer links at their stride level) + reverse top-k updates, base x base never pairs", knn_hnsw_ingest, _knn_hnsw_ingest_oracle_sql()),
+    Query("knn_hnsw_at_rest", "ext: layered-HNSW index MATERIALIZED — per-layer adjacency written partitionBy(layer, bucket) through the catalog sink, descent served off the files with static layer pruning (plan-proven)", knn_hnsw_at_rest, _knn_hnsw_oracle_sql()),
+    Query("knn_hnsw_at_rest_ingest", "ext: at-rest layered-HNSW MAINTENANCE — hierarchical write-set folded in via dynamic partition overwrite of only the touched (layer, bucket) partitions; returns the full updated index content", knn_hnsw_at_rest_ingest, _knn_hnsw_at_rest_ingest_oracle_sql()),
     Query("knn_graph_nndescent", "ext: kNN-graph refinement — one NN-descent round (neighbor-of-neighbor rescore, exact-cosine prune)", knn_graph_nndescent, _knn_graph_nndescent_oracle_sql()),
     Query("knn_graph_refine_recall", "ext: graph-construction quality eval — edge recall of LSH vs NN-descent-refined graph against the exact graph", knn_graph_refine_recall, _knn_graph_refine_recall_oracle_sql()),
     Query("embedding_coreset", "ext: diversity-first selection — greedy k-center coreset (farthest-point sampling) on the integer grid, unrolled argmax oracle", embedding_coreset, _embedding_coreset_oracle_sql()),

@@ -316,3 +316,123 @@ def test_ivf_at_rest_ingest_serves_delta_and_base(spark, tmp_path, monkeypatch):
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_hnsw_at_rest_layout_and_layer_pruning(spark, tmp_path, monkeypatch):
+    """knn_hnsw_at_rest writes the per-layer adjacency
+    partitionBy(layer, bucket) and the descent's edge reads carry the
+    layer literal as a static PartitionFilter — a layer-l walk never
+    lists the other layers' files (VERDICT r11 item 3)."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries import vectors as _vectors
+    from musicflow_spark.queries.vectors import (
+        HNSW_NBUCKETS,
+        _hnsw_sym_edges_at_rest,
+        knn_hnsw_at_rest,
+    )
+
+    monkeypatch.setattr(_vectors, "IVF_INDEX_DIR", str(tmp_path))
+    rows = knn_hnsw_at_rest(spark, SF_DIR).collect()
+    assert rows and {r["query_id"] for r in rows} == set(range(8))
+    # on-disk layout: one dir per layer, hash-bucket subdirs inside
+    idx_path = os.path.join(str(tmp_path), "hnsw_sf0.001")
+    layers = sorted(d for d in os.listdir(idx_path) if d.startswith("layer="))
+    assert layers == ["layer=0", "layer=1", "layer=2"]
+    for d in layers:
+        buckets = [
+            b for b in os.listdir(os.path.join(idx_path, d))
+            if b.startswith("bucket=")
+        ]
+        assert 1 <= len(buckets) <= HNSW_NBUCKETS, (d, buckets)
+    # the serve path's edge frame: every scan of the index carries the
+    # layer literal as a PartitionFilter
+    at_rest = spark.read.parquet(idx_path)
+    edges = _hnsw_sym_edges_at_rest(at_rest, 1)
+    plan = _executed(edges.groupBy().count())
+    # the edges frame reads ONLY the index, so every FileScan in this
+    # plan is an index read (toString truncates the location path,
+    # which cannot be matched reliably)
+    scan_lines = [l for l in plan.split("\n") if "FileScan parquet" in l]
+    assert scan_lines, plan[:3000]
+    for l in scan_lines:
+        assert "PartitionFilters" in l and re.search(r"layer#\d+ = 1", l), l
+
+
+def test_hnsw_at_rest_ingest_rewrites_only_touched_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """The at-rest HNSW maintenance commit replaces exactly the
+    (layer, bucket) partitions its write-set touches: every other
+    partition's files keep names/sizes/mtimes bit-for-bit, and the
+    touched set is a strict subset (the O(delta), never
+    O(index-rewrite) contract).  The registered function's own base
+    write is suppressed after a first identical build so the snapshot
+    brackets only the MAINTENANCE commit."""
+    import os
+
+    from musicflow_spark.queries import vectors as _vectors
+    from musicflow_spark.queries.vectors import (
+        _hnsw_adjacency_rows,
+        _hnsw_layer_graphs,
+        knn_hnsw_at_rest_ingest,
+    )
+    from musicflow_spark.sources import catalog as _catalog
+    from musicflow_spark.sources.catalog import read_table, write_table
+
+    monkeypatch.setattr(_vectors, "IVF_INDEX_DIR", str(tmp_path))
+    # a REALISTIC maintenance batch: one delta vector (the registered
+    # KNN_INGEST_MOD=5 makes the fixture delta 20% of the corpus —
+    # fine for the oracle, but a write-set that dense legitimately
+    # touches every hash bucket; the partial-rewrite property needs
+    # the production-shaped small batch, same as AT_REST_INGEST_MOD)
+    monkeypatch.setattr(_vectors, "KNN_INGEST_MOD", 500)
+    # pre-build the base index exactly as the registered function does
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(~(F.col("vec_id") % _vectors.KNN_INGEST_MOD == 0))
+    g0d, g1d, g2d = _hnsw_layer_graphs(base)
+    index = (
+        _hnsw_adjacency_rows(g0d, 0)
+        .unionByName(_hnsw_adjacency_rows(g1d, 1))
+        .unionByName(_hnsw_adjacency_rows(g2d, 2))
+    )
+    idx_path = os.path.join(str(tmp_path), "hnswing_sf0.001")
+    write_table(index, idx_path, partition_by=["layer", "bucket"])
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(idx_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    rel = os.path.relpath(p, idx_path)
+                    out[rel] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = snapshot()
+    assert before
+    # suppress the function's own (identical) base rebuild so the
+    # maintenance commit is the only write between snapshots
+    monkeypatch.setattr(_catalog, "write_table", lambda *a, **k: None)
+    rows = knn_hnsw_at_rest_ingest(spark, SF_DIR).collect()
+    assert rows
+    after = snapshot()
+
+    before_dirs = {os.path.dirname(k) for k in before}
+    changed_dirs = {
+        os.path.dirname(k)
+        for k in set(before) ^ set(after)
+        | {k for k in before if k in after and before[k] != after[k]}
+    }
+    untouched = before_dirs - changed_dirs
+    # the commit is partial: some partitions rewritten, some never
+    assert changed_dirs, "maintenance commit wrote nothing"
+    assert untouched, "every partition was rewritten"
+    for k in before:
+        if os.path.dirname(k) in untouched:
+            assert after[k] == before[k], k
