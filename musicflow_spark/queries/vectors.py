@@ -2105,6 +2105,143 @@ FROM assigned s
 """
 
 
+def embedding_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (ext — VERDICT r11 item 4): the ingest
+    twin ``embedding_semantic_dedup`` lacked, closing the last
+    dedup/index family with no incremental form.  The blocking
+    centroids are FROZEN on the BASE corpus (the at-rest invariant —
+    the stride seed additionally excludes delta ids, so a delta
+    arriving on a centroid stride cannot silently re-shape the
+    blocking); today's batch (every KNN_INGEST_MOD-th id) is assigned
+    to the frozen centroids and compared ONLY against (a) the KEPT
+    base set of its own cluster — arrival order wins: a vector
+    already committed to the index suppresses a matching newcomer
+    regardless of id — and (b) smaller-id delta batch-mates in the
+    same cluster (two near-dup newcomers must not both land).  Base
+    flags never change and base x base never pairs in the ingest path
+    (the knn_graph_ingest contract; the base keep flags are STORED
+    state at 100 TB, recomputed here for the fixture exactly as the
+    graph-ingest tier recomputes its stored graphs).
+
+    Output: the WRITE-SET — (vec_id, cluster_id, keep) for delta rows
+    only.  tests/test_vectors_semdedup_ingest.py pins the semantics
+    on constructed geometry: a delta matching a kept base vector is
+    dropped, a delta matching only a DROPPED base vector survives
+    (kept-set comparison, not corpus comparison), delta x delta
+    min-id-wins, and a delta on the centroid stride is not a
+    centroid.
+
+    Scale: |delta| x (kept cluster-mates) pair work inside the
+    cluster blocks, plus the tiny delta x delta block — never
+    corpus²; the cluster id is the partition key, so at rest the
+    kept-set probe is partition-local (the knn_ivf_at_rest layout)."""
+    from musicflow_spark.operators.similarity import cosine, nearest_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % KNN_INGEST_MOD == 0
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    cent = base.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    base_flags = semantic_dedup_flags(base, cent, NEARDUP_THRESHOLD)
+    kept = (
+        base_flags.filter(F.col("keep"))
+        .select("vec_id", "cluster_id")
+        .join(base.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.col("cluster_id").alias("__cb__"),
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+        )
+    )
+    assigned = nearest_centroids(
+        delta, cent, "vec_id", "embedding", "__id__", "__v__", 1
+    )
+    a = assigned.select(
+        "cluster_id",
+        F.col("__id__").alias("id_d"),
+        F.col("__v__").alias("vd"),
+    )
+    drop_vs_kept = (
+        a.join(kept, a["cluster_id"] == kept["__cb__"])
+        .filter(cosine(F.col("vd"), F.col("vb")) >= NEARDUP_THRESHOLD)
+        .select(F.col("id_d").alias("__id__"))
+    )
+    d2 = a.select(
+        F.col("cluster_id").alias("__cd__"),
+        F.col("id_d").alias("id_e"),
+        F.col("vd").alias("ve"),
+    )
+    drop_vs_delta = (
+        a.join(d2, (a["cluster_id"] == d2["__cd__"]) & (d2["id_e"] < a["id_d"]))
+        .filter(cosine(F.col("vd"), F.col("ve")) >= NEARDUP_THRESHOLD)
+        .select(F.col("id_d").alias("__id__"))
+    )
+    dropped = (
+        drop_vs_kept.unionByName(drop_vs_delta)
+        .distinct()
+        .withColumn("__dropped__", F.lit(True))
+    )
+    return assigned.join(dropped, "__id__", "left").select(
+        F.col("__id__").alias("vec_id"),
+        "cluster_id",
+        F.col("__dropped__").isNull().alias("keep"),
+    )
+
+
+def _embedding_semdedup_ingest_oracle_sql() -> str:
+    """Replay: base-only centroids (delta ids excluded from the
+    stride), argmin-L2 assignment of base and delta separately, the
+    batch NOT-EXISTS keep flag on base, then delta suppression
+    against (kept base cluster-mates) ∪ (smaller-id delta
+    cluster-mates)."""
+    d2 = """list_sum(list_transform(range(1, len(e.embedding) + 1),
+               j -> (cast(e.embedding[j] AS double) - cast(c.cv[j] AS double))
+                  * (cast(e.embedding[j] AS double) - cast(c.cv[j] AS double))))"""
+
+    def cos(x: str, y: str) -> str:
+        return f"""list_sum(list_transform(range(1, len({x}) + 1),
+                 i -> cast({x}[i] AS double) * cast({y}[i] AS double)))
+        / (sqrt(list_sum(list_transform({x}, t -> cast(t AS double) * cast(t AS double))))
+           * sqrt(list_sum(list_transform({y}, t -> cast(t AS double) * cast(t AS double)))))"""
+
+    assign = f"""SELECT vec_id, embedding AS v, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id % {KNN_INGEST_MOD} {{cmp}} 0)
+  WHERE rn = 1"""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}
+    AND vec_id % {KNN_INGEST_MOD} <> 0),
+basea AS MATERIALIZED ({assign.format(cmp="<>")}),
+bdropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM basea a JOIN basea b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {cos("a.v", "b.v")} >= {NEARDUP_THRESHOLD}),
+kept AS MATERIALIZED (
+  SELECT vec_id, v, cluster_id FROM basea
+  WHERE vec_id NOT IN (SELECT vec_id FROM bdropped)),
+deltaa AS MATERIALIZED ({assign.format(cmp="=")}),
+ddropped AS (
+  SELECT DISTINCT d.vec_id
+  FROM deltaa d JOIN kept k ON d.cluster_id = k.cluster_id
+  WHERE {cos("d.v", "k.v")} >= {NEARDUP_THRESHOLD}
+  UNION
+  SELECT DISTINCT b.vec_id
+  FROM deltaa a JOIN deltaa b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {cos("a.v", "b.v")} >= {NEARDUP_THRESHOLD})
+SELECT s.vec_id, s.cluster_id,
+       s.vec_id NOT IN (SELECT vec_id FROM ddropped) AS keep
+FROM deltaa s
+"""
+
+
 PCA_K = 4
 
 
@@ -3405,6 +3542,7 @@ QUERIES = [
     Query("embedding_lsh_recall", "ext: near-dedup index-quality eval — pair recall/precision of the LSH path vs the exact baseline, both proven oracles nested verbatim", embedding_lsh_recall, _embedding_lsh_recall_oracle_sql()),
     Query("embedding_gram_moments", "ext: exact integer Gram/covariance moments (PCA certification tier)", embedding_gram_moments, EMBEDDING_GRAM_MOMENTS_SQL, bench=True),
     Query("embedding_semantic_dedup", "ext: SemDeDup-style cluster-blocked semantic dedup", embedding_semantic_dedup, _embedding_semantic_dedup_oracle_sql()),
+    Query("embedding_semdedup_ingest", "ext: incremental SemDeDup — base-frozen blocking centroids, delta compared only vs the KEPT set of its own cluster + smaller-id batch-mates; base flags immutable, base x base never pairs", embedding_semdedup_ingest, _embedding_semdedup_ingest_oracle_sql()),
     Query(
         "knn_mmr",
         "ext: MMR-diversified top-k reranking (integer-grid greedy, unrolled step-exact SQL replay)",
