@@ -43,6 +43,8 @@ CARTESIAN_OK = {
                                # is the scale path)
     "knn_lsh", "knn_ivf", "embedding_lsh_neardup",  # 1-row planes/centroid-seed broadcasts
     "embedding_semantic_dedup",  # centroid-table broadcast: ≤ n_clusters rows (8 by default)
+    "embedding_semdedup_ingest", # same centroid-table broadcast, base-frozen (assignment of
+                               # base for the stored flags + of the delta batch)
     "doc_jaccard_pairs", "doc_minhash_dedup",       # 1-row common-shingle broadcast
     "conservation_counts",     # three 1-row scalar aggregates cross-joined
     "doc_tfidf_topk",          # 1-row corpus-count broadcast (idf denominator)
