@@ -478,30 +478,11 @@ DSIR_BUCKETS = 1024  # hashed-unigram feature space (power of two)
 DSIR_SCALE = 1_000_000  # shared micro-nat grid
 
 
-def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data Selection via Importance Resampling (ext; Xie et al. 2023,
-    DSIR): score every document by how much more likely its hashed
-    unigram features are under the TARGET distribution (here: the
-    English slice, a metadata-defined exemplar set) than under the
-    RAW corpus, and route documents whose per-token importance beats
-    the token-weighted corpus mean into the selected pool — the
-    deterministic-threshold variant of DSIR's importance resampling.
-    (The threshold is data-derived because add-1 smoothing with B
-    comparable to the target token count shifts ALL scores by about
-    ln((Cr+B)/(Ct+B)) - ln(Cr/Ct); an absolute zero cut would encode
-    the corpus size into the routing.)
-
-    Integer-grid portability (the perplexity/PMI/BM25 discipline):
-    per-bucket log ratios with add-1 smoothing,
-    lr_micro(b) = round(ln((ct_b+1)(Cr+B) / ((cr_b+1)(Ct+B)))*1e6),
-    are computed once per bucket (<= 1024 rows), per-doc sums are
-    exact int64, and the keep decision compares an integer division
-    against zero.
-
-    Scale shape: ONE occurrence shuffle keyed (doc_id, bucket); the
-    bucket LM tables are re-aggregations of those partials and join
-    back as a broadcast (bounded by B); totals are a 1-row broadcast.
-    """
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring pipeline (selection + resampling tiers):
+    hashed-unigram occurrence counts, per-bucket target/corpus add-1
+    log-ratios on the micro-nat grid, exact int64 per-doc importance
+    sums.  Returns (doc_id, lang, n_toks, imp_sum_micro)."""
     from musicflow_spark.operators.dedup import portable_hash60
     from musicflow_spark.operators.textstats import tokens
 
@@ -540,10 +521,37 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr_micro"),
         )
     )
-    scored = occ.join(F.broadcast(lr), "b").groupBy("doc_id", "lang").agg(
+    return occ.join(F.broadcast(lr), "b").groupBy("doc_id", "lang").agg(
         F.sum("cnt").alias("n_toks"),
         F.sum(F.expr("cnt * lr_micro")).alias("imp_sum_micro"),
     )
+
+
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (ext; Xie et al. 2023,
+    DSIR): score every document by how much more likely its hashed
+    unigram features are under the TARGET distribution (here: the
+    English slice, a metadata-defined exemplar set) than under the
+    RAW corpus, and route documents whose per-token importance beats
+    the token-weighted corpus mean into the selected pool — the
+    deterministic-threshold variant of DSIR's importance resampling.
+    (The threshold is data-derived because add-1 smoothing with B
+    comparable to the target token count shifts ALL scores by about
+    ln((Cr+B)/(Ct+B)) - ln(Cr/Ct); an absolute zero cut would encode
+    the corpus size into the routing.)
+
+    Integer-grid portability (the perplexity/PMI/BM25 discipline):
+    per-bucket log ratios with add-1 smoothing,
+    lr_micro(b) = round(ln((ct_b+1)(Cr+B) / ((cr_b+1)(Ct+B)))*1e6),
+    are computed once per bucket (<= 1024 rows), per-doc sums are
+    exact int64, and the keep decision compares an integer division
+    against zero.
+
+    Scale shape: ONE occurrence shuffle keyed (doc_id, bucket); the
+    bucket LM tables are re-aggregations of those partials and join
+    back as a broadcast (bounded by B); totals are a 1-row broadcast.
+    """
+    scored = _dsir_scored(spark, sf_dir)
     thresh = scored.groupBy().agg(
         F.expr("sum(imp_sum_micro) div sum(n_toks)").alias("mean_imp_micro")
     )
@@ -558,8 +566,10 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CORPUS_DSIR_SELECTION_SQL = rf"""
-WITH toks AS (
+#: shared CTE prefix of the two DSIR oracles (selection + resampling):
+#: hashed-unigram occurrences, bucket log-ratios, per-doc importance
+#: sums — one SQL definition of the scoring pipeline.
+_DSIR_SCORED_CTES = rf"""toks AS (
   SELECT doc_id, lang,
          list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
                         x -> {_H.format(x="lower(x)")} % {DSIR_BUCKETS}) AS bk
@@ -584,13 +594,94 @@ scored AS (
          CAST(sum(cnt) AS BIGINT) AS n_toks,
          CAST(sum(cnt * lr_micro) AS BIGINT) AS imp_sum_micro
   FROM occ JOIN lr USING (b)
-  GROUP BY doc_id, lang),
+  GROUP BY doc_id, lang)"""
+
+
+CORPUS_DSIR_SELECTION_SQL = rf"""
+WITH {_DSIR_SCORED_CTES},
 thresh AS (SELECT CAST(sum(imp_sum_micro) AS BIGINT) // CAST(sum(n_toks) AS BIGINT)
              AS mean_imp_micro FROM scored)
 SELECT doc_id, lang, n_toks,
        imp_sum_micro // n_toks AS avg_imp_micro,
        imp_sum_micro // n_toks >= mean_imp_micro AS selected
 FROM scored CROSS JOIN thresh
+"""
+
+
+DSIR_SAMPLE_K = 100  # resampled pool size
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (ext — VERDICT r11 item 5): the
+    selection ladder had rarity scoring, weighted sampling, and the
+    threshold-routing DSIR variant (``corpus_dsir_selection``) but
+    not the paper's actual sampling step — draw a pool with
+    probability proportional to the target/corpus importance RATIO
+    (Xie et al. 2023: w(x) = p_target(x)/p_raw(x) over hashed n-gram
+    features), so target-domain-like documents are ENRICHED rather
+    than hard-routed.  Composition, all proven pieces: the shared
+    ``_dsir_scored`` pipeline (hashed-unigram log-ratios on the
+    micro-nat grid) → per-token importance exp'd back to a ratio on
+    the integer micro grid (w_micro = round(exp(avg_nats) · 1e6);
+    per-TOKEN, not per-doc — the raw product over tokens would make
+    length dominate domain) → ``weighted_systematic_sample``'s
+    deterministic stride-PPS selection (the RNG-free resampler; ES
+    order by portable hash, integer stride-crossing test).
+
+    Output: the picked documents with weight, cumulative position and
+    multiplicity.  tests/test_sampling_dsir.py asserts the enrichment
+    property: the en (target) share of the picked pool strictly
+    exceeds the corpus share, while uniform sampling matches it.
+
+    Scale: scoring is the one (doc_id, bucket) shuffle; the sampler
+    is one range shuffle + per-partition windows (no global window);
+    W·k = ~1e6·N·100 stays under 2^63 past 100 TB of documents."""
+    from musicflow_spark.operators.sampling import weighted_systematic_sample
+
+    scored = _dsir_scored(spark, sf_dir)
+    wts = scored.select(
+        "doc_id",
+        "lang",
+        F.expr("imp_sum_micro div n_toks").alias("avg_imp_micro"),
+        F.round(
+            F.exp(
+                F.expr("imp_sum_micro div n_toks").cast("double") / DSIR_SCALE
+            )
+            * DSIR_SCALE
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    picked = weighted_systematic_sample(wts, "w_micro", k=DSIR_SAMPLE_K)
+    return picked.select(
+        "doc_id", "lang", "avg_imp_micro", "w_micro", "cum_w", "pick_count"
+    )
+
+
+CORPUS_DSIR_SAMPLE_SQL = rf"""
+WITH {_DSIR_SCORED_CTES},
+wts AS (
+  SELECT doc_id, lang,
+         imp_sum_micro // n_toks AS avg_imp_micro,
+         CAST(round(exp(CAST(imp_sum_micro // n_toks AS DOUBLE) / {DSIR_SCALE})
+                    * {DSIR_SCALE}) AS BIGINT) AS w_micro
+  FROM scored),
+h AS (
+  SELECT doc_id, lang, avg_imp_micro, w_micro,
+         {_H.format(x="'pps:' || cast(doc_id AS varchar)")} AS hh
+  FROM wts),
+c AS (
+  SELECT doc_id, lang, avg_imp_micro, w_micro,
+         CAST(sum(w_micro) OVER (ORDER BY hh, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w
+  FROM h),
+t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w FROM wts)
+SELECT doc_id, lang, avg_imp_micro, w_micro, cum_w,
+       (cum_w * {DSIR_SAMPLE_K}) // w
+         - ((cum_w - w_micro) * {DSIR_SAMPLE_K}) // w AS pick_count
+FROM c CROSS JOIN t
+WHERE (cum_w * {DSIR_SAMPLE_K}) // w
+        - ((cum_w - w_micro) * {DSIR_SAMPLE_K}) // w > 0
 """
 
 
@@ -1005,6 +1096,12 @@ QUERIES = [
         "ext: DSIR importance selection (hashed-unigram target/raw LM ratio, integer micro-nat grid, threshold routing)",
         corpus_dsir_selection,
         CORPUS_DSIR_SELECTION_SQL,
+    ),
+    Query(
+        "corpus_dsir_sample",
+        "ext: DSIR importance RESAMPLING — per-token target/corpus ratio weights (micro grid) drawn by deterministic stride-PPS; target-domain docs enriched, not hard-routed",
+        corpus_dsir_sample,
+        CORPUS_DSIR_SAMPLE_SQL,
     ),
     Query(
         "doc_split_assign",
