@@ -1197,6 +1197,75 @@ GROUP BY event_type
 """
 
 
+def stream_ivf_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AT-REST index maintenance (ext — VERDICT r11 item
+    7): ``knn_ivf_at_rest_ingest``'s fold composed with the
+    foreachBatch machinery — the exactly-once story for a
+    continuously-crawled corpus.  The quantizer is trained on the
+    BASE and frozen; the base index writes partitionBy(cluster_id);
+    the delta vectors then arrive ONE PER MICRO-BATCH through a real
+    availableNow writeStream, and each batch folds into the
+    partitioned index via ``foreach_batch_partitioned_fold``: touched
+    clusters read back with literal pruning, arriving keys replace
+    (replay-idempotent — an at-least-once redelivery commits the same
+    table), dynamic partition overwrite leaves untouched cluster
+    files byte-identical (both properties asserted per batch in
+    tests/test_streaming_ivf_at_rest.py).  The probe query then
+    serves off the final files exactly as the batch ingest does, so
+    the BATCH at-rest ingest oracle replays this query verbatim —
+    hash equality certifies that micro-batched maintenance converges
+    to the one-shot fold regardless of arrival chunking (per-key
+    upsert into disjoint key sets commutes across batches).
+
+    The per-row file replay is test scaffolding (module docstring);
+    the operator under test is the fold sink, whose per-batch cost is
+    O(batch + touched clusters) at any corpus size."""
+    from musicflow_spark.queries.vectors import (
+        AT_REST_INGEST_MOD,
+        _ivf_frozen_assign,
+        _ivf_probe_at_rest,
+        _ivf_train_centroids,
+    )
+    from musicflow_spark.sources.catalog import write_table
+    from musicflow_spark.streaming.events import (
+        foreach_batch_partitioned_fold,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mf_streamtwin_ivfidx_")
+    idx, upd_dir = f"{tmp}/index", f"{tmp}/updates"
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % AT_REST_INGEST_MOD == 0
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    cent_rows = _ivf_train_centroids(base)
+    write_table(
+        _ivf_frozen_assign(base, cent_rows), idx, partition_by=["cluster_id"]
+    )
+
+    delta_idx = _ivf_frozen_assign(delta, cent_rows)
+    d_schema = delta_idx.schema
+    # one arriving vector per micro-batch file, vec_id order; the
+    # collect is bounded by the AT_REST_INGEST_MOD delta contract
+    # (1–4 rows at the fixture SFs) and is replay scaffolding only
+    seen: set[str] = set()
+    for tick, r in enumerate(
+        sorted(delta_idx.collect(), key=lambda r: int(r["vec_id"])), start=1
+    ):
+        spark.createDataFrame([r], d_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(upd_dir)
+        _bump_mtimes(upd_dir, seen, tick)
+
+    stream = (
+        spark.readStream.schema(d_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd_dir)
+    )
+    sink = foreach_batch_partitioned_fold(idx, "cluster_id", ["vec_id"])
+    _run_available_now(stream, lambda w: w.foreachBatch(sink))
+    at_rest = spark.read.parquet(idx)
+    return _ivf_probe_at_rest(emb, at_rest, cent_rows)
+
+
 QUERIES = [
     Query("stream_sketch_users", "ext: streaming twin — mergeable HLL sketch maintenance sink (union-merge, soundness-gated)", stream_sketch_users, STREAM_SKETCH_USERS_SQL),
     Query("stream_user_rollup", "ext: streaming twin — no-state-store rollup-merge sink (S9 incremental analogue)", stream_user_rollup, STREAM_USER_ROLLUP_SQL),
@@ -1259,6 +1328,18 @@ def _register_minhash_twin() -> None:
             "ext: streaming twin — cross-modal ingestion gate per micro-batch (foreachBatch decode/featurize/project/gate), batch mart oracle verbatim (map-parallel convergence)",
             stream_crossmodal_mart,
             _corpus_crossmodal_mart_oracle_sql(),
+        )
+    )
+    from musicflow_spark.queries.vectors import (
+        _knn_ivf_at_rest_ingest_oracle_sql,
+    )
+
+    QUERIES.append(
+        Query(
+            "stream_ivf_at_rest_ingest",
+            "ext: streaming twin — at-rest IVF index maintenance per micro-batch (replay-idempotent partitioned fold sink), batch at-rest ingest oracle verbatim",
+            stream_ivf_at_rest_ingest,
+            _knn_ivf_at_rest_ingest_oracle_sql(),
         )
     )
 

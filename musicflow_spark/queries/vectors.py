@@ -2739,6 +2739,86 @@ IVF_INDEX_DIR = "/tmp/musicflow_spark_index"
 AT_REST_QUERY_VECS = 2
 
 
+def _ivf_train_centroids(df: DataFrame) -> "list[tuple[int, list[float]]]":
+    """Train the coarse quantizer and collect it driver-side — the
+    centroid list is k rows by contract (the frozen-quantizer form
+    every at-rest path shares)."""
+    from musicflow_spark.operators.embeddings import kmeans_centroids
+
+    cent = kmeans_centroids(df, k=KMEANS_K, n_iter=KMEANS_ITERS)
+    return [
+        (int(r["cid"]), list(r["cv"]))
+        for r in sorted(cent.collect(), key=lambda r: int(r["cid"]))
+    ]
+
+
+def _ivf_frozen_assign(
+    df: DataFrame, cent_rows: "list[tuple[int, list[float]]]"
+) -> DataFrame:
+    """(cluster_id, vec_id, embedding) assignment of ``df`` to a
+    FROZEN centroid list (the at-rest quantizer contract; shared by
+    the batch at-rest pair and the streaming maintenance twin)."""
+    from musicflow_spark.operators.embeddings import (
+        kmeans_assign_arrow,
+        quantized,
+    )
+
+    qq = df.select(
+        F.col("vec_id").alias("id"), quantized("embedding").alias("qv")
+    )
+    return (
+        kmeans_assign_arrow(qq, cent_rows)
+        .select(F.col("id").alias("vec_id"), F.col("cid").alias("cluster_id"))
+        .join(df.select("vec_id", "embedding"), "vec_id")
+        .select("cluster_id", "vec_id", "embedding")
+    )
+
+
+def _ivf_probe_at_rest(
+    emb: DataFrame,
+    at_rest: DataFrame,
+    cent_rows: "list[tuple[int, list[float]]]",
+) -> DataFrame:
+    """Serve the probe query off a WRITTEN IVF index: per-query
+    IVF_TRAIN_PROBE nearest frozen centroids collected to literals
+    (a serving-path filter must be a plan literal for static
+    PartitionFilters), candidates off the files, exact rerank."""
+    from musicflow_spark.operators.embeddings import (
+        kmeans_rank_arrow,
+        quantized,
+    )
+    from musicflow_spark.operators.similarity import _exact_rerank
+
+    spark = emb.sparkSession
+    qq_q = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS).select(
+        F.col("vec_id").alias("id"), quantized("embedding").alias("qv")
+    )
+    probe_rows = (
+        kmeans_rank_arrow(qq_q, cent_rows, IVF_TRAIN_PROBE)
+        .select(F.col("id").alias("query_id"), "cid")
+        .collect()
+    )
+    probed_cids = sorted({int(r["cid"]) for r in probe_rows})
+    plist = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["cid"])) for r in probe_rows],
+        "query_id long, cid int",
+    )
+    cands = (
+        at_rest.filter(F.col("cluster_id").isin(probed_cids))
+        .join(F.broadcast(plist), at_rest["cluster_id"] == plist["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    queries = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS)
+    topk = _exact_rerank(emb, queries, cands, "vec_id", "embedding", TOP_K)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rank",
+    )
+
+
 def knn_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index AT REST (ext — VERDICT r10 item 5): the same trained
     IVF pipeline as ``knn_ivf_trained``, but the index MATERIALIZES —
@@ -2761,56 +2841,19 @@ def knn_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query verbatim."""
     import os as _os
 
-    from musicflow_spark.operators.embeddings import (
-        kmeans_assign_arrow,
-        kmeans_centroids,
-        kmeans_rank_arrow,
-        quantized,
-    )
-    from musicflow_spark.operators.similarity import _exact_rerank
     from musicflow_spark.sources.catalog import write_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(emb, k=KMEANS_K, n_iter=KMEANS_ITERS)
-    cent_rows = [
-        (int(r["cid"]), list(r["cv"]))
-        for r in sorted(cent.collect(), key=lambda r: int(r["cid"]))
-    ]
-    qq = emb.select(F.col("vec_id").alias("id"), quantized("embedding").alias("qv"))
+    cent_rows = _ivf_train_centroids(emb)
     # index build: one assignment pass, written clustered-at-rest
-    index = (
-        kmeans_assign_arrow(qq, cent_rows)
-        .select(F.col("id").alias("vec_id"), F.col("cid").alias("cluster_id"))
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select("cluster_id", "vec_id", "embedding")
-    )
     path = _os.path.join(
         IVF_INDEX_DIR, f"ivf_{_os.path.basename(sf_dir.rstrip('/'))}"
     )
-    write_table(index, path, partition_by=["cluster_id"])
+    write_table(
+        _ivf_frozen_assign(emb, cent_rows), path, partition_by=["cluster_id"]
+    )
     at_rest = spark.read.parquet(path)
-
-    probes = kmeans_rank_arrow(
-        qq.filter(F.col("id") < AT_REST_QUERY_VECS), cent_rows, IVF_TRAIN_PROBE
-    ).select(F.col("id").alias("query_id"), "cid")
-    probe_rows = probes.collect()
-    probed_cids = sorted({int(r["cid"]) for r in probe_rows})
-    plist = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["cid"])) for r in probe_rows],
-        "query_id long, cid int",
-    )
-    cands = (
-        # literal isin → static PartitionFilters on the at-rest scan
-        at_rest.filter(F.col("cluster_id").isin(probed_cids))
-        .join(F.broadcast(plist), at_rest["cluster_id"] == plist["cid"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    queries = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS)
-    topk = _exact_rerank(emb, queries, cands, "vec_id", "embedding", TOP_K)
-    return topk.select(
-        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
-    )
+    return _ivf_probe_at_rest(emb, at_rest, cent_rows)
 
 
 #: at-rest INGEST delta: every 500th vec_id — 1/1/4 delta vectors at
@@ -2843,41 +2886,21 @@ def knn_ivf_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus assignment to the frozen centroids + probe/rerank."""
     import os as _os
 
-    from musicflow_spark.operators.embeddings import (
-        kmeans_assign_arrow,
-        kmeans_centroids,
-        kmeans_rank_arrow,
-        quantized,
-    )
-    from musicflow_spark.operators.similarity import _exact_rerank
     from musicflow_spark.sources.catalog import write_table
 
     emb = read_table(spark, sf_dir, "embeddings")
     is_delta = F.col("vec_id") % AT_REST_INGEST_MOD == 0
     base, delta = emb.filter(~is_delta), emb.filter(is_delta)
-    cent = kmeans_centroids(base, k=KMEANS_K, n_iter=KMEANS_ITERS)
-    cent_rows = [
-        (int(r["cid"]), list(r["cv"]))
-        for r in sorted(cent.collect(), key=lambda r: int(r["cid"]))
-    ]
-
-    def assign(df: DataFrame) -> DataFrame:
-        qq = df.select(
-            F.col("vec_id").alias("id"), quantized("embedding").alias("qv")
-        )
-        return (
-            kmeans_assign_arrow(qq, cent_rows)
-            .select(F.col("id").alias("vec_id"), F.col("cid").alias("cluster_id"))
-            .join(df.select("vec_id", "embedding"), "vec_id")
-            .select("cluster_id", "vec_id", "embedding")
-        )
+    cent_rows = _ivf_train_centroids(base)
 
     path = _os.path.join(
         IVF_INDEX_DIR, f"ivfing_{_os.path.basename(sf_dir.rstrip('/'))}"
     )
-    write_table(assign(base), path, partition_by=["cluster_id"])
+    write_table(
+        _ivf_frozen_assign(base, cent_rows), path, partition_by=["cluster_id"]
+    )
 
-    delta_idx = assign(delta).localCheckpoint(eager=True)
+    delta_idx = _ivf_frozen_assign(delta, cent_rows).localCheckpoint(eager=True)
     touched = sorted({int(r["cluster_id"]) for r in delta_idx.select("cluster_id").distinct().collect()})
     staged = (
         spark.read.parquet(path)
@@ -2893,29 +2916,7 @@ def knn_ivf_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     at_rest = spark.read.parquet(path)
-
-    qq_q = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS).select(
-        F.col("vec_id").alias("id"), quantized("embedding").alias("qv")
-    )
-    probe_rows = kmeans_rank_arrow(qq_q, cent_rows, IVF_TRAIN_PROBE).select(
-        F.col("id").alias("query_id"), "cid"
-    ).collect()
-    probed_cids = sorted({int(r["cid"]) for r in probe_rows})
-    plist = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["cid"])) for r in probe_rows],
-        "query_id long, cid int",
-    )
-    cands = (
-        at_rest.filter(F.col("cluster_id").isin(probed_cids))
-        .join(F.broadcast(plist), at_rest["cluster_id"] == plist["cid"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    queries = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS)
-    topk = _exact_rerank(emb, queries, cands, "vec_id", "embedding", TOP_K)
-    return topk.select(
-        "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
-    )
+    return _ivf_probe_at_rest(emb, at_rest, cent_rows)
 
 
 def _knn_ivf_at_rest_ingest_oracle_sql() -> str:

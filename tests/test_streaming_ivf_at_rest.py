@@ -1,0 +1,108 @@
+"""Per-batch mechanics of the streaming at-rest index fold
+(streaming/events.py::foreach_batch_partitioned_fold): each
+micro-batch rewrites ONLY the cluster partitions it touches, and
+redelivering the same batch (at-least-once replay) commits the same
+table — the two properties the hash-green convergence check
+(stream_ivf_at_rest_ingest vs the batch at-rest ingest oracle)
+cannot bracket batch-by-batch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _snapshot(path: str) -> dict:
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, path)
+                out[rel] = (os.path.getsize(p), os.path.getmtime(p))
+    return out
+
+
+def _content(spark, path: str) -> set:
+    return {
+        (r["cluster_id"], r["vec_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def folded(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries.vectors import (
+        _ivf_frozen_assign,
+        _ivf_train_centroids,
+    )
+    from musicflow_spark.sources.catalog import read_table, write_table
+
+    path = str(tmp_path_factory.mktemp("ivf_fold")) + "/index"
+    emb = read_table(spark, SF_DIR, "embeddings")
+    delta_ids = [0, 7]
+    base = emb.filter(~F.col("vec_id").isin(delta_ids))
+    cent_rows = _ivf_train_centroids(base)
+    write_table(
+        _ivf_frozen_assign(base, cent_rows), path, partition_by=["cluster_id"]
+    )
+    batches = [
+        _ivf_frozen_assign(
+            emb.filter(F.col("vec_id") == i), cent_rows
+        ).localCheckpoint(eager=True)
+        for i in delta_ids
+    ]
+    return path, batches
+
+
+def test_fold_rewrites_only_touched_clusters_per_batch(spark, folded):
+    from musicflow_spark.streaming.events import (
+        foreach_batch_partitioned_fold,
+    )
+
+    path, batches = folded
+    sink = foreach_batch_partitioned_fold(path, "cluster_id", ["vec_id"])
+    for i, batch in enumerate(batches):
+        touched = {
+            f"cluster_id={r['cluster_id']}"
+            for r in batch.select("cluster_id").distinct().collect()
+        }
+        before = _snapshot(path)
+        before_content = _content(spark, path)
+        sink(batch, i)
+        after = _snapshot(path)
+        changed_dirs = {
+            os.path.dirname(k)
+            for k in (set(before) ^ set(after))
+            | {k for k in before if k in after and before[k] != after[k]}
+        }
+        # exactly the batch's clusters were rewritten
+        assert changed_dirs == touched, (changed_dirs, touched)
+        # content = previous content + the batch rows, nothing lost
+        batch_rows = {
+            (r["cluster_id"], r["vec_id"], tuple(r["embedding"]))
+            for r in batch.collect()
+        }
+        assert _content(spark, path) == before_content | batch_rows
+
+
+def test_fold_replay_is_idempotent(spark, folded):
+    """Redelivering an already-committed batch (the at-least-once
+    failure mode) leaves the table content identical — the arriving
+    keys REPLACE their stored rows instead of duplicating them."""
+    from musicflow_spark.streaming.events import (
+        foreach_batch_partitioned_fold,
+    )
+
+    path, batches = folded
+    sink = foreach_batch_partitioned_fold(path, "cluster_id", ["vec_id"])
+    before = _content(spark, path)
+    n_before = spark.read.parquet(path).count()
+    sink(batches[0], 99)  # replay of a batch already folded in
+    assert _content(spark, path) == before
+    assert spark.read.parquet(path).count() == n_before
