@@ -1057,22 +1057,29 @@ HNSW_NBUCKETS = 16
 
 def _hnsw_layer_graphs(
     emb: DataFrame,
+    *,
+    mod2: int = HNSW_MOD2,
+    planes1: int = HNSW_PLANES1,
+    graph_planes: int = LSH_PLANES,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Directed per-layer top-k graphs with RAW cos_sim — the stored
     content of the layered index (layer 0 = the shared k=8 LSH graph
     over all member nodes, layer 1 = coarse-bucket LSH over every 8th
-    id, layer 2 = exact degree-4 over the every-64th apex; the same
-    builders ``knn_hnsw`` / ``knn_hnsw_ingest`` use, at the
-    registered geometry)."""
+    id, layer 2 = exact degree-4 over the every-``mod2``-th apex; the
+    same builders ``knn_hnsw`` / ``knn_hnsw_ingest`` use).  The
+    keyword knobs are the xN-deployment geometry (registered defaults
+    unchanged) — see ``knn_hnsw``'s docstring; the jittered-replica
+    profile in tools/scale_stress.py measures the at-rest pair
+    through them too."""
     l1 = emb.filter(F.col("vec_id") % HNSW_MOD1 == 0)
-    l2 = emb.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    l2 = emb.filter(F.col("vec_id") % mod2 == 0)
     g2 = brute_force_topk(l2, l2, k=HNSW_DEG2)
     g1 = lsh_topk(
-        l1, l1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=HNSW_PLANES1,
+        l1, l1, k=HNSW_DEG1, dim=LSH_DIM, n_planes=planes1,
         n_tables=HNSW_TABLES1, seed=LSH_SEED, broadcast_queries=False,
     )
     g0 = lsh_topk(
-        emb, emb, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=LSH_PLANES,
+        emb, emb, k=BEAM_GRAPH_K, dim=LSH_DIM, n_planes=graph_planes,
         n_tables=GRAPH_TABLES, seed=LSH_SEED, broadcast_queries=False,
     )
     return g0, g1, g2
@@ -1114,7 +1121,14 @@ def _hnsw_sym_edges_at_rest(at_rest: DataFrame, layer: int) -> DataFrame:
     )
 
 
-def knn_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_hnsw_at_rest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mod2: int = HNSW_MOD2,
+    planes1: int = HNSW_PLANES1,
+    graph_planes: int = LSH_PLANES,
+) -> DataFrame:
     """Layered-HNSW index AT REST (ext — VERDICT r11 item 3): the
     hierarchy twin of ``knn_ivf_at_rest``.  ``knn_hnsw`` rebuilds its
     three layer graphs per query; here they MATERIALIZE — one
@@ -1138,7 +1152,9 @@ def knn_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.sources.catalog import write_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    g0, g1, g2 = _hnsw_layer_graphs(emb)
+    g0, g1, g2 = _hnsw_layer_graphs(
+        emb, mod2=mod2, planes1=planes1, graph_planes=graph_planes
+    )
     index = (
         _hnsw_adjacency_rows(g0, 0)
         .unionByName(_hnsw_adjacency_rows(g1, 1))
@@ -1149,7 +1165,7 @@ def knn_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_rest = spark.read.parquet(path)
 
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    l2 = emb.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    l2 = emb.filter(F.col("vec_id") % mod2 == 0)
     ent = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
         F.broadcast(l2.select(F.col("vec_id").alias("node")))
     )
@@ -1171,7 +1187,14 @@ def knn_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def knn_hnsw_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_hnsw_at_rest_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mod2: int = HNSW_MOD2,
+    planes1: int = HNSW_PLANES1,
+    graph_planes: int = LSH_PLANES,
+) -> DataFrame:
     """At-rest layered-HNSW MAINTENANCE (ext — VERDICT r11 item 3):
     ``knn_hnsw_ingest`` computes the hierarchical write-set (each
     delta node's per-layer links from a base-hierarchy descent +
@@ -1204,7 +1227,9 @@ def knn_hnsw_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     is_delta = F.col("vec_id") % KNN_INGEST_MOD == 0
     base, delta = emb.filter(~is_delta), emb.filter(is_delta)
-    g0d, g1d, g2d = _hnsw_layer_graphs(base)
+    g0d, g1d, g2d = _hnsw_layer_graphs(
+        base, mod2=mod2, planes1=planes1, graph_planes=graph_planes
+    )
     index = (
         _hnsw_adjacency_rows(g0d, 0)
         .unionByName(_hnsw_adjacency_rows(g1d, 1))
@@ -1214,7 +1239,7 @@ def knn_hnsw_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_table(index, path, partition_by=["layer", "bucket"])
     at_rest = spark.read.parquet(path)
 
-    bl2 = base.filter(F.col("vec_id") % HNSW_MOD2 == 0)
+    bl2 = base.filter(F.col("vec_id") % mod2 == 0)
     ent = delta.select(F.col("vec_id").alias("query_id")).crossJoin(
         F.broadcast(bl2.select(F.col("vec_id").alias("node")))
     )
@@ -1238,7 +1263,7 @@ def knn_hnsw_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rank") <= HNSW_DEG1) & (F.col("query_id") % HNSW_MOD1 == 0)
     )
     links2 = o2.filter(
-        (F.col("rank") <= HNSW_DEG2) & (F.col("query_id") % HNSW_MOD2 == 0)
+        (F.col("rank") <= HNSW_DEG2) & (F.col("query_id") % mod2 == 0)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

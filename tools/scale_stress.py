@@ -342,6 +342,10 @@ QUERY_TABLES = {
     # systematic PPS: one range shuffle + per-partition prefix sums;
     # k fixed, so output stays 50 rows at every N
     "doc_weighted_sample": ["documents"],
+    # DSIR resampling: one (doc_id, bucket) shuffle; the 1024-bucket
+    # LM tables are size-constant re-aggregations + broadcasts; the
+    # PPS stage is doc_weighted_sample's shape with k=100 output
+    "corpus_dsir_sample": ["documents"],
     # four delta joins, each keyed and linear in its delta replica
     "segment_join_view_ivm": ["orders", "customer"],
 }
@@ -413,7 +417,13 @@ def _emb_dim() -> int:
 #: 15_625_000 * n (KEY_STRIDE % (HNSW_MOD2 * n) == 0 keeps replica
 #: layer membership congruent with the base's); the default N=10
 #: does.
-JITTER_QUERIES = ["knn_beam", "knn_hnsw", "knn_hnsw_ingest"]
+JITTER_QUERIES = [
+    "knn_beam",
+    "knn_hnsw",
+    "knn_hnsw_ingest",
+    "knn_hnsw_at_rest",
+    "knn_hnsw_at_rest_ingest",
+]
 
 
 def _jitter_fn(name: str, n: int):
@@ -425,6 +435,8 @@ def _jitter_fn(name: str, n: int):
         LSH_PLANES,
         knn_beam,
         knn_hnsw,
+        knn_hnsw_at_rest,
+        knn_hnsw_at_rest_ingest,
         knn_hnsw_ingest,
     )
 
@@ -436,7 +448,12 @@ def _jitter_fn(name: str, n: int):
         planes1=HNSW_PLANES1 + extra,
         graph_planes=LSH_PLANES + extra,
     )
-    fn = {"knn_hnsw": knn_hnsw, "knn_hnsw_ingest": knn_hnsw_ingest}[name]
+    fn = {
+        "knn_hnsw": knn_hnsw,
+        "knn_hnsw_ingest": knn_hnsw_ingest,
+        "knn_hnsw_at_rest": knn_hnsw_at_rest,
+        "knn_hnsw_at_rest_ingest": knn_hnsw_at_rest_ingest,
+    }[name]
     return lambda s, d: fn(s, d, **geo)
 
 
