@@ -36,6 +36,16 @@ def main() -> None:
 
     all_queries = get_queries()
     bench_queries = [q for q in all_queries if q.bench]
+    # SPARK_GRAFT_BENCH_SKIP: comma-separated names to exclude — used
+    # by the sf1-equivalent replica runs, where the perceptual-media
+    # family needs the class-window-aware stride dir instead of the
+    # generic one (tools/scale_stress.py MEDIA_DOC_STRIDE).  Unset in
+    # the driver's per-round run, so the gate set is unchanged.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    }
+    if skip:
+        bench_queries = [q for q in bench_queries if q.name not in skip]
     # the scan-bound control runs FIRST (own warm-up + timed mins) so
     # every headliner's normalized ratio shares one host condition
     control_name = "pricing_summary"

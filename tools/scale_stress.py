@@ -44,7 +44,8 @@ CURVE under it:
   a single task.
 
 ``--jitter`` (VERDICT r10 item 7) measures the graph-ANN family
-(knn_beam / knn_hnsw / knn_hnsw_ingest), excluded from the plain
+(knn_beam / knn_hnsw / knn_hnsw_ingest and the round-12 at-rest pair
+knn_hnsw_at_rest / knn_hnsw_at_rest_ingest), excluded from the plain
 profile because identical replica vectors merge LSH buckets and
 argmax ties: per-replica coordinate sign flips keep every replica's
 internal geometry EXACT while decorrelating replicas, and each xN run
@@ -145,6 +146,10 @@ QUERY_TABLES = {
     # centroids to the base replica): assignment/encode O(N), ADC scan
     # O(N * n_probe / n_clusters), rerank O(1) candidates
     "knn_ivfpq": ["embeddings"],
+    # OPQ: rotation + codebooks train via map-combinable moment/kmeans
+    # passes (linear per iter); encode + ADC scan are map-only; no
+    # pairing stage, so identical replicas are timing-valid here
+    "knn_opq": ["embeddings"],
     # replica-prefixed tokens keep shingles disjoint: inverted-index
     # join and per-pair containment are N x base, never cross-replica
     "doc_containment_pairs": ["documents"],
