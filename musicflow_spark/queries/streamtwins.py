@@ -1266,6 +1266,65 @@ def stream_ivf_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_at_rest(emb, at_rest, cent_rows)
 
 
+def stream_hnsw_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-rest LAYERED-HNSW maintenance (ext — the
+    hierarchy twin of ``stream_ivf_at_rest_ingest``, composing VERDICT
+    r11 items 3 and 7): the base hierarchy writes partitionBy(layer,
+    bucket); the hierarchical write-set is computed ONCE against the
+    stored files (the proven ``_hnsw_at_rest_build_and_writeset``),
+    then APPLIED incrementally — the write-set streams in micro-batch
+    chunks through ``foreach_batch_partitioned_fold`` with composite
+    partition key (layer, bucket) and replace key (layer, src).
+
+    Chunking contract: chunks split by ``src % 3``, so every (layer,
+    src) adjacency LIST stays whole within one batch — the fold's
+    replace-on-key semantics then make per-batch application commute
+    (disjoint key sets) and converge exactly to the one-shot batch
+    fold, which is why the BATCH at-rest ingest oracle replays this
+    query verbatim.  Replay-idempotence and partial-rewrite per batch
+    are the sink's proven properties (tests/
+    test_streaming_ivf_at_rest.py); the multi-column partition
+    predicate is an OR of (layer, bucket) literal conjunctions —
+    static pruning, same as the batch fold.
+
+    Scale: each micro-batch costs O(chunk + touched (layer, bucket)
+    partitions); the write-set computation is the batch ingest's
+    (|delta| descents, base x base never pairs)."""
+    from musicflow_spark.queries.vectors import (
+        _hnsw_at_rest_build_and_writeset,
+    )
+    from musicflow_spark.streaming.events import (
+        foreach_batch_partitioned_fold,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mf_streamtwin_hnswidx_")
+    idx, upd_dir = f"{tmp}/index", f"{tmp}/updates"
+    writeset = _hnsw_at_rest_build_and_writeset(spark, sf_dir, idx)
+    seen: set[str] = set()
+    for i in range(_N_CHUNKS):
+        writeset.filter(F.pmod(F.col("src"), F.lit(_N_CHUNKS)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(upd_dir)
+        _bump_mtimes(upd_dir, seen, i + 1)
+    stream = (
+        spark.readStream.schema(writeset.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd_dir)
+    )
+    sink = foreach_batch_partitioned_fold(
+        idx, ["layer", "bucket"], ["layer", "src"]
+    )
+    _run_available_now(stream, lambda w: w.foreachBatch(sink))
+    updated = spark.read.parquet(idx)
+    return updated.select(
+        "layer",
+        "src",
+        "dst",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rank",
+    )
+
+
 QUERIES = [
     Query("stream_sketch_users", "ext: streaming twin — mergeable HLL sketch maintenance sink (union-merge, soundness-gated)", stream_sketch_users, STREAM_SKETCH_USERS_SQL),
     Query("stream_user_rollup", "ext: streaming twin — no-state-store rollup-merge sink (S9 incremental analogue)", stream_user_rollup, STREAM_USER_ROLLUP_SQL),
@@ -1331,6 +1390,7 @@ def _register_minhash_twin() -> None:
         )
     )
     from musicflow_spark.queries.vectors import (
+        _knn_hnsw_at_rest_ingest_oracle_sql,
         _knn_ivf_at_rest_ingest_oracle_sql,
     )
 
@@ -1340,6 +1400,14 @@ def _register_minhash_twin() -> None:
             "ext: streaming twin — at-rest IVF index maintenance per micro-batch (replay-idempotent partitioned fold sink), batch at-rest ingest oracle verbatim",
             stream_ivf_at_rest_ingest,
             _knn_ivf_at_rest_ingest_oracle_sql(),
+        )
+    )
+    QUERIES.append(
+        Query(
+            "stream_hnsw_at_rest_ingest",
+            "ext: streaming twin — at-rest layered-HNSW maintenance, write-set applied in list-whole micro-batch chunks via the composite-key partitioned fold; batch at-rest ingest oracle verbatim",
+            stream_hnsw_at_rest_ingest,
+            _knn_hnsw_at_rest_ingest_oracle_sql(),
         )
     )
 

@@ -1187,40 +1187,22 @@ def knn_hnsw_at_rest(
     )
 
 
-def knn_hnsw_at_rest_ingest(
+def _hnsw_at_rest_build_and_writeset(
     spark: SparkSession,
     sf_dir: str,
+    path: str,
     *,
     mod2: int = HNSW_MOD2,
     planes1: int = HNSW_PLANES1,
     graph_planes: int = LSH_PLANES,
 ) -> DataFrame:
-    """At-rest layered-HNSW MAINTENANCE (ext — VERDICT r11 item 3):
-    ``knn_hnsw_ingest`` computes the hierarchical write-set (each
-    delta node's per-layer links from a base-hierarchy descent +
-    reverse top-k updates of the base nodes it linked to); this query
-    APPLIES it to the persisted index the way
-    ``knn_ivf_at_rest_ingest`` folds its delta — the base-only graphs
-    write partitionBy(layer, bucket), the descent and the reverse
-    merges serve off the WRITTEN files, and the commit is a dynamic
-    partition overwrite staged as: read-back of only the touched
-    (layer, bucket) partitions (a literal OR-filter — static
-    pruning), minus the rows of sources being replaced (broadcast
-    anti-join against the bounded write-set), union the write-set.
-    Untouched partitions' files are never rewritten
-    (byte/mtime-asserted in tests/test_plan_shapes.py).  Returns the
-    full UPDATED index content read back from the files; the oracle
-    rebuilds it as (delta link lists) ∪ (stored ∪ reverse-link
-    re-ranked lists) per layer — for never-touched sources the merged
-    list IS the stored list, which is exactly why rewriting only
-    touched partitions commits the correct table.
-
-    Scale: ingest cost = |delta| descents + touched-partition
-    rewrites; base × base never pairs (the knn_graph_ingest
-    contract), and the write amplification is bounded by
-    HNSW_NBUCKETS — a delta batch rewrites at most (layers ×
-    buckets-it-touches) directories, never the corpus-sized layer-0
-    table."""
+    """Write the BASE hierarchy to ``path`` partitionBy(layer, bucket)
+    and compute the hierarchical write-set AGAINST the stored files
+    (delta links via base-hierarchy descent + reverse top-k merges of
+    the file-backed lists).  Returns the checkpointed write-set
+    (layer, bucket, src, dst, cos_sim, rank) — shared by the batch
+    fold (``knn_hnsw_at_rest_ingest``) and the streaming maintenance
+    twin (``stream_hnsw_at_rest_ingest``)."""
     from musicflow_spark.operators.similarity import beam_search_topk
     from musicflow_spark.sources.catalog import write_table
 
@@ -1235,7 +1217,6 @@ def knn_hnsw_at_rest_ingest(
         .unionByName(_hnsw_adjacency_rows(g1d, 1))
         .unionByName(_hnsw_adjacency_rows(g2d, 2))
     )
-    path = _hnsw_index_path(sf_dir, "hnswing")
     write_table(index, path, partition_by=["layer", "bucket"])
     at_rest = spark.read.parquet(path)
 
@@ -1306,7 +1287,7 @@ def knn_hnsw_at_rest_ingest(
             "rank",
         )
 
-    writeset = (
+    return (
         adj(links0, 0)
         .unionByName(adj(links1, 1))
         .unionByName(adj(links2, 2))
@@ -1314,6 +1295,48 @@ def knn_hnsw_at_rest_ingest(
         .unionByName(adj(merged_updates(links1, 1, HNSW_DEG1), 1))
         .unionByName(adj(merged_updates(links2, 2, HNSW_DEG2), 2))
     ).localCheckpoint(eager=True)
+
+
+def knn_hnsw_at_rest_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mod2: int = HNSW_MOD2,
+    planes1: int = HNSW_PLANES1,
+    graph_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """At-rest layered-HNSW MAINTENANCE (ext — VERDICT r11 item 3):
+    ``knn_hnsw_ingest`` computes the hierarchical write-set (each
+    delta node's per-layer links from a base-hierarchy descent +
+    reverse top-k updates of the base nodes it linked to); this query
+    APPLIES it to the persisted index the way
+    ``knn_ivf_at_rest_ingest`` folds its delta — the base-only graphs
+    write partitionBy(layer, bucket), the descent and the reverse
+    merges serve off the WRITTEN files, and the commit is a dynamic
+    partition overwrite staged as: read-back of only the touched
+    (layer, bucket) partitions (a literal OR-filter — static
+    pruning), minus the rows of sources being replaced (broadcast
+    anti-join against the bounded write-set), union the write-set.
+    Untouched partitions' files are never rewritten
+    (byte/mtime-asserted in tests/test_plan_shapes.py).  Returns the
+    full UPDATED index content read back from the files; the oracle
+    rebuilds it as (delta link lists) ∪ (stored ∪ reverse-link
+    re-ranked lists) per layer — for never-touched sources the merged
+    list IS the stored list, which is exactly why rewriting only
+    touched partitions commits the correct table.
+
+    Scale: ingest cost = |delta| descents + touched-partition
+    rewrites; base × base never pairs (the knn_graph_ingest
+    contract), and the write amplification is bounded by
+    HNSW_NBUCKETS — a delta batch rewrites at most (layers ×
+    buckets-it-touches) directories, never the corpus-sized layer-0
+    table."""
+    path = _hnsw_index_path(sf_dir, "hnswing")
+    writeset = _hnsw_at_rest_build_and_writeset(
+        spark, sf_dir, path,
+        mod2=mod2, planes1=planes1, graph_planes=graph_planes,
+    )
+    at_rest = spark.read.parquet(path)
 
     # bounded by construction: <= 3 layers x HNSW_NBUCKETS tuples
     touched_parts = sorted(

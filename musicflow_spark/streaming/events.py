@@ -399,7 +399,7 @@ def foreach_batch_merge_into(
 
 def foreach_batch_partitioned_fold(
     path: str,
-    partition_col: str,
+    partition_col: "str | list[str]",
     key_cols: list[str],
 ):
     """Streaming maintenance of a PARTITIONED at-rest table (the
@@ -419,17 +419,28 @@ def foreach_batch_partitioned_fold(
     self-overwrite hazard.  At 100 TB each micro-batch costs
     O(batch + touched partitions), never an index rewrite."""
 
+    part_cols = (
+        [partition_col] if isinstance(partition_col, str) else list(partition_col)
+    )
+
     def sink(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
         b = batch.localCheckpoint(eager=True)
-        touched = sorted(
-            r[0] for r in b.select(partition_col).distinct().collect()
-        )
+        touched = [
+            tuple(r[c] for c in part_cols)
+            for r in b.select(*part_cols).distinct().collect()
+        ]
         if not touched:
             return
+        pred = F.lit(False)
+        for vals in sorted(touched):
+            cond = F.lit(True)
+            for c, v in zip(part_cols, vals):
+                cond = cond & (F.col(c) == v)
+            pred = pred | cond
         staged = (
             spark.read.parquet(path)
-            .filter(F.col(partition_col).isin(touched))
+            .filter(pred)
             .join(b.select(*key_cols).distinct(), key_cols, "left_anti")
             .unionByName(b)
             .localCheckpoint(eager=True)
@@ -437,7 +448,7 @@ def foreach_batch_partitioned_fold(
         (
             staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
+            .partitionBy(*part_cols)
             .parquet(path)
         )
 

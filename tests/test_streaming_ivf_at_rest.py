@@ -106,3 +106,59 @@ def test_fold_replay_is_idempotent(spark, folded):
     sink(batches[0], 99)  # replay of a batch already folded in
     assert _content(spark, path) == before
     assert spark.read.parquet(path).count() == n_before
+
+
+def test_multi_column_fold_chunks_keep_lists_whole(spark):
+    """The HNSW streaming twin's convergence premise: write-set
+    chunks split by src, so (layer, src) adjacency lists never span
+    micro-batches (replace-on-key then commutes across batches), and
+    the composite-key fold applied chunk-by-chunk equals the one-shot
+    batch fold content."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.queries.vectors import (
+        _hnsw_at_rest_build_and_writeset,
+    )
+    from musicflow_spark.streaming.events import (
+        foreach_batch_partitioned_fold,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mf_hnsw_fold_test_")
+    idx = f"{tmp}/index"
+    ws = _hnsw_at_rest_build_and_writeset(spark, SF_DIR, idx)
+    chunks = [
+        ws.filter(F.pmod(F.col("src"), F.lit(3)) == i).localCheckpoint(
+            eager=True
+        )
+        for i in range(3)
+    ]
+    keysets = [
+        {(r["layer"], r["src"]) for r in c.select("layer", "src").distinct().collect()}
+        for c in chunks
+    ]
+    # lists whole per chunk: key sets pairwise disjoint
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert not (keysets[i] & keysets[j])
+    # chunk-by-chunk fold == base-minus-replaced + whole write-set
+    base_rows = {
+        (r["layer"], r["bucket"], r["src"], r["dst"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    sink = foreach_batch_partitioned_fold(idx, ["layer", "bucket"], ["layer", "src"])
+    for i, c in enumerate(chunks):
+        sink(c, i)
+    got = {
+        (r["layer"], r["bucket"], r["src"], r["dst"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    ws_rows = {
+        (r["layer"], r["bucket"], r["src"], r["dst"]) for r in ws.collect()
+    }
+    replaced = {(layer, src) for layer, _b, src, _d in ws_rows}
+    expect = {
+        t for t in base_rows if (t[0], t[2]) not in replaced
+    } | ws_rows
+    assert got == expect
