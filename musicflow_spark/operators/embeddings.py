@@ -484,6 +484,77 @@ def kmeans_rank_arrow(
     return q.mapInArrow(run, out_schema)
 
 
+def kmeans_update_arrow(
+    q: DataFrame, cent_rows: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """FUSED assign + map-side partial-sum stage of one Lloyd round:
+    per Arrow batch, argmin-assign each vector (same exact int64
+    kernel and (d2, cid) tie rule as ``kmeans_assign_arrow``), then
+    emit per-cluster PARTIAL sums — (cid, pos, s=Σval, c=rows) rows,
+    at most k·dim per batch.  The caller reduces the partials with
+    ``sum(s) div sum(c)``, which equals the direct
+    ``sum(val) div count(*)`` of the exploded form bit-for-bit:
+    int64 partial sums wrap mod 2^64 exactly like Java long, and
+    addition is associative under wrapping, so the grouping into
+    batches cannot change the total.
+
+    This is the 100 TB shape of Lloyd's update: the old form shuffled
+    the corpus twice per round (assignment ⋈ vectors on id, then a
+    posexplode of n·dim value rows into the agg); this stage is
+    map-only over the pinned quantized frame and shuffles only
+    k·dim-bounded partials — the classic distributed-kmeans
+    map-side-combine, with the combine done in numpy instead of a
+    Catalyst partial agg."""
+    if not cent_rows:
+        raise ValueError("cent_rows must be non-empty")
+    cids_sorted = [c for c, _ in cent_rows]
+    if cids_sorted != sorted(cids_sorted):
+        raise ValueError("cent_rows must be sorted by cid ascending")
+    dim = len(cent_rows[0][1])
+    if any(len(v) != dim for _, v in cent_rows):
+        raise ValueError("ragged centroid table")
+    cids = np.asarray(cids_sorted, dtype=np.int32)
+    cvs = np.asarray([v for _, v in cent_rows], dtype=np.int64)
+    kk = len(cent_rows)
+
+    q = q.select("id", "qv")
+
+    def run(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            qv = _np.array(batch.column(1).to_pylist(), dtype=_np.int64)
+            d2 = ((qv[:, None, :] - cvs[None, :, :]) ** 2).sum(-1)
+            pos = _np.argmin(d2, axis=1)
+            counts = _np.bincount(pos, minlength=kk)
+            sums = _np.zeros((kk, dim), dtype=_np.int64)
+            _np.add.at(sums, pos, qv)
+            nz = counts > 0
+            n_nz = int(nz.sum())
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(
+                        _np.repeat(cids[nz], dim), type=_pa.int32()
+                    ),
+                    _pa.array(
+                        _np.tile(_np.arange(dim, dtype=_np.int32), n_nz),
+                        type=_pa.int32(),
+                    ),
+                    _pa.array(sums[nz].ravel(), type=_pa.int64()),
+                    _pa.array(
+                        _np.repeat(counts[nz], dim), type=_pa.int64()
+                    ),
+                ],
+                names=["cid", "pos", "s", "c"],
+            )
+
+    return q.mapInArrow(run, "cid int, pos int, s long, c long")
+
+
 def _kmeans_fit(
     df: DataFrame,
     k: int,
@@ -495,33 +566,47 @@ def _kmeans_fit(
     """Quantize + seed + run ``n_iter`` Lloyd rounds; returns the
     quantized frame (id, qv) and the post-iteration centroid table
     (cid, cv) — shared by ``kmeans_lloyd`` (assignment consumer) and
-    ``kmeans_centroids`` (trained-quantizer consumer)."""
+    ``kmeans_centroids`` (trained-quantizer consumer).
+
+    Round state lives on the driver as ``cent_rows`` (k·dim ints —
+    the same bounded codebook the assign tiers already collect), so
+    each round is ONE job: the fused ``kmeans_update_arrow`` map
+    stage plus a k·dim-row final agg/collect.  No per-round
+    localCheckpoint, no corpus-sized shuffle (the pre-r13 form
+    joined assignment back to the vectors and posexploded n·dim
+    rows per round — measured 2.7 s of corpus_retrieval_mart's
+    6.5 s at sf0.1; this form retrains in <1 s).  Truncated-mean
+    (``sum div count``) and (d2, cid)-argmin semantics are
+    bit-identical to the unrolled DuckDB oracle
+    (``kmeans_oracle_sql``); empty clusters drop out of
+    ``cent_rows`` exactly as they dropped out of the agg."""
     q = df.select(
         F.col(id_col).alias("id"), quantized(vec_col, scale).alias("qv")
     ).localCheckpoint(eager=True)
     spark = df.sparkSession
     seeds = q.orderBy("id").limit(k).collect()
-    cent = spark.createDataFrame(
-        [(int(i), list(r["qv"])) for i, r in enumerate(seeds)],
-        "cid int, cv array<long>",
-    )
+    cent_rows = [
+        (int(i), [int(x) for x in r["qv"]]) for i, r in enumerate(seeds)
+    ]
     for _ in range(n_iter):
-        assigned = _kmeans_assign(q, cent)
-        dims = assigned.join(q, "id").select(
-            "cid", F.posexplode("qv").alias("pos", "val")
+        if not cent_rows:
+            break
+        agg = (
+            kmeans_update_arrow(q, cent_rows)
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(s) div sum(c)").alias("m"))
+            .collect()
         )
-        cent = (
-            dims.groupBy("cid", "pos")
-            .agg(F.expr("sum(val) div count(*)").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
-        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in agg:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["m"])
+        cent_rows = [
+            (cid, [dims[p] for p in range(len(dims))])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    cent = spark.createDataFrame(
+        [(c, v) for c, v in cent_rows], "cid int, cv array<long>"
+    )
     return q, cent
 
 
@@ -538,8 +623,17 @@ def kmeans_centroids(
     production IVF index build feeds its assignment pass
     (``knn_ivf_trained``).  Same fit as ``kmeans_lloyd``, exposing
     centroids instead of assignments; divide by ``scale`` for the
-    double-grid form ANN operators consume."""
-    return _kmeans_fit(df, k, n_iter, id_col, vec_col, scale)[1]
+    double-grid form ANN operators consume.
+
+    The centroid table is driver-materialized after the fit, so the
+    quantized frame's checkpoint blocks are released eagerly here —
+    callers that only want the codebook must not keep a corpus-sized
+    pin alive (bench r12 showed leftover checkpoint blocks from
+    repeated invocations degrading later runs 6.5 → 16 s until a JVM
+    GC cycle let the ContextCleaner drain them)."""
+    q, cent = _kmeans_fit(df, k, n_iter, id_col, vec_col, scale)
+    q.unpersist(blocking=False)
+    return cent
 
 
 def kmeans_oracle_sql(
