@@ -634,8 +634,18 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds the corpus share, while uniform sampling matches it.
 
     Scale: scoring is the one (doc_id, bucket) shuffle; the sampler
-    is one range shuffle + per-partition windows (no global window);
-    W·k = ~1e6·N·100 stays under 2^63 past 100 TB of documents."""
+    is one range shuffle + per-partition windows (no global window).
+    Weight headroom (ADVICE r12): w_micro = round(exp(avg_nats)·1e6)
+    is bounded by exp(max avg per-token log-ratio), NOT by 1e6 — a
+    doc averaging a nats contributes ~e^a·1e6 (a=10 → ~2.2e10).  The
+    structural bound: the target is a SLICE of the corpus, so every
+    bucket has ct_b ≤ cr_b and lr_micro ≤ ln((Cr+B)/(Ct+B)) — i.e.
+    max avg_nats ≤ ln of the corpus/target token ratio, a corpus
+    constant (≈1.6 nats when the target is ~20% of tokens → w_micro
+    ≤ ~5e6).  The Σw·k < 2^63 contract therefore holds whenever
+    N·k·(Cr/Ct)·1e6 < 2^63; the backstop for corpora that break it
+    is ``weighted_systematic_sample``'s loud overflow ValueError —
+    the run fails, it never silently wraps."""
     from musicflow_spark.operators.sampling import weighted_systematic_sample
 
     scored = _dsir_scored(spark, sf_dir)

@@ -55,6 +55,21 @@ SENTINEL_USER = -1
 _N_CHUNKS = 3
 
 
+def _twin_tmpdir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` + atexit removal (ADVICE r12): every twin
+    invocation materializes replay chunks — and the at-rest ingest
+    twins a full index copy — into a fresh dir; without cleanup each
+    correctness/bench run leaks corpus-sized trees in /tmp.  Removal
+    runs at interpreter exit, after the driver has consumed the
+    returned DataFrame (the frames read lazily off these files)."""
+    import atexit
+    import shutil
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _bump_mtimes(path: str, seen: set[str], tick: int) -> None:
     """Stamp files appended since `seen` with a strictly increasing
     mtime (ADVICE r05): back-to-back parquet writes can land with
@@ -85,7 +100,7 @@ def _events_replay_dir(
     a fresh temp dir; optionally re-append the first chunk (an
     at-least-once replay) and/or a far-future flush sentinel that
     advances the watermark past all real data."""
-    path = tempfile.mkdtemp(prefix="mf_streamtwin_") + "/events"
+    path = _twin_tmpdir(prefix="mf_streamtwin_") + "/events"
     ev = read_table(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     span = (hi - lo) / _N_CHUNKS
@@ -123,7 +138,7 @@ def _events_replay_dir(
 def _run_available_now(stream_df: DataFrame, sink_builder) -> None:
     """Start an availableNow streaming query against a fresh
     checkpoint and block until it drains."""
-    ckpt = tempfile.mkdtemp(prefix="mf_streamtwin_ckpt_")
+    ckpt = _twin_tmpdir(prefix="mf_streamtwin_ckpt_")
     q = sink_builder(
         stream_df.writeStream.option("checkpointLocation", ckpt).trigger(
             availableNow=True
@@ -152,7 +167,7 @@ def stream_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.streaming.events import foreach_batch_rollup_merge
 
     src = _events_replay_dir(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/rollup"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/rollup"
     shaped = _file_stream(spark, src).select(
         "user_id",
         F.lit(1).cast("long").alias("n_events"),
@@ -190,7 +205,7 @@ def stream_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.streaming.events import foreach_batch_rollup_merge
 
     src = _events_replay_dir(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/segroll"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/segroll"
     dim = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -235,7 +250,7 @@ def stream_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the already-proven one-shot oracle applies verbatim."""
     from musicflow_spark.streaming.events import foreach_batch_merge_into
 
-    tmp = tempfile.mkdtemp(prefix="mf_streamtwin_merge_")
+    tmp = _twin_tmpdir(prefix="mf_streamtwin_merge_")
     out, upd_dir = f"{tmp}/merged", f"{tmp}/updates"
     base = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
@@ -336,7 +351,7 @@ def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.streaming.events import hourly_event_stats_stream
 
     src = _events_replay_dir(spark, sf_dir, sentinel=True)
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/hourly"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/hourly"
     stream = hourly_event_stats_stream(_file_stream(spark, src)).select(
         "hour_start", "event_type", "n_events", "total_value"
     )
@@ -370,7 +385,7 @@ def stream_latest_event_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _events_replay_dir(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/latest"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/latest"
     stream = latest_event_per_user_stream(_file_stream(spark, src))
     _run_available_now(
         stream,
@@ -399,7 +414,7 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.streaming.events import dedup_stream
 
     src = _events_replay_dir(spark, sf_dir, replay_first=True)
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/dedup"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/dedup"
     stream = dedup_stream(_file_stream(spark, src), ["event_id"], watermark="90 days")
     _run_available_now(
         stream,
@@ -430,7 +445,7 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.streaming.events import user_sessions_stream
 
     src = _events_replay_dir(spark, sf_dir, sentinel=True)
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/sessions"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/sessions"
     stream = user_sessions_stream(_file_stream(spark, src))
     _run_available_now(
         stream,
@@ -461,7 +476,7 @@ def stream_sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.streaming.events import sliding_event_stats_stream
 
     src = _events_replay_dir(spark, sf_dir, sentinel=True)
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/sliding"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/sliding"
     stream = sliding_event_stats_stream(_file_stream(spark, src))
     _run_available_now(
         stream,
@@ -531,7 +546,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
     )
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/clickjoin"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/clickjoin"
     _run_available_now(
         joined,
         lambda w: w.format("parquet").option("path", out).outputMode("append"),
@@ -602,7 +617,7 @@ def stream_click_purchase_leftjoin(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("c_user").alias("user_id"),
         F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
     )
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/clickleftjoin"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/clickleftjoin"
     _run_available_now(
         joined,
         lambda w: w.format("parquet").option("path", out).outputMode("append"),
@@ -674,7 +689,7 @@ def stream_click_purchase_fulljoin(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
     )
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/clickfulljoin"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/clickfulljoin"
     _run_available_now(
         joined,
         lambda w: w.format("parquet").option("path", out).outputMode("append"),
@@ -718,7 +733,7 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.operators.scd import scd2_init
     from musicflow_spark.streaming.events import foreach_batch_scd2
 
-    tmp = tempfile.mkdtemp(prefix="mf_streamtwin_scd2_")
+    tmp = _twin_tmpdir(prefix="mf_streamtwin_scd2_")
     hist_dir, upd_dir = f"{tmp}/history", f"{tmp}/updates"
     dim = read_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -857,7 +872,7 @@ def stream_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("p_ts"),
         _cents("value").alias("p_cents"),
     )
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/asof"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/asof"
     joined = asof_join_stream_stream(
         left,
         right,
@@ -922,7 +937,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     third = (hi - lo) // _N_CHUNKS + 1
-    path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    path = _twin_tmpdir(prefix="mf_streamtwin_docs_") + "/documents"
     seen: set[str] = set()
     for i in range(_N_CHUNKS):
         docs.filter(
@@ -934,7 +949,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/mh_cands"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/mh_cands"
     _run_available_now(
         minhash_candidates_stream(stream, k=32, bands=16),
         lambda w: w.format("parquet").option("path", out).outputMode("append"),
@@ -990,7 +1005,7 @@ def stream_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     third = (hi - lo) // _N_CHUNKS + 1
-    path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    path = _twin_tmpdir(prefix="mf_streamtwin_docs_") + "/documents"
     seen: set[str] = set()
     for i in range(_N_CHUNKS):
         docs.filter(
@@ -1003,7 +1018,7 @@ def stream_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/sfx_removable"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/sfx_removable"
     _run_available_now(
         suffix_removable_stream(stream, min_span=SUFFIX_SCRUB_MIN),
         lambda w: w.format("parquet").option("path", out).outputMode("append"),
@@ -1035,7 +1050,7 @@ def stream_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     third = (hi - lo) // _N_CHUNKS + 1
-    path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    path = _twin_tmpdir(prefix="mf_streamtwin_docs_") + "/documents"
     seen: set[str] = set()
     for i in range(_N_CHUNKS):
         docs.filter(
@@ -1063,7 +1078,7 @@ def stream_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text_nfc").alias("canon_key"),
         F.md5("messy").alias("byte_key"),
     )
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/uni_keys"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/uni_keys"
     _run_available_now(
         keyed,
         lambda w: w.format("parquet").option("path", out).outputMode("append"),
@@ -1099,7 +1114,7 @@ def stream_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     third = (hi - lo) // _N_CHUNKS + 1
-    path = tempfile.mkdtemp(prefix="mf_streamtwin_docs_") + "/documents"
+    path = _twin_tmpdir(prefix="mf_streamtwin_docs_") + "/documents"
     seen: set[str] = set()
     for i in range(_N_CHUNKS):
         docs.filter(
@@ -1112,7 +1127,7 @@ def stream_crossmodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/cm_mart"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/cm_mart"
 
     def gate_batch(batch_df: DataFrame, _bid: int) -> None:
         _cm_mart_from(batch_df).write.mode("append").parquet(out)
@@ -1144,7 +1159,7 @@ def stream_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.streaming.events import foreach_batch_sketch_merge
 
     src = _events_replay_dir(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="mf_streamtwin_out_") + "/sketch"
+    out = _twin_tmpdir(prefix="mf_streamtwin_out_") + "/sketch"
     shaped = _file_stream(spark, src).select("event_type", "user_id")
     _run_available_now(
         shaped,
@@ -1231,7 +1246,7 @@ def stream_ivf_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch_partitioned_fold,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mf_streamtwin_ivfidx_")
+    tmp = _twin_tmpdir(prefix="mf_streamtwin_ivfidx_")
     idx, upd_dir = f"{tmp}/index", f"{tmp}/updates"
     emb = read_table(spark, sf_dir, "embeddings")
     is_delta = F.col("vec_id") % AT_REST_INGEST_MOD == 0
@@ -1297,7 +1312,7 @@ def stream_hnsw_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch_partitioned_fold,
     )
 
-    tmp = tempfile.mkdtemp(prefix="mf_streamtwin_hnswidx_")
+    tmp = _twin_tmpdir(prefix="mf_streamtwin_hnswidx_")
     idx, upd_dir = f"{tmp}/index", f"{tmp}/updates"
     writeset = _hnsw_at_rest_build_and_writeset(spark, sf_dir, idx)
     seen: set[str] = set()

@@ -2775,9 +2775,31 @@ WHERE rank <= {TOP_K}
 """
 
 
-#: where the at-rest IVF index materializes (per-SF subdir; overwrite
-#: mode makes reruns safe).  /tmp, not the read-only testdata tree.
-IVF_INDEX_DIR = "/tmp/musicflow_spark_index"
+def _index_root() -> str:
+    """Per-PROCESS at-rest index root, removed at interpreter exit
+    (ADVICE r12): the old fixed ``/tmp/musicflow_spark_index`` was
+    keyed only by SF basename, so two concurrent runs on the same
+    fixture raced — one's static-overwrite could delete files the
+    other was lazily reading — and every run leaked index trees.
+    Within one process the path is stable (the at-rest maintenance
+    queries rely on overwriting/folding the SAME files across
+    invocations); across processes it cannot collide."""
+    import atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"musicflow_spark_index_{_os.getpid()}"
+    )
+    atexit.register(_shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+#: where the at-rest IVF/HNSW indexes materialize (per-SF subdir;
+#: overwrite mode makes same-process reruns safe).  /tmp, never the
+#: read-only testdata tree.
+IVF_INDEX_DIR = _index_root()
 
 #: at-rest serving uses a 2-query probe set: 2 × IVF_TRAIN_PROBE = 6
 #: probed clusters at most, strictly fewer than the KMEANS_K = 8
