@@ -1397,6 +1397,164 @@ def _knn_hnsw_at_rest_ingest_oracle_sql() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
+#: HNSW takedown set also removes one UPPER-LAYER member (an id-stride
+#: multiple) so hierarchy partitions — not just layer 0 — exercise the
+#: src-row drop + reverse-link repair
+HNSW_DELETE_EXTRA = HNSW_MOD2
+
+
+def knn_hnsw_at_rest_delete(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    mod2: int = HNSW_MOD2,
+    planes1: int = HNSW_PLANES1,
+    graph_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """At-rest layered-HNSW DELETE maintenance (ext — VERDICT r12
+    item 3, the graph half): node takedown from the PERSISTED
+    hierarchy, the operation graph indexes make hard because edges
+    point both ways — removing a node means (a) dropping its own
+    adjacency rows on every layer it lives on, and (b) REVERSE-LINK
+    repair: every other source whose stored list contains the node
+    loses that edge and its remaining edges re-rank (ranks stay
+    dense, so the serving walk's rank-bounded expansions stay
+    correct).  Full reconnection — re-linking the orphaned slots to
+    new neighbors — is the ingest path's merge machinery and a
+    policy choice (FreshDiskANN-style lazy repair vs eager); the
+    takedown itself must be partition-local, which is what this
+    query certifies.
+
+    The takedown batch: node 0's top-AT_REST_DELETE_TOPK stored
+    layer-0 neighbors (guaranteed present in reverse lists, so the
+    repair provably fires) plus one upper-layer member
+    (HNSW_DELETE_EXTRA) so hierarchy partitions are touched too.
+    Touched (layer, bucket) partitions are located by one indexed
+    scan for rows naming a deleted id (src OR dst); only those are
+    read back, filtered, re-ranked per (layer, src) — a bucket is
+    keyed by hash(src), so every surviving source's FULL list lives
+    inside the read-back set and the re-rank is exact — and
+    committed via ``overwrite_touched_partitions`` (dynamic
+    overwrite + explicit drop of emptied partitions: sparse upper
+    layers CAN empty a bucket).  Untouched partitions' files are
+    never rewritten (byte/mtime-asserted).  Returns the full
+    post-delete index content; the oracle rebuilds the stored
+    graphs, derives the same takedown set off the stored ranks, and
+    re-ranks the filtered lists."""
+    from musicflow_spark.sources.catalog import (
+        overwrite_touched_partitions,
+        write_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    g0, g1, g2 = _hnsw_layer_graphs(
+        emb, mod2=mod2, planes1=planes1, graph_planes=graph_planes
+    )
+    index = (
+        _hnsw_adjacency_rows(g0, 0)
+        .unionByName(_hnsw_adjacency_rows(g1, 1))
+        .unionByName(_hnsw_adjacency_rows(g2, 2))
+    )
+    path = _hnsw_index_path(sf_dir, "hnswdel")
+    write_table(index, path, partition_by=["layer", "bucket"])
+    at_rest = spark.read.parquet(path)
+
+    top_del = at_rest.filter(
+        (F.col("layer") == 0)
+        & (F.col("src") == 0)
+        & (F.col("rank") <= AT_REST_DELETE_TOPK)
+    )
+    deleted = sorted(
+        {int(r["dst"]) for r in top_del.collect()} | {HNSW_DELETE_EXTRA}
+    )
+    hit = F.col("src").isin(deleted) | F.col("dst").isin(deleted)
+    touched = sorted(
+        (int(r["layer"]), int(r["bucket"]))
+        for r in at_rest.filter(hit)
+        .select("layer", "bucket")
+        .distinct()
+        .collect()
+    )
+    part_pred = F.lit(False)
+    for layer, bucket in touched:
+        part_pred = part_pred | (
+            (F.col("layer") == layer) & (F.col("bucket") == bucket)
+        )
+    w = Window.partitionBy("layer", "src").orderBy(
+        F.desc("cos_sim"), F.asc("dst")
+    )
+    staged = (
+        at_rest.filter(part_pred)
+        .filter(~hit)
+        .select("layer", "bucket", "src", "dst", "cos_sim")
+        .withColumn("rank", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    overwrite_touched_partitions(
+        spark, staged, path, ["layer", "bucket"], touched
+    )
+    updated = spark.read.parquet(path)
+    return updated.select(
+        "layer",
+        "src",
+        "dst",
+        pround(F.col("cos_sim"), 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+def _knn_hnsw_at_rest_delete_oracle_sql() -> str:
+    """Stored-graph content (raw-cosine replays of the three layer
+    graphs over the FULL corpus), the takedown set derived from the
+    stored layer-0 ranks of node 0 plus the upper-layer literal, and
+    the re-rank of the filtered lists.  Sources that lost no edge
+    re-rank to their identical stored ranks — the identity that makes
+    the Spark side's touched-partition-only rewrite commit the
+    correct table."""
+    cos_ab = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double))) "
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS double) * cast(x AS double)))) "
+        "* sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS double) * cast(x AS double)))))"
+    )
+    l1w = f"vec_id % {HNSW_MOD1} = 0"
+    parts = [
+        f"g0r AS MATERIALIZED ({_lsh_graph_oracle_sql(k=BEAM_GRAPH_K, raw=True)})",
+        f"g1r AS MATERIALIZED ({_lsh_graph_oracle_sql(k=HNSW_DEG1, qwhere=l1w, cwhere=l1w, n_planes=HNSW_PLANES1, n_tables=HNSW_TABLES1, raw=True)})",
+        f"l2 AS (SELECT * FROM embeddings WHERE vec_id % {HNSW_MOD2} = 0)",
+        f"""g2r AS (
+  SELECT query_id, neighbor_id, cos_sim, rk AS rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {cos_ab} AS cos_sim,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_ab} DESC, b.vec_id) AS rk
+    FROM l2 a JOIN l2 b ON a.vec_id <> b.vec_id)
+  WHERE rk <= {HNSW_DEG2})""",
+        """stored AS MATERIALIZED (
+  SELECT 0 AS layer, query_id AS src, neighbor_id AS dst, cos_sim, rank FROM g0r
+  UNION ALL
+  SELECT 1, query_id, neighbor_id, cos_sim, rank FROM g1r
+  UNION ALL
+  SELECT 2, query_id, neighbor_id, cos_sim, rank FROM g2r)""",
+        f"""del AS (
+  SELECT dst AS id FROM stored
+  WHERE layer = 0 AND src = 0 AND rank <= {AT_REST_DELETE_TOPK}
+  UNION
+  SELECT {HNSW_DELETE_EXTRA} AS id)""",
+    ]
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT layer, src, dst,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT layer, src, dst, cos_sim,
+             row_number() OVER (PARTITION BY layer, src
+                                ORDER BY cos_sim DESC, dst) AS rank
+      FROM stored
+      WHERE src NOT IN (SELECT id FROM del)
+        AND dst NOT IN (SELECT id FROM del))
+"""
+
+
 CORESET_K = 8
 
 
@@ -3052,6 +3210,136 @@ WHERE rank <= {TOP_K}
 """
 
 
+#: takedown batch for the at-rest DELETE tier: the top-k result rows
+#: of query 0 against the BASE index — self-certifying visibility (the
+#: deleted vectors were, by construction, in the pre-delete answer at
+#: every SF) and SQL-replayable (the oracle ranks the same scored CTE)
+AT_REST_DELETE_TOPK = 2
+
+
+def knn_ivf_at_rest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest IVF index DELETE maintenance (ext — VERDICT r12 item
+    3): the lifecycle step ``knn_ivf_at_rest_ingest`` lacks — a real
+    100 TB corpus has takedowns (the reference's own unlike/remove
+    flows, dags/scripts/spotify_unlike_tracks.py:30, are the
+    in-domain analogue: rows leave the store, the serving layer must
+    stop returning them).  The quantizer trains on the full corpus
+    and the index materializes partitionBy(cluster_id) exactly as
+    ``knn_ivf_at_rest``; the takedown batch — query 0's top-
+    AT_REST_DELETE_TOPK base-index neighbors, so the delete provably
+    CHANGES the answer — is then folded out tombstone-style: the
+    stored rows of the deleted ids locate the touched clusters (a
+    |batch|-bounded scan), only those partitions are read back,
+    filtered, and committed via dynamic partition overwrite, and any
+    cluster emptied by the delete has its directory dropped
+    explicitly (``overwrite_touched_partitions`` — dynamic overwrite
+    alone would silently keep stale files for row-less partitions).
+    Untouched cluster files are never rewritten (byte/mtime-asserted
+    in tests/test_plan_shapes.py).  The probe query then serves off
+    the post-delete files; the oracle replays training + probe +
+    rerank and re-ranks with the deleted ids excluded.
+
+    Scale: delete cost = |batch| lookup + touched-partition rewrite;
+    probes/serving unchanged.  The delete-set collect is bounded by
+    the takedown-batch contract (k rows), the same driver-literal
+    contract every serving-path filter in this tier carries."""
+    import os as _os
+
+    from musicflow_spark.sources.catalog import (
+        overwrite_touched_partitions,
+        write_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = _ivf_train_centroids(emb)
+    path = _os.path.join(
+        IVF_INDEX_DIR, f"ivfdel_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_table(
+        _ivf_frozen_assign(emb, cent_rows), path, partition_by=["cluster_id"]
+    )
+    at_rest = spark.read.parquet(path)
+    base_top = _ivf_probe_at_rest(emb, at_rest, cent_rows)
+    deleted = sorted(
+        int(r["neighbor_id"])
+        for r in base_top.filter(
+            (F.col("query_id") == 0) & (F.col("rank") <= AT_REST_DELETE_TOPK)
+        ).collect()
+    )
+    touched = sorted(
+        int(r["cluster_id"])
+        for r in at_rest.filter(F.col("vec_id").isin(deleted))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    )
+    staged = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster_id").isin(touched))
+        .filter(~F.col("vec_id").isin(deleted))
+        .select("cluster_id", "vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    overwrite_touched_partitions(
+        spark, staged, path, ["cluster_id"], [(c,) for c in touched]
+    )
+    updated = spark.read.parquet(path)
+    return _ivf_probe_at_rest(emb, updated, cent_rows)
+
+
+def _knn_ivf_at_rest_delete_oracle_sql() -> str:
+    """Training + probe + rerank as in the at-rest serve oracle, with
+    the takedown set — query 0's top-AT_REST_DELETE_TOPK pre-delete
+    neighbors, ranked on the same unrounded cosine Spark ranks on —
+    excluded before the final ranking.  The candidate set after the
+    fold equals the pre-delete candidates minus the deleted ids
+    (probes depend only on query vectors and the frozen centroids),
+    which is exactly why re-ranking the same scored CTE replays the
+    post-delete files."""
+    from musicflow_spark.operators.embeddings import kmeans_oracle_parts
+
+    parts = kmeans_oracle_parts(
+        "embeddings", dim=KMEANS_DIM, k=KMEANS_K, n_iter=KMEANS_ITERS,
+        final_assign=True,
+    )
+    t = KMEANS_ITERS
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+probes AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d{t} WHERE id < {AT_REST_QUERY_VECS})
+  WHERE rn <= {IVF_TRAIN_PROBE}),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM a{t} a JOIN probes p ON a.cid = p.cid
+  WHERE a.id <> p.query_id),
+scored AS MATERIALIZED (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> cast(q.embedding[i] AS double) * cast(n.embedding[i] AS double)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS double) * cast(x AS double))))
+            * sqrt(list_sum(list_transform(n.embedding, x -> cast(x AS double) * cast(x AS double)))))
+         AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+deleted AS (
+  SELECT neighbor_id AS id FROM (
+    SELECT neighbor_id,
+           row_number() OVER (ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored WHERE query_id = 0)
+  WHERE rank <= {AT_REST_DELETE_TOPK})
+SELECT query_id, neighbor_id,
+       round(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored WHERE neighbor_id NOT IN (SELECT id FROM deleted))
+WHERE rank <= {TOP_K}
+"""
+
+
 KNN_INGEST_MOD = 5
 
 
@@ -3587,6 +3875,7 @@ QUERIES = [
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
     Query("knn_ivf_at_rest", "ext: IVF index MATERIALIZED partitionBy(cluster_id) through the catalog sink, probe served off the written files with static partition pruning (S2 + the SCALE.md pruning claim, plan-proven)", knn_ivf_at_rest, _knn_ivf_trained_oracle_sql(n_query=AT_REST_QUERY_VECS)),
     Query("knn_ivf_at_rest_ingest", "ext: at-rest IVF index MAINTENANCE — frozen base-trained quantizer, delta folded in via dynamic partition overwrite (untouched cluster files never rewritten), probe served off the updated files", knn_ivf_at_rest_ingest, _knn_ivf_at_rest_ingest_oracle_sql()),
+    Query("knn_ivf_at_rest_delete", "ext: at-rest IVF index DELETE/takedown — tombstone fold rewrites only the touched cluster partitions (emptied partitions dropped explicitly), probe served off the post-delete files excludes the removed vectors", knn_ivf_at_rest_delete, _knn_ivf_at_rest_delete_oracle_sql()),
     Query("embedding_centroid_classifier", "ext: nearest-centroid (Rocchio) vector classifier (truncated-integer-mean centroids, integer-L2 argmin)", embedding_centroid_classifier, _embedding_centroid_classifier_oracle_sql()),
     Query("knn_bruteforce", "ext: similarity search (exact)", knn_bruteforce, KNN_BRUTEFORCE_SQL, bench=True),
     Query("knn_bruteforce_blas", "ext: similarity search (exact, BLAS mapInArrow tier)", knn_bruteforce_blas, KNN_BRUTEFORCE_SQL),
@@ -3603,6 +3892,7 @@ QUERIES = [
     Query("knn_hnsw_ingest", "ext: incremental layered-HNSW maintenance — delta nodes searched into the BASE hierarchy (per-layer links at their stride level) + reverse top-k updates, base x base never pairs", knn_hnsw_ingest, _knn_hnsw_ingest_oracle_sql()),
     Query("knn_hnsw_at_rest", "ext: layered-HNSW index MATERIALIZED — per-layer adjacency written partitionBy(layer, bucket) through the catalog sink, descent served off the files with static layer pruning (plan-proven)", knn_hnsw_at_rest, _knn_hnsw_oracle_sql()),
     Query("knn_hnsw_at_rest_ingest", "ext: at-rest layered-HNSW MAINTENANCE — hierarchical write-set folded in via dynamic partition overwrite of only the touched (layer, bucket) partitions; returns the full updated index content", knn_hnsw_at_rest_ingest, _knn_hnsw_at_rest_ingest_oracle_sql()),
+    Query("knn_hnsw_at_rest_delete", "ext: at-rest layered-HNSW DELETE/takedown — src-row drop on every layer + reverse-link repair (dense re-rank), touched (layer, bucket) partitions only, emptied buckets dropped explicitly; returns the post-delete index content", knn_hnsw_at_rest_delete, _knn_hnsw_at_rest_delete_oracle_sql()),
     Query("knn_graph_nndescent", "ext: kNN-graph refinement — one NN-descent round (neighbor-of-neighbor rescore, exact-cosine prune)", knn_graph_nndescent, _knn_graph_nndescent_oracle_sql()),
     Query("knn_graph_refine_recall", "ext: graph-construction quality eval — edge recall of LSH vs NN-descent-refined graph against the exact graph", knn_graph_refine_recall, _knn_graph_refine_recall_oracle_sql()),
     Query("embedding_coreset", "ext: diversity-first selection — greedy k-center coreset (farthest-point sampling) on the integer grid, unrolled argmax oracle", embedding_coreset, _embedding_coreset_oracle_sql()),

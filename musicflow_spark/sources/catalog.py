@@ -101,6 +101,54 @@ def write_table(
     writer.parquet(path)
 
 
+def overwrite_touched_partitions(
+    spark: SparkSession,
+    staged: DataFrame,
+    path: str,
+    partition_by: list[str],
+    touched: list[tuple],
+) -> list[tuple]:
+    """Commit a partition-local fold that may DELETE rows: dynamic
+    partition overwrite of ``staged``, plus explicit removal of any
+    ``touched`` partition that ended up with NO rows.
+
+    Dynamic overwrite only replaces partitions PRESENT in the staged
+    frame — a partition whose rows were all deleted contributes no
+    rows, so its stale files would silently survive the commit (the
+    classic delete-fold hazard; table formats with delete support
+    track this in metadata, plain parquet layouts must drop the
+    directory).  Removal goes through the Hadoop FileSystem of
+    ``path`` so the same code serves local disk and HDFS/object
+    stores.
+
+    ``touched`` is the bounded partition-tuple list the fold already
+    collected to build its read-back filter; the survivors collect is
+    bounded by it.  Returns the list of partitions removed as empty.
+    """
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+    remaining = {
+        tuple(int(r[c]) for c in partition_by)
+        for r in staged.select(*partition_by).distinct().collect()
+    }
+    emptied = [t for t in touched if tuple(int(v) for v in t) not in remaining]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for t in emptied:
+            subdir = "/".join(
+                f"{c}={v}" for c, v in zip(partition_by, t)
+            )
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{subdir}")
+            fs = p.getFileSystem(hconf)
+            fs.delete(p, True)
+    return emptied
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -436,3 +436,205 @@ def test_hnsw_at_rest_ingest_rewrites_only_touched_partitions(
     for k in before:
         if os.path.dirname(k) in untouched:
             assert after[k] == before[k], k
+
+
+def _file_snapshot(idx_path):
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(idx_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, idx_path)
+                out[rel] = (os.path.getsize(p), os.path.getmtime(p))
+    return out
+
+
+def test_overwrite_touched_partitions_drops_emptied(spark, tmp_path):
+    """The delete-fold sink: dynamic overwrite rewrites partitions
+    present in the staged frame, and touched partitions whose rows
+    were ALL deleted get their directories dropped explicitly —
+    without it the stale files silently survive the commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from musicflow_spark.sources.catalog import (
+        overwrite_touched_partitions,
+        write_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], "p int, v int"
+    )
+    write_table(df, path, partition_by=["p"])
+    # fold: delete v=11 (p=1 survives with one row) and v=20 (p=2
+    # empties); p=3 untouched
+    before = _file_snapshot(path)
+    staged = (
+        spark.read.parquet(path)
+        .filter(F.col("p").isin([1, 2]))
+        .filter(~F.col("v").isin([11, 20]))
+        .select("p", "v")
+        .localCheckpoint(eager=True)
+    )
+    emptied = overwrite_touched_partitions(
+        spark, staged, path, ["p"], [(1,), (2,)]
+    )
+    assert emptied == [(2,)]
+    assert not os.path.exists(os.path.join(path, "p=2"))
+    after = _file_snapshot(path)
+    # p=3 files byte-identical; p=1 rewritten
+    for k in before:
+        if k.startswith("p=3"):
+            assert after[k] == before[k], k
+    got = {(r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 10), (3, 30)}
+
+
+def test_ivf_at_rest_delete_partial_rewrite_and_visibility(
+    spark, tmp_path, monkeypatch
+):
+    """knn_ivf_at_rest_delete: the takedown fold rewrites ONLY the
+    clusters holding deleted vectors (other partitions' files stay
+    byte/mtime-identical), the deleted ids — query 0's pre-delete
+    top-2, so they provably WERE in the answer — never appear in the
+    post-delete result, and query 0's answer actually changed."""
+    import os
+
+    from musicflow_spark.queries import vectors as _vectors
+    from musicflow_spark.queries.vectors import (
+        AT_REST_DELETE_TOPK,
+        _ivf_frozen_assign,
+        _ivf_probe_at_rest,
+        _ivf_train_centroids,
+        knn_ivf_at_rest_delete,
+    )
+    from musicflow_spark.sources import catalog as _catalog
+    from musicflow_spark.sources.catalog import read_table, write_table
+
+    monkeypatch.setattr(_vectors, "IVF_INDEX_DIR", str(tmp_path))
+    # pre-build the base index exactly as the registered function does
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cent_rows = _ivf_train_centroids(emb)
+    idx_path = os.path.join(str(tmp_path), "ivfdel_sf0.001")
+    write_table(
+        _ivf_frozen_assign(emb, cent_rows), idx_path,
+        partition_by=["cluster_id"],
+    )
+    base_top = _ivf_probe_at_rest(
+        emb, spark.read.parquet(idx_path), cent_rows
+    ).collect()
+    deleted = {
+        int(r["neighbor_id"])
+        for r in base_top
+        if r["query_id"] == 0 and r["rank"] <= AT_REST_DELETE_TOPK
+    }
+    assert len(deleted) == AT_REST_DELETE_TOPK
+
+    before = _file_snapshot(idx_path)
+    assert before
+    # suppress the function's own (identical) base rebuild so the
+    # delete commit is the only write between snapshots
+    monkeypatch.setattr(_catalog, "write_table", lambda *a, **k: None)
+    rows = knn_ivf_at_rest_delete(spark, SF_DIR).collect()
+    after = _file_snapshot(idx_path)
+
+    # visibility: deleted ids were in the pre-delete answer, are not
+    # in the post-delete answer, and query 0's answer changed
+    assert deleted <= {
+        int(r["neighbor_id"]) for r in base_top if r["query_id"] == 0
+    }
+    assert not deleted & {int(r["neighbor_id"]) for r in rows}
+    q0_before = {
+        (r["neighbor_id"], r["rank"]) for r in base_top if r["query_id"] == 0
+    }
+    q0_after = {
+        (r["neighbor_id"], r["rank"]) for r in rows if r["query_id"] == 0
+    }
+    assert q0_before != q0_after
+    # the deleted vectors are gone from the FILES too
+    post = spark.read.parquet(idx_path)
+    assert post.filter(post["vec_id"].isin(sorted(deleted))).count() == 0
+
+    before_dirs = {os.path.dirname(k) for k in before}
+    changed_dirs = {
+        os.path.dirname(k)
+        for k in set(before) ^ set(after)
+        | {k for k in before if k in after and before[k] != after[k]}
+    }
+    untouched = before_dirs - changed_dirs
+    assert changed_dirs, "delete commit wrote nothing"
+    assert untouched, "every partition was rewritten"
+    for k in before:
+        if os.path.dirname(k) in untouched:
+            assert after[k] == before[k], k
+
+
+def test_hnsw_at_rest_delete_partial_rewrite_and_reverse_repair(
+    spark, tmp_path, monkeypatch
+):
+    """knn_hnsw_at_rest_delete: only the (layer, bucket) partitions
+    naming a deleted node are rewritten; no surviving adjacency row
+    references a deleted node as src OR dst (reverse-link repair);
+    every surviving list's ranks are dense starting at 1."""
+    import os
+
+    from musicflow_spark.queries import vectors as _vectors
+    from musicflow_spark.queries.vectors import (
+        _hnsw_adjacency_rows,
+        _hnsw_layer_graphs,
+        HNSW_DELETE_EXTRA,
+        knn_hnsw_at_rest_delete,
+    )
+    from musicflow_spark.sources import catalog as _catalog
+    from musicflow_spark.sources.catalog import read_table, write_table
+
+    monkeypatch.setattr(_vectors, "IVF_INDEX_DIR", str(tmp_path))
+    emb = read_table(spark, SF_DIR, "embeddings")
+    g0, g1, g2 = _hnsw_layer_graphs(emb)
+    index = (
+        _hnsw_adjacency_rows(g0, 0)
+        .unionByName(_hnsw_adjacency_rows(g1, 1))
+        .unionByName(_hnsw_adjacency_rows(g2, 2))
+    )
+    idx_path = os.path.join(str(tmp_path), "hnswdel_sf0.001")
+    write_table(index, idx_path, partition_by=["layer", "bucket"])
+    pre = spark.read.parquet(idx_path)
+    pre_count = pre.count()
+
+    before = _file_snapshot(idx_path)
+    assert before
+    monkeypatch.setattr(_catalog, "write_table", lambda *a, **k: None)
+    rows = knn_hnsw_at_rest_delete(spark, SF_DIR).collect()
+    after = _file_snapshot(idx_path)
+
+    # the upper-layer member is gone on EVERY layer, and no surviving
+    # row references any deleted node either way
+    srcs = {(r["layer"], r["src"]) for r in rows}
+    dsts = {r["dst"] for r in rows}
+    assert all(s != HNSW_DELETE_EXTRA for _, s in srcs)
+    assert HNSW_DELETE_EXTRA not in dsts
+    assert len(rows) < pre_count
+    # dense ranks per surviving (layer, src) list
+    by_list = {}
+    for r in rows:
+        by_list.setdefault((r["layer"], r["src"]), []).append(r["rank"])
+    assert all(
+        sorted(v) == list(range(1, len(v) + 1)) for v in by_list.values()
+    )
+
+    before_dirs = {os.path.dirname(k) for k in before}
+    changed_dirs = {
+        os.path.dirname(k)
+        for k in set(before) ^ set(after)
+        | {k for k in before if k in after and before[k] != after[k]}
+    }
+    untouched = before_dirs - changed_dirs
+    assert changed_dirs, "delete commit wrote nothing"
+    assert untouched, "every partition was rewritten"
+    for k in before:
+        if os.path.dirname(k) in untouched:
+            assert after[k] == before[k], k
