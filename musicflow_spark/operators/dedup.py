@@ -1156,6 +1156,63 @@ def suffix_span_scrub(
     return _scrub_tail(base, removable, n=min_span, min_run_grams=1)
 
 
+def cross_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = 20,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated substrings (VERDICT r12 item
+    7 — the pairs/span view of the suffix-array dedup ladder):
+    every maximal run of >= ``min_span`` consecutive tokens shared
+    verbatim between two documents, reported as (doc_a, doc_b,
+    a_start, b_start, span_len).  ``suffix_span_scrub`` CUTS repeated
+    windows corpus-wide; this operator is the LCP-ladder complement —
+    it tells you WHICH pairs share WHAT, the view an audit ("where
+    did this leak from"), a contamination report, or span-level
+    attribution needs.
+
+    Construction: L-truncated suffix windows (two suffixes share >=
+    L tokens iff their L-truncations are equal — the adjacent-suffix
+    LCP >= L test a suffix array runs), equi-joined across documents,
+    then merged into maximal runs per (pair, diagonal): matches with
+    pa - pb constant and consecutive pa form one island (the
+    pos - row_number grouping), and an island of r window matches
+    certifies one maximal duplicated substring of exactly
+    r + min_span - 1 tokens — maximality holds because any longer
+    shared run would extend the island on the same diagonal.
+
+    Scale shape: one window-keyed sort-merge join (per-gram
+    occurrence lists — the hot-boilerplate-gram hazard is shared
+    with every shingle tier; cost is match-linear, never corpus²),
+    one window partitioned per (pair, diagonal) bounded by the
+    matches, one group-by over the same key.  Window keys stay
+    strings for oracle replay; at 100 TB swap the L-token text key
+    for a rolling/xxhash64 key (O(1) per position, documented
+    collision rate)."""
+    if min_span < 1:
+        raise ValueError(f"min_span must be >= 1, got {min_span}")
+    sfx = positional_shingle_table(df, text_col, id_col, min_span)
+    a = sfx.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = sfx.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gram"
+    )
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("g", F.col("pa") - F.row_number().over(w))
+    return isl.groupBy("doc_a", "doc_b", "diag", "g").agg(
+        F.min("pa").cast("long").alias("a_start"),
+        F.min("pb").cast("long").alias("b_start"),
+        (F.count(F.lit(1)) + (min_span - 1)).cast("long").alias("span_len"),
+    ).select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+
+
 # -------------------------------------------- prefix filter (AllPairs)
 def prefix_filter_pairs(
     df: DataFrame,

@@ -18,6 +18,7 @@ from musicflow_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_dedup_incremental,
+    cross_substring_spans,
     minhash_dedup_pairs,
     paragraph_dedup,
     prefix_filter_pairs,
@@ -1421,6 +1422,53 @@ SELECT toks.doc_id AS doc_id,
        cast(len(t) - coalesce(n_kept, 0) AS bigint) AS n_removed,
        coalesce(clean_text, '') AS clean_text
 FROM toks LEFT JOIN ag USING (doc_id)
+"""
+
+
+SUBSTR_PAIR_MIN = 20
+
+
+def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated-substring ladder (ext —
+    VERDICT r12 item 7): every maximal verbatim run of >=
+    SUBSTR_PAIR_MIN tokens shared between two documents, as (doc_a,
+    doc_b, a_start, b_start, span_len)
+    (operators/dedup.py::cross_substring_spans).  Completes the dedup
+    family above the n-gram grain: ``doc_suffix_dedup`` CUTS repeated
+    windows corpus-wide (the Lee et al. scrub); this is the
+    attribution view — which pairs share what, where — that audits
+    and contamination reports need.  SUBSTR_PAIR_MIN = 20 sits above
+    the winnowing guarantee (w + n - 1 = 10), so every pair reported
+    here provably shares a winnow fingerprint
+    (tests/test_substring_dedup.py asserts the containment)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return cross_substring_spans(docs, min_span=SUBSTR_PAIR_MIN)
+
+
+DOC_SUBSTRING_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                        x -> lower(x)) AS t
+  FROM documents),
+sfx AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(t[i:i+{SUBSTR_PAIR_MIN - 1}], ' ') AS win
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SUBSTR_PAIR_MIN} + 2)) AS i
+        FROM toks WHERE len(t) >= {SUBSTR_PAIR_MIN})),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM sfx a JOIN sfx b ON a.win = b.win AND a.doc_id < b.doc_id),
+isl AS (
+  SELECT doc_a, doc_b, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS g
+  FROM m)
+SELECT doc_a, doc_b,
+       CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(count(*) + {SUBSTR_PAIR_MIN - 1} AS BIGINT) AS span_len
+FROM isl GROUP BY doc_a, doc_b, pa - pb, g
 """
 
 
@@ -3110,6 +3158,7 @@ QUERIES = [
     Query("doc_dup_spans", "ext: longest duplicated token span per near-dup pair", doc_dup_spans, DOC_DUP_SPANS_SQL),
     Query("doc_span_scrub", "ext: duplicated-span REMOVAL — cross-doc >=8-token spans cut, first occurrence kept, clean text reassembled", doc_span_scrub, DOC_SPAN_SCRUB_SQL),
     Query("doc_suffix_dedup", "ext: EXACT long-substring dedup (suffix-ordered, Lee et al.) — >=50-token repeated windows cut, first occurrence kept", doc_suffix_dedup, DOC_SUFFIX_DEDUP_SQL),
+    Query("doc_substring_dedup", "ext: maximal cross-document duplicated-substring ladder — per-pair (a_start, b_start, span_len) of every maximal >=20-token verbatim shared run (diagonal island merge over the L-truncated suffix join)", doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL),
     Query("corpus_vocab_topk", "ext: vocabulary coverage curve (top-k unigrams + cum share)", corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
     Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),
