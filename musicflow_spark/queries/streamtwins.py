@@ -1340,6 +1340,74 @@ def stream_hnsw_at_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ivf_at_rest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-rest TAKEDOWN maintenance (ext — the streaming
+    half of VERDICT r12 item 3): ``knn_ivf_at_rest_delete``'s
+    tombstone fold driven by a real availableNow writeStream — the
+    full corpus indexes partitionBy(cluster_id), then the takedown
+    keys (query 0's top-AT_REST_DELETE_TOPK base-index neighbors, the
+    batch tier's self-certifying delete set) arrive ONE PER
+    MICRO-BATCH and each batch folds through
+    ``foreach_batch_partitioned_delete``: stored rows of the arriving
+    keys locate the touched clusters, only those partitions are read
+    back minus the keys, and the commit drops any emptied partition
+    explicitly.  Redelivery of a processed key finds no stored rows
+    and commits NOTHING (replay-idempotent by construction —
+    asserted per batch in tests/test_streaming_ivf_at_rest.py along
+    with untouched-partition byte identity).  The final probe serves
+    off the post-delete files exactly as the batch tier does, so the
+    BATCH at-rest delete oracle replays this query verbatim — hash
+    equality certifies that micro-batched takedowns converge to the
+    one-shot fold regardless of arrival chunking (key-disjoint
+    deletes commute).
+
+    The per-key file replay is test scaffolding (module docstring);
+    the operator under test is the delete sink, whose per-batch cost
+    is O(batch lookup + touched clusters) at any corpus size."""
+    from musicflow_spark.queries.vectors import (
+        AT_REST_DELETE_TOPK,
+        _ivf_frozen_assign,
+        _ivf_probe_at_rest,
+        _ivf_train_centroids,
+    )
+    from musicflow_spark.sources.catalog import write_table
+    from musicflow_spark.streaming.events import (
+        foreach_batch_partitioned_delete,
+    )
+
+    tmp = _twin_tmpdir(prefix="mf_streamtwin_ivfdel_")
+    idx, del_dir = f"{tmp}/index", f"{tmp}/deletes"
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = _ivf_train_centroids(emb)
+    write_table(
+        _ivf_frozen_assign(emb, cent_rows), idx, partition_by=["cluster_id"]
+    )
+    base_top = _ivf_probe_at_rest(emb, spark.read.parquet(idx), cent_rows)
+    deleted = sorted(
+        int(r["neighbor_id"])
+        for r in base_top.filter(
+            (F.col("query_id") == 0) & (F.col("rank") <= AT_REST_DELETE_TOPK)
+        ).collect()
+    )
+    # one takedown key per micro-batch file, key order; the collect is
+    # bounded by the AT_REST_DELETE_TOPK takedown contract
+    seen: set[str] = set()
+    for tick, vid in enumerate(deleted, start=1):
+        spark.createDataFrame([(vid,)], "vec_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(del_dir)
+        _bump_mtimes(del_dir, seen, tick)
+    stream = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(del_dir)
+    )
+    sink = foreach_batch_partitioned_delete(idx, "cluster_id", "vec_id")
+    _run_available_now(stream, lambda w: w.foreachBatch(sink))
+    at_rest = spark.read.parquet(idx)
+    return _ivf_probe_at_rest(emb, at_rest, cent_rows)
+
+
 QUERIES = [
     Query("stream_sketch_users", "ext: streaming twin — mergeable HLL sketch maintenance sink (union-merge, soundness-gated)", stream_sketch_users, STREAM_SKETCH_USERS_SQL),
     Query("stream_user_rollup", "ext: streaming twin — no-state-store rollup-merge sink (S9 incremental analogue)", stream_user_rollup, STREAM_USER_ROLLUP_SQL),
@@ -1406,6 +1474,7 @@ def _register_minhash_twin() -> None:
     )
     from musicflow_spark.queries.vectors import (
         _knn_hnsw_at_rest_ingest_oracle_sql,
+        _knn_ivf_at_rest_delete_oracle_sql,
         _knn_ivf_at_rest_ingest_oracle_sql,
     )
 
@@ -1423,6 +1492,14 @@ def _register_minhash_twin() -> None:
             "ext: streaming twin — at-rest layered-HNSW maintenance, write-set applied in list-whole micro-batch chunks via the composite-key partitioned fold; batch at-rest ingest oracle verbatim",
             stream_hnsw_at_rest_ingest,
             _knn_hnsw_at_rest_ingest_oracle_sql(),
+        )
+    )
+    QUERIES.append(
+        Query(
+            "stream_ivf_at_rest_delete",
+            "ext: streaming twin — at-rest IVF takedowns one key per micro-batch through the idempotent partitioned delete sink (emptied partitions dropped); batch at-rest delete oracle verbatim",
+            stream_ivf_at_rest_delete,
+            _knn_ivf_at_rest_delete_oracle_sql(),
         )
     )
 

@@ -455,6 +455,65 @@ def foreach_batch_partitioned_fold(
     return sink
 
 
+def foreach_batch_partitioned_delete(
+    path: str,
+    partition_col: "str | list[str]",
+    key_col: str,
+):
+    """Streaming DELETE maintenance of a partitioned at-rest table
+    (the ``knn_ivf_at_rest_delete`` tombstone fold per micro-batch —
+    VERDICT r12 item 3's streaming half): each batch carries KEYS to
+    remove; the stored rows of those keys locate the touched
+    partitions (one key-filtered scan, batch-bounded collect), only
+    those partitions are read back and committed minus the keys via
+    ``overwrite_touched_partitions`` — which also DROPS any partition
+    the delete emptied (dynamic overwrite alone would keep its stale
+    files).  REPLAY IDEMPOTENT by construction: redelivering a delete
+    finds no stored rows for the key, touches nothing, and commits
+    nothing — at-least-once delivery of takedowns converges to the
+    one-shot fold.
+
+    At 100 TB each micro-batch costs O(batch lookup + touched
+    partitions), never an index rewrite."""
+    from musicflow_spark.sources.catalog import overwrite_touched_partitions
+
+    part_cols = (
+        [partition_col] if isinstance(partition_col, str) else list(partition_col)
+    )
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        keys = sorted(
+            r[key_col] for r in batch.select(key_col).distinct().collect()
+        )
+        if not keys:
+            return
+        at_rest = spark.read.parquet(path)
+        touched = sorted(
+            tuple(r[c] for c in part_cols)
+            for r in at_rest.filter(F.col(key_col).isin(keys))
+            .select(*part_cols)
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return
+        pred = F.lit(False)
+        for vals in touched:
+            cond = F.lit(True)
+            for c, v in zip(part_cols, vals):
+                cond = cond & (F.col(c) == v)
+            pred = pred | cond
+        staged = (
+            at_rest.filter(pred)
+            .filter(~F.col(key_col).isin(keys))
+            .localCheckpoint(eager=True)
+        )
+        overwrite_touched_partitions(spark, staged, path, part_cols, touched)
+
+    return sink
+
+
 def foreach_batch_scd2(
     path: str,
     key: str,

@@ -162,3 +162,72 @@ def test_multi_column_fold_chunks_keep_lists_whole(spark):
         t for t in base_rows if (t[0], t[2]) not in replaced
     } | ws_rows
     assert got == expect
+
+
+@pytest.fixture(scope="module")
+def delete_table(spark, tmp_path_factory):
+    """A partitioned index with a known layout: cluster sizes chosen
+    so one delete batch empties a partition (the explicit-drop path)
+    while another only shrinks one."""
+    path = str(tmp_path_factory.mktemp("ivf_del")) + "/index"
+    rows = [
+        (0, 10, [1.0]), (0, 11, [1.0]), (0, 12, [1.0]),
+        (1, 20, [2.0]),               # singleton cluster: empties
+        (2, 30, [3.0]), (2, 31, [3.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id int, vec_id long, embedding array<double>"
+    )
+    df.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    return path
+
+
+def test_delete_sink_rewrites_shrinks_and_drops(spark, delete_table):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from musicflow_spark.streaming.events import (
+        foreach_batch_partitioned_delete,
+    )
+
+    path = delete_table
+    sink = foreach_batch_partitioned_delete(path, "cluster_id", "vec_id")
+    before = _snapshot(path)
+
+    # batch 1: shrink cluster 0 (11 leaves, 10/12 stay)
+    sink(spark.createDataFrame([(11,)], "vec_id long"), 1)
+    after1 = _snapshot(path)
+    changed = {
+        os.path.dirname(k)
+        for k in (set(before) ^ set(after1))
+        | {k for k in before if k in after1 and before[k] != after1[k]}
+    }
+    assert changed == {"cluster_id=0"}, changed
+    got = {
+        (r["cluster_id"], r["vec_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(0, 10), (0, 12), (1, 20), (2, 30), (2, 31)}
+
+    # batch 2: delete the singleton -> partition dir must be DROPPED
+    sink(spark.createDataFrame([(20,)], "vec_id long"), 2)
+    assert not os.path.exists(os.path.join(path, "cluster_id=1"))
+    got = {
+        (r["cluster_id"], r["vec_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(0, 10), (0, 12), (2, 30), (2, 31)}
+
+
+def test_delete_sink_replay_is_idempotent(spark, delete_table):
+    """Redelivering a takedown whose key is already gone finds no
+    stored rows, touches no partition, and writes nothing — the
+    at-least-once convergence property."""
+    from musicflow_spark.streaming.events import (
+        foreach_batch_partitioned_delete,
+    )
+
+    path = delete_table
+    sink = foreach_batch_partitioned_delete(path, "cluster_id", "vec_id")
+    before = _snapshot(path)
+    sink(spark.createDataFrame([(11,), (20,)], "vec_id long"), 99)
+    assert _snapshot(path) == before
