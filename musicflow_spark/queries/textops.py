@@ -3158,7 +3158,7 @@ QUERIES = [
     Query("doc_dup_spans", "ext: longest duplicated token span per near-dup pair", doc_dup_spans, DOC_DUP_SPANS_SQL),
     Query("doc_span_scrub", "ext: duplicated-span REMOVAL — cross-doc >=8-token spans cut, first occurrence kept, clean text reassembled", doc_span_scrub, DOC_SPAN_SCRUB_SQL),
     Query("doc_suffix_dedup", "ext: EXACT long-substring dedup (suffix-ordered, Lee et al.) — >=50-token repeated windows cut, first occurrence kept", doc_suffix_dedup, DOC_SUFFIX_DEDUP_SQL),
-    Query("doc_substring_dedup", "ext: maximal cross-document duplicated-substring ladder — per-pair (a_start, b_start, span_len) of every maximal >=20-token verbatim shared run (diagonal island merge over the L-truncated suffix join)", doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL),
+    Query("doc_substring_dedup", "ext: maximal cross-document duplicated-substring ladder — per-pair (a_start, b_start, span_len) of every maximal >=20-token verbatim shared run (diagonal island merge over the L-truncated suffix join)", doc_substring_dedup, DOC_SUBSTRING_DEDUP_SQL, bench=True),
     Query("corpus_vocab_topk", "ext: vocabulary coverage curve (top-k unigrams + cum share)", corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
     Query("doc_rarity_score", "ext: integer-exact unigram rarity scoring (LM-free perplexity bucket)", doc_rarity_score, DOC_RARITY_SCORE_SQL),
     Query("doc_bpe_token_stats", "ext: BPE-ish pre-tokenizer piece counting", doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL),

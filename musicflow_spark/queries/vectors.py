@@ -3965,7 +3965,7 @@ QUERIES = [
     Query("knn_graph_ingest", "ext: incremental kNN-graph maintenance — delta probe + REVERSE top-k updates for touched base nodes, base x base never pairs", knn_graph_ingest, _knn_graph_ingest_oracle_sql()),
     Query("knn_sq8", "ext: similarity search (ANN/SQ8 — per-dimension int8 affine grid, integer L2 scan)", knn_sq8, _knn_sq8_oracle_sql(), bench=True),
     Query("knn_ivf_trained", "ext: IVF over the TRAINED kmeans quantizer (integer-grid train + assign + probe, cosine rerank)", knn_ivf_trained, _knn_ivf_trained_oracle_sql()),
-    Query("knn_ivf_multiprobe", "ext: BUDGETED multi-probe IVF — per-query scan budget over the distance-ranked cluster list (boundary queries probe more cells, big-cell queries fewer), reaching fixed-probe recall at less scan", knn_ivf_multiprobe, _knn_ivf_multiprobe_oracle_sql()),
+    Query("knn_ivf_multiprobe", "ext: BUDGETED multi-probe IVF — per-query scan budget over the distance-ranked cluster list (boundary queries probe more cells, big-cell queries fewer), reaching fixed-probe recall at less scan", knn_ivf_multiprobe, _knn_ivf_multiprobe_oracle_sql(), bench=True),
     Query("knn_ivf_at_rest", "ext: IVF index MATERIALIZED partitionBy(cluster_id) through the catalog sink, probe served off the written files with static partition pruning (S2 + the SCALE.md pruning claim, plan-proven)", knn_ivf_at_rest, _knn_ivf_trained_oracle_sql(n_query=AT_REST_QUERY_VECS)),
     Query("knn_ivf_at_rest_ingest", "ext: at-rest IVF index MAINTENANCE — frozen base-trained quantizer, delta folded in via dynamic partition overwrite (untouched cluster files never rewritten), probe served off the updated files", knn_ivf_at_rest_ingest, _knn_ivf_at_rest_ingest_oracle_sql()),
     Query("knn_ivf_at_rest_delete", "ext: at-rest IVF index DELETE/takedown — tombstone fold rewrites only the touched cluster partitions (emptied partitions dropped explicitly), probe served off the post-delete files excludes the removed vectors", knn_ivf_at_rest_delete, _knn_ivf_at_rest_delete_oracle_sql()),

@@ -80,7 +80,8 @@ def test_oracles_present_or_documented_rows_only():
 
 def test_bench_flags_point_at_registered_queries():
     bench = [q for q in get_queries() if q.bench]
-    # BASELINE.md headline set; update together (36 since round 12:
-    # doc_unicode_neardup — the canonical-text near-dup rung — joined
-    # alongside round 11's corpus_training_batch_mart)
-    assert len(bench) == 36
+    # BASELINE.md headline set; update together (38 since round 13:
+    # knn_ivf_multiprobe and doc_substring_dedup — the budgeted
+    # multi-probe ANN rung and the duplicated-substring ladder —
+    # joined alongside round 12's doc_unicode_neardup)
+    assert len(bench) == 38
