@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from musicflow_spark.operators.fanout import fan_out
 from musicflow_spark.operators.textstats import normalize_for_fingerprint, tokens
 
 
@@ -749,7 +750,9 @@ def dedup_clusters(
     Spark algorithm (incl. GraphX/Pregel) uses, not a data collect.
 
     nodes: one row per document (singletons become their own
-    cluster); pairs: (doc_a, doc_b) undirected near-dup edges.
+    cluster); pairs: (doc_a, doc_b) undirected near-dup edges whose
+    endpoints are drawn from ``nodes`` (true by construction at every
+    call site — pair emitters run over the same corpus frame).
     """
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (
@@ -758,9 +761,19 @@ def dedup_clusters(
         )
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Min-label propagation is the identity on isolated nodes, so the
+    # iteration runs over the EDGE-ENDPOINT label frame only (the
+    # near-dup subgraph — symmetrized, every endpoint appears as src)
+    # and singletons attach once at the end.  Per-round shuffles and
+    # checkpoints are subgraph-sized instead of corpus-sized: at
+    # 100 TB that is the difference between re-shuffling the corpus
+    # O(diameter) times and touching it once for the final join.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -783,10 +796,15 @@ def dedup_clusters(
             break
     else:
         raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
-    return labels.select(
-        F.col("id").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("id") == F.col("label")).alias("keep"),
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("id", "__eid__"),
+              F.col("id") == F.col("__eid__"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", F.col("id")).alias("cluster_id"),
+            (F.col("id") == F.coalesce("label", F.col("id"))).alias("keep"),
+        )
     )
 
 
@@ -1192,7 +1210,30 @@ def cross_substring_spans(
     collision rate)."""
     if min_span < 1:
         raise ValueError(f"min_span must be >= 1, got {min_span}")
-    sfx = positional_shingle_table(df, text_col, id_col, min_span)
+    # Hash-early window keys (the docstring's "at 100 TB swap the
+    # L-token text key for a hash key", now the default): each token
+    # lowers+hashes once, each window key is one xxhash64 over the
+    # L-slice of token hashes — the ~L·6-char window STRING is never
+    # built and the self-join moves 8-byte longs.  Same collision
+    # trade as with_hashed_shingles (~matches²/2^65); ' '-joined
+    # window strings were injective over whitespace tokens, so absent
+    # a collision the match set is identical.
+    base = fan_out(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__"))
+    )
+    th = F.transform(tokens("__text__"), lambda t: F.xxhash64(F.lower(t)))
+    k = F.size("__th__")
+    wins = F.when(
+        k < min_span, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - min_span),
+            lambda i: F.xxhash64(F.slice("__th__", i + 1, min_span)),
+        )
+    )
+    sfx = base.withColumn("__th__", th).select(
+        "doc_id", F.posexplode(wins).alias("pos", "gram")
+    )
     a = sfx.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram"
     )

@@ -48,6 +48,30 @@ from musicflow_spark.operators.similarity import dot
 DEFAULT_SCALE = 1000
 
 
+def _list_col_to_2d(arr, n: int, dim: int, dtype):
+    """(n, dim) numpy view of an Arrow list column of equal-length,
+    null-free numeric lists.  ``flatten()`` hands back the values
+    buffer (offset-aware, no per-row Python objects); the reshape
+    fails loudly on ragged input.  The previous ``to_pylist()`` path
+    built n Python lists per batch and dominated every kernel profile
+    (guide §4.2 — keep the boundary columnar)."""
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(n, dim)
+
+
+def _pairwise_d2(qv, cvs_t, c2):
+    """Exact int64 squared-distance matrix via the expansion
+    |q|^2 - 2 q·c + |c|^2.  numpy int64 arithmetic wraps mod 2^64
+    (same ring as Java long), and the expansion is an algebraic
+    identity in that ring, so the result is bit-identical to the
+    direct ``((q - c) ** 2).sum(-1)`` — including under overflow —
+    while avoiding the n·k·dim broadcast temporary (measured 21x on
+    a 10k x 8 x 64 batch).  ``cvs_t`` is the (dim, k) transposed
+    centroid matrix, ``c2`` its per-centroid squared norms."""
+    q2 = (qv * qv).sum(axis=1)
+    return q2[:, None] - 2 * (qv @ cvs_t) + c2[None, :]
+
+
 def quantized(vec: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     """array<long> integer grid of an array<float> column:
     round(x * scale) per element, half away from zero on both engines
@@ -393,6 +417,8 @@ def kmeans_assign_arrow(
         raise ValueError("ragged centroid table")
     cids = np.asarray(cids_sorted, dtype=np.int32)
     cvs = np.asarray([v for _, v in cent_rows], dtype=np.int64)
+    cvs_t = cvs.T.copy()
+    c2 = (cvs * cvs).sum(axis=1)
 
     q = q.select("id", "qv")
     id_type = q.schema["id"].dataType.simpleString()
@@ -406,8 +432,8 @@ def kmeans_assign_arrow(
             n = batch.num_rows
             if n == 0:
                 continue
-            qv = _np.array(batch.column(1).to_pylist(), dtype=_np.int64)
-            d2 = ((qv[:, None, :] - cvs[None, :, :]) ** 2).sum(-1)
+            qv = _list_col_to_2d(batch.column(1), n, dim, _np.int64)
+            d2 = _pairwise_d2(qv, cvs_t, c2)
             pos = _np.argmin(d2, axis=1)
             yield _pa.RecordBatch.from_arrays(
                 [
@@ -447,6 +473,8 @@ def kmeans_rank_arrow(
         raise ValueError("ragged centroid table")
     cids = np.asarray(cids_sorted, dtype=np.int32)
     cvs = np.asarray([v for _, v in cent_rows], dtype=np.int64)
+    cvs_t = cvs.T.copy()
+    c2 = (cvs * cvs).sum(axis=1)
     nb = min(n_best, len(cent_rows))
 
     q = q.select("id", "qv")
@@ -461,8 +489,8 @@ def kmeans_rank_arrow(
             n = batch.num_rows
             if n == 0:
                 continue
-            qv = _np.array(batch.column(1).to_pylist(), dtype=_np.int64)
-            d2 = ((qv[:, None, :] - cvs[None, :, :]) ** 2).sum(-1)
+            qv = _list_col_to_2d(batch.column(1), n, dim, _np.int64)
+            d2 = _pairwise_d2(qv, cvs_t, c2)
             sel = _np.argsort(d2, axis=1, kind="stable")[:, :nb]
             rep = _pa.array(_np.repeat(_np.arange(n), nb), type=_pa.int64())
             yield _pa.RecordBatch.from_arrays(
@@ -515,6 +543,8 @@ def kmeans_update_arrow(
         raise ValueError("ragged centroid table")
     cids = np.asarray(cids_sorted, dtype=np.int32)
     cvs = np.asarray([v for _, v in cent_rows], dtype=np.int64)
+    cvs_t = cvs.T.copy()
+    c2 = (cvs * cvs).sum(axis=1)
     kk = len(cent_rows)
 
     q = q.select("id", "qv")
@@ -527,8 +557,8 @@ def kmeans_update_arrow(
             n = batch.num_rows
             if n == 0:
                 continue
-            qv = _np.array(batch.column(1).to_pylist(), dtype=_np.int64)
-            d2 = ((qv[:, None, :] - cvs[None, :, :]) ** 2).sum(-1)
+            qv = _list_col_to_2d(batch.column(1), n, dim, _np.int64)
+            d2 = _pairwise_d2(qv, cvs_t, c2)
             pos = _np.argmin(d2, axis=1)
             counts = _np.bincount(pos, minlength=kk)
             sums = _np.zeros((kk, dim), dtype=_np.int64)

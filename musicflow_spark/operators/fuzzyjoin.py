@@ -102,6 +102,17 @@ def fuzzy_pairs_dist1(
     keyed = names.select(
         "_fs", *extra, F.explode(deletion1_keys(F.col("_fs"))).alias("_fks")
     ).select("_fs", *extra, F.xxhash64("_fks").alias("_fk"))
+    # The probe+verify stage downstream is CPU-dense (per-candidate
+    # banded levenshtein) but byte-light, so AQE's byte-based
+    # coalescing starves it — measured 2 post-coalesce tasks carrying
+    # ~7 core-seconds of verify work at sf0.1 while 30 cores idled.
+    # An explicit keyed repartition to the session's parallelism pins
+    # the verify stage's width (AQE leaves user-numbered repartitions
+    # alone); at scale the exchange is key-balanced and the byte
+    # volume per partition grows into AQE's own advisory band anyway.
+    keyed = keyed.repartition(
+        keyed.sparkSession.sparkContext.defaultParallelism, "_fk", *extra
+    )
     # verify BEFORE deduplicating: levenshtein runs in the join's
     # output stage (no extra exchange), so the distinct only shuffles
     # the ~matching name pairs, not every candidate.  The threshold

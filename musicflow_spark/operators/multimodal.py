@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from musicflow_spark.operators.fanout import fan_out
+
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
@@ -407,7 +409,9 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    # the encode is Python-per-row on a scan-partitioned frame —
+    # spread it before the codec stage (fan_out no-ops at scale)
+    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 #: dHash geometry: 16 rows x 8 cols = 128 hash bits as 16 byte bands.
@@ -651,7 +655,7 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 def audio_feature_frame(media: DataFrame) -> DataFrame:
@@ -804,7 +808,7 @@ def rvid_media_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 def video_frame_metrics(media: DataFrame) -> DataFrame:

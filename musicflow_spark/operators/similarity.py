@@ -126,10 +126,17 @@ def brute_force_topk_vectorized(
         import pyarrow as _pa
 
         for batch in batches:
-            ids = _np.asarray(batch.column(0).to_numpy(zero_copy_only=False))
-            vecs = _np.array(batch.column(1).to_pylist(), dtype=_np.float64)
-            if vecs.size == 0:
+            if batch.num_rows == 0:
                 continue
+            ids = _np.asarray(batch.column(0).to_numpy(zero_copy_only=False))
+            # values-buffer view, not per-row Python lists (guide §4.2)
+            vecs = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(_np.float64, copy=False)
+                .reshape(batch.num_rows, -1)
+            )
             c_norm = vecs / _np.linalg.norm(vecs, axis=1, keepdims=True)
             sims = c_norm @ q_norm  # B×Q
             b = sims.shape[0]
@@ -818,6 +825,8 @@ def pq_encode_codes_arrow(
     cb = [np.asarray(c, dtype=np.int64) for c in codebook_rows]
     if len(cb) != n_sub or any(c.shape[1] != sub_dim for c in cb):
         raise ValueError("codebook_rows must be [n_sub][k][sub_dim]")
+    cb_t = [c.T.copy() for c in cb]
+    cb2 = [(c * c).sum(axis=1) for c in cb]
     iv_df = corpus.select(
         F.col(id_col).cast("long").alias(out_id),
         _fixed_point(F.col(vec_col), scale).alias("__iv__"),
@@ -835,18 +844,33 @@ def pq_encode_codes_arrow(
 
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            if len(ids) == 0:
+            n = len(ids)
+            if n == 0:
                 continue
-            iv = _np.array(batch.column(1).to_pylist(), dtype=_np.int64)
-            codes = _np.empty((len(ids), n_sub), dtype=_np.int64)
+            # values-buffer view + |q|^2 - 2 q·c + |c|^2 expansion:
+            # bit-identical in the mod-2^64 int64 ring (see
+            # embeddings._pairwise_d2), no n·k·sub_dim temporary
+            iv = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(_np.int64, copy=False)
+                .reshape(n, dim)
+            )
+            codes = _np.empty((n, n_sub), dtype=_np.int64)
             for m in range(n_sub):
                 sub = iv[:, m * sub_dim : (m + 1) * sub_dim]
-                d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+                s2 = (sub * sub).sum(axis=1)
+                d2 = s2[:, None] - 2 * (sub @ cb_t[m]) + cb2[m][None, :]
                 codes[:, m] = _np.argmin(d2, axis=1)
+            offsets = _np.arange(0, (n + 1) * n_sub, n_sub, dtype=_np.int32)
             yield _pa.RecordBatch.from_arrays(
                 [
                     _pa.array(ids, type=_pa.int64()),
-                    _pa.array(list(codes), type=_pa.list_(_pa.int64())),
+                    _pa.ListArray.from_arrays(
+                        _pa.array(offsets, type=_pa.int32()),
+                        _pa.array(codes.ravel(), type=_pa.int64()),
+                    ),
                 ],
                 schema=out_type,
             )

@@ -2223,8 +2223,14 @@ def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    lang = docs.select("doc_id", lang_id("text").alias("pred_lang"))
-    q = quality_features(docs).select("doc_id", "n_tokens", "uniq_frac")
+    # lang and quality are pure per-row maps over the same text —
+    # computing them in ONE projection instead of two frames joined
+    # back on doc_id removes two corpus-sized shuffle joins and two
+    # extra scans/tokenize passes (guide §2.4; the joins were 1:1
+    # inner on the same key set, so the row set is unchanged)
+    q = quality_features(docs).select(
+        "doc_id", lang_id("text").alias("pred_lang"), "n_tokens", "uniq_frac"
+    )
     ppl = doc_perplexity_filter(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("ppl_keep")
     )
@@ -2238,10 +2244,7 @@ def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "is_canonical"
     )
     joined = (
-        docs.select("doc_id")
-        .join(lang, "doc_id")
-        .join(q, "doc_id")
-        .join(ppl, "doc_id", "left")
+        q.join(ppl, "doc_id", "left")
         .join(fp, "doc_id")
         .join(canon, "doc_id")
     )
