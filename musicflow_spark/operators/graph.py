@@ -29,7 +29,7 @@ Execution shape (the GraphX/Pregel pattern, DataFrame-native):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_TOTAL = 10**12
@@ -132,6 +132,93 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_units"))
 
 
+def pagerank_bounded(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    total: int = PAGERANK_TOTAL,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Single-task PageRank for DIMENSION-BOUNDED graphs — same
+    contract and bit-identical results as :func:`pagerank`.
+
+    When the aggregated graph is bounded by a dimension cardinality
+    (|nations|² for the trade graph), the distributed tier's cost is
+    not data but BARRIERS: ~9 scheduled stages per iteration to move
+    a few hundred rows, on a cluster just as on local[32] (measured
+    at sf0.1: 91 stages/run, none over 0.25 s).  This tier folds the
+    whole recurrence into one task: (node ∪ edge) rows coalesce into
+    a single partition and a mapInPandas kernel replays the exact
+    integer fixed-point recurrence in Python longs — floor division
+    on non-negative int64 everywhere, so the result is bit-identical
+    to the distributed tier (pytest-cross-checked) and to the DuckDB
+    oracle replay.  The plan keeps the scale-relevant part (the edge
+    aggregation over the fact tables) fully distributed; only the
+    dimension-bounded iteration is single-task, the same bound class
+    as the k-row centroid folds (knn_ivf_trained) already in
+    SINGLE_OK.  NOT for data-sized graphs (|V|·k edge rows):
+    embedding_centrality_pagerank stays on :func:`pagerank`."""
+    dn, dd = int(damping_num), int(damping_den)
+    tot, sc, iters = int(total), int(scale), int(n_iter)
+    # tag-union instead of nullable columns: every column stays
+    # non-null int64 end to end, so Arrow→pandas never widens to
+    # float64 (which would corrupt ids/weights past 2^53)
+    tagged = nodes.select(
+        F.col("node").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("w"),
+        F.lit(0).alias("tag"),
+    ).unionByName(
+        edges.select(
+            F.col("src").cast("long").alias("a"),
+            F.col("dst").cast("long").alias("b"),
+            F.col("w").cast("long").alias("w"),
+            F.lit(1).alias("tag"),
+        )
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        node_ids: list[int] = []
+        raw: list[tuple[int, int, int]] = []
+        for pdf in batches:
+            for a, b, w, tag in zip(
+                pdf["a"].tolist(), pdf["b"].tolist(),
+                pdf["w"].tolist(), pdf["tag"].tolist(),
+            ):
+                if tag == 0:
+                    node_ids.append(int(a))
+                else:
+                    raw.append((int(a), int(b), int(w)))
+        n = len(node_ids)
+        if n == 0:
+            raise ValueError("pagerank needs a non-empty node set")
+        out: dict[int, int] = {}
+        for s, _d, w in raw:
+            out[s] = out.get(s, 0) + w
+        shares = [(s, d, (w * sc) // out[s]) for s, d, w in raw]
+        dangling = [v for v in node_ids if v not in out]
+        teleport = (dd - dn) * tot // (dd * n)
+        rank = {v: tot // n for v in node_ids}
+        for _ in range(iters):
+            inflow: dict[int, int] = {}
+            for s, d, sv in shares:
+                inflow[d] = inflow.get(d, 0) + (rank[s] * sv) // sc
+            dang_term = (dn * sum(rank[v] for v in dangling)) // (dd * n)
+            rank = {
+                v: teleport + (dn * inflow.get(v, 0)) // dd + dang_term
+                for v in node_ids
+            }
+        yield pd.DataFrame(
+            {"node": node_ids, "rank_units": [rank[v] for v in node_ids]}
+        )
+
+    return tagged.coalesce(1).mapInPandas(kernel, "node long, rank_units long")
+
+
 def pagerank_oracle_sql(
     nodes_sql: str,
     edges_sql: str,
@@ -209,8 +296,16 @@ def star_components(
     large-star: every node u sends its strictly-larger neighbors to
     m = min(Γ(u) ∪ {u}); small-star: orient edges (hi, lo), every hi
     node re-hangs its smaller neighbors (and itself) under their
-    minimum.  Both steps are one groupBy + one projection over the
-    edge list — keyed shuffles only, edge-linear work per round; the
+    minimum.  Each step computes its per-u minimum as a PARTITION
+    WINDOW over the edge list instead of a groupBy + join back: the
+    min and the emit read the same shuffled partition, so a step is
+    ONE exchange (+ the distinct's), where the agg+join form paid the
+    aggregate's exchange AND re-shuffled the edge list for the join —
+    measured 6 → 4 exchanges and two SortMergeJoins removed per
+    round (guide §2.4: two operations keyed the same way share one
+    exchange).  Skew behavior is unchanged: both forms co-locate each
+    u's edges in one task; hot hubs shrink by the algorithm itself
+    (every round re-hangs their neighbors under the minimum).  The
     edge frame is localCheckpointed per round to keep lineage flat.
     Converged when the canonical edge set is a fixpoint, at which
     point every component is a star rooted at its minimum id.
@@ -219,28 +314,35 @@ def star_components(
     ``dedup_clusters`` (cluster_id = min reachable id, keeper =
     root), so the two are interchangeable and cross-checkable.
     """
+    wu = Window.partitionBy("u")
     edges = _canonical(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        # large-star over the symmetric neighbor list
+        # large-star over the symmetric neighbor list: m = min(Γ(u) ∪ {u})
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        lmin = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
         large = _canonical(
-            sym.join(lmin, "u")
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        # small-star over the (hi, lo) orientation
-        smin = large.groupBy("u").agg(F.min("v").alias("m"))
-        joined = large.join(smin, "u")
+        # small-star over the (hi, lo) orientation: every v < u (and u
+        # itself) re-hangs under min(Γ_small(u)); both emitted edges
+        # come from ONE windowed row via explode, so the window pass
+        # runs once, not once per union branch
         small = _canonical(
-            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(joined.select("u", F.col("m").alias("v")))
+            large.withColumn("m", F.min("v").over(wu))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
         ).localCheckpoint(eager=True)
         # one full-outer join: rows missing on either side == symmetric
         # difference of the two canonical (distinct) edge sets

@@ -414,6 +414,183 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
     return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
 
 
+def phash_bands_from_docs(
+    docs: DataFrame, rows: int | None = None, cols: int | None = None
+) -> DataFrame:
+    """FUSED tier of ``phash_bands(png_media_from_documents(docs))``:
+    encode → decode → dHash run inside ONE mapInPandas kernel, so the
+    PNG payload bytes never cross the JVM↔Python boundary at all
+    (guide §4.1: you control how many columns cross — here the widest
+    column crosses zero times instead of twice).  The codec path is
+    UNCHANGED — the kernel calls the same encode_png/decode_png/
+    dhash_bands, and tests assert row-identical output against the
+    two-stage composition.  Measured: each Python stage costs ~0.3 s
+    of fixed boundary overhead per query run at sf0.1 on top of the
+    payload serialization, so fusing the pair halves both."""
+    rows = PHASH_ROWS if rows is None else rows
+    cols = PHASH_COLS if cols is None else cols
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("bands", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.pngcodec import (
+            decode_png,
+            dhash_bands,
+            encode_png,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "bands": [
+                        dhash_bands(
+                            decode_png(encode_png(phash_fixture_pixels(int(d)))),
+                            rows,
+                            cols,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+
+
+def audio_feature_frame_from_docs(docs: DataFrame) -> DataFrame:
+    """FUSED tier of ``audio_feature_frame(wav_media_from_documents)``
+    — same kernel-fusion rationale and equality contract as
+    :func:`phash_bands_from_docs` (WAV payload crosses the boundary
+    zero times; codec calls unchanged)."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [
+            T.StructField(c, T.LongType(), False)
+            for c in (
+                "sample_rate",
+                "n_samples",
+                "peak_abs",
+                "n_clipped",
+                "n_zero_cross",
+                "energy_sum",
+                "frame_e_min",
+                "frame_e_max",
+            )
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.wavcodec import (
+            audio_features,
+            encode_wav,
+            mono_samples,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                payload = encode_wav(audio_fixture_samples(int(d)), AUDIO_RATE)
+                s, rate = mono_samples(payload)
+                rows.append(
+                    {"media_id": int(d), "sample_rate": rate, **audio_features(s)}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+
+
+def audio_energy_bands_from_docs(docs: DataFrame) -> DataFrame:
+    """FUSED tier of ``audio_energy_bands(wav_media_from_documents)``
+    — same kernel-fusion rationale and equality contract as
+    :func:`phash_bands_from_docs`."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("bands", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.wavcodec import (
+            encode_wav,
+            energy_fingerprint_bands,
+            mono_samples,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "bands": [
+                        energy_fingerprint_bands(
+                            mono_samples(
+                                encode_wav(
+                                    audio_fixture_samples(int(d)), AUDIO_RATE
+                                )
+                            )[0]
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+
+
+def video_frame_metrics_from_docs(docs: DataFrame) -> DataFrame:
+    """FUSED tier of ``video_frame_metrics(rvid_media_from_documents)``
+    — same kernel-fusion rationale and equality contract as
+    :func:`phash_bands_from_docs` (RVID container bytes cross the
+    boundary zero times; codec calls unchanged)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("f", T.IntegerType(), False),
+            T.StructField("px_sum", T.LongType(), False),
+            T.StructField("diff_prev", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from musicflow_spark.operators.videocodec import (
+            decode_rvid,
+            encode_rvid,
+            frame_abs_diffs,
+            frame_pixel_sums,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                frames = decode_rvid(encode_rvid(video_fixture_frames(int(d))))
+                sums = frame_pixel_sums(frames)
+                diffs = frame_abs_diffs(frames)
+                for f in range(frames.shape[0]):
+                    rows.append(
+                        {
+                            "media_id": int(d),
+                            "f": f,
+                            "px_sum": int(sums[f]),
+                            "diff_prev": int(diffs[f - 1]) if f > 0 else None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+
+
 #: dHash geometry: 16 rows x 8 cols = 128 hash bits as 16 byte bands.
 #: Band PAIRS form the 8 LSH keys (two bytes = 16 bits each), so the
 #: candidate bucket factor is 65536 rather than the 256 a single byte

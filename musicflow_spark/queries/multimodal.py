@@ -22,6 +22,7 @@ from musicflow_spark.operators.multimodal import (
     extract_features,
     fake_media_from_documents,
     phash_bands,
+    phash_bands_from_docs,
     phash_neardup_ingest,
     phash_neardup_pairs,
     png_media_from_documents,
@@ -194,7 +195,7 @@ def media_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the full perceptual pair replay restricted to
     delta-touching pairs with the same orientation rules."""
     docs = read_table(spark, sf_dir, "documents")
-    bands = phash_bands(png_media_from_documents(docs))
+    bands = phash_bands_from_docs(docs)
     return phash_neardup_ingest(
         bands, (F.col("media_id") % 5) == 0, PHASH_MAX_HAMMING
     )
@@ -233,7 +234,7 @@ def media_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.operators.graph import star_components
 
     pairs = phash_neardup_pairs(
-        phash_bands(png_media_from_documents(docs)), PHASH_MAX_HAMMING
+        phash_bands_from_docs(docs), PHASH_MAX_HAMMING
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     comp = star_components(docs.select("doc_id"), pairs)
     wc = Window.partitionBy("cluster_id")
@@ -316,12 +317,11 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the sample arithmetic, framing, and every feature
     entirely in SQL."""
     from musicflow_spark.operators.multimodal import (
-        audio_feature_frame,
-        wav_media_from_documents,
+        audio_feature_frame_from_docs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    return audio_feature_frame(wav_media_from_documents(docs))
+    return audio_feature_frame_from_docs(docs)
 
 
 def _media_audio_features_oracle_sql() -> str:
@@ -364,9 +364,8 @@ def media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays samples -> framing -> envelope bits -> band join
     entirely in SQL."""
     from musicflow_spark.operators.multimodal import (
-        audio_energy_bands,
+        audio_energy_bands_from_docs,
         phash_neardup_pairs,
-        wav_media_from_documents,
     )
 
     docs = read_table(spark, sf_dir, "documents")
@@ -436,13 +435,12 @@ def media_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the full audio pair replay restricted to delta-touching
     pairs with the same orientation rules."""
     from musicflow_spark.operators.multimodal import (
-        audio_energy_bands,
+        audio_energy_bands_from_docs,
         phash_neardup_ingest,
-        wav_media_from_documents,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    bands = audio_energy_bands(wav_media_from_documents(docs))
+    bands = audio_energy_bands_from_docs(docs)
     return phash_neardup_ingest(
         bands, (F.col("media_id") % 5) == 0, AUDIO_MAX_HAMMING
     )
@@ -472,14 +470,13 @@ def media_audio_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitively with a recursive CTE."""
     from musicflow_spark.operators.graph import star_components
     from musicflow_spark.operators.multimodal import (
-        audio_energy_bands,
+        audio_energy_bands_from_docs,
         phash_neardup_pairs,
-        wav_media_from_documents,
     )
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = phash_neardup_pairs(
-        audio_energy_bands(wav_media_from_documents(docs)), AUDIO_MAX_HAMMING
+        audio_energy_bands_from_docs(docs), AUDIO_MAX_HAMMING
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     comp = star_components(docs.select("doc_id"), pairs)
     wc = Window.partitionBy("cluster_id")
@@ -617,12 +614,11 @@ def media_video_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics, frame-count-bounded per video) + one media_id-keyed agg
     — no shuffle grows faster than the video count."""
     from musicflow_spark.operators.multimodal import (
-        rvid_media_from_documents,
-        video_frame_metrics,
+        video_frame_metrics_from_docs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    m = video_frame_metrics(rvid_media_from_documents(docs))
+    m = video_frame_metrics_from_docs(docs)
     samp = F.col("f") % VIDEO_SAMPLE_EVERY == 0
     return m.groupBy(F.col("media_id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_frames"),
@@ -666,12 +662,11 @@ def media_video_scenecuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort is test scaffolding, not part of the operator)."""
     from musicflow_spark.operators.multimodal import (
         VIDEO_CUT_THRESH,
-        rvid_media_from_documents,
-        video_frame_metrics,
+        video_frame_metrics_from_docs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    m = video_frame_metrics(rvid_media_from_documents(docs))
+    m = video_frame_metrics_from_docs(docs)
     return m.filter(F.col("diff_prev") > VIDEO_CUT_THRESH).select(
         F.col("media_id").alias("doc_id"),
         F.col("f").alias("cut_frame"),
@@ -724,26 +719,24 @@ def corpus_multimodal_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from musicflow_spark.operators.graph import star_components
     from musicflow_spark.operators.multimodal import (
         VIDEO_CUT_THRESH,
-        audio_feature_frame,
-        rvid_media_from_documents,
-        video_frame_metrics,
-        wav_media_from_documents,
+        audio_feature_frame_from_docs,
+        video_frame_metrics_from_docs,
     )
     from musicflow_spark.operators.textstats import quality_features
 
     docs = read_table(spark, sf_dir, "documents")
     q = quality_features(docs).select("doc_id", "n_tokens")
     cuts = (
-        video_frame_metrics(rvid_media_from_documents(docs))
+        video_frame_metrics_from_docs(docs)
         .filter(F.col("diff_prev") > VIDEO_CUT_THRESH)
         .groupBy(F.col("media_id").alias("doc_id"))
         .agg(F.min("f").alias("cut_frame"))
     )
-    clip = audio_feature_frame(wav_media_from_documents(docs)).select(
+    clip = audio_feature_frame_from_docs(docs).select(
         F.col("media_id").alias("doc_id"), "n_clipped"
     )
     pairs = phash_neardup_pairs(
-        phash_bands(png_media_from_documents(docs)), PHASH_MAX_HAMMING
+        phash_bands_from_docs(docs), PHASH_MAX_HAMMING
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     comp = star_components(docs.select("doc_id"), pairs).select(
         "doc_id", F.col("cluster_id").alias("group_id"), "keep"

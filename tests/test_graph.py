@@ -12,6 +12,7 @@ from musicflow_spark.operators.graph import (
     PAGERANK_TOTAL,
     edge_shares,
     pagerank,
+    pagerank_bounded,
     pagerank_oracle_sql,
 )
 
@@ -90,6 +91,40 @@ def test_pagerank_oracle_generator_replays_spark(spark, frames):
     )
     want = {int(n): int(r) for n, r in con.execute(sql).fetchall()}
     assert got == want  # bit-exact, not approximate
+
+
+def test_pagerank_bounded_bit_identical_to_distributed(spark, frames):
+    """The single-task bounded tier must replay the distributed
+    integer recurrence exactly — including the dangling branch (node
+    4 has no out-edge here)."""
+    nodes, edges = frames
+    for n_iter in (1, 4, 10):
+        dist = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(nodes, edges, n_iter=n_iter).collect()
+        }
+        bnd = {
+            r["node"]: r["rank_units"]
+            for r in pagerank_bounded(nodes, edges, n_iter=n_iter).collect()
+        }
+        assert bnd == dist  # bit-exact, not approximate
+
+
+def test_pagerank_bounded_dangling_free_graph(spark):
+    """Dangling-free variant (every node has an out-edge) exercises
+    the has_dangling=False fast path of the distributed tier against
+    the kernel's unconditional (identically-zero) dangling term."""
+    edges_rows = [(0, 1, 2), (1, 2, 1), (2, 0, 3), (2, 1, 1)]
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame(edges_rows, "src long, dst long, w long")
+    dist = {
+        r["node"]: r["rank_units"] for r in pagerank(nodes, edges).collect()
+    }
+    bnd = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_bounded(nodes, edges).collect()
+    }
+    assert bnd == dist
 
 
 def test_dangling_node_receives_and_forwards_no_mass(spark, frames):

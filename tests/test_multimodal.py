@@ -745,3 +745,53 @@ def test_crossmodal_training_mart_composition(spark, sf_dir):
     for (a0, a1), (b0, b1) in zip(intervals, intervals[1:]):
         assert a1 == b0  # contiguous, disjoint
     assert intervals[-1][1] == total
+
+
+# ----------------------- fused synth→decode tiers (round 13)
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_phash_bands_equals_composition(spark):
+    from musicflow_spark.operators.multimodal import (
+        phash_bands,
+        phash_bands_from_docs,
+        png_media_from_documents,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").limit(80)
+    want = _sorted_rows(phash_bands(png_media_from_documents(docs)))
+    got = _sorted_rows(phash_bands_from_docs(docs))
+    assert got == want
+
+
+def test_fused_audio_tiers_equal_composition(spark):
+    from musicflow_spark.operators.multimodal import (
+        audio_energy_bands,
+        audio_energy_bands_from_docs,
+        audio_feature_frame,
+        audio_feature_frame_from_docs,
+        wav_media_from_documents,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").limit(80)
+    media = wav_media_from_documents(docs).localCheckpoint(eager=True)
+    assert _sorted_rows(audio_feature_frame_from_docs(docs)) == _sorted_rows(
+        audio_feature_frame(media)
+    )
+    assert _sorted_rows(audio_energy_bands_from_docs(docs)) == _sorted_rows(
+        audio_energy_bands(media)
+    )
+
+
+def test_fused_video_metrics_equal_composition(spark):
+    from musicflow_spark.operators.multimodal import (
+        rvid_media_from_documents,
+        video_frame_metrics,
+        video_frame_metrics_from_docs,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").limit(80)
+    want = _sorted_rows(video_frame_metrics(rvid_media_from_documents(docs)))
+    got = _sorted_rows(video_frame_metrics_from_docs(docs))
+    assert got == want
