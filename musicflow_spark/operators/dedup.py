@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from musicflow_spark.operators.fanout import fan_out
+from musicflow_spark.operators.fanout import INTERPRETED_STAGE_DIVISOR, fan_out
 from musicflow_spark.operators.textstats import normalize_for_fingerprint, tokens
 
 
@@ -67,9 +67,18 @@ def with_shingles(
     out_col: str = "sh",
 ) -> DataFrame:
     """(doc_id, sh: array<string>) with tokenization materialized as
-    its own projection step so it evaluates once per row."""
+    its own projection step so it evaluates once per row.
+
+    fan_out first: shingling is the CPU-dense map of every dedup tier
+    and sits directly on the scan, so a small-but-expensive input
+    (one row group) would otherwise run the whole pass on one core
+    (measured at sf0.1: the shingle stage was 1 task × ~1 s per run
+    while 31 cores idled); no-op at production split counts."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__"))
+        fan_out(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__")),
+            divisor=INTERPRETED_STAGE_DIVISOR,
+        )
         .withColumn("__toks__", F.transform(tokens("__text__"), F.lower))
         .withColumn(out_col, shingles_of(F.col("__toks__"), n))
         .select("doc_id", out_col)
@@ -102,6 +111,8 @@ def with_hashed_shingles(
     and it is strictly MORE precise than join-with-space shingling
     (token boundaries cannot alias).  String shingles remain
     available via with_shingles where human-readable output matters.
+
+    fan_out first — same single-task-scan rationale as with_shingles.
     """
     toks = F.transform(tokens("__text__"), lambda t: F.xxhash64(F.lower(t)))
     th = F.col("__th__")
@@ -112,7 +123,10 @@ def with_hashed_shingles(
     )
     sh = F.when(k < n, F.array().cast("array<bigint>")).otherwise(F.array_distinct(grams))
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__"))
+        fan_out(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__")),
+            divisor=INTERPRETED_STAGE_DIVISOR,
+        )
         .withColumn("__th__", toks)
         .withColumn(out_col, sh)
         .select("doc_id", out_col)
@@ -128,9 +142,14 @@ def positional_shingle_table(
     """(doc_id, pos, gram) — NON-distinct, position-carrying n-grams
     (0-based token position).  The set forms above serve membership
     math; this long form serves SPAN analysis — which contiguous
-    region two documents share, not just how many shingles."""
+    region two documents share, not just how many shingles.
+
+    fan_out first — same single-task-scan rationale as with_shingles."""
     base = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__"))
+        fan_out(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__")),
+            divisor=INTERPRETED_STAGE_DIVISOR,
+        )
         .withColumn("__toks__", F.transform(tokens("__text__"), F.lower))
     )
     k = F.size("__toks__")
@@ -741,13 +760,24 @@ def dedup_clusters(
     node takes the min label among itself and its neighbors.
     Converges in O(graph diameter) rounds; near-dup clusters are
     near-cliques, so 2-3 rounds in practice (``max_iter`` is a
-    safety bound, raised loudly if hit).  Each round is one
-    edge⋈label equi-join + a min-aggregate — all shuffles are keyed,
-    nothing quadratic; labels are localCheckpointed per round so
-    lineage stays flat (iterative plans otherwise grow
-    exponentially).  The per-round convergence probe is a scalar
-    count — the standard driver-side loop control every iterative
-    Spark algorithm (incl. GraphX/Pregel) uses, not a data collect.
+    safety bound, raised loudly if hit).  Two shape choices keep the
+    per-round cost at ONE keyed join + ONE aggregate (measured: each
+    extra materialized step costs ~0.5 s of fixed job overhead per
+    round at sf0.1, and at scale each is a cluster barrier):
+
+    * the label INIT is the first propagation round fused into one
+      aggregate — label₀(u) = min(Γ(u) ∪ {u}) directly from the edge
+      list, replacing a distinct + a full first round;
+    * each round unions neighbor messages with tagged SELF rows and
+      takes one min-aggregate, instead of aggregating neighbor mins
+      and joining them back to the label frame (two joins → one);
+      the self row carries the previous label so the convergence
+      probe (a scalar count of strict decreases — the standard
+      driver-side loop control, not a data collect) needs no extra
+      join either.
+
+    Labels are localCheckpointed per round so lineage stays flat
+    (iterative plans otherwise grow exponentially).
 
     nodes: one row per document (singletons become their own
     cluster); pairs: (doc_a, doc_b) undirected near-dup edges whose
@@ -769,27 +799,33 @@ def dedup_clusters(
     # 100 TB that is the difference between re-shuffling the corpus
     # O(diameter) times and touching it once for the final join.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
         .localCheckpoint(eager=True)
     )
+    label_t = dict(labels.dtypes)["label"]
     for _ in range(max_iter):
-        neigh_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        msgs = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"),
+            "label",
+            F.lit(None).cast(label_t).alias("__old__"),
         )
+        selfs = labels.select("id", "label", F.col("label").alias("__old__"))
+        # LAZY checkpoint: the convergence count is the first action on
+        # the frame, so it materializes the checkpoint in the SAME job
+        # — one scheduled job per round instead of two (measured ~0.5 s
+        # fixed cost per extra job at sf0.1; one fewer barrier on a
+        # cluster)
         new_labels = (
-            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
+            selfs.unionByName(msgs)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("new_label"),
+                # exactly one non-null __old__ per id (the self row)
+                F.max("__old__").alias("label"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("new_label") < F.col("label")).count()
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:

@@ -23,17 +23,38 @@ aggregations re-key anyway).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
+#: Width divisor for ALLOCATION-HEAVY interpreted stages (higher-order
+#: function lambdas — shingling, signature folds — evaluate interpreted
+#: and allocate per element).  Running such a stage at full session
+#: width makes every young-gen GC pause convoy ALL concurrent tasks, so
+#: measured per-task time inflates ~10x and wall clock gets WORSE than
+#: quarter width (sf0.1, local[32]: jaccard/minhash/incremental/winnow
+#: at width 32 = 1.81/1.85/3.0/1.32 s vs width 8 = 1.15/1.68/1.68/1.12 s;
+#: width 0 i.e. no fan-out = 2.45/2.75/2.32/1.48 s).  Expressed as a
+#: FRACTION of defaultParallelism (not an absolute count) and
+#: env-overridable so a cluster profile can re-derive it; at production
+#: split counts fan_out no-ops entirely and the divisor is moot.
+INTERPRETED_STAGE_DIVISOR = int(os.environ.get("SPARK_GRAFT_FANOUT_DIVISOR", "4"))
 
-def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Round-robin repartition to ``factor * defaultParallelism``
-    when (and only when) the frame currently plans fewer partitions.
+
+def fan_out(df: DataFrame, factor: int = 1, divisor: int = 1) -> DataFrame:
+    """Round-robin repartition to ``factor * defaultParallelism //
+    divisor`` when (and only when) the frame currently plans fewer
+    partitions.  Pass ``divisor=INTERPRETED_STAGE_DIVISOR`` for
+    allocation-heavy interpreted map stages (see the constant's note).
 
     The partition probe compiles the physical plan but runs no job.
+    Streaming frames pass through untouched: `.rdd` is illegal on
+    them, and micro-batch width is the source's concern anyway.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
+    target = max(1, sc.defaultParallelism * factor // max(1, divisor))
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

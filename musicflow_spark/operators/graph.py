@@ -332,6 +332,9 @@ def star_components(
         # itself) re-hangs under min(Γ_small(u)); both emitted edges
         # come from ONE windowed row via explode, so the window pass
         # runs once, not once per union branch
+        # LAZY checkpoint: the delta count below is the first action on
+        # the frame, so it materializes the checkpoint in the SAME job
+        # — one scheduled job per round instead of two
         small = _canonical(
             large.withColumn("m", F.min("v").over(wu))
             .select(
@@ -343,7 +346,7 @@ def star_components(
                 ).alias("e")
             )
             .select("e.u", "e.v")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # one full-outer join: rows missing on either side == symmetric
         # difference of the two canonical (distinct) edge sets
         delta = (

@@ -369,8 +369,7 @@ def media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    media = wav_media_from_documents(docs)
-    return phash_neardup_pairs(audio_energy_bands(media), AUDIO_MAX_HAMMING)
+    return phash_neardup_pairs(audio_energy_bands_from_docs(docs), AUDIO_MAX_HAMMING)
 
 
 def _audio_pairs_cte_parts() -> str:
