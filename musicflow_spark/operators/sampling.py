@@ -344,6 +344,7 @@ def split_contamination(
     threshold: float = 0.2,
     max_df: int = 20,
     salt: str = "",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination probe: eval-set documents that leak from the
     training split — the check every train/eval split must pass
@@ -363,7 +364,12 @@ def split_contamination(
     probe — split, fingerprints, candidate pairs — replays
     identically on any engine; train-train and eval-eval pairs are
     dropped (duplication *within* a split is dedup's business, not
-    contamination)."""
+    contamination).
+
+    ``pairs``: a pre-built ``jaccard_pairs(df, threshold, max_df)``
+    frame to reuse (must be over the same df/params) — compositions
+    that also run canonical selection share ONE candidate-pair build
+    (see corpus_training_batch_mart)."""
     from musicflow_spark.operators.dedup import jaccard_pairs
     from musicflow_spark.operators.textstats import fingerprint
 
@@ -383,11 +389,13 @@ def split_contamination(
         F.lit(None).cast("double").alias("jaccard"),
     )
 
-    pairs = jaccard_pairs(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        threshold=threshold,
-        max_df=max_df,
-    ).select("doc_a", "doc_b", "jaccard")
+    if pairs is None:
+        pairs = jaccard_pairs(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            threshold=threshold,
+            max_df=max_df,
+        )
+    pairs = pairs.select("doc_a", "doc_b", "jaccard")
     splits = tagged.select(F.col("doc"), "split")
     sided = (
         pairs.join(splits.withColumnRenamed("split", "split_a"), pairs["doc_a"] == splits["doc"])

@@ -78,19 +78,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Marker-word hit counts per language (lowercased tokens)."""
-    toks = F.transform(tokens(text), F.lower)
+def lang_scores_of_tokens(toks_col: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language over a PRE-TOKENIZED
+    array column — the shared-tokenize entry point: a caller that
+    already materialized ``tokens(text)`` (e.g. a checkpointed token
+    frame feeding several branches) scores languages without
+    re-tokenizing.  Expression-identical to ``lang_scores`` modulo
+    where the token array comes from."""
+    toks = F.transform(toks_col, F.lower)
     return {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def lang_id(text: Column | str) -> Column:
-    """Argmax language with deterministic tie-break (alphabetical
-    language code wins ties); 'und' when no marker hits at all."""
-    scores = lang_scores(text)
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit counts per language (lowercased tokens)."""
+    return lang_scores_of_tokens(tokens(text))
+
+
+def _lang_argmax(scores: dict[str, Column]) -> Column:
     langs = sorted(scores)
     best = scores[langs[0]]
     for lang in langs[1:]:
@@ -101,6 +108,18 @@ def lang_id(text: Column | str) -> Column:
     for lang in reversed(langs):
         out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
     return out
+
+
+def lang_id_of_tokens(toks_col: Column) -> Column:
+    """``lang_id`` over a pre-tokenized array column (see
+    lang_scores_of_tokens)."""
+    return _lang_argmax(lang_scores_of_tokens(toks_col))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language with deterministic tie-break (alphabetical
+    language code wins ties); 'und' when no marker hits at all."""
+    return _lang_argmax(lang_scores(text))
 
 
 def tfidf_topk(

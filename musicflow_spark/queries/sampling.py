@@ -206,14 +206,17 @@ FROM c
 """
 
 
-def doc_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_split_contamination(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Decontamination probe (ext): eval documents that leak from the
     training split, as (eval, train) evidence pairs — exact tier by
     normalized fingerprint equi-join, near tier by the bounded
     inverted-index Jaccard join across the split boundary
-    (operators/sampling.py::split_contamination)."""
+    (operators/sampling.py::split_contamination).  ``pairs`` forwards
+    a shared jaccard_pairs frame (see split_contamination)."""
     docs = read_table(spark, sf_dir, "documents")
-    out = split_contamination(docs, "doc_id", "text", SPLIT_WEIGHTS)
+    out = split_contamination(docs, "doc_id", "text", SPLIT_WEIGHTS, pairs=pairs)
     return out.select(
         "eval_id",
         "split",
@@ -895,18 +898,29 @@ def corpus_training_batch_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source pick window, then ONE hash-range shuffle + the
     n_shards-row two-level prefix sum.  Composing adds two doc_id
     equi-joins (split tags, survivor anti-join) and nothing else."""
-    from musicflow_spark.operators.dedup import portable_hash60
+    from musicflow_spark.operators.dedup import jaccard_pairs, portable_hash60
     from musicflow_spark.operators.sampling import shuffled_shard_manifest
     from musicflow_spark.queries.textops import corpus_training_selection
 
     docs = read_table(spark, sf_dir, "documents")
+    # ONE candidate-pair build for the two near-dup consumers (guide
+    # §2.1): the selection ladder's canonical selection and the
+    # decontamination probe each call jaccard_pairs with IDENTICAL
+    # inputs/params — sharing a checkpointed frame halves the
+    # shingle + inverted-index work of the mart's front end.  The
+    # frame is pair-grain (near-dup pairs only), so the checkpoint is
+    # tiny; both consumers' semantics are unchanged (they consumed
+    # value-identical frames before).
+    pairs = jaccard_pairs(docs, threshold=0.2, max_df=20).localCheckpoint(
+        eager=True
+    )
     sel = (
-        corpus_training_selection(spark, sf_dir)
+        corpus_training_selection(spark, sf_dir, pairs=pairs)
         .filter(F.col("keep"))
         .select("doc_id", "n_tokens")
     )
     contaminated = (
-        doc_split_contamination(spark, sf_dir)
+        doc_split_contamination(spark, sf_dir, pairs=pairs)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )

@@ -992,7 +992,9 @@ def doc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_components(docs.select("doc_id"), pairs)
 
 
-def doc_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_canonical_selection(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Canonical-document selection (ext): after dedup clustering,
     keep the LONGEST member of each near-dup cluster (doc_id
     tiebreak) — the standard "which copy survives" policy when
@@ -1000,9 +1002,17 @@ def doc_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id keeper.  One keyed window over the cluster assignment;
     cluster sizes are near-dup group sizes (tiny), so the window
     never sees skew.  Composes jaccard_pairs -> dedup_clusters ->
-    quality-ranked keep flag."""
+    quality-ranked keep flag.
+
+    ``pairs``: a pre-built ``jaccard_pairs(docs, threshold=0.2,
+    max_df=20)`` frame to reuse — compositions that need the SAME
+    candidate pairs twice (corpus_training_batch_mart runs this
+    selection AND the split-contamination probe, which is built on an
+    identical jaccard call) pass one shared frame so the shingle pass
+    and the inverted-index join run once, not per consumer."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.2, max_df=20)
+    if pairs is None:
+        pairs = jaccard_pairs(docs, threshold=0.2, max_df=20)
     clusters = dedup_clusters(docs.select("doc_id"), pairs).select(
         "doc_id", "cluster_id"
     )
@@ -2192,7 +2202,9 @@ GROUP BY p.doc_id
 CTS_MIN_TOKENS, CTS_MIN_UNIQ = 12, 0.30
 
 
-def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_training_selection(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """The end-to-end training-data selection mart (ext): every
     document routed through the full filter ladder IN ONE PLAN —
     language id → quality floors → perplexity filter → exact dedup →
@@ -2217,21 +2229,30 @@ def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     a different query with different semantics, not an optimization
     of this one (VERDICT r06 docstring fix)."""
     from musicflow_spark.operators.textstats import (
-        lang_id,
+        lang_id_of_tokens,
         normalize_for_fingerprint,
-        quality_features,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    # lang and quality are pure per-row maps over the same text —
-    # computing them in ONE projection instead of two frames joined
-    # back on doc_id removes two corpus-sized shuffle joins and two
-    # extra scans/tokenize passes (guide §2.4; the joins were 1:1
-    # inner on the same key set, so the row set is unchanged)
-    q = quality_features(docs).select(
-        "doc_id", lang_id("text").alias("pred_lang"), "n_tokens", "uniq_frac"
+    # ONE tokenize pass for the whole ladder (guide §2.4/§4.1): the
+    # checkpointed token frame feeds lang-id, the quality floors AND
+    # the perplexity filter's bigram passes — previously quality
+    # re-tokenized once and perplexity three times, all interpreted
+    # HOF stages over the full text.  The expressions over ``tk`` are
+    # identical to quality_features/lang_id modulo where the token
+    # array comes from, so the emitted values are unchanged.
+    toks = tokenized_docs(spark, sf_dir)
+    tk = F.col("tk")
+    n_tok = F.size(tk)
+    q = toks.select(
+        "doc_id",
+        lang_id_of_tokens(tk).alias("pred_lang"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(F.size(F.array_distinct(tk)) / n_tok.cast("double"))
+        .alias("uniq_frac"),
     )
-    ppl = doc_perplexity_filter(spark, sf_dir).select(
+    ppl = doc_perplexity_filter(spark, sf_dir, toks=toks).select(
         "doc_id", F.col("keep").alias("ppl_keep")
     )
     wfp = Window.partitionBy("fp").orderBy("doc_id")
@@ -2240,7 +2261,7 @@ def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wfp))
         .select("doc_id", (F.col("rn") == 1).alias("exact_keeper"))
     )
-    canon = doc_canonical_selection(spark, sf_dir).select(
+    canon = doc_canonical_selection(spark, sf_dir, pairs=pairs).select(
         "doc_id", "is_canonical"
     )
     joined = (
@@ -2465,7 +2486,28 @@ HAVING greatest(count(*) / cast(a.n_sh AS double),
 PPL_KEEP_MICRO_NATS = -3_420_000  # ~25% of the corpus routes to drop
 
 
-def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tk: array<string>) — the corpus tokenized ONCE, fanned
+    out (the tokenize is an interpreted HOF sitting on a one-row-group
+    scan — guide §2.5/§4.1) and materialized via localCheckpoint so
+    every branch that needs the token arrays (quality features,
+    lang-id, the bigram-LM passes) reads the SAME pass instead of
+    re-running the tokenizer per branch (doc_perplexity_filter alone
+    used to tokenize 3x: pairs, the bigram counts via pairs, and the
+    unigram counts)."""
+    from musicflow_spark.operators.fanout import INTERPRETED_STAGE_DIVISOR, fan_out
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        fan_out(docs, divisor=INTERPRETED_STAGE_DIVISOR)
+        .select("doc_id", tokens(F.col("text")).alias("tk"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def doc_perplexity_filter(
+    spark: SparkSession, sf_dir: str, toks: DataFrame | None = None
+) -> DataFrame:
     """CCNet-style perplexity filtering (ext): score every document by
     its average bigram log-likelihood under the corpus LM with add-1
     (Laplace) smoothing — P(w2|w1) = (C(w1 w2)+1)/(C(w1)+V) — and
@@ -2482,14 +2524,20 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares the integer per-bigram average against an integer
     threshold — no float aggregation order anywhere.
 
-    Scale shape: unigram/bigram count tables shuffle once on their
-    keys; V is a 1-row broadcast scalar; the per-occurrence join is
-    the same equi-join lattice as doc_bigram_condprob.  Docs with no
+    Scale shape (round-13 restructure, guide §2.4/§3.2): the corpus
+    tokenizes ONCE (``toks`` — pass a shared tokenized_docs frame to
+    amortize it across sibling branches); bigram occurrences reduce to
+    the per-document grain FIRST (doc_id,w1,w2,cnt — map-side partial
+    aggregation shrinks the shuffle to distinct bigrams per doc); the
+    log term is computed per DISTINCT bigram (big ⋈ uni ⋈ V — the
+    model-table grain, not the occurrence grain) and joined back once.
+    sum(lp*cnt) over the doc grain == sum(lp) over occurrences exactly
+    (integer multiply-sum), so the output is bit-identical to the
+    per-occurrence formulation the oracle replays.  Docs with no
     bigram (< 2 tokens) drop out, as in the raw-signal query."""
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("tk")
-    )
-    pairs = docs.select(
+    if toks is None:
+        toks = tokenized_docs(spark, sf_dir)
+    pairs = toks.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -2498,17 +2546,20 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    uni = docs.select(F.explode("tk").alias("w")).groupBy("w").agg(
+    docbg = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    uni = toks.select(F.explode("tk").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c1")
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    big = docbg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
-    occ = (
-        pairs.join(big, ["w1", "w2"])
-        .join(uni, pairs["w1"] == uni["w"])
+    lp_tab = (
+        big.join(uni, big["w1"] == uni["w"])
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.round(
                 F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vsz")))
                 * PPL_SCALE
@@ -2516,10 +2567,11 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        occ.groupBy("doc_id")
+        docbg.join(lp_tab, ["w1", "w2"])
+        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp").alias("sum_lp_micro"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("lp") * F.col("cnt")).alias("sum_lp_micro"),
         )
         .select(
             "doc_id",

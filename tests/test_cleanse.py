@@ -154,6 +154,10 @@ class TestPerplexityFilter:
             2: "the cat sat",
             3: "entirely novel gibberish tokens here",
             4: "x",  # single token: no bigram, must not appear
+            # repeated bigrams WITHIN one doc: (a b) x3, (b a) x2 —
+            # exercises the doc-grain cnt>1 multiply path of the
+            # restructured filter (sum(lp*cnt) == occurrence-sum)
+            5: "a b a b a b",
         }
         df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
         df.write.parquet(str(tmp_path / "documents.parquet"))

@@ -228,6 +228,34 @@ class TestSplitContamination:
         near_pairs = {(r["eval_id"], r["train_id"]) for r in out if r["kind"] == "near"}
         assert not (exact_pairs & near_pairs)
 
+    def test_shared_pairs_frame_is_equivalent(self, corpus):
+        # passing a pre-built jaccard_pairs frame (the shared-pairs
+        # composition used by corpus_training_batch_mart) must yield
+        # the exact same evidence rows as the self-built path
+        from musicflow_spark.operators.dedup import jaccard_pairs
+
+        # a 10-member duplicate group: with a 50/50 hash split some
+        # member pair is (deterministically) on opposite sides, so the
+        # probe emits evidence rows and the comparison is non-vacuous
+        spark = corpus.sparkSession
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        dup10 = spark.createDataFrame(
+            [(100 + i, base) for i in range(10)], "doc_id long, text string"
+        )
+        cps = corpus.select("doc_id", "text").union(dup10)
+        w = {"train": 0.5, "eval": 0.5}
+        self_built = split_contamination(
+            cps, "doc_id", "text", w, threshold=0.2, max_df=30
+        )
+        shared = split_contamination(
+            cps, "doc_id", "text", w, threshold=0.2, max_df=30,
+            pairs=jaccard_pairs(cps, threshold=0.2, max_df=30),
+        )
+        key = lambda r: (r["eval_id"], r["train_id"], r["kind"])
+        a = sorted(map(key, self_built.collect()))
+        b = sorted(map(key, shared.collect()))
+        assert a == b and len(a) > 0
+
 
 class TestMixtureInterleave:
     WEIGHTS = {"lang0": 0.5, "lang1": 0.25}  # lang2 -> default 0.1
