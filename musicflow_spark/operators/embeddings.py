@@ -610,9 +610,12 @@ def _kmeans_fit(
     bit-identical to the unrolled DuckDB oracle
     (``kmeans_oracle_sql``); empty clusters drop out of
     ``cent_rows`` exactly as they dropped out of the agg."""
+    # LAZY checkpoint: the k-row seed TakeOrdered below touches every
+    # partition (global order), so it is the materializing action —
+    # quantize-pass job and seed job fuse into one (r13, guide §1.2)
     q = df.select(
         F.col(id_col).alias("id"), quantized(vec_col, scale).alias("qv")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     spark = df.sparkSession
     seeds = q.orderBy("id").limit(k).collect()
     cent_rows = [

@@ -310,6 +310,17 @@ def star_components(
     Converged when the canonical edge set is a fixpoint, at which
     point every component is a star rooted at its minimum id.
 
+    The fixpoint probe is COUNT-GATED (r13, guide §1.2/§2.4): both
+    edge sets are canonical (distinct), so different cardinalities
+    prove non-convergence without comparing the sets — the per-round
+    count() doubles as the lazy checkpoint's materializing action,
+    and the full-outer symmetric-difference join (two sorted probes
+    of the edge frames) runs only on the rare count-equal rounds
+    (in practice: the final round, plus any same-size reshuffle of
+    the edge set).  Measured at sf0.1 the join probe was ~30% of
+    every round's job; the gate pays one cheap count per round
+    instead.
+
     Returns (id_col, cluster_id, keep) — identical contract to
     ``dedup_clusters`` (cluster_id = min reachable id, keeper =
     root), so the two are interchangeable and cross-checkable.
@@ -317,13 +328,23 @@ def star_components(
     wu = Window.partitionBy("u")
     edges = _canonical(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    n_edges = edges.count()
     for _ in range(max_iter):
-        # large-star over the symmetric neighbor list: m = min(Γ(u) ∪ {u})
+        # large-star over the symmetric neighbor list: m = min(Γ(u) ∪ {u}).
+        # NOT deduplicated between the stars (r13, guide §2.4): the
+        # small-star min ignores duplicate (u, v) rows and the final
+        # per-round distinct canonicalizes the emitted set, so the
+        # intermediate distinct bought nothing semantically — and its
+        # skew protection was redundant, because the small-star window
+        # partition for key v holds at most degree(v) rows either way
+        # (duplicates of (v, m) come one-per-smaller-neighbor), the
+        # same bound the large-star window already carries.  Removing
+        # it removes one exchange/barrier per round: 4 -> 3.
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        large = _canonical(
+        large = (
             sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -347,16 +368,24 @@ def star_components(
             )
             .select("e.u", "e.v")
         ).localCheckpoint(eager=False)
-        # one full-outer join: rows missing on either side == symmetric
-        # difference of the two canonical (distinct) edge sets
-        delta = (
-            small.withColumn("__n__", F.lit(1))
-            .join(edges.withColumn("__o__", F.lit(1)), ["u", "v"], "full")
-            .filter(F.col("__n__").isNull() | F.col("__o__").isNull())
-            .count()
-        )
-        edges = small
-        if delta == 0:
+        # count gate: the count materializes the lazy checkpoint; a
+        # cardinality change proves non-convergence (both sets are
+        # distinct), so the set-equality join below is skipped
+        n_small = small.count()
+        converged = False
+        if n_small == n_edges:
+            # one full-outer join: rows missing on either side ==
+            # symmetric difference of the two canonical edge sets —
+            # both sides already materialized checkpoints here
+            delta = (
+                small.withColumn("__n__", F.lit(1))
+                .join(edges.withColumn("__o__", F.lit(1)), ["u", "v"], "full")
+                .filter(F.col("__n__").isNull() | F.col("__o__").isNull())
+                .count()
+            )
+            converged = delta == 0
+        edges, n_edges = small, n_small
+        if converged:
             break
     else:
         raise RuntimeError(f"star_components did not converge in {max_iter} rounds")

@@ -483,6 +483,113 @@ def nearest_centroids(
     )
 
 
+def nearest_centroid_ids_arrow(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    idname: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow compute tier of the ``top=1`` :func:`nearest_centroids`
+    assignment — IDENTICAL (idname, cluster_id) rows, faster kernel
+    (r13, guide §4.1/§4.2: the native form evaluates the per-(row,
+    centroid) double d² through interpreted higher-order-function
+    lambdas — measured ~1 s single-task at sf0.1 inside knn_ivfpq's
+    broadcast build).
+
+    Bit-exactness: the native fold accumulates
+    ``acc + (x−y)·(x−y)`` one DIMENSION at a time in IEEE double;
+    the kernel replays the same sequence — vectorized across
+    (row, centroid) pairs, sequential across dimensions — so every
+    intermediate rounding is identical (no FMA, numpy does not fuse).
+    float→double widening of the vector elements is exact.  Ties
+    break (d2, cluster_id): ``cent_rows`` is required sorted by
+    cluster_id and ``np.argmin`` takes the first minimum — the same
+    lexicographic rule as the native row_number window.  Assumes
+    NaN-free vectors (the corpus contract everywhere else; the
+    native window would order NaN d² last, np.argmin would pick it).
+
+    ``cent_rows``: list of (cluster_id, centroid: list[double]) —
+    dimension-bounded by the same contract that lets the native tier
+    broadcast the centroid table.  Map-only stage: no shuffle."""
+    if not cent_rows:
+        raise ValueError("cent_rows must be non-empty")
+    cids_sorted = [c for c, _ in cent_rows]
+    if cids_sorted != sorted(cids_sorted):
+        raise ValueError("cent_rows must be sorted by cluster_id ascending")
+    dim = len(cent_rows[0][1])
+    if any(len(v) != dim for _, v in cent_rows):
+        raise ValueError("ragged centroid table")
+    cids = np.asarray(cids_sorted, dtype=np.int64)
+    cvs = np.asarray([v for _, v in cent_rows], dtype=np.float64)
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    id_type = src.schema["id"].dataType.simpleString()
+    out_schema = f"{idname} {id_type}, cluster_id long"
+
+    def run(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            x = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(_np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            d2 = _np.zeros((n, len(cids)), dtype=_np.float64)
+            for j in range(dim):
+                diff = x[:, j, None] - cvs[None, :, j]
+                d2 += diff * diff
+            pos = _np.argmin(d2, axis=1)
+            yield _pa.RecordBatch.from_arrays(
+                [batch.column(0), _pa.array(cids[pos], type=_pa.int64())],
+                names=[idname, "cluster_id"],
+            )
+
+    return src.mapInArrow(run, out_schema)
+
+
+def pq_codebook_rows_from_seeds(
+    seeds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int,
+    scale: int,
+) -> list[list[list[int]]]:
+    """Collect a SEED-derived PQ codebook driver-side in the
+    ``codebook_rows`` [n_sub][k][sub_dim] form the Arrow encode tier
+    consumes — centroid id = rank of the seed's id ascending and the
+    fixed-point quantization runs on the JVM (``_fixed_point``), so
+    the rows are value-identical to the in-frame seed codebook
+    ``_pq_encode_parts`` builds (same rounding, same order, same
+    slices; asserted in tests/test_embeddings.py).  Bounded by the
+    caller's seed contract (the deterministic stride tiers cap the
+    seed id range, so this is a k-row collect — the same bound that
+    lets the in-frame codebook broadcast)."""
+    rows = seeds.select(
+        F.col(id_col).alias("sid"),
+        _fixed_point(F.col(vec_col), scale).alias("iv"),
+    ).collect()
+    rows.sort(key=lambda r: r["sid"])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    for r in rows:
+        if len(r["iv"]) != dim:
+            raise ValueError(f"seed {r['sid']} has dim {len(r['iv'])} != {dim}")
+    return [
+        [[int(x) for x in r["iv"][m * sub : (m + 1) * sub]] for r in rows]
+        for m in range(n_sub)
+    ]
+
+
 def semantic_dedup_flags(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -597,10 +704,11 @@ def ivf_multiprobe_topk(
     corpus: DataFrame,
     queries: DataFrame,
     cent_rows: list[tuple[int, list[int]]],
-    budget_rows: int,
+    budget_rows: int | None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    budget_div: int | None = None,
 ) -> DataFrame:
     """BUDGETED multi-probe IVF serve stage (VERDICT r12 item 6) over
     a trained integer-grid quantizer: instead of a fixed ``n_probe``
@@ -619,13 +727,29 @@ def ivf_multiprobe_topk(
     All stages are bounded or map-only: assignment is the Arrow
     argmin kernel; cluster sizes are a k-row aggregate (broadcast);
     the probe ranking emits k rows per query (query-set bounded) and
-    the budget filter is one per-query window over them; candidates
+    the budget walk runs DRIVER-SIDE over bounded state; candidates
     join on cluster id — the at-rest partition key, so served off a
     written index the probe list prunes whole files exactly like the
-    fixed tier."""
+    fixed tier.
+
+    r13 restructure (guide §1.2/§2.4): the probe list is a function
+    of two DRIVER-BOUNDED tables — the k-row cluster-size aggregate
+    (collected; it was already broadcast) and the query set (bounded
+    by the same contract that broadcast the probe frame) — so the
+    ranked-probe walk now runs on the driver: the per-query distance
+    ranking replays ``kmeans_rank_arrow``'s exact int64 kernel
+    (same ``_pairwise_d2`` helper, same stable argsort (d2, cid) tie
+    rule) and the cumulative-size filter is plain integer
+    comparison.  This removes a corpus-independent mapInArrow
+    stage, a window and two broadcast joins from the plan (the
+    serve job was ~25 stages for 8 queries); the collected sizes
+    double as the materializing action for the assignment
+    checkpoint the candidate join re-reads, and the probe walk is
+    row-for-row the old window's output (asserted in
+    tests/test_multiprobe.py)."""
     from musicflow_spark.operators.embeddings import (
+        _pairwise_d2,
         kmeans_assign_arrow,
-        kmeans_rank_arrow,
         quantized,
     )
 
@@ -634,26 +758,46 @@ def ivf_multiprobe_topk(
     )
     assigned = kmeans_assign_arrow(qq, cent_rows).select(
         F.col("id").alias("neighbor_id"), "cid"
-    )
-    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
-    qq_q = queries.select(
+    ).localCheckpoint(eager=False)
+    # k-row collect (bounded by the centroid contract); first action
+    # on the lazy checkpoint, so it also materializes the assignment
+    # the candidate join scans below
+    sizes = {
+        int(r["cid"]): int(r["sz"])
+        for r in assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("sz")).collect()
+    }
+    if budget_rows is None:
+        if budget_div is None:
+            raise ValueError("pass budget_rows or budget_div")
+        # every corpus vector is assigned exactly once, so the size
+        # sum IS the corpus count — the budget derives from the k-row
+        # aggregate instead of a separate count job over the corpus
+        budget_rows = sum(sizes.values()) // budget_div
+    q_rows = queries.select(
         F.col(id_col).alias("id"), quantized(vec_col).alias("qv")
-    )
-    ranked = kmeans_rank_arrow(qq_q, cent_rows, len(cent_rows)).select(
-        F.col("id").alias("query_id"), "cid", "rn"
-    )
-    w = (
-        Window.partitionBy("query_id")
-        .orderBy("rn")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    probes = (
-        ranked.join(F.broadcast(sizes), "cid")
-        .withColumn(
-            "cum_prev", F.coalesce(F.sum("sz").over(w), F.lit(0).cast("long"))
-        )
-        .filter(F.col("cum_prev") < budget_rows)
-        .select("query_id", "cid")
+    ).collect()
+    probe_rows: list[tuple] = []
+    if q_rows and cent_rows:
+        cvs = np.asarray([v for _, v in cent_rows], dtype=np.int64)
+        cvs_t = cvs.T.copy()
+        c2 = (cvs * cvs).sum(axis=1)
+        qv = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.int64)
+        d2 = _pairwise_d2(qv, cvs_t, c2)
+        order = np.argsort(d2, axis=1, kind="stable")
+        for qi, r in enumerate(q_rows):
+            cum = 0
+            for pos in order[qi]:
+                cid = int(cent_rows[pos][0])
+                sz = sizes.get(cid)
+                if sz is None:
+                    continue  # empty cluster: the old inner join dropped it
+                if cum >= budget_rows:
+                    break
+                probe_rows.append((r["id"], cid))
+                cum += sz
+    id_type = queries.select(F.col(id_col)).schema[0].dataType.simpleString()
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, f"query_id {id_type}, cid int"
     )
     cands = (
         assigned.join(F.broadcast(probes), "cid")
@@ -1009,6 +1153,7 @@ def ivfpq_topk(
     n_sub: int = 8,
     n_candidates: int = 40,
     scale: int = 1000,
+    arrow_corpus_tiers: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the combined ANN tier every large vector deployment
     actually ships — IVF coarse quantization prunes WHICH codes are
@@ -1040,9 +1185,34 @@ def ivfpq_topk(
     codebook, encoded, dtabbed = _pq_encode_parts(
         corpus, queries, seeds, id_col, vec_col, dim, n_sub, scale
     )
-    assigned = nearest_centroids(
-        corpus, centroids, id_col, vec_col, "neighbor_id", "__cv__", 1
-    ).select("neighbor_id", "cluster_id")
+    if arrow_corpus_tiers:
+        # Arrow kernels for BOTH corpus-sized map stages (r13, guide
+        # §4.1/§4.2) — bit-identical by the tier contracts: the PQ
+        # encode on the int64 grid (pq_encode_codes_arrow) and the
+        # coarse assignment with dimension-sequential double d²
+        # (nearest_centroid_ids_arrow).  The codebook/centroid
+        # collects are bounded by the same contracts that broadcast
+        # them in the native tiers; the query-side probe ranking
+        # stays native (query-bounded rows).
+        encoded = pq_encode_codes_arrow(
+            corpus,
+            pq_codebook_rows_from_seeds(seeds, id_col, vec_col, dim, n_sub, scale),
+            id_col, vec_col, dim, n_sub, scale,
+        )
+        cent_collected = sorted(
+            (
+                (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+                for r in centroids.select("cluster_id", "centroid").collect()
+            ),
+            key=lambda t: t[0],
+        )
+        assigned = nearest_centroid_ids_arrow(
+            corpus, cent_collected, id_col, "neighbor_id", vec_col
+        )
+    else:
+        assigned = nearest_centroids(
+            corpus, centroids, id_col, vec_col, "neighbor_id", "__cv__", 1
+        ).select("neighbor_id", "cluster_id")
     probed = nearest_centroids(
         queries, centroids, id_col, vec_col, "query_id", "__qv__", n_probe
     ).select("query_id", "cluster_id")

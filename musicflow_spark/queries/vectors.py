@@ -1734,15 +1734,27 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — the oracle replays encode, distance tables, the ADC
     candidate scan, and the exact-cosine rerank end to end.  Recall
     vs brute force is additionally asserted in tests."""
+    from musicflow_spark.operators.similarity import pq_codebook_rows_from_seeds
+
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     seeds = emb.filter(
         (F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_REM)
         & (F.col("vec_id") < PQ_SEED_MAX)
     )
+    # Arrow encode tier (r13, guide §4.1): the interpreted-lambda
+    # encode ran ~1 s single-task at sf0.1 inside the candidate
+    # broadcast build; the seed codebook is a bounded collect (17
+    # rows by the fixed-id-range contract above), quantized on the
+    # JVM, value-identical to the in-frame seed codebook — codes are
+    # bit-equal by the pq_encode_codes_arrow contract
+    cb = pq_codebook_rows_from_seeds(
+        seeds, "vec_id", "embedding", PQ_DIM, PQ_SUB, PQ_SCALE
+    )
     topk = pq_topk(
         emb, queries, seeds, k=TOP_K, dim=PQ_DIM, n_sub=PQ_SUB,
         n_candidates=PQ_CAND, scale=PQ_SCALE,
+        codebook_rows=cb, arrow_encode=True,
     )
     return topk.select(
         "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
@@ -1835,6 +1847,9 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = pq_topk(
         emb, queries, seeds=None, k=TOP_K, dim=PQ_DIM, n_sub=PQ_SUB,
         n_candidates=PQ_CAND, scale=PQ_SCALE, codebook_rows=cb,
+        # Arrow int64-argmin encode tier (bit-identical codes,
+        # contract-asserted) — same tier knn_opq ships (r13)
+        arrow_encode=True,
     )
     return topk.select(
         "query_id", "neighbor_id",
@@ -2027,6 +2042,12 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = ivfpq_topk(
         emb, queries, cent, seeds, k=TOP_K, n_probe=IVFPQ_PROBE,
         dim=PQ_DIM, n_sub=PQ_SUB, n_candidates=IVFPQ_CAND, scale=PQ_SCALE,
+        # Arrow kernels for the two corpus-sized map stages (encode +
+        # coarse assignment) — bit-identical by the tier contracts
+        # (r13, guide §4.1/§4.2); the 21-row centroid / 17-row seed
+        # collects are bounded by the same fixed-id-range contracts
+        # that broadcast them
+        arrow_corpus_tiers=True,
     )
     return topk.select(
         "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
@@ -2958,12 +2979,16 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     cent_rows = _ivf_train_centroids(emb)
-    budget = emb.count() // MULTIPROBE_BUDGET_DIV
+    # budget = corpus_rows // DIV, derived inside the serve stage
+    # from the cluster-size aggregate (the assignment is total, so
+    # the size sum is the corpus count) — removes the separate
+    # corpus count job this query used to schedule (r13, guide §1.2)
     topk = ivf_multiprobe_topk(
         emb,
         emb.filter(F.col("vec_id") < N_QUERY_VECS),
         cent_rows,
-        budget,
+        budget_rows=None,
+        budget_div=MULTIPROBE_BUDGET_DIV,
         k=TOP_K,
     )
     return topk.select(

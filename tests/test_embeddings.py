@@ -626,3 +626,86 @@ def test_kmeans_assign_arrow_validation(spark):
         kmeans_assign_arrow(q, [(1, [0, 0]), (0, [1, 1])])
     with _pytest.raises(ValueError, match="ragged"):
         kmeans_assign_arrow(q, [(0, [0, 0]), (1, [1])])
+
+
+def test_nearest_centroid_ids_arrow_bit_identical(spark, sf_dir):
+    """The Arrow DOUBLE-d2 coarse-assignment tier must produce
+    EXACTLY the native nearest_centroids(top=1) rows: the kernel
+    accumulates (x-y)^2 dimension-sequentially in IEEE double — the
+    same rounding sequence as the Catalyst fold — and np.argmin's
+    first-minimum over cluster_id-ascending centroids is the native
+    (d2, cluster_id) window tie rule (exercised here via duplicated
+    centroids)."""
+    from musicflow_spark.operators.similarity import (
+        nearest_centroid_ids_arrow,
+        nearest_centroids,
+    )
+    from musicflow_spark.sources.catalog import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = [
+        list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    # duplicates -> d2 ties -> the lowest cluster_id must win
+    rows = [(i, [float(x) for x in base[i % 4]]) for i in range(8)]
+    cent = spark.createDataFrame(rows, "cluster_id long, centroid array<double>")
+    nat = {
+        r["neighbor_id"]: r["cluster_id"]
+        for r in nearest_centroids(
+            emb, cent, "vec_id", "embedding", "neighbor_id", "__cv__", 1
+        ).select("neighbor_id", "cluster_id").collect()
+    }
+    arw = {
+        r["neighbor_id"]: r["cluster_id"]
+        for r in nearest_centroid_ids_arrow(
+            emb, rows, "vec_id", "neighbor_id"
+        ).collect()
+    }
+    assert nat == arw
+    assert all(cid < 4 for cid in arw.values())
+
+
+def test_pq_codebook_rows_from_seeds_matches_in_frame(spark, sf_dir):
+    """The driver-collected seed codebook must yield Arrow-encode
+    codes identical to the native seed-frame encode — i.e. the
+    collect+slice replicates the in-frame array_sort/slice codebook
+    value-for-value (JVM fixed-point rounding on both paths)."""
+    from musicflow_spark.operators.similarity import (
+        _pq_encode_parts,
+        pq_codebook_rows_from_seeds,
+        pq_encode_codes_arrow,
+    )
+    from musicflow_spark.queries.vectors import (
+        N_QUERY_VECS,
+        PQ_CENT_MOD,
+        PQ_CENT_REM,
+        PQ_DIM,
+        PQ_SCALE,
+        PQ_SEED_MAX,
+        PQ_SUB,
+    )
+    from musicflow_spark.sources.catalog import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(
+        (F.col("vec_id") % PQ_CENT_MOD == PQ_CENT_REM)
+        & (F.col("vec_id") < PQ_SEED_MAX)
+    )
+    _, native, _ = _pq_encode_parts(
+        emb, emb.limit(1), seeds, "vec_id", "embedding", PQ_DIM, PQ_SUB,
+        PQ_SCALE,
+    )
+    cb = pq_codebook_rows_from_seeds(
+        seeds, "vec_id", "embedding", PQ_DIM, PQ_SUB, PQ_SCALE
+    )
+    nat = {r["neighbor_id"]: list(r["codes"]) for r in native.collect()}
+    arw = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in pq_encode_codes_arrow(
+            emb, cb, "vec_id", "embedding", PQ_DIM, PQ_SUB, PQ_SCALE
+        ).collect()
+    }
+    assert nat == arw
