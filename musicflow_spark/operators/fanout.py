@@ -40,6 +40,18 @@ from pyspark.sql import DataFrame
 #: split counts fan_out no-ops entirely and the divisor is moot.
 INTERPRETED_STAGE_DIVISOR = int(os.environ.get("SPARK_GRAFT_FANOUT_DIVISOR", "4"))
 
+#: Width divisor for PYTHON CODEC map stages (mapInPandas/mapInArrow
+#: kernels running pure-Python codecs: PNG/WAV/RVID encode+decode).
+#: Each task is a separate Python worker process; at full session
+#: width the worker fleet + the JVM oversubscribe the host and the
+#: per-task time inflates several-fold (r13 driver scaling block:
+#: media_phash_neardup 2.17 s at 32 cores vs 0.99 s at 8 — ratio
+#: 0.46; media_audio_neardup 0.62).  Same remedy as the interpreted
+#: shingle stages: run the stage at a fraction of defaultParallelism.
+#: Env-overridable for cluster profiles; at production split counts
+#: fan_out no-ops and the divisor is moot.
+CODEC_STAGE_DIVISOR = int(os.environ.get("SPARK_GRAFT_CODEC_DIVISOR", "4"))
+
 
 def fan_out(df: DataFrame, factor: int = 1, divisor: int = 1) -> DataFrame:
     """Round-robin repartition to ``factor * defaultParallelism //

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from musicflow_spark.operators.fanout import fan_out
+from musicflow_spark.operators.fanout import CODEC_STAGE_DIVISOR, fan_out
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -411,7 +411,7 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
 
     # the encode is Python-per-row on a scan-partitioned frame —
     # spread it before the codec stage (fan_out no-ops at scale)
-    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id"), divisor=CODEC_STAGE_DIVISOR).mapInPandas(run, schema)
 
 
 def phash_bands_from_docs(
@@ -460,7 +460,7 @@ def phash_bands_from_docs(
                 }
             )
 
-    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id"), divisor=CODEC_STAGE_DIVISOR).mapInPandas(run, schema)
 
 
 def audio_feature_frame_from_docs(docs: DataFrame) -> DataFrame:
@@ -504,7 +504,7 @@ def audio_feature_frame_from_docs(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id"), divisor=CODEC_STAGE_DIVISOR).mapInPandas(run, schema)
 
 
 def audio_energy_bands_from_docs(docs: DataFrame) -> DataFrame:
@@ -544,7 +544,7 @@ def audio_energy_bands_from_docs(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id"), divisor=CODEC_STAGE_DIVISOR).mapInPandas(run, schema)
 
 
 def video_frame_metrics_from_docs(docs: DataFrame) -> DataFrame:
@@ -588,7 +588,7 @@ def video_frame_metrics_from_docs(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id"), divisor=CODEC_STAGE_DIVISOR).mapInPandas(run, schema)
 
 
 #: dHash geometry: 16 rows x 8 cols = 128 hash bits as 16 byte bands.
@@ -832,7 +832,7 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id"), divisor=CODEC_STAGE_DIVISOR).mapInPandas(run, schema)
 
 
 def audio_feature_frame(media: DataFrame) -> DataFrame:
@@ -985,7 +985,7 @@ def rvid_media_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id")).mapInPandas(run, schema)
+    return fan_out(docs.select("doc_id"), divisor=CODEC_STAGE_DIVISOR).mapInPandas(run, schema)
 
 
 def video_frame_metrics(media: DataFrame) -> DataFrame:

@@ -1306,10 +1306,20 @@ def sq_topk(
     shuffles candidate rows only; raw vectors are touched exactly
     twice (stats/encode and rerank-fetch).
     """
+    from musicflow_spark.operators.fanout import INTERPRETED_STAGE_DIVISOR, fan_out
+
     stats = _sq_stats(corpus, vec_col, dim)
     code = _sq_code(vec_col, dim, levels)
-    c_codes = corpus.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col).alias("neighbor_id"), code.alias("c_code")
+    # the quantize + integer-L2 scan below is an interpreted HOF chain
+    # (transform/zip_with/aggregate) sitting directly on the corpus
+    # scan — at sf0.1 that is ONE task while the session idles (guide
+    # §2.5 input skew); fan_out spreads it and no-ops at production
+    # split counts (r14: 32-core wall 1.99 s with the single-task scan,
+    # and the driver's 8-core run was FASTER — overhead-bound ladder)
+    c_codes = (
+        fan_out(corpus, divisor=INTERPRETED_STAGE_DIVISOR)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col).alias("neighbor_id"), code.alias("c_code"))
     )
     q_codes = queries.crossJoin(F.broadcast(stats)).select(
         F.col(id_col).alias("query_id"), code.alias("q_code")
