@@ -709,6 +709,7 @@ def ivf_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     budget_div: int | None = None,
+    arrow_rerank: bool = False,
 ) -> DataFrame:
     """BUDGETED multi-probe IVF serve stage (VERDICT r12 item 6) over
     a trained integer-grid quantizer: instead of a fixed ``n_probe``
@@ -804,7 +805,9 @@ def ivf_multiprobe_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k)
+    return _exact_rerank(
+        corpus, queries, cands, id_col, vec_col, k, arrow=arrow_rerank
+    )
 
 
 # --------------------------------------------------------------- PQ (ADC)
@@ -1036,6 +1039,81 @@ def _adc_sum(n_sub: int) -> Column:
     )
 
 
+def _cosine_pairs_arrow(pairs: DataFrame) -> DataFrame:
+    """Arrow compute tier of the ``cosine(q_vec, c_vec)`` projection
+    over a (query_id, neighbor_id, q_vec, c_vec) frame — IDENTICAL
+    values, faster kernel (r14, guide §4.2: the native cosine is
+    three interpreted HOF folds per row — dot(a,b), dot(a,a),
+    dot(b,b) — ~3·d lambda steps through the interpreter per
+    candidate pair).
+
+    Bit-exactness (the ``nearest_centroid_ids_arrow`` recipe): the
+    native fold accumulates ``acc + x·y`` one DIMENSION at a time in
+    IEEE double after exact float→double widening; the kernel replays
+    the same sequence — vectorized across candidate rows, sequential
+    across dimensions (numpy does not fuse, no FMA) — then
+    ``ab / (sqrt(aa)·sqrt(bb))`` is the same three scalar IEEE ops
+    the native expression tree performs.  Fixed-dimension contract:
+    every vector in a batch must have the same length (the corpus
+    contract everywhere else); raises on ragged input instead of
+    silently mis-reshaping."""
+
+    out_fields = [
+        pairs.schema["query_id"],
+        pairs.schema["neighbor_id"],
+    ]
+    out_schema = (
+        f"query_id {out_fields[0].dataType.simpleString()}, "
+        f"neighbor_id {out_fields[1].dataType.simpleString()}, "
+        "cos_sim double"
+    )
+
+    def run(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        def mat(col, n):
+            widths = _np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if widths.size and (widths != widths[0]).any():
+                raise ValueError("ragged vector column in cosine kernel")
+            return (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(_np.float64, copy=False)
+                .reshape(n, -1)
+            )
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            q = mat(batch.column(2), n)
+            c = mat(batch.column(3), n)
+            if q.shape[1] != c.shape[1]:
+                raise ValueError(
+                    f"dim mismatch in cosine kernel: {q.shape[1]} vs {c.shape[1]}"
+                )
+            ab = _np.zeros(n, dtype=_np.float64)
+            aa = _np.zeros(n, dtype=_np.float64)
+            bb = _np.zeros(n, dtype=_np.float64)
+            for j in range(q.shape[1]):
+                x, y = q[:, j], c[:, j]
+                ab += x * y
+                aa += x * x
+                bb += y * y
+            cos = ab / (_np.sqrt(aa) * _np.sqrt(bb))
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    _pa.array(cos, type=_pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos_sim"],
+            )
+
+    return pairs.mapInArrow(run, out_schema)
+
+
 def _exact_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1043,24 +1121,33 @@ def _exact_rerank(
     id_col: str,
     vec_col: str,
     k: int,
+    arrow: bool = False,
 ) -> DataFrame:
     """Exact-cosine rerank of (query_id, neighbor_id) candidates via
-    broadcast join-backs; the raw vectors are touched only here."""
+    broadcast join-backs; the raw vectors are touched only here.
+    ``arrow=True`` swaps the interpreted per-row cosine fold for the
+    bit-identical :func:`_cosine_pairs_arrow` kernel (guide §4.2) —
+    the right tier when candidate volume is large; the join shape and
+    the ranking window are unchanged either way."""
     c_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = (
-        c_vecs.join(F.broadcast(cands), "neighbor_id")
-        .join(F.broadcast(q_vecs), "query_id")
-        .select(
+    joined = c_vecs.join(F.broadcast(cands), "neighbor_id").join(
+        F.broadcast(q_vecs), "query_id"
+    )
+    if arrow:
+        scored = _cosine_pairs_arrow(
+            joined.select("query_id", "neighbor_id", "q_vec", "c_vec")
+        )
+    else:
+        scored = joined.select(
             "query_id",
             "neighbor_id",
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1084,6 +1171,7 @@ def pq_topk(
     rerank_corpus: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
     arrow_encode: bool = False,
+    arrow_rerank: bool = False,
 ) -> DataFrame:
     """Product-quantization ADC top-k — the memory-compression ANN
     tier: each corpus vector is encoded once into ``n_sub`` centroid
@@ -1136,7 +1224,7 @@ def pq_topk(
     return _exact_rerank(
         rerank_corpus if rerank_corpus is not None else corpus,
         rerank_queries if rerank_queries is not None else queries,
-        cands, id_col, vec_col, k,
+        cands, id_col, vec_col, k, arrow=arrow_rerank,
     )
 
 
@@ -1154,6 +1242,7 @@ def ivfpq_topk(
     n_candidates: int = 40,
     scale: int = 1000,
     arrow_corpus_tiers: bool = False,
+    arrow_rerank: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the combined ANN tier every large vector deployment
     actually ships — IVF coarse quantization prunes WHICH codes are
@@ -1227,7 +1316,7 @@ def ivfpq_topk(
     cands = adc.withColumn("crank", F.row_number().over(wc)).filter(
         F.col("crank") <= n_candidates
     ).select("query_id", "neighbor_id")
-    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k)
+    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k, arrow=arrow_rerank)
 
 
 # ------------------------------------------------------------------ MMR
@@ -1289,6 +1378,7 @@ def sq_topk(
     dim: int = 64,
     levels: int = 255,
     n_candidates: int = 40,
+    arrow_rerank: bool = False,
 ) -> DataFrame:
     """Scalar-quantization (SQ8) ANN tier: every corpus vector is
     compressed to one byte per dimension on a per-dimension affine
@@ -1343,7 +1433,7 @@ def sq_topk(
         .filter(F.col("crank") <= n_candidates)
         .select("query_id", "neighbor_id")
     )
-    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k)
+    return _exact_rerank(corpus, queries, cands, id_col, vec_col, k, arrow=arrow_rerank)
 
 
 def mmr_topk(

@@ -1754,7 +1754,7 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = pq_topk(
         emb, queries, seeds, k=TOP_K, dim=PQ_DIM, n_sub=PQ_SUB,
         n_candidates=PQ_CAND, scale=PQ_SCALE,
-        codebook_rows=cb, arrow_encode=True,
+        codebook_rows=cb, arrow_encode=True, arrow_rerank=True,
     )
     return topk.select(
         "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
@@ -1849,7 +1849,7 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=PQ_CAND, scale=PQ_SCALE, codebook_rows=cb,
         # Arrow int64-argmin encode tier (bit-identical codes,
         # contract-asserted) — same tier knn_opq ships (r13)
-        arrow_encode=True,
+        arrow_encode=True, arrow_rerank=True,
     )
     return topk.select(
         "query_id", "neighbor_id",
@@ -1978,7 +1978,7 @@ def knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Arrow int64-argmin encode tier (bit-identical codes,
         # contract-asserted): the interpreted-lambda encode was the
         # measured x100 constant (SCALE.md round-10)
-        arrow_encode=True,
+        arrow_encode=True, arrow_rerank=True,
     )
     return topk.select(
         "query_id", "neighbor_id",
@@ -2047,7 +2047,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (r13, guide §4.1/§4.2); the 21-row centroid / 17-row seed
         # collects are bounded by the same fixed-id-range contracts
         # that broadcast them
-        arrow_corpus_tiers=True,
+        arrow_corpus_tiers=True, arrow_rerank=True,
     )
     return topk.select(
         "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
@@ -2909,7 +2909,9 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    topk = _exact_rerank(emb, queries, cands, "vec_id", "embedding", TOP_K)
+    topk = _exact_rerank(
+        emb, queries, cands, "vec_id", "embedding", TOP_K, arrow=True
+    )
     return topk.select(
         "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
     )
@@ -2990,6 +2992,7 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_rows=None,
         budget_div=MULTIPROBE_BUDGET_DIV,
         k=TOP_K,
+        arrow_rerank=True,
     )
     return topk.select(
         "query_id",
@@ -3155,7 +3158,9 @@ def _ivf_probe_at_rest(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
     queries = emb.filter(F.col("vec_id") < AT_REST_QUERY_VECS)
-    topk = _exact_rerank(emb, queries, cands, "vec_id", "embedding", TOP_K)
+    topk = _exact_rerank(
+        emb, queries, cands, "vec_id", "embedding", TOP_K, arrow=True
+    )
     return topk.select(
         "query_id",
         "neighbor_id",
@@ -3750,7 +3755,9 @@ def corpus_retrieval_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     queries = nz.filter(F.col("chunk_id") < q_bound)
-    topk = _exact_rerank(nz, queries, cands, "chunk_id", "embedding", RETR_TOPK)
+    topk = _exact_rerank(
+        nz, queries, cands, "chunk_id", "embedding", RETR_TOPK, arrow=True
+    )
     return topk.select(
         "query_id",
         "neighbor_id",
@@ -3848,7 +3855,7 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     topk = sq_topk(
         emb, queries, k=TOP_K, dim=PQ_DIM, levels=SQ_LEVELS,
-        n_candidates=SQ_CAND,
+        n_candidates=SQ_CAND, arrow_rerank=True,
     )
     return topk.select(
         "query_id", "neighbor_id", pround(F.col("cos_sim"), 6).alias("cos_sim"), "rank"
