@@ -542,6 +542,15 @@ def nearest_centroid_ids_arrow(
                 .astype(_np.float64, copy=False)
                 .reshape(n, dim)
             )
+            # ADVICE r13: enforce the documented NaN-free contract —
+            # the native window orders NaN d² LAST while np.argmin
+            # would pick it, so a contract violation must error, not
+            # silently flip an assignment (O(n·dim) check vs the
+            # O(n·k·dim) kernel below)
+            if not _np.isfinite(x).all():
+                raise ValueError(
+                    "non-finite vector in nearest_centroid_ids_arrow batch"
+                )
             d2 = _np.zeros((n, len(cids)), dtype=_np.float64)
             for j in range(dim):
                 diff = x[:, j, None] - cvs[None, :, j]
@@ -578,6 +587,12 @@ def pq_codebook_rows_from_seeds(
         _fixed_point(F.col(vec_col), scale).alias("iv"),
     ).collect()
     rows.sort(key=lambda r: r["sid"])
+    # ADVICE r13: the in-frame codebook's array_sort on struct(sid, iv)
+    # tie-breaks duplicate sids by iv, while this collect-side stable
+    # sort would keep nondeterministic collect order — fail loudly
+    # instead of silently diverging from the value-identical contract
+    if len({r["sid"] for r in rows}) != len(rows):
+        raise ValueError("duplicate seed ids in pq_codebook_rows_from_seeds")
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub = dim // n_sub
@@ -753,6 +768,14 @@ def ivf_multiprobe_topk(
         kmeans_assign_arrow,
         quantized,
     )
+
+    # ADVICE r13: the driver walk's stable-argsort tie rule equals the
+    # old (d2, cid) window rule only when cent_rows is cid-ascending;
+    # enforce the invariant LOCALLY instead of relying on
+    # kmeans_assign_arrow happening to validate the same list below
+    probe_cids = [c for c, _ in cent_rows]
+    if probe_cids != sorted(probe_cids):
+        raise ValueError("cent_rows must be sorted by cluster_id ascending")
 
     qq = corpus.select(
         F.col(id_col).alias("id"), quantized(vec_col).alias("qv")
@@ -964,8 +987,6 @@ def pq_encode_codes_arrow(
     encode is a bit-level guarantee, asserted row-for-row in
     tests/test_embeddings.py.  Requires an explicit ``codebook_rows``
     (the trained tiers' form)."""
-    import pyarrow as pa
-
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_dim = dim // n_sub
@@ -974,24 +995,22 @@ def pq_encode_codes_arrow(
         raise ValueError("codebook_rows must be [n_sub][k][sub_dim]")
     cb_t = [c.T.copy() for c in cb]
     cb2 = [(c * c).sum(axis=1) for c in cb]
+    # ADVICE r13: the id column passes through UNTOUCHED (the
+    # nearest_centroid_ids_arrow pattern) — casting to long here made
+    # the tier's output id type diverge from the native encode for
+    # non-long id columns (and would null-cast a non-numeric id)
     iv_df = corpus.select(
-        F.col(id_col).cast("long").alias(out_id),
+        F.col(id_col).alias(out_id),
         _fixed_point(F.col(vec_col), scale).alias("__iv__"),
     )
-    out_type = pa.schema(
-        [
-            pa.field(out_id, pa.int64()),
-            pa.field("codes", pa.list_(pa.int64())),
-        ]
-    )
+    id_type = iv_df.schema[out_id].dataType.simpleString()
 
     def run(batches):
         import numpy as _np
         import pyarrow as _pa
 
         for batch in batches:
-            ids = batch.column(0).to_numpy(zero_copy_only=False)
-            n = len(ids)
+            n = batch.num_rows
             if n == 0:
                 continue
             # values-buffer view + |q|^2 - 2 q·c + |c|^2 expansion:
@@ -1013,16 +1032,16 @@ def pq_encode_codes_arrow(
             offsets = _np.arange(0, (n + 1) * n_sub, n_sub, dtype=_np.int32)
             yield _pa.RecordBatch.from_arrays(
                 [
-                    _pa.array(ids, type=_pa.int64()),
+                    batch.column(0),
                     _pa.ListArray.from_arrays(
                         _pa.array(offsets, type=_pa.int32()),
                         _pa.array(codes.ravel(), type=_pa.int64()),
                     ),
                 ],
-                schema=out_type,
+                names=[out_id, "codes"],
             )
 
-    return iv_df.mapInArrow(run, "%s long, codes array<long>" % out_id)
+    return iv_df.mapInArrow(run, f"{out_id} {id_type}, codes array<long>")
 
 
 def _adc_sum(n_sub: int) -> Column:

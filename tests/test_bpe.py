@@ -147,6 +147,7 @@ def python_bpe_piece_counts(texts: list[str], n_merges: int) -> dict[str, int]:
     return {w: len(s) for w, s in words.items()}
 
 
+@pytest.mark.slow
 def test_fixture_corpus_trains_to_dry_point(spark, sf_dir):
     """Dry-corpus parity: the synthetic fixture has only 31 distinct
     [a-z]+ word types, so its merge capacity is well under 128 — the
@@ -191,6 +192,7 @@ def _rich_corpus(n_words: int = 300, words_per_doc: int = 40) -> list[str]:
     ]
 
 
+@pytest.mark.slow
 def test_256_merges_matches_python_reference(spark):
     """Production-shape merge count (VERDICT r08 item 5): the
     checkpointed training loop at 256 merges, bit-equal to the

@@ -17,6 +17,7 @@ def models(musicflow_sources):
     return build_all(musicflow_sources, PipelineConfig())
 
 
+@pytest.mark.slow
 def test_reference_suite_green(models):
     suite = reference_suite(models)
     # the reference runs ~130 dbt assertions; the port must be in

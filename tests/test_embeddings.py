@@ -454,6 +454,7 @@ def test_feature_hash_embedding_arrow_bitwise_parity(spark, sf_dir):
     assert sum(abs(v) for v in ea[1]) in (2.0, 4.0)  # mixed +-1 signs
 
 
+@pytest.mark.slow
 def test_pq_trained_beats_seeded_recall(spark, sf_dir):
     """Why train the fine quantizer: per-subspace kmeans codebooks
     must match-or-beat the deterministic stride-seeded codebook's
@@ -507,6 +508,7 @@ def test_opq_rotation_is_orthogonal(spark, sf_dir):
         assert abs(n - orig[r["vec_id"]]) <= 1e-9 * max(1.0, orig[r["vec_id"]])
 
 
+@pytest.mark.slow
 def test_opq_beats_trained_recall(spark, sf_dir):
     """Why rotate (VERDICT r09 item 4): OPQ's recall@10 vs brute
     force must beat the unrotated trained-codebook tier's (measured

@@ -93,6 +93,7 @@ def test_pagerank_oracle_generator_replays_spark(spark, frames):
     assert got == want  # bit-exact, not approximate
 
 
+@pytest.mark.slow
 def test_pagerank_bounded_bit_identical_to_distributed(spark, frames):
     """The single-task bounded tier must replay the distributed
     integer recurrence exactly — including the dangling branch (node

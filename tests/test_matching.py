@@ -176,6 +176,7 @@ def test_side_effect_sets(result):
     assert all(p != "LM" for p, _ in adds)
 
 
+@pytest.mark.slow
 def test_lazy_rounds_equal_eager(spark, source, engine_inputs, others_grouped):
     videos, playlist_map = engine_inputs
     liked = spark.createDataFrame([("spotify:track:t03",)], "uri string")

@@ -93,6 +93,7 @@ def test_warm_cache_reproduces_cold_run_without_search(spark, setup, tmp_path):
     assert cache2.count() == cache.count()
 
 
+@pytest.mark.slow
 def test_only_new_videos_are_searched(spark, setup):
     source, videos, playlist_map = setup
     engine = MatchEngine(CFG, source)
@@ -127,6 +128,7 @@ def test_cache_key_is_video_not_library_row(spark, setup):
     assert cache.filter(F.col("payload").isNotNull()).count() == matched_videos
 
 
+@pytest.mark.slow
 def test_grouped_others_cached_under_playlist_key(spark, setup):
     source, videos, playlist_map = setup
     grouped = spark.createDataFrame(

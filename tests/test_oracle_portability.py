@@ -35,6 +35,7 @@ def oracle_con(sf_dir):
     con.close()
 
 
+@pytest.mark.slow
 def test_no_oracle_emits_non_portable_dtypes(oracle_con):
     offenders: dict[str, list[tuple[str, str]]] = {}
     n_sql = 0

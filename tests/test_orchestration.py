@@ -99,6 +99,7 @@ def test_dagspec_rejects_cycles():
 
 
 # ------------------------------------- per-model materialization config
+@pytest.mark.slow
 def test_materialization_overrides(spark, musicflow_sources, tmp_path):
     import os
 
@@ -193,6 +194,7 @@ def test_auth_retry_bounded_backoff_on_429():
     assert sleeps == [1.0, 2.0, 4.0]  # exponential, then give up
 
 
+@pytest.mark.slow
 def test_pipeline_dag_spec_executes_end_to_end(spark, musicflow_sources, tmp_path):
     """Running the DAG-spec form must produce the same warehouse as
     Pipeline.run — the adapter executes, not just topo-sorts."""

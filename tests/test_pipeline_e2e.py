@@ -32,6 +32,7 @@ def pipeline_run(spark, musicflow_sources, tmp_path_factory):
     return pipe, ctx, wh
 
 
+@pytest.mark.slow
 def test_marts_materialized_as_parquet(pipeline_run):
     _, ctx, wh = pipeline_run
     for mart in ("log_found_videos", "log_not_found_videos", "log_for_tableau", "spotify_log"):
@@ -58,6 +59,7 @@ def test_engine_log_feeds_models_consistently(pipeline_run):
     assert bad.count() == 0
 
 
+@pytest.mark.slow
 def test_reference_check_suite_green_on_engine_output(pipeline_run):
     # the ~170 ported dbt assertions hold on ENGINE-PRODUCED data, not
     # just the hand-written fixture log
@@ -67,6 +69,7 @@ def test_reference_check_suite_green_on_engine_output(pipeline_run):
     assert failing == [], "\n".join(str(r) for r in failing)
 
 
+@pytest.mark.slow
 def test_warm_rerun_is_idempotent(spark, musicflow_sources, pipeline_run):
     pipe, ctx, wh = pipeline_run
     cold_log = sorted(

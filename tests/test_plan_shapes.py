@@ -286,6 +286,7 @@ def test_dynamic_overwrite_rewrites_only_touched_partitions(spark, tmp_path):
     assert got.filter("cluster_id = 2").count() == 6
 
 
+@pytest.mark.slow
 def test_ivf_at_rest_ingest_serves_delta_and_base(spark, tmp_path, monkeypatch):
     """knn_ivf_at_rest_ingest end-to-end at sf0.001: the single delta
     vector (vec_id 0) is both a query and discoverable content, every
@@ -318,6 +319,7 @@ def test_ivf_at_rest_ingest_serves_delta_and_base(spark, tmp_path, monkeypatch):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
 
 
+@pytest.mark.slow
 def test_hnsw_at_rest_layout_and_layer_pruning(spark, tmp_path, monkeypatch):
     """knn_hnsw_at_rest writes the per-layer adjacency
     partitionBy(layer, bucket) and the descent's edge reads carry the
@@ -362,6 +364,7 @@ def test_hnsw_at_rest_layout_and_layer_pruning(spark, tmp_path, monkeypatch):
         assert "PartitionFilters" in l and re.search(r"layer#\d+ = 1", l), l
 
 
+@pytest.mark.slow
 def test_hnsw_at_rest_ingest_rewrites_only_touched_partitions(
     spark, tmp_path, monkeypatch
 ):

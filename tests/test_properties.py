@@ -5,6 +5,8 @@ not per value)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import given, settings, strategies as st
@@ -371,6 +373,7 @@ def test_pps_sample_matches_python_and_conserves(weights, k):
         max_size=16,
     ).filter(lambda rows: len({c for c, _ in rows}) >= 2)
 )
+@pytest.mark.slow
 def test_naive_bayes_matches_python_on_any_corpus(rows):
     """NB integer scores equal the pure-python reference on arbitrary
     tiny corpora (train = even index, test = odd), including all-OOV

@@ -156,6 +156,7 @@ def test_foreach_batch_upsert_sink(spark, stream_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_marts_converge_to_batch(spark, musicflow_sources, tmp_path):
     """Log rows arriving as a 2-chunk stream must leave the warehouse
     marts identical to a one-shot batch build over the same rows."""
@@ -191,6 +192,7 @@ def test_streaming_marts_converge_to_batch(spark, musicflow_sources, tmp_path):
     assert spark.read.parquet(f"{wh}/spotify_log").count() == log.count()
 
 
+@pytest.mark.slow
 def test_full_dag_streaming_twin_converges_and_leaves_cache_warm(
     spark, musicflow_sources, tmp_path
 ):
@@ -327,6 +329,7 @@ def test_content_dedup_stream_collapses_same_payload(spark, replayed_stream_dir,
     assert got.select("fp").distinct().count() == want
 
 
+@pytest.mark.slow
 def test_minhash_candidates_stream_converges_to_batch(spark, tmp_path):
     from musicflow_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -1319,6 +1322,7 @@ def test_stream_scd2_equals_sequential_batch_fold(spark):
     assert max(c.values()) == 3
 
 
+@pytest.mark.slow
 def test_crossmodal_stream_converges_to_batch_mart(spark, sf_dir):
     """The streaming cross-modal gate (foreachBatch per micro-batch)
     must converge EXACTLY to the one-shot batch mart — the gate is

@@ -108,6 +108,7 @@ def test_fold_replay_is_idempotent(spark, folded):
     assert spark.read.parquet(path).count() == n_before
 
 
+@pytest.mark.slow
 def test_multi_column_fold_chunks_keep_lists_whole(spark):
     """The HNSW streaming twin's convergence premise: write-set
     chunks split by src, so (layer, src) adjacency lists never span

@@ -36,6 +36,7 @@ def _edges(df):
 
 
 # ------------------------------------------------------- structural
+@pytest.mark.slow
 def test_beam_walks_exactly_rounds_hops(spark):
     # path graph in vector space: node i = (i, 0, ...) scaled so that
     # cosine to the query (at node 4's position) increases along the
@@ -98,6 +99,7 @@ def _clustered(spark, n_clusters=20, per=30, dim=16):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_beam_matches_ivf_recall_at_smaller_budget_clustered(spark):
     dim, n_q, k = 16, 8, 10
     corpus = _clustered(spark, dim=dim)
@@ -309,6 +311,7 @@ def test_hnsw_layer_nesting_and_schedule():
     assert TOP_K <= widths[-1]
 
 
+@pytest.mark.slow
 def test_hnsw_beats_beam_at_smaller_budget(spark, sf_dir):
     """The point of the hierarchy (VERDICT r09 item 3): the layered
     descent must reach AT LEAST the single-layer beam tier's
@@ -379,6 +382,7 @@ def test_hnsw_beats_beam_at_smaller_budget(spark, sf_dir):
     assert r_hnsw >= 0.7, r_hnsw
 
 
+@pytest.mark.slow
 def test_hnsw_ingest_write_set_semantics(spark, sf_dir):
     """Incremental layered-HNSW maintenance invariants: delta rows
     appear exactly at the layers their id stride assigns; every
