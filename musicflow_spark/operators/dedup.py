@@ -65,6 +65,7 @@ def with_shingles(
     id_col: str = "doc_id",
     n: int = 3,
     out_col: str = "sh",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sh: array<string>) with tokenization materialized as
     its own projection step so it evaluates once per row.
@@ -73,7 +74,21 @@ def with_shingles(
     and sits directly on the scan, so a small-but-expensive input
     (one row group) would otherwise run the whole pass on one core
     (measured at sf0.1: the shingle stage was 1 task × ~1 s per run
-    while 31 cores idled); no-op at production split counts."""
+    while 31 cores idled); no-op at production split counts.
+
+    ``toks``: a pre-tokenized (doc_id, tk: array<string>) frame (e.g.
+    a shared ``tokenized_docs`` checkpoint — guide §2.4 same-subtree
+    reuse): the tokenize pass and its scan are skipped, and
+    ``transform(tk, lower)`` is expression-identical to the inline
+    tokenize, so the shingle sets are unchanged.  The frame arrives
+    already fanned out, so no fan_out either."""
+    if toks is not None:
+        return (
+            toks.select(F.col(id_col).alias("doc_id"), F.col("tk"))
+            .withColumn("__toks__", F.transform(F.col("tk"), F.lower))
+            .withColumn(out_col, shingles_of(F.col("__toks__"), n))
+            .select("doc_id", out_col)
+        )
     return (
         fan_out(
             df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__")),
@@ -98,6 +113,7 @@ def with_hashed_shingles(
     id_col: str = "doc_id",
     n: int = 3,
     out_col: str = "sh",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sh: array<long>) — shingle identities as 64-bit
     hashes combined DIRECTLY from per-token hashes, with the n-gram
@@ -113,8 +129,12 @@ def with_hashed_shingles(
     available via with_shingles where human-readable output matters.
 
     fan_out first — same single-task-scan rationale as with_shingles.
-    """
-    toks = F.transform(tokens("__text__"), lambda t: F.xxhash64(F.lower(t)))
+
+    ``toks``: a pre-tokenized (doc_id, tk) frame (the with_shingles
+    contract) — the per-token hash runs over the shared token arrays
+    (``transform(tk, t -> xxhash64(lower(t)))`` is expression-identical
+    to the inline tokenize+hash), skipping the tokenize pass, its scan
+    and the fan_out (the frame arrives already fanned out)."""
     th = F.col("__th__")
     k = F.size(th)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
@@ -122,12 +142,21 @@ def with_hashed_shingles(
         idx, lambda i: F.xxhash64(*[F.element_at(th, (i + j + 1).cast("int")) for j in range(n)])
     )
     sh = F.when(k < n, F.array().cast("array<bigint>")).otherwise(F.array_distinct(grams))
+    if toks is not None:
+        return (
+            toks.select(F.col(id_col).alias("doc_id"), F.col("tk"))
+            .withColumn(
+                "__th__", F.transform(F.col("tk"), lambda t: F.xxhash64(F.lower(t)))
+            )
+            .withColumn(out_col, sh)
+            .select("doc_id", out_col)
+        )
     return (
         fan_out(
             df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__")),
             divisor=INTERPRETED_STAGE_DIVISOR,
         )
-        .withColumn("__th__", toks)
+        .withColumn("__th__", F.transform(tokens("__text__"), lambda t: F.xxhash64(F.lower(t))))
         .withColumn(out_col, sh)
         .select("doc_id", out_col)
     )
@@ -269,6 +298,7 @@ def kept_shingle_sets(
     max_df: int | None = None,
     sets: DataFrame | None = None,
     hashed: bool = False,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sh, n_shingles) with the discriminative-shingle
     filter applied ARRAY-SIDE; ``sh`` is array<string>, or
@@ -290,7 +320,7 @@ def kept_shingle_sets(
     (from with_shingles) to share the single pass."""
     if sets is None:
         maker = with_hashed_shingles if hashed else with_shingles
-        sets = maker(df, text_col, id_col, n)
+        sets = maker(df, text_col, id_col, n, toks=toks)
         if max_df is not None:
             sets = sets.localCheckpoint(eager=True)
     if max_df is not None:
@@ -314,6 +344,7 @@ def shingle_table(
     n: int = 3,
     max_df: int | None = None,
     hashed: bool = False,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_shingles, shingle) inverted-index rows over the
     kept-shingle sets.  ``n_shingles`` counts only KEPT shingles, so
@@ -326,9 +357,9 @@ def shingle_table(
     collision would merge two shingles' postings; at 2^64 that is
     ~d^2/2^65 for d distinct shingles (~1e-8 even at 10^5 distinct)
     — the standard trade every production shingle index makes."""
-    return kept_shingle_sets(df, text_col, id_col, n, max_df, hashed=hashed).select(
-        "doc_id", "n_shingles", F.explode("sh").alias("shingle")
-    )
+    return kept_shingle_sets(
+        df, text_col, id_col, n, max_df, hashed=hashed, toks=toks
+    ).select("doc_id", "n_shingles", F.explode("sh").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -339,6 +370,7 @@ def jaccard_pairs(
     threshold: float = 0.2,
     max_df: int | None = 20,
     hashed_index: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over discriminative shingles
     for all pairs sharing >=1 kept shingle.  The self-join is an
@@ -351,7 +383,7 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, inter_cnt, jaccard) with doc_a < doc_b,
     where jaccard is over the kept-shingle sets.
     """
-    sh = shingle_table(df, text_col, id_col, n, max_df, hashed=hashed_index)
+    sh = shingle_table(df, text_col, id_col, n, max_df, hashed=hashed_index, toks=toks)
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_shingles").alias("n_a"),

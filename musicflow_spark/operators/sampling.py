@@ -345,6 +345,7 @@ def split_contamination(
     max_df: int = 20,
     salt: str = "",
     pairs: DataFrame | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination probe: eval-set documents that leak from the
     training split — the check every train/eval split must pass
@@ -369,14 +370,28 @@ def split_contamination(
     ``pairs``: a pre-built ``jaccard_pairs(df, threshold, max_df)``
     frame to reuse (must be over the same df/params) — compositions
     that also run canonical selection share ONE candidate-pair build
-    (see corpus_training_batch_mart)."""
+    (see corpus_training_batch_mart).
+
+    ``fps``: a pre-built (id_col, fp) fingerprint frame (fp =
+    ``fingerprint(text)`` over the same df) — compositions whose
+    exact-dedup tier already fingerprints the corpus share ONE
+    normalize+md5 pass; the split tag attaches by id equi-join
+    instead of re-deriving the fingerprint (r14, guide §2.4)."""
     from musicflow_spark.operators.dedup import jaccard_pairs
     from musicflow_spark.operators.textstats import fingerprint
 
-    tagged = hash_split(df, id_col, weights, salt=salt).select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("__text__"), "split"
-    )
-    fp = tagged.select("doc", "split", fingerprint("__text__").alias("fp"))
+    if fps is not None:
+        tagged = hash_split(df.select(id_col), id_col, weights, salt=salt).select(
+            F.col(id_col).alias("doc"), "split"
+        )
+        fp = tagged.join(
+            fps.select(F.col(id_col).alias("doc"), "fp"), "doc"
+        ).select("doc", "split", "fp")
+    else:
+        tagged = hash_split(df, id_col, weights, salt=salt).select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("__text__"), "split"
+        )
+        fp = tagged.select("doc", "split", fingerprint("__text__").alias("fp"))
     train_fp = fp.filter(F.col("split") == train_split).select(
         F.col("doc").alias("train_id"), "fp"
     )

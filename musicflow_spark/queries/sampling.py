@@ -207,7 +207,10 @@ FROM c
 
 
 def doc_split_contamination(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination probe (ext): eval documents that leak from the
     training split, as (eval, train) evidence pairs — exact tier by
@@ -216,7 +219,9 @@ def doc_split_contamination(
     (operators/sampling.py::split_contamination).  ``pairs`` forwards
     a shared jaccard_pairs frame (see split_contamination)."""
     docs = read_table(spark, sf_dir, "documents")
-    out = split_contamination(docs, "doc_id", "text", SPLIT_WEIGHTS, pairs=pairs)
+    out = split_contamination(
+        docs, "doc_id", "text", SPLIT_WEIGHTS, pairs=pairs, fps=fps
+    )
     return out.select(
         "eval_id",
         "split",
@@ -899,10 +904,23 @@ def corpus_training_batch_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_shards-row two-level prefix sum.  Composing adds two doc_id
     equi-joins (split tags, survivor anti-join) and nothing else."""
     from musicflow_spark.operators.dedup import jaccard_pairs, portable_hash60
+    from musicflow_spark.operators.fanout import INTERPRETED_STAGE_DIVISOR, fan_out
     from musicflow_spark.operators.sampling import shuffled_shard_manifest
-    from musicflow_spark.queries.textops import corpus_training_selection
+    from musicflow_spark.operators.textstats import fingerprint
+    from musicflow_spark.queries.textops import (
+        corpus_training_selection,
+        tokenized_docs,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
+    # ONE tokenize pass for the WHOLE mart (r14, guide §2.4): the
+    # shared token checkpoint feeds the selection ladder (lang-id,
+    # quality, the bigram LM) AND the jaccard shingle pass below —
+    # previously the shingle builder re-tokenized the corpus from its
+    # own scan (values identical: transform(tk, ...) is
+    # expression-identical to the inline tokenize, see
+    # with_hashed_shingles).
+    toks = tokenized_docs(spark, sf_dir)
     # ONE candidate-pair build for the two near-dup consumers (guide
     # §2.1): the selection ladder's canonical selection and the
     # decontamination probe each call jaccard_pairs with IDENTICAL
@@ -911,16 +929,29 @@ def corpus_training_batch_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is pair-grain (near-dup pairs only), so the checkpoint is
     # tiny; both consumers' semantics are unchanged (they consumed
     # value-identical frames before).
-    pairs = jaccard_pairs(docs, threshold=0.2, max_df=20).localCheckpoint(
-        eager=True
+    pairs = jaccard_pairs(
+        docs, threshold=0.2, max_df=20, toks=toks
+    ).localCheckpoint(eager=True)
+    # ONE normalize+md5 fingerprint pass for the two exact-dup
+    # consumers (r14, guide §2.4): the selection ladder's exact-dedup
+    # window and the decontamination probe's exact tier both
+    # fingerprint the full corpus with the identical expression —
+    # share one checkpointed (doc_id, fp) frame (id + 32-char md5, the
+    # lightweight-proxy shape of guide §8).  fan_out first: the regex
+    # normalize is per-row CPU sitting on the one-row-group scan
+    # (no-op at production split counts).
+    fps = (
+        fan_out(docs.select("doc_id", "text"), divisor=INTERPRETED_STAGE_DIVISOR)
+        .select("doc_id", fingerprint("text").alias("fp"))
+        .localCheckpoint(eager=True)
     )
     sel = (
-        corpus_training_selection(spark, sf_dir, pairs=pairs)
+        corpus_training_selection(spark, sf_dir, pairs=pairs, toks=toks, fps=fps)
         .filter(F.col("keep"))
         .select("doc_id", "n_tokens")
     )
     contaminated = (
-        doc_split_contamination(spark, sf_dir, pairs=pairs)
+        doc_split_contamination(spark, sf_dir, pairs=pairs, fps=fps)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )

@@ -993,7 +993,10 @@ def doc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_canonical_selection(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical-document selection (ext): after dedup clustering,
     keep the LONGEST member of each near-dup cluster (doc_id
@@ -1012,7 +1015,11 @@ def doc_canonical_selection(
     and the inverted-index join run once, not per consumer."""
     docs = read_table(spark, sf_dir, "documents")
     if pairs is None:
-        pairs = jaccard_pairs(docs, threshold=0.2, max_df=20)
+        # ``toks``: a shared tokenized_docs frame — the shingle pass
+        # hashes the already-tokenized arrays instead of re-tokenizing
+        # the corpus (guide §2.4; values identical, see
+        # with_hashed_shingles)
+        pairs = jaccard_pairs(docs, threshold=0.2, max_df=20, toks=toks)
     clusters = dedup_clusters(docs.select("doc_id"), pairs).select(
         "doc_id", "cluster_id"
     )
@@ -2203,7 +2210,11 @@ CTS_MIN_TOKENS, CTS_MIN_UNIQ = 12, 0.30
 
 
 def corpus_training_selection(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    toks: DataFrame | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end training-data selection mart (ext): every
     document routed through the full filter ladder IN ONE PLAN —
@@ -2241,7 +2252,10 @@ def corpus_training_selection(
     # HOF stages over the full text.  The expressions over ``tk`` are
     # identical to quality_features/lang_id modulo where the token
     # array comes from, so the emitted values are unchanged.
-    toks = tokenized_docs(spark, sf_dir)
+    # ``toks``: a caller-supplied tokenized_docs frame (the batch mart
+    # builds it once and shares it with the jaccard pass — guide §2.4)
+    if toks is None:
+        toks = tokenized_docs(spark, sf_dir)
     tk = F.col("tk")
     n_tok = F.size(tk)
     q = toks.select(
@@ -2256,12 +2270,20 @@ def corpus_training_selection(
         "doc_id", F.col("keep").alias("ppl_keep")
     )
     wfp = Window.partitionBy("fp").orderBy("doc_id")
-    fp = (
+    # ``fps``: a caller-supplied (doc_id, fp) fingerprint frame — the
+    # batch mart shares one normalize+md5 pass between this exact-dup
+    # window and the decontamination probe's exact tier (guide §2.4);
+    # the expression is identical either way (fingerprint(text))
+    fp_src = (
         docs.withColumn("fp", F.md5(normalize_for_fingerprint("text")))
-        .withColumn("rn", F.row_number().over(wfp))
+        if fps is None
+        else fps
+    )
+    fp = (
+        fp_src.withColumn("rn", F.row_number().over(wfp))
         .select("doc_id", (F.col("rn") == 1).alias("exact_keeper"))
     )
-    canon = doc_canonical_selection(spark, sf_dir, pairs=pairs).select(
+    canon = doc_canonical_selection(spark, sf_dir, pairs=pairs, toks=toks).select(
         "doc_id", "is_canonical"
     )
     joined = (
